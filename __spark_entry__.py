@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship TPC-H-Q1-shaped pricing aggregate at
+sf0.001; ``queries()`` exposes every implemented operator from SURVEY.md §2
+as (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for each (omitted for non-SQL-expressible ops → rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +12,53 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kinesis2elastic_spark.session import tune_session
+
+
+def _collect_modules():
+    """Import every operator module that defines QUERIES/ORACLE dicts."""
+    mods = []
+    from kinesis2elastic_spark.operators import relational
+
+    mods.append(relational)
+    for name in ("decode", "pipeline", "llmops", "multimodal"):
+        try:
+            mod = __import__(
+                f"kinesis2elastic_spark.operators.{name}", fromlist=[name]
+            )
+            mods.append(mod)
+        except ImportError:
+            pass
+    return mods
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune_session(spark)
+    from kinesis2elastic_spark.operators.relational import q_pricing_agg
+
+    return q_pricing_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _collect_modules():
+        for name, fn in mod.QUERIES.items():
+            def wrapped(spark, sf_dir, _fn=fn):
+                tune_session(spark)
+                return _fn(spark, sf_dir)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+            out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query (omit → rows-only check)."""
+    out: dict[str, str] = {}
+    for mod in _collect_modules():
+        rows_only = getattr(mod, "ROWS_ONLY", set())
+        for name, sql in mod.ORACLE.items():
+            if name not in rows_only:
+                out[name] = sql
+    return out

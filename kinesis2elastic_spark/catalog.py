@@ -1,0 +1,65 @@
+"""Table loading helpers for the driver testdata star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file each under an sf dir.
+
+Scale note: at 100 TB these would be partitioned/ bucketed tables behind a
+catalog; ``load`` keeps the read declarative (``spark.read.parquet``) so
+Catalyst retains predicate pushdown, column pruning, and partition pruning.
+Dimension tables (region/nation/supplier/part at TPC-H proportions) are small
+enough to broadcast — ``dim`` marks them so joins skip the shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small-by-construction dimensions: safe to broadcast at any scale factor
+# (region=5, nation=25 rows always; supplier/part grow slowly with sf).
+BROADCAST_DIMS = {"region", "nation", "supplier"}
+
+
+# Parquet columns physically stored as INT64 TIMESTAMP(NANOS), which Spark
+# does not map to TimestampType natively: read them as raw longs
+# (spark.sql.legacy.parquet.nanosAsLong) and convert ns -> us ourselves.
+# Integer DIV (not /) keeps exactness — epoch-nanos exceed double's 53-bit
+# mantissa, so a float division would corrupt the low microseconds.
+NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame (lazy; pushdown-friendly)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANO_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
+def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a dimension table with a broadcast hint applied."""
+    df = load(spark, sf_dir, name)
+    return F.broadcast(df) if name in BROADCAST_DIMS else df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,675 @@
+"""Relational query surface (SURVEY.md §2 Part B, B1-B26).
+
+The reference has no relational engine (SURVEY §2 "declared absent": no
+joins/aggregation/sort/windows anywhere in the Go code); this module is the
+general query core the driver contract requires, expressed purely with the
+DataFrame API so Catalyst owns the physical plan.
+
+Every query here is paired with an ANSI-SQL oracle in ``ORACLE`` (run by
+DuckDB on the same parquet).  Conventions that keep the two engines
+hash-comparable:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded to a fixed number of decimals on both sides;
+- integer-valued computed columns are cast to BIGINT on both sides (Spark's
+  ``row_number``/``year``/``length`` return int32, DuckDB returns int64;
+  DuckDB ``SUM(BIGINT)`` returns int128 — both get an explicit cast);
+- window/top-k queries order by a unique key so ties are deterministic.
+
+Scale notes (100 TB posture) are on each query's docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import dim, load
+
+
+# --------------------------------------------------------------------------
+# B1/B2 — scan, projection, filters
+# --------------------------------------------------------------------------
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: parquet scan + projection.  Column pruning reaches the scan:
+    ReadSchema lists only the 3 projected columns of 16."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: compound predicate (AND/OR/IN/BETWEEN/>=).  All conjuncts are
+    pushed to the parquet reader (PushedFilters in the formatted plan), so at
+    100 TB row-groups outside the ranges are skipped by min/max stats."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & ((F.col("l_discount") < 0.05) | (F.col("l_tax") > 0.04))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_discount", "l_tax")
+
+
+# --------------------------------------------------------------------------
+# B3-B6 — aggregation
+# --------------------------------------------------------------------------
+
+def q_pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: TPC-H Q1-shaped multi-measure hash aggregate.
+
+    Partial (map-side) aggregation is automatic for all these measures, so
+    the shuffle moves only |groups| x |partitions| rows — at 100 TB the
+    4-group output makes this effectively shuffle-free."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: distinct aggregate.  Spark plans count(distinct) as a two-phase
+    expand+aggregate; partial distinct happens before the shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: HyperLogLog++ approximate distinct (rows-only check — estimates
+    legitimately differ from DuckDB's HLL).  At 100 TB this is the only
+    sane distinct-cardinality operator: fixed-size sketch per partition."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: ROLLUP grouping sets; Spark's Expand operator replicates rows per
+    grouping set before one hash aggregate (map-side partials still apply)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B7-B11 — joins
+# --------------------------------------------------------------------------
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: inner equi-join customer x nation with an explicit broadcast hint
+    on the 25-row dimension — no shuffle of the fact side at any scale."""
+    c = load(spark, sf_dir, "customer")
+    n = dim(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal"),
+        )
+    )
+
+
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: TPC-H Q5-shaped 6-table star join.  nation/region/supplier are
+    broadcast; the orders⋈lineitem⋈customer joins shuffle on their keys and
+    AQE picks SMJ vs shuffled-hash at runtime.  The date filter on orders is
+    pushed to the scan, shrinking the build side before any join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = dim(spark, sf_dir, "supplier")
+    n = dim(spark, sf_dir, "nation")
+    r = dim(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: left outer join preserving customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: left-semi (EXISTS) and left-anti (NOT EXISTS) in one result,
+    tagged.  Semi/anti joins ship only the join key of the probe side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    has = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.lit("has_order").alias("kind"), "c_custkey")
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("no_order").alias("kind"), "c_custkey")
+    )
+    return has.unionAll(without)
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: non-equi (theta/range) join of the fact table against a tiny
+    in-line band dimension — planned as BroadcastNestedLoopJoin, which is the
+    right physical choice for a 3-row build side at any fact-table size."""
+    li = load(spark, sf_dir, "lineitem")
+    bands = F.broadcast(
+        spark.createDataFrame(
+            [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 60.0, "high")],
+            "lo double, hi double, band string",
+        )
+    )
+    return (
+        li.join(bands, (F.col("l_quantity") > F.col("lo")) & (F.col("l_quantity") <= F.col("hi")))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B12-B16 — windows, top-k, sort
+# --------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: ranking window functions, deterministic via unique tie-break."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: running-frame window (ROWS UNBOUNDED PRECEDING..CURRENT ROW).
+    One shuffle on the partition key; sort within partition."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.count("*").over(w).cast("long").alias("running_n"),
+    )
+
+
+def q_window_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: lag/lead over event streams; gap computed in microseconds to
+    preserve the testdata's sub-second timestamps exactly."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: top-3 orders per customer.  row_number + filter lets Spark use a
+    partial TopK (WindowGroupLimit) before the shuffle in recent versions."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: global top-K — planned as TakeOrderedAndProject (per-partition
+    top-K then driver merge), NOT a full global sort; O(K) memory at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("extendedprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B17-B18 — set ops, pivot
+# --------------------------------------------------------------------------
+
+def q_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: INTERSECT / EXCEPT / UNION over customer-key sets, tagged."""
+    o = load(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    both = f_cust.intersect(o_cust).select(F.lit("both").alias("kind"), "custkey")
+    f_only = f_cust.subtract(o_cust).select(F.lit("f_only").alias("kind"), "custkey")
+    o_only = o_cust.subtract(f_cust).select(F.lit("o_only").alias("kind"), "custkey")
+    return both.unionAll(f_only).unionAll(o_only)
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: pivot event_type into measure columns.  Pivot values are given
+    explicitly so no extra distinct-collect job runs (required at scale)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+# --------------------------------------------------------------------------
+# B19-B24 — scalar function surface
+# --------------------------------------------------------------------------
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: string functions (upper/substr/concat/length/replace/lpad)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit("-"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: date/time functions (year/month/day/quarter/trunc/datediff)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1994-01-01").cast("date")).cast("long").alias("days_since"),
+    )
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: math functions (round/abs/ceil/floor/power/ln/sqrt/mod)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.pow(F.col("l_quantity"), 2), 4).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("price_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+def q_json_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: JSON scalar extraction from events.props ('{"k": 87}')."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+def q_array_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23: split → explode → count (the canonical wordcount).  explode is
+    the same cardinality-change primitive the reference's logEvents loop
+    performs (reference main.go:492)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24: regexp extract/replace (same patterns on both engines)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)$", 1).alias("id_str"),
+        F.regexp_extract("c_name", "([0-9]+)$", 1).cast("long").alias("id_num"),
+        F.regexp_replace("c_name", "0+", "0").alias("name_squeezed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B25-B26 — sessionization, time bucketing
+# --------------------------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: 30-minute-gap sessionization via lag + cumulative sum — the
+    batch equivalent of streaming session windows (B28).  Two window passes
+    over the same (user_id, ts) ordering share one shuffle+sort."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = e.withColumn("session_id", F.sum(new_session).over(wrun).cast("long"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+def q_tumble_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26: tumbling 1-hour windows (batch form of streaming B27); the
+    window start is surfaced as a plain timestamp column."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+QUERIES = {
+    "q_scan_project": q_scan_project,
+    "q_filter": q_filter,
+    "q_pricing_agg": q_pricing_agg,
+    "q_agg_distinct": q_agg_distinct,
+    "q_approx_distinct": q_approx_distinct,
+    "q_rollup": q_rollup,
+    "q_join_inner": q_join_inner,
+    "q_join_star": q_join_star,
+    "q_join_outer": q_join_outer,
+    "q_join_semi_anti": q_join_semi_anti,
+    "q_join_range": q_join_range,
+    "q_window_rank": q_window_rank,
+    "q_window_running": q_window_running,
+    "q_window_laglead": q_window_laglead,
+    "q_topk_per_group": q_topk_per_group,
+    "q_sort_limit": q_sort_limit,
+    "q_set_algebra": q_set_algebra,
+    "q_pivot": q_pivot,
+    "q_string_funcs": q_string_funcs,
+    "q_date_funcs": q_date_funcs,
+    "q_math_funcs": q_math_funcs,
+    "q_json_scalar": q_json_scalar,
+    "q_array_wordcount": q_array_wordcount,
+    "q_regex": q_regex,
+    "q_sessionize": q_sessionize,
+    "q_tumble_batch": q_tumble_batch,
+}
+
+
+ORACLE = {
+    "q_scan_project": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    """,
+    "q_filter": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount, l_tax
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20
+          AND l_returnflag IN ('A', 'R')
+          AND l_shipdate >= TIMESTAMP '1994-01-01'
+          AND (l_discount < 0.05 OR l_tax > 0.04)
+    """,
+    "q_pricing_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                        AS sum_qty,
+               round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+               round(avg(l_quantity), 4)                                        AS avg_qty,
+               round(avg(l_extendedprice), 4)                                   AS avg_price,
+               round(avg(l_discount), 4)                                        AS avg_disc,
+               count(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_agg_distinct": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_cust,
+               count(*)                  AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               count(*)                   AS n,
+               round(sum(l_quantity), 2)  AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_join_inner": """
+        SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q_join_star": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY r_name, n_name
+    """,
+    "q_join_outer": """
+        SELECT c_custkey, c_name,
+               count(o_orderkey)                          AS n_orders,
+               round(coalesce(sum(o_totalprice), 0), 2)   AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "q_join_semi_anti": """
+        SELECT 'has_order' AS kind, c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT 'no_order' AS kind, c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "q_join_range": """
+        SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS price_sum
+        FROM lineitem
+        JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 60.0, 'high'))
+             AS bands(lo, hi, band)
+          ON l_quantity > lo AND l_quantity <= hi
+        GROUP BY band
+    """,
+    "q_window_rank": """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
+               row_number() OVER w AS rn,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    "q_window_running": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER w, 2) AS running_total,
+               count(*) OVER w                    AS running_n
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "q_window_laglead": """
+        SELECT user_id, event_id, event_type,
+               lag(event_type)  OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type,
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "q_topk_per_group": """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3
+    """,
+    "q_sort_limit": """
+        SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 100
+    """,
+    "q_set_algebra": """
+        WITH f_cust AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+             o_cust AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+        SELECT 'both' AS kind, custkey FROM (SELECT custkey FROM f_cust INTERSECT SELECT custkey FROM o_cust)
+        UNION ALL
+        SELECT 'f_only' AS kind, custkey FROM (SELECT custkey FROM f_cust EXCEPT SELECT custkey FROM o_cust)
+        UNION ALL
+        SELECT 'o_only' AS kind, custkey FROM (SELECT custkey FROM o_cust EXCEPT SELECT custkey FROM f_cust)
+    """,
+    "q_pivot": """
+        SELECT user_id,
+               round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+               round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+               round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+               round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error
+        FROM events GROUP BY user_id
+    """,
+    "q_string_funcs": """
+        SELECT c_custkey,
+               upper(c_name)                                        AS name_upper,
+               substr(c_name, 1, 8)                                 AS name_prefix,
+               concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+               length(c_name)                                       AS name_len,
+               replace(c_name, 'Customer#', 'C-')                   AS name_short,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0')            AS key_padded
+        FROM customer
+    """,
+    "q_date_funcs": """
+        SELECT o_orderkey,
+               year(o_orderdate)                                  AS y,
+               month(o_orderdate)                                 AS m,
+               day(o_orderdate)                                   AS d,
+               quarter(o_orderdate)                               AS q,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               date_diff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        FROM orders
+    """,
+    "q_math_funcs": """
+        SELECT l_orderkey,
+               round(l_extendedprice, 1)             AS price_r1,
+               abs(l_discount - 0.05)                AS disc_dev,
+               CAST(ceil(l_quantity) AS BIGINT)      AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT)     AS qty_floor,
+               round(pow(l_quantity, 2), 4)          AS qty_sq,
+               round(ln(l_extendedprice), 6)         AS price_ln,
+               round(sqrt(l_extendedprice), 6)       AS price_sqrt,
+               l_orderkey % 7                        AS key_mod
+        FROM lineitem WHERE l_linenumber = 1
+    """,
+    "q_json_scalar": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+    """,
+    "q_array_wordcount": """
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    "q_regex": """
+        SELECT c_custkey,
+               regexp_extract(c_name, '([0-9]+)$', 1)                 AS id_str,
+               CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS id_num,
+               regexp_replace(c_name, '0+', '0', 'g')                 AS name_squeezed
+        FROM customer
+    """,
+    "q_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+          SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               round(sum(value), 2) AS session_value
+        FROM sessioned GROUP BY user_id, session_id
+    """,
+    "q_tumble_batch": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+}
+
+# Queries whose outputs are estimates / engine-specific → rows-only check.
+ROWS_ONLY = {"q_approx_distinct"}

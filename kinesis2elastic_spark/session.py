@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for this engine.
+
+Scale posture: these configs are chosen so the same logical plans work on
+local[32] for tests and on a 1000-executor cluster at 100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast conversion) — the single biggest lever at scale.
+- ``spark.sql.session.timeZone=UTC``: the reference converts every epoch-ms
+  with ``time.UnixMilli(...).UTC()`` (reference main.go:515,526); pinning UTC
+  also makes results comparable with the DuckDB oracle (naive-UTC).
+- Arrow enabled for every pandas-UDF boundary (gunzip, multimodal codecs).
+- shuffle.partitions defaults to the local core count; on a real cluster AQE
+  coalesces from a deliberately high initial number, so we leave
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` alone locally
+  and document that production should set it to ~3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "kinesis2elastic_spark", cpus: int | str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with this engine's standard config."""
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-provided
+    session (the driver hands us one; master/memory are fixed by then)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
