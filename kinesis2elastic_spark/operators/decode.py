@@ -1,0 +1,342 @@
+"""Decode core (SURVEY §2 A8-A15): the reference's record dataflow
+``splitRecords`` (main.go:456-543) as a declarative DataFrame chain:
+
+    explode(records) → unbase64 → gunzip (pandas UDF) → from_json(payload)
+    → explode(logEvents) → json-or-text message fallback → epoch-ms → UTC ts
+    → restructure into the Document shape (outgoing/elasticOutput.go:12-35)
+
+Design deviations from the reference (documented, deliberate):
+
+- **Per-record dead-letter instead of fail-the-batch.**  The reference 500s
+  the whole HTTP request on the first bad record (main.go:463-488); here a
+  bad record yields NULLs + an ``error_message`` column (the same pattern as
+  the ingest pipelines' per-document ``on_failure`` trap,
+  ingest/axway-ingest.json:145-152) so one poison record can't stall a
+  100 TB replay.
+- **Kept-distinct timestamps**: ``timestamp`` (envelope/request time,
+  main.go:515) vs ``record.data.logEvents.timestamp`` (event time,
+  main.go:524-526) — event time is the watermark column downstream.
+
+Operator-placement note for Catalyst: the gunzip UDF is nondeterministic to
+the optimizer, so cheap envelope-level filters must be applied *before*
+calling :func:`decode_envelopes` — Catalyst will not push a filter through
+the UDF (SURVEY §4).
+
+The oracle-checked queries below exercise each primitive on data
+synthesized in-query from the driver testdata tables, so DuckDB can run the
+identical logic; the full chain (gzip involved) is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.gzip_udf import gunzip_text, gzip_bytes
+from ..schemas import CLOUDWATCH_PAYLOAD
+
+
+# --------------------------------------------------------------------------
+# Library transforms (pure DataFrame -> DataFrame)
+# --------------------------------------------------------------------------
+
+def safe_unbase64(col: Column) -> Column:
+    """NULL-on-invalid base64 decode.  Spark's ``unbase64`` *throws* on
+    malformed input (``IllegalArgumentException: Last unit does not have
+    enough valid bits``), which would fail the whole batch — the reference
+    behavior (main.go:463-470) we deliberately improve on.  Guard with a
+    strict RFC-4648 shape check (padding required, like Go's StdEncoding)
+    so bad records dead-letter instead."""
+    clean = F.regexp_replace(col, r"\s", "")
+    valid = clean.rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
+    return F.when(col.isNotNull() & valid, F.unbase64(clean))
+
+
+def message_json_or_text(col: Column) -> Column:
+    """A12 (main.go:494-510): keep a valid-JSON message verbatim, else wrap
+    the raw text as ``{"text": "<message>"}``."""
+    return F.when(F.get_json_object(col, "$").isNotNull(), col).otherwise(
+        F.to_json(F.struct(col.alias("text")))
+    )
+
+
+def decode_envelopes(env_df: DataFrame) -> DataFrame:
+    """A8-A14: Firehose envelopes → flattened documents (one row per
+    record x logEvent, the cardinality rule of main.go:492 /
+    outgoing/elasticOutput.go:8-11).
+
+    Input schema: FIREHOSE_ENVELOPE (requestId, timestamp epoch-ms,
+    records array<struct<data:string>>).  Output: one row per logEvent with
+    the Document nesting plus an ``error_message`` dead-letter column.
+    """
+    rec = env_df.select(
+        "requestId",
+        F.col("timestamp").alias("_req_ms"),
+        F.explode("records").alias("_rec"),
+    )
+    staged = (
+        rec.withColumn("_raw", safe_unbase64(F.col("_rec.data")))       # A8
+        .withColumn("_payload_json", gunzip_text(F.col("_raw")))        # A9
+        .withColumn("_payload", F.from_json("_payload_json", CLOUDWATCH_PAYLOAD))  # A10
+    )
+    events = staged.select(
+        "requestId",
+        "_req_ms",
+        "_raw",
+        "_payload_json",
+        "_payload",
+        F.explode_outer("_payload.logEvents").alias("_ev"),             # A11
+    )
+    error_message = (
+        F.when(F.col("_raw").isNull(), F.lit("base64 decode failed"))
+        .when(F.col("_payload_json").isNull(), F.lit("gzip decompress failed"))
+        .when(
+            F.col("_payload").isNull()
+            | F.get_json_object("_payload_json", "$").isNull(),
+            F.lit("json parse failed"),
+        )
+        .when(F.col("_ev").isNull(), F.lit("no logEvents"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return events.select(
+        "requestId",
+        F.timestamp_millis("_req_ms").alias("timestamp"),               # A13 (@timestamp)
+        F.struct(                                                       # A14 restructure
+            F.struct(
+                F.col("_payload.messageType").alias("messageType"),
+                F.col("_payload.owner").alias("owner"),
+                F.col("_payload.logGroup").alias("logGroup"),
+                F.col("_payload.logStream").alias("logStream"),
+                F.col("_payload.subscriptionFilters").alias("subscriptionFilters"),
+                F.struct(
+                    F.col("_ev.id").alias("id"),
+                    F.timestamp_millis("_ev.timestamp").alias("timestamp"),  # A13 event time
+                    F.when(
+                        F.col("_ev.message").isNotNull(),
+                        message_json_or_text(F.col("_ev.message")),
+                    ).alias("message"),
+                ).alias("logEvents"),
+            ).alias("data")
+        ).alias("record"),
+        error_message.alias("error_message"),
+    )
+
+
+def build_envelopes(spark: SparkSession, sf_dir: str, records_per_envelope: int = 10) -> DataFrame:
+    """Synthesize deterministic Firehose envelopes from the events table
+    (wire format of main.go:236-247): each event becomes one logEvent whose
+    message is its ``props`` JSON (or plain text for every 3rd event, to
+    exercise the A12 fallback); events are grouped ``records_per_envelope``
+    per envelope; each record's data is base64(gzip(payload JSON)).
+    """
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        (F.col("event_id") % 50).alias("_env"),
+        F.struct(
+            F.col("event_id").cast("string").alias("id"),
+            F.unix_millis("ts").alias("timestamp"),
+            F.when(F.col("event_id") % 3 == 0, F.concat(F.lit("plain text event "), F.col("event_id")))
+            .otherwise(F.col("props"))
+            .alias("message"),
+        ).alias("ev"),
+        (F.col("event_id") % records_per_envelope).alias("_rec_in_env"),
+    )
+    payloads = ev.groupBy("_env", "_rec_in_env").agg(
+        F.to_json(
+            F.struct(
+                F.lit("DATA_MESSAGE").alias("messageType"),
+                F.lit("111111111111").alias("owner"),
+                F.concat(F.lit("/aws/app/group-"), F.col("_env")).alias("logGroup"),
+                F.lit("stream-0").alias("logStream"),
+                F.array(F.lit("all")).alias("subscriptionFilters"),
+                F.sort_array(F.collect_list("ev")).alias("logEvents"),
+            )
+        ).alias("payload_json")
+    )
+    return (
+        payloads.withColumn("data", F.base64(gzip_bytes(F.col("payload_json"))))
+        .groupBy("_env")
+        .agg(
+            F.concat(F.lit("req-"), F.col("_env")).alias("requestId"),
+            F.lit(1635622518652).alias("timestamp"),
+            F.sort_array(F.collect_list(F.struct(F.col("data").alias("data")))).alias("records"),
+        )
+        .select("requestId", "timestamp", "records")
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked queries (each primitive, DuckDB-expressible)
+# --------------------------------------------------------------------------
+
+def q_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: base64 encode/decode roundtrip (reference decodes record.Data at
+    main.go:463-470)."""
+    e = load(spark, sf_dir, "events")
+    b64 = F.base64(F.col("props").cast("binary"))
+    return e.select(
+        "event_id",
+        b64.alias("b64"),
+        F.unbase64(b64).cast("string").alias("roundtrip"),
+    )
+
+
+def q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: fixed-schema JSON parse (from_json ≙ json.Unmarshal at
+    main.go:480-488)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k BIGINT").getField("k").alias("k_parsed"),
+    )
+
+
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: array explode — cardinality rule 'one row per element'
+    (main.go:492, outgoing/elasticOutput.go:8-11)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.explode(F.array(F.col("event_id") * 10 + 1, F.col("event_id") * 10 + 2)).alias("item"),
+    )
+
+
+def q_json_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: json-or-text message fallback (main.go:494-510): valid JSON
+    passes through verbatim, anything else becomes {"text": ...}."""
+    e = load(spark, sf_dir, "events")
+    msg = F.when(F.col("event_id") % 3 == 0, F.concat(F.lit("plain text event "), F.col("event_id"))).otherwise(
+        F.col("props")
+    )
+    return e.select(
+        "event_id",
+        msg.alias("message_in"),
+        message_json_or_text(msg).alias("message_out"),
+    )
+
+
+def q_epoch_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: epoch-ms ↔ UTC timestamp conversions (time.UnixMilli().UTC()
+    at main.go:515,526; session TZ pinned to UTC)."""
+    e = load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    return e.select(
+        "event_id",
+        ms.alias("epoch_ms"),
+        F.timestamp_millis(ms).alias("ts_roundtrip"),
+    )
+
+
+def q_restructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14+A24: build the nested Document shape (main.go:513-531) and
+    serialize it; event.created-style copy of the envelope timestamp is
+    kept as a separate column (ingest/axway-ingest.json:68-73)."""
+    e = load(spark, sf_dir, "events")
+    doc = F.struct(
+        F.concat(F.lit("req-"), (F.col("event_id") % 50).cast("string")).alias("requestId"),
+        F.struct(
+            F.col("event_type").alias("messageType"),
+            F.col("user_id").alias("owner"),
+            F.struct(
+                F.col("event_id").cast("string").alias("id"),
+                F.col("props").alias("message"),
+            ).alias("logEvents"),
+        ).alias("data"),
+    )
+    return e.select(
+        "event_id",
+        F.to_json(doc).alias("doc_json"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_created"),
+    )
+
+
+def q_firehose_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A8-A15 end-to-end (rows-only: gzip not expressible in DuckDB):
+    synthesize envelopes from events, run the full decode chain, and prove
+    the cardinality contract: one output row per logEvent, all decoded."""
+    env = build_envelopes(spark, sf_dir)
+    docs = decode_envelopes(env)
+    return docs.select(
+        "requestId",
+        "timestamp",
+        F.col("record.data.logGroup").alias("logGroup"),
+        F.col("record.data.logEvents.id").alias("event_id"),
+        F.col("record.data.logEvents.timestamp").alias("event_ts"),
+        F.col("record.data.logEvents.message").alias("message"),
+        "error_message",
+    )
+
+
+def q_udf_gunzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (rows-only): gzip → gunzip roundtrip through the pandas UDFs,
+    plus the NULL-on-malformed dead-letter policy."""
+    d = load(spark, sf_dir, "documents")
+    gz = gzip_bytes(F.col("text"))
+    return d.select(
+        "doc_id",
+        (gunzip_text(gz) == F.col("text")).alias("roundtrip_ok"),
+        gunzip_text(F.col("text").cast("binary")).isNull().alias("malformed_is_null"),
+        F.length(gz).cast("long").alias("gz_len"),
+    )
+
+
+QUERIES = {
+    "q_base64": q_base64,
+    "q_json_parse": q_json_parse,
+    "q_explode": q_explode,
+    "q_json_fallback": q_json_fallback,
+    "q_epoch_ts": q_epoch_ts,
+    "q_restructure": q_restructure,
+    "q_firehose_flatten": q_firehose_flatten,
+    "q_udf_gunzip": q_udf_gunzip,
+}
+
+ORACLE = {
+    "q_base64": """
+        SELECT event_id,
+               to_base64(encode(props))                         AS b64,
+               decode(from_base64(to_base64(encode(props))))    AS roundtrip
+        FROM events
+    """,
+    "q_json_parse": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed
+        FROM events
+    """,
+    "q_explode": """
+        SELECT event_id, unnest([event_id * 10 + 1, event_id * 10 + 2]) AS item
+        FROM events
+    """,
+    "q_json_fallback": """
+        WITH m AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 3 = 0 THEN concat('plain text event ', CAST(event_id AS VARCHAR))
+                      ELSE props END AS message_in
+          FROM events)
+        SELECT event_id, message_in,
+               CASE WHEN json_valid(message_in) THEN message_in
+                    ELSE to_json(struct_pack(text := message_in)) END AS message_out
+        FROM m
+    """,
+    "q_epoch_ts": """
+        SELECT event_id,
+               epoch_ms(ts)                        AS epoch_ms,
+               make_timestamp(epoch_ms(ts) * 1000) AS ts_roundtrip
+        FROM events
+    """,
+    "q_restructure": """
+        SELECT event_id,
+               to_json(struct_pack(
+                   requestId := concat('req-', CAST(event_id % 50 AS VARCHAR)),
+                   data := struct_pack(
+                       messageType := event_type,
+                       owner := user_id,
+                       logEvents := struct_pack(
+                           id := CAST(event_id AS VARCHAR),
+                           message := props)))) AS doc_json,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_created
+        FROM events
+    """,
+}
+
+ROWS_ONLY = {"q_firehose_flatten", "q_udf_gunzip"}

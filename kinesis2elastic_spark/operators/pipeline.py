@@ -1,0 +1,557 @@
+"""Ingest-pipeline operators (SURVEY §2 A17-A31).
+
+The reference keeps field-level parsing in OpenSearch ingest pipelines
+(ingest/one-pipeline-to-rule-them-all.json dispatches on logGroup ~ /axway/;
+ingest/axway-ingest.json runs a 19-processor chain: grok → uri_parts → set /
+remove / rename → date promotion → geoip → painless scripts → on_failure).
+Here every processor becomes a null-safe Catalyst column expression; the
+chain is a pure ``DataFrame -> DataFrame`` function, so at 100 TB the whole
+pipeline is one whole-stage-codegen'd projection (plus one broadcast join
+for geoip) — no per-document interpreter loop.
+
+Order sensitivity is preserved exactly where the reference depends on it:
+``event.created`` copies @timestamp *before* the date processor overwrites
+it (axway-ingest.json:68-73 vs :74-83).
+
+Failure semantics: the only failable processor in the chain is the access-log
+grok; its non-match raises in OpenSearch and trips the pipeline-level
+``on_failure`` trap, which stamps ``error.message`` and indexes the document
+otherwise-unenriched (axway-ingest.json:145-152).  We reproduce that: when
+the grok misses, enriched fields are NULL and ``error.message`` is set.
+
+Each oracle query below synthesizes its input from the ``events`` table
+in-query (deterministic), so DuckDB can run byte-identical logic — including
+the *same compiled grok regex* (grok.py emits RE2-safe patterns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..sources.geoip import SQL_VALUES as GEOIP_SQL_VALUES
+from ..sources.geoip import geoip_enrich, ip_to_int, synthetic_geoip_dim
+from .grok import (
+    AXWAY_ACCESS_TEMPLATE,
+    IP_OR_HOSTNAME_TEMPLATE,
+    compile_grok,
+    grok_columns,
+    grok_matched,
+    named_group_regex,
+)
+
+AXWAY = compile_grok(AXWAY_ACCESS_TEMPLATE)
+IP_OR_HOST = compile_grok(IP_OR_HOSTNAME_TEMPLATE)
+
+
+# --------------------------------------------------------------------------
+# Synthetic Axway access-log lines (shared by Spark queries and SQL oracle)
+# --------------------------------------------------------------------------
+
+def synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic access-log line per event (FIXTURES.md §4 shape)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    method = (
+        F.when(F.col("event_type") == "purchase", "POST")
+        .when(F.col("event_type") == "signup", "PUT")
+        .otherwise("GET")
+    )
+    status = F.when(F.col("event_type") == "error", F.lit(500)).otherwise(
+        F.lit(200) + (F.col("event_id") % 2) * 104
+    )
+    line = F.concat(
+        F.lit("gw"), (F.col("user_id") % 5).cast("string"), F.lit(".example.com - user"),
+        F.col("user_id").cast("string"),
+        F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000]  \""),
+        method, F.lit(" /api/v"), (F.col("event_id") % 3).cast("string"),
+        F.lit("/items?q="), k, F.lit("&page="), (F.col("event_id") % 7).cast("string"),
+        F.lit(" HTTP/1.1\" "), status.cast("string"),
+        F.lit(" "), (F.col("event_id") % 5000).cast("string"),
+        F.lit(" "), (F.col("event_id") % 900).cast("string"),
+        F.lit(" \"10."), (F.col("user_id") % 200).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"), F.lit(".7,10.0.0.1\""),
+        F.lit(" client-"), F.col("user_id").cast("string"),
+        F.lit(" txn-"), F.col("event_id").cast("string"),
+        F.lit(" corr-"), (F.col("event_id") % 1000).cast("string"),
+    )
+    return e.select("event_id", "user_id", "event_type", "ts", line.alias("line"))
+
+
+# Identical line construction as a DuckDB CTE.
+SQL_LINES_CTE = """
+WITH lines AS (
+  SELECT event_id, user_id, event_type, ts,
+         concat(
+           'gw', CAST(user_id % 5 AS VARCHAR), '.example.com - user', CAST(user_id AS VARCHAR),
+           ' [', strftime(ts, '%d/%b/%Y:%H:%M:%S'), ' +0000]  "',
+           CASE WHEN event_type = 'purchase' THEN 'POST'
+                WHEN event_type = 'signup' THEN 'PUT' ELSE 'GET' END,
+           ' /api/v', CAST(event_id % 3 AS VARCHAR),
+           '/items?q=', json_extract_string(props, '$.k'),
+           '&page=', CAST(event_id % 7 AS VARCHAR),
+           ' HTTP/1.1" ',
+           CAST(CASE WHEN event_type = 'error' THEN 500 ELSE 200 + (event_id % 2) * 104 END AS VARCHAR),
+           ' ', CAST(event_id % 5000 AS VARCHAR),
+           ' ', CAST(event_id % 900 AS VARCHAR),
+           ' "10.', CAST(user_id % 200 AS VARCHAR), '.', CAST(event_id % 256 AS VARCHAR), '.7,10.0.0.1"',
+           ' client-', CAST(user_id AS VARCHAR),
+           ' txn-', CAST(event_id AS VARCHAR),
+           ' corr-', CAST(event_id % 1000 AS VARCHAR)) AS line
+  FROM events)
+"""
+
+
+def _sql_grok(field_name: str, out_alias: str, cast: str | None = None, col: str = "line") -> str:
+    """DuckDB extraction of one grok field using the SAME compiled regex
+    (named-group form: DuckDB's numbered-group access stops at 9)."""
+    f = next(f for f in AXWAY.fields if f.name == field_name)
+    rx = named_group_regex(AXWAY).replace("'", "''")
+    names = ", ".join(f"'g{i + 1}'" for i in range(len(AXWAY.fields)))
+    expr = f"nullif(regexp_extract({col}, '{rx}', [{names}]).g{f.group}, '')"
+    if cast:
+        expr = f"CAST({expr} AS {cast})"
+    return f"{expr} AS {out_alias}"
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked queries
+# --------------------------------------------------------------------------
+
+def q_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: the reference's access-log grok (ingest/axway-ingest.json:8),
+    all 14 fields, typed casts included — verified against DuckDB running
+    the same compiled regex."""
+    lines = synth_lines(spark, sf_dir)
+    g = grok_columns(F.col("line"), AXWAY)
+    return lines.select(
+        "event_id",
+        g["remote.host"].alias("remote_host"),
+        g["user.name"].alias("user_name"),
+        g["apache.access.time"].alias("access_time"),
+        g["http.request.method"].alias("method"),
+        g["_tmp.url_orig"].alias("url_orig"),
+        g["http.version"].alias("http_version"),
+        g["http.response.status_code"].alias("status_code"),
+        g["http.response.body.bytes"].alias("body_bytes"),
+        g["http.response.time"].alias("response_time"),
+        g["x_forwarded_for"].alias("x_forwarded_for"),
+        g["source.address"].alias("source_address"),
+        g["hc.request.clientid"].alias("clientid"),
+        g["hc.transactionid"].alias("transactionid"),
+        g["hc.correlationid"].alias("correlationid"),
+    )
+
+
+def q_grok_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: IP-or-hostname split of source.address
+    (ingest/axway-ingest.json:59-67)."""
+    e = load(spark, sf_dir, "events")
+    addr = F.when(
+        F.col("event_id") % 4 == 0,
+        F.concat(F.lit("internal-"), F.col("user_id").cast("string"), F.lit(".corp.local")),
+    ).otherwise(
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 200).cast("string"),
+            F.lit("."), (F.col("event_id") % 256).cast("string"), F.lit(".7"),
+        )
+    )
+    g = grok_columns(addr, IP_OR_HOST)
+    return e.select(
+        "event_id",
+        addr.alias("source_address"),
+        g["source.ip"].alias("source_ip"),
+        g["source.domain"].alias("source_domain"),
+    )
+
+
+def q_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: uri_parts (ingest/axway-ingest.json:13-17).  Relative URLs (the
+    access-log case) via regex; absolute URLs via Spark's parse_url
+    builtin.  Oracle replicates with regexes only."""
+    lines = synth_lines(spark, sf_dir)
+    url = grok_columns(F.col("line"), AXWAY)["_tmp.url_orig"]
+    absu = F.concat(
+        F.lit("https://api"), (F.col("user_id") % 5).cast("string"), F.lit(".example.com:8443"), url
+    )
+    path = F.regexp_extract(url, r"^([^?#]*)", 1)
+    return lines.select(
+        "event_id",
+        url.alias("url_orig"),
+        path.alias("url_path"),
+        F.nullif(F.regexp_extract(url, r"\?([^#]*)", 1), F.lit("")).alias("url_query"),
+        F.nullif(F.regexp_extract(path, r"\.([^./]+)$", 1), F.lit("")).alias("url_extension"),
+        F.parse_url(absu, F.lit("HOST")).alias("abs_host"),
+        F.parse_url(absu, F.lit("PATH")).alias("abs_path"),
+        F.parse_url(absu, F.lit("QUERY")).alias("abs_query"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21+A26: set-literal processors (event.kind/category,
+    axway-ingest.json:33-44) then remove of _tmp fields (:25-32) — the
+    removed column is genuinely absent from the output schema."""
+    lines = synth_lines(spark, sf_dir)
+    with_tmp = lines.withColumn("_tmp.url_orig", grok_columns(F.col("line"), AXWAY)["_tmp.url_orig"])
+    out = (
+        with_tmp.withColumn("event_kind", F.lit("event"))
+        .withColumn("event_category", F.lit("web"))
+        .drop("_tmp.url_orig", "line", "user_id", "event_type", "ts")
+    )
+    return out
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: conditional set — event.outcome success/<400/failure>399
+    (axway-ingest.json:45-58; both guards null-safe)."""
+    lines = synth_lines(spark, sf_dir)
+    status = grok_columns(F.col("line"), AXWAY)["http.response.status_code"]
+    outcome = (
+        F.when(status.isNotNull() & (status < 400), "success")
+        .when(status.isNotNull() & (status > 399), "failure")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return lines.select("event_id", status.alias("status_code"), outcome.alias("event_outcome"))
+
+
+def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: templated copy-if-unset — url.domain := {{destination.domain}}
+    iff url.domain is null (axway-ingest.json:18-24) — i.e. coalesce."""
+    e = load(spark, sf_dir, "events")
+    url_domain = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("api"), (F.col("user_id") % 5).cast("string"), F.lit(".example.com")),
+    ).otherwise(F.lit(None).cast("string"))
+    dest_domain = F.concat(F.lit("dest"), (F.col("user_id") % 3).cast("string"), F.lit(".example.com"))
+    return e.select(
+        "event_id",
+        url_domain.alias("url_domain_before"),
+        F.coalesce(url_domain, dest_domain).alias("url_domain"),
+    )
+
+
+def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24+A25: event.created preserves the envelope @timestamp, then the
+    date processor re-parses apache.access.time (format dd/MMM/yyyy:H:m:s Z,
+    axway-ingest.json:74-83) and promotes it to @timestamp."""
+    lines = synth_lines(spark, sf_dir)
+    access_time = grok_columns(F.col("line"), AXWAY)["apache.access.time"]
+    envelope_ts = F.timestamp_millis(F.lit(1635622518652))
+    promoted = F.try_to_timestamp(access_time, F.lit("dd/MMM/yyyy:H:m:s Z"))
+    return lines.select(
+        "event_id",
+        access_time.alias("access_time"),
+        envelope_ts.alias("event_created"),
+        promoted.alias("timestamp_promoted"),
+    )
+
+
+def q_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: rename processors (source.as.asn → source.as.number,
+    organization_name → organization.name, axway-ingest.json:109-122)."""
+    e = load(spark, sf_dir, "events")
+    staged = e.select(
+        "event_id",
+        (F.col("user_id") + 64000).alias("source.as.asn"),
+        F.concat(F.lit("org-"), (F.col("user_id") % 10).cast("string")).alias(
+            "source.as.organization_name"
+        ),
+    )
+    return (
+        staged.withColumnRenamed("source.as.asn", "source_as_number")
+        .withColumnRenamed("source.as.organization_name", "source_as_organization_name")
+    )
+
+
+def q_geoip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28: geoip as a broadcast range join (IP→int64 BETWEEN lo AND hi).
+    IPs outside every range stay NULL (ignore_missing).  At GeoLite2 scale
+    the dim broadcasts whole; beyond that, equi-join on /8 bucket first."""
+    e = load(spark, sf_dir, "events")
+    ip = F.concat(
+        F.lit("10."), (F.col("user_id") % 200).cast("string"),
+        F.lit("."), (F.col("event_id") % 256).cast("string"), F.lit(".7"),
+    )
+    staged = e.select("event_id", ip.alias("source.ip"))
+    out = geoip_enrich(staged, synthetic_geoip_dim(spark), "source.ip")
+    return out.select(
+        "event_id",
+        F.col("`source.ip`").alias("source_ip"),
+        F.col("`source.geo.country_iso_code`").alias("geo_country"),
+        F.col("`source.geo.city_name`").alias("geo_city"),
+        F.col("`source.as.number`").alias("as_number"),
+        F.col("`source.as.organization.name`").alias("as_org"),
+    )
+
+
+def q_tls_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29: painless TLS-protocol split (axway-ingest.json:130-136):
+    'TLSv1.2' → (tls, 1.2); bare major version padded with '.0'."""
+    e = load(spark, sf_dir, "events")
+    proto = (
+        F.when(F.col("event_id") % 3 == 0, "TLSv1.2")
+        .when(F.col("event_id") % 3 == 1, "TLSv1")
+        .otherwise("SSLv3")
+    )
+    parts = F.split(F.lower(proto), "v")
+    raw_ver = F.element_at(parts, 2)
+    version = F.when(raw_ver.contains("."), raw_ver).otherwise(F.concat(raw_ver, F.lit(".0")))
+    return e.select(
+        "event_id",
+        proto.alias("ssl_protocol"),
+        F.element_at(parts, 1).alias("tls_version_protocol"),
+        version.alias("tls_version"),
+    )
+
+
+def q_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: conditional pipeline dispatch (one-pipeline-to-rule-them-all
+    .json:4-12): logGroup =~ /axway/ routes into the enrichment branch,
+    everything else passes through untouched."""
+    e = load(spark, sf_dir, "events")
+    log_group = F.when(
+        F.col("user_id") % 3 == 0,
+        F.concat(F.lit("/aws/axway/gw-"), (F.col("user_id") % 5).cast("string")),
+    ).otherwise(F.concat(F.lit("/aws/app/group-"), (F.col("user_id") % 5).cast("string")))
+    is_axway = log_group.rlike("axway")
+    return e.select(
+        "event_id",
+        log_group.alias("log_group"),
+        is_axway.alias("dispatched"),
+        F.when(is_axway, F.lit("event")).alias("event_kind"),
+        F.when(is_axway, F.lit("web")).alias("event_category"),
+    )
+
+
+def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31: on_failure dead-letter (axway-ingest.json:145-152): a grok
+    non-match stamps error.message, enrichment stays NULL, and the document
+    is still emitted (never dropped)."""
+    lines = synth_lines(spark, sf_dir)
+    msg = F.when(F.col("event_id") % 5 == 0, F.concat(F.lit("GARBAGE LINE "), F.col("event_id"))).otherwise(
+        F.col("line")
+    )
+    matched = grok_matched(msg, AXWAY)
+    status = grok_columns(msg, AXWAY)["http.response.status_code"]
+    return lines.select(
+        "event_id",
+        F.when(matched, status).alias("status_code"),
+        F.when(~matched, F.lit("grok pattern did not match")).alias("error_message"),
+    )
+
+
+def q_pipeline_axway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17-A31 end-to-end (rows-only): dispatch + full axway chain over a
+    mixed stream — axway-routed rows get the whole enrichment (grok,
+    uri_parts, sets, date promotion, geoip, renames), others pass through;
+    garbage lines in the axway branch dead-letter."""
+    lines = synth_lines(spark, sf_dir)
+    log_group = F.when(
+        F.col("user_id") % 3 == 0, F.lit("/aws/axway/gateway")
+    ).otherwise(F.lit("/aws/app/service"))
+    msg = F.when(F.col("event_id") % 17 == 0, F.lit("not an access log")).otherwise(F.col("line"))
+    staged = lines.select("event_id", log_group.alias("logGroup"), msg.alias("message_text"))
+
+    is_axway = F.col("logGroup").rlike("axway")
+    matched = grok_matched(F.col("message_text"), AXWAY)
+    g = grok_columns(F.col("message_text"), AXWAY)
+    active = is_axway & matched
+
+    status = F.when(active, g["http.response.status_code"])
+    enriched = staged.select(
+        "event_id",
+        "logGroup",
+        status.alias("status_code"),
+        F.when(active, g["_tmp.url_orig"]).alias("url_orig"),
+        F.when(active & (g["http.response.status_code"] < 400), "success")
+        .when(active & (g["http.response.status_code"] > 399), "failure")
+        .alias("event_outcome"),
+        F.when(active, F.try_to_timestamp(g["apache.access.time"], F.lit("dd/MMM/yyyy:H:m:s Z"))).alias(
+            "timestamp_promoted"
+        ),
+        F.when(active, g["source.address"]).alias("source.ip"),
+        F.when(is_axway & ~matched, F.lit("grok pattern did not match")).alias("error_message"),
+    )
+    out = geoip_enrich(enriched, synthetic_geoip_dim(spark), "source.ip")
+    return out.select(
+        "event_id",
+        "logGroup",
+        "status_code",
+        "url_orig",
+        "event_outcome",
+        "timestamp_promoted",
+        F.col("`source.ip`").alias("source_ip"),
+        F.col("`source.geo.country_iso_code`").alias("geo_country"),
+        F.col("`source.as.number`").alias("as_number"),
+        "error_message",
+    )
+
+
+QUERIES = {
+    "q_grok": q_grok,
+    "q_grok_ip": q_grok_ip,
+    "q_parse_url": q_parse_url,
+    "q_set_ops": q_set_ops,
+    "q_case_when": q_case_when,
+    "q_coalesce": q_coalesce,
+    "q_date_parse": q_date_parse,
+    "q_rename": q_rename,
+    "q_geoip_join": q_geoip_join,
+    "q_tls_split": q_tls_split,
+    "q_dispatch": q_dispatch,
+    "q_dead_letter": q_dead_letter,
+    "q_pipeline_axway": q_pipeline_axway,
+}
+
+_RX = AXWAY.regex.replace("'", "''")
+_IP_RX = IP_OR_HOST.regex.replace("'", "''")
+_IP_GROUPS = {f.name: f.group for f in IP_OR_HOST.fields}
+
+ORACLE = {
+    "q_grok": SQL_LINES_CTE + f"""
+        SELECT event_id,
+               {_sql_grok('remote.host', 'remote_host')},
+               {_sql_grok('user.name', 'user_name')},
+               {_sql_grok('apache.access.time', 'access_time')},
+               {_sql_grok('http.request.method', 'method')},
+               {_sql_grok('_tmp.url_orig', 'url_orig')},
+               {_sql_grok('http.version', 'http_version')},
+               {_sql_grok('http.response.status_code', 'status_code', 'BIGINT')},
+               {_sql_grok('http.response.body.bytes', 'body_bytes', 'BIGINT')},
+               {_sql_grok('http.response.time', 'response_time', 'BIGINT')},
+               {_sql_grok('x_forwarded_for', 'x_forwarded_for')},
+               {_sql_grok('source.address', 'source_address')},
+               {_sql_grok('hc.request.clientid', 'clientid')},
+               {_sql_grok('hc.transactionid', 'transactionid')},
+               {_sql_grok('hc.correlationid', 'correlationid')}
+        FROM lines
+    """,
+    "q_grok_ip": f"""
+        WITH addrs AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 4 = 0
+                      THEN concat('internal-', CAST(user_id AS VARCHAR), '.corp.local')
+                      ELSE concat('10.', CAST(user_id % 200 AS VARCHAR), '.',
+                                  CAST(event_id % 256 AS VARCHAR), '.7') END AS source_address
+          FROM events)
+        SELECT event_id, source_address,
+               nullif(regexp_extract(source_address, '{_IP_RX}', {_IP_GROUPS['source.ip']}), '') AS source_ip,
+               nullif(regexp_extract(source_address, '{_IP_RX}', {_IP_GROUPS['source.domain']}), '') AS source_domain
+        FROM addrs
+    """,
+    "q_parse_url": SQL_LINES_CTE + f"""
+        , parsed AS (
+          SELECT event_id, user_id,
+                 nullif(regexp_extract(line, '{_RX}', 5), '') AS url_orig
+          FROM lines)
+        SELECT event_id, url_orig,
+               regexp_extract(url_orig, '^([^?#]*)', 1) AS url_path,
+               nullif(regexp_extract(url_orig, '\\?([^#]*)', 1), '') AS url_query,
+               nullif(regexp_extract(regexp_extract(url_orig, '^([^?#]*)', 1), '\\.([^./]+)$', 1), '') AS url_extension,
+               concat('api', CAST(user_id % 5 AS VARCHAR), '.example.com') AS abs_host,
+               regexp_extract(url_orig, '^([^?#]*)', 1) AS abs_path,
+               nullif(regexp_extract(url_orig, '\\?([^#]*)', 1), '') AS abs_query
+        FROM parsed
+    """,
+    "q_set_ops": SQL_LINES_CTE + """
+        SELECT event_id, 'event' AS event_kind, 'web' AS event_category
+        FROM lines
+    """,
+    "q_case_when": SQL_LINES_CTE + f"""
+        , s AS (SELECT event_id, line,
+                       CAST(nullif(regexp_extract(line, '{_RX}', 7), '') AS BIGINT) AS status_code
+                FROM lines)
+        SELECT event_id, status_code,
+               CASE WHEN status_code IS NOT NULL AND status_code < 400 THEN 'success'
+                    WHEN status_code IS NOT NULL AND status_code > 399 THEN 'failure'
+               END AS event_outcome
+        FROM s
+    """,
+    "q_coalesce": """
+        SELECT event_id,
+               CASE WHEN event_id % 2 = 0
+                    THEN concat('api', CAST(user_id % 5 AS VARCHAR), '.example.com') END AS url_domain_before,
+               coalesce(
+                 CASE WHEN event_id % 2 = 0
+                      THEN concat('api', CAST(user_id % 5 AS VARCHAR), '.example.com') END,
+                 concat('dest', CAST(user_id % 3 AS VARCHAR), '.example.com')) AS url_domain
+        FROM events
+    """,
+    "q_date_parse": SQL_LINES_CTE + f"""
+        , s AS (SELECT event_id,
+                       nullif(regexp_extract(line, '{_RX}', 3), '') AS access_time
+                FROM lines)
+        SELECT event_id, access_time,
+               make_timestamp(1635622518652 * 1000) AS event_created,
+               timezone('UTC', strptime(access_time, '%d/%b/%Y:%H:%M:%S %z')) AS timestamp_promoted
+        FROM s
+    """,
+    "q_rename": """
+        SELECT event_id,
+               user_id + 64000 AS source_as_number,
+               concat('org-', CAST(user_id % 10 AS VARCHAR)) AS source_as_organization_name
+        FROM events
+    """,
+    "q_geoip_join": f"""
+        WITH ips AS (
+          SELECT event_id,
+                 concat('10.', CAST(user_id % 200 AS VARCHAR), '.',
+                        CAST(event_id % 256 AS VARCHAR), '.7') AS source_ip
+          FROM events),
+        with_int AS (
+          SELECT *,
+                 CAST(string_split(source_ip, '.')[1] AS BIGINT) * 16777216
+               + CAST(string_split(source_ip, '.')[2] AS BIGINT) * 65536
+               + CAST(string_split(source_ip, '.')[3] AS BIGINT) * 256
+               + CAST(string_split(source_ip, '.')[4] AS BIGINT) AS ip_int
+          FROM ips)
+        SELECT event_id, source_ip, geo_country, geo_city, as_number, as_org
+        FROM with_int
+        LEFT JOIN {GEOIP_SQL_VALUES}
+          ON ip_int >= ip_lo AND ip_int <= ip_hi
+    """,
+    "q_tls_split": """
+        WITH p AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 3 = 0 THEN 'TLSv1.2'
+                      WHEN event_id % 3 = 1 THEN 'TLSv1'
+                      ELSE 'SSLv3' END AS ssl_protocol
+          FROM events)
+        SELECT event_id, ssl_protocol,
+               string_split(lower(ssl_protocol), 'v')[1] AS tls_version_protocol,
+               CASE WHEN contains(string_split(lower(ssl_protocol), 'v')[2], '.')
+                    THEN string_split(lower(ssl_protocol), 'v')[2]
+                    ELSE concat(string_split(lower(ssl_protocol), 'v')[2], '.0') END AS tls_version
+        FROM p
+    """,
+    "q_dispatch": """
+        WITH g AS (
+          SELECT event_id,
+                 CASE WHEN user_id % 3 = 0
+                      THEN concat('/aws/axway/gw-', CAST(user_id % 5 AS VARCHAR))
+                      ELSE concat('/aws/app/group-', CAST(user_id % 5 AS VARCHAR)) END AS log_group
+          FROM events)
+        SELECT event_id, log_group,
+               regexp_matches(log_group, 'axway') AS dispatched,
+               CASE WHEN regexp_matches(log_group, 'axway') THEN 'event' END AS event_kind,
+               CASE WHEN regexp_matches(log_group, 'axway') THEN 'web' END AS event_category
+        FROM g
+    """,
+    "q_dead_letter": SQL_LINES_CTE + f"""
+        , m AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 5 = 0
+                      THEN concat('GARBAGE LINE ', CAST(event_id AS VARCHAR))
+                      ELSE line END AS msg
+          FROM lines)
+        SELECT event_id,
+               CASE WHEN regexp_matches(msg, '{_RX}')
+                    THEN CAST(nullif(regexp_extract(msg, '{_RX}', 7), '') AS BIGINT) END AS status_code,
+               CASE WHEN NOT regexp_matches(msg, '{_RX}')
+                    THEN 'grok pattern did not match' END AS error_message
+        FROM m
+    """,
+}
+
+ROWS_ONLY = {"q_pipeline_axway"}
