@@ -80,15 +80,12 @@ def decode_envelopes(env_df: DataFrame) -> DataFrame:
         .withColumn("_payload_json", gunzip_text(F.col("_raw")))        # A9
         .withColumn("_payload", F.from_json("_payload_json", CLOUDWATCH_PAYLOAD))  # A10
     )
-    events = staged.select(
-        "requestId",
-        "_req_ms",
-        "_raw",
-        "_payload_json",
-        "_payload",
-        F.explode_outer("_payload.logEvents").alias("_ev"),             # A11
-    )
-    error_message = (
+    # Materialize payload scalars + the per-record error BEFORE the explode.
+    # Leaving `_payload` unexpanded here makes every post-explode row (one
+    # per logEvent) re-run from_json(gunzip(...)) on the full multi-KB
+    # payload — measured 115s vs ~2s at sf0.1.  One row per *record* is the
+    # right place to pay for parse; the explode then carries small scalars.
+    record_error = (
         F.when(F.col("_raw").isNull(), F.lit("base64 decode failed"))
         .when(F.col("_payload_json").isNull(), F.lit("gzip decompress failed"))
         .when(
@@ -96,19 +93,44 @@ def decode_envelopes(env_df: DataFrame) -> DataFrame:
             | F.get_json_object("_payload_json", "$").isNull(),
             F.lit("json parse failed"),
         )
-        .when(F.col("_ev").isNull(), F.lit("no logEvents"))
         .otherwise(F.lit(None).cast("string"))
+    )
+    parsed = staged.select(
+        "requestId",
+        "_req_ms",
+        F.col("_payload.messageType").alias("_messageType"),
+        F.col("_payload.owner").alias("_owner"),
+        F.col("_payload.logGroup").alias("_logGroup"),
+        F.col("_payload.logStream").alias("_logStream"),
+        F.col("_payload.subscriptionFilters").alias("_subscriptionFilters"),
+        F.col("_payload.logEvents").alias("_logEvents"),
+        record_error.alias("_record_error"),
+    )
+    events = parsed.select(
+        "requestId",
+        "_req_ms",
+        "_messageType",
+        "_owner",
+        "_logGroup",
+        "_logStream",
+        "_subscriptionFilters",
+        "_record_error",
+        F.explode_outer("_logEvents").alias("_ev"),                     # A11
+    )
+    error_message = F.coalesce(
+        F.col("_record_error"),
+        F.when(F.col("_ev").isNull(), F.lit("no logEvents")),
     )
     return events.select(
         "requestId",
         F.timestamp_millis("_req_ms").alias("timestamp"),               # A13 (@timestamp)
         F.struct(                                                       # A14 restructure
             F.struct(
-                F.col("_payload.messageType").alias("messageType"),
-                F.col("_payload.owner").alias("owner"),
-                F.col("_payload.logGroup").alias("logGroup"),
-                F.col("_payload.logStream").alias("logStream"),
-                F.col("_payload.subscriptionFilters").alias("subscriptionFilters"),
+                F.col("_messageType").alias("messageType"),
+                F.col("_owner").alias("owner"),
+                F.col("_logGroup").alias("logGroup"),
+                F.col("_logStream").alias("logStream"),
+                F.col("_subscriptionFilters").alias("subscriptionFilters"),
                 F.struct(
                     F.col("_ev.id").alias("id"),
                     F.timestamp_millis("_ev.timestamp").alias("timestamp"),  # A13 event time

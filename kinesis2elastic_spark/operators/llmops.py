@@ -1,0 +1,537 @@
+"""LLM-training-data pipeline operators (SURVEY §2 B32-B35 + driver-contract
+extensions): deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+embedding similarity search (brute-force + LSH-bucketed ANN), and text
+analysis (language-ID heuristic, quality scoring, token counting, document
+fingerprinting).
+
+The reference has none of these (it is a log-ingest service); they are the
+data-engine surface the driver contract requires on top (BASELINE.json
+"north_star").  Everything is built from Catalyst primitives — the only
+intentionally-Python piece in this module is the SimHash pandas UDF, where
+64 per-bit majority votes genuinely beat their DataFrame encoding.
+
+Scale notes (100 TB posture):
+- exact dedup = hash groupBy on a digest, not the raw text (shuffle moves
+  16-byte keys, not documents);
+- MinHash/LSH turns all-pairs O(n²) into bucket-local candidate generation:
+  shuffle keys are (band_id, band_hash); skewed buckets (boilerplate dups)
+  are AQE-splittable and capped via a bucket-size guard;
+- n-gram Jaccard verification only ever runs on candidate pairs or inside
+  tight blocking keys, never all-pairs;
+- brute-force cosine is the correctness baseline (broadcast the queries,
+  one pass over candidates); the LSH-bucketed variant is the scale path —
+  probe only matching sign-buckets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.vectors import cosine
+
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread to full cluster parallelism — the testdata is
+    one small parquet file (one scan partition), which would serialize the
+    CPU-heavy shingle/hash work; real corpora arrive in many splits."""
+    return load(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: exact dedup, keep-first (min doc_id) per identical text.
+    The groupBy key is the md5 digest so at scale the shuffle carries
+    16-byte keys instead of full documents."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: dedup accounting per (lang, source): total vs distinct texts."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("text").alias("n_unique"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: digest of the normalized text (lowercase,
+    collapsed whitespace) — the canonical near-exact-dup key."""
+    d = load(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(normalized.cast("binary")).alias("fingerprint"),
+        F.sha2(normalized.cast("binary"), 256).alias("fingerprint_sha256"),
+    )
+
+
+def _shingles(col, k: int = 3):
+    """k-word shingle array (distinct), built with higher-order functions."""
+    words = F.split(col, " ")
+    n = F.size(words)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(words, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_k: int = 3
+) -> DataFrame:
+    """MinHash signature per document: min over xxhash64(seed_i ++ shingle)
+    for each of ``num_hashes`` hash families.  All JVM-side."""
+    sh = _shingles(F.col(text_col), shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("_shingles"), lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}#"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.withColumn("_shingles", sh).withColumn("minhash", sig)
+
+
+def q_minhash_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """B33: MinHash + LSH banding near-dup pairs (rows-only).
+
+    Pipeline: shingle → 32 minhashes → 8 bands x 4 rows → bucket join on
+    (band_id, band_hash) → candidate pairs → exact shingle-Jaccard verify.
+    At 100 TB: the only shuffles are the two bucket/groupBys on short hash
+    keys; a bucket-size cap (drop buckets > 10k docs: boilerplate) bounds
+    the pair blow-up; AQE skew-split handles hot buckets."""
+    rows_per_band = num_hashes // bands
+    d = _docs_parallel(spark, sf_dir)
+    sigs = minhash_signatures(d).select("doc_id", "_shingles", "minhash")
+
+    banded = sigs.select(
+        "doc_id",
+        "_shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "_shingles", "band.band_id", "band.band_hash")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a._shingles").alias("sh_a"),
+            F.col("b._shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        candidates.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard within blocking keys (lang, source,
+    n_chars DIV 20) — the oracle-checkable exact counterpart of the LSH
+    path.  Blocking bounds the pair count; never all-pairs."""
+    d = _docs_parallel(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr("n_chars DIV 20").alias("len_bucket"),
+        F.array_distinct(F.split("text", " ")).alias("words"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    jac = F.size(F.array_intersect("a.words", "b.words")) / F.size(F.array_union("a.words", "b.words"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.3)
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash-64 per document via an Arrow-vectorized pandas UDF (numpy
+    bit-matrix majority vote — the one place Python wins the encoding)."""
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(t):
+            if not t:
+                return 0
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in t.split(" "):
+                h = np.uint64(hash_token(tok))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes += np.where(bits == 1, 1, -1)
+            sig = np.uint64(0)
+            for i in range(64):
+                if votes[i] > 0:
+                    sig |= np.uint64(1) << np.uint64(i)
+            return int(sig.astype(np.int64))
+
+        def hash_token(tok: str) -> int:
+            # FNV-1a 64-bit: deterministic across processes (unlike hash())
+            h = 0xCBF29CE484222325
+            for ch in tok.encode("utf-8"):
+                h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            return h
+
+        return texts.map(one)
+
+    return docs.withColumn("simhash", _simhash(F.col(text_col)))
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs (rows-only): 64-bit signatures, candidate
+    generation by exact match on any of four 16-bit chunks (a doc pair
+    within hamming distance 3 must share a chunk), verify with bit_count
+    of the XOR.  Chunk-bucket join keys keep the shuffle tiny at scale."""
+    d = simhash64(_docs_parallel(spark, sf_dir)).select("doc_id", "simhash")
+    chunks = d.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_id", "ck.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5) -> DataFrame:
+    """B34: brute-force cosine top-k — query vectors broadcast against one
+    pass over all candidates; ranking on the rounded score with vec_id
+    tie-break so results are deterministic and engine-comparable."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    cands = emb.select("vec_id", "vec")
+    scored = (
+        cands.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rank")
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5) -> DataFrame:
+    """B34 scale path (rows-only): random-hyperplane LSH ANN.  Sign-bit
+    signature over ``n_planes`` deterministic pseudo-random hyperplanes
+    (hash-seeded ±1 components, no stored model); candidates = same-bucket
+    vectors only, then exact cosine re-rank.  At 100 TB the bucket join
+    replaces the full cross product; recall tunes with n_planes/probes."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+
+    def bucket_sig(vec):
+        # plane p component d = +1/-1 from xxhash64(p, d) parity
+        bits = []
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(vec) - 1),
+                        lambda d, p=p: (F.xxhash64(F.concat(F.lit(f"{p}:"), d.cast("string"))) % 2) * 2 - 1,
+                    ),
+                    lambda x, s: x * s.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    sig = emb.withColumn("bucket", bucket_sig(F.col("vec")))
+    queries = sig.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    cands = sig.select("vec_id", "vec", "bucket")
+    scored = (
+        cands.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 4))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rank", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letter runs / digit runs / single punctuation)."""
+    d = load(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split("text", " ")).cast("long")
+    bpe_ish = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)).cast("long")
+    return d.select(
+        "doc_id",
+        ws_tokens.alias("n_tokens_ws"),
+        bpe_ish.alias("n_tokens_bpe"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token frequencies decide the
+    prediction (deterministic argmax with fixed tie order) — the standard
+    n-gram-frequency approach, markers tuned to the synthetic vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_the = F.size(F.filter(words, lambda w: w == "the")).cast("long")
+    n_a = F.size(F.filter(words, lambda w: w == "a")).cast("long")
+    n_data = F.size(F.filter(words, lambda w: (w == "data") | (w == "query"))).cast("long")
+    score_en = n_the * 2 + n_a
+    score_tech = n_data * 2
+    pred = (
+        F.when(score_en > score_tech, "en")
+        .when(score_tech > score_en, "tech")
+        .otherwise("und")
+    )
+    return d.select("doc_id", "lang", score_en.alias("score_en"), score_tech.alias("score_tech"), pred.alias("pred_lang"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean word length, stopword ratio and a
+    blended 0-100 score (same arithmetic on both engines)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    mean_wlen = (F.length(F.col("text")) - (n_words - 1)) / n_words
+    stop = F.size(F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of"))).cast("long")
+    stop_ratio = stop / n_words
+    score = F.round(
+        F.least(F.lit(100.0), n_words / 2 + mean_wlen * 5 + stop_ratio * 20), 4
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: corpus statistics per (lang, source)."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(n_words), 4).alias("avg_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_stats": q_dedup_stats,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_minhash_near_dup": q_minhash_near_dup,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_simhash_near_dup": q_simhash_near_dup,
+    "q_cosine_topk": q_cosine_topk,
+    "q_ann_lsh": q_ann_lsh,
+    "q_token_count": q_token_count,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_text_stats": q_text_stats,
+}
+
+ORACLE = {
+    "q_dedup_exact": """
+        SELECT md5(text) AS text_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*)    AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "q_dedup_stats": """
+        SELECT lang, source, count(*) AS n_total, count(DISTINCT text) AS n_unique
+        FROM documents GROUP BY lang, source
+    """,
+    "q_doc_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))    AS fingerprint,
+               sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint_sha256
+        FROM documents
+    """,
+    "q_ngram_jaccard": """
+        WITH toks AS (
+          SELECT doc_id, lang, source, n_chars // 20 AS len_bucket,
+                 list_distinct(string_split(text, ' ')) AS words
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
+        FROM toks a JOIN toks b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.words, b.words))), 4) >= 0.3
+    """,
+    "q_cosine_topk": """
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(q.qvec, c.vec), 4) AS sim
+          FROM emb c CROSS JOIN q
+          WHERE c.vec_id <> q.query_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+    """,
+    "q_token_count": """
+        SELECT doc_id,
+               len(string_split(text, ' '))                                   AS n_tokens_ws,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+               length(text)                                                   AS n_chars_actual
+        FROM documents
+    """,
+    "q_lang_id": """
+        WITH s AS (
+          SELECT doc_id, lang,
+                 len(list_filter(string_split(text, ' '), w -> w = 'the')) * 2
+               + len(list_filter(string_split(text, ' '), w -> w = 'a'))        AS score_en,
+                 len(list_filter(string_split(text, ' '), w -> w = 'data' OR w = 'query')) * 2 AS score_tech
+          FROM documents)
+        SELECT doc_id, lang, score_en, score_tech,
+               CASE WHEN score_en > score_tech THEN 'en'
+                    WHEN score_tech > score_en THEN 'tech'
+                    ELSE 'und' END AS pred_lang
+        FROM s
+    """,
+    "q_quality_score": """
+        WITH s AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_wlen,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio
+          FROM documents)
+        SELECT doc_id, n_words,
+               round(mean_wlen, 4)   AS mean_word_len,
+               round(stop_ratio, 4)  AS stopword_ratio,
+               round(least(100.0, n_words / 2 + mean_wlen * 5 + stop_ratio * 20), 4) AS quality_score
+        FROM s
+    """,
+    "q_text_stats": """
+        SELECT lang, source, count(*) AS n_docs,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY lang, source
+    """,
+}
+
+ROWS_ONLY = {"q_minhash_near_dup", "q_simhash_near_dup", "q_ann_lsh"}

@@ -1,0 +1,149 @@
+"""Multimodal-column operators (driver-contract extension).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with typed
+metadata structs, processed by Arrow-batched ``mapInPandas`` stages — the
+Spark-side plumbing (schema, batch shape, partitioning) is real and tested;
+the actual codecs are STUBBED (no image/audio libraries in this container):
+
+- ``decode_image`` raises NotImplementedError by design when asked for a
+  real decode, and provides a deterministic fake (seeded by the payload
+  digest) so downstream feature/resize/frame-sample plumbing is testable.
+
+Scale posture: payload bytes never hit the driver; each mapInPandas batch
+is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — for
+multi-MB media lower it (e.g. 64) so a batch stays within executor memory.
+Feature vectors come back as ``array<float>`` ready for the B34 similarity
+operators (llmops.q_cosine_topk).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, "
+    "meta struct<width:int, height:int, channels:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURE_DIM = 16
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table: each document's text bytes stand in
+    for an encoded payload; metadata derived from doc fields."""
+    d = load(spark, sf_dir, "documents")
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    meta = F.struct(
+        (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+        F.lit(3).cast("int").alias("channels"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (F.col("n_chars") % 120 + 1).cast("int").alias("n_frames"),
+    )
+    return d.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = True) -> np.ndarray:
+    """STUB: real decode needs an image library not present here.
+    ``fake=True`` returns a deterministic array seeded by the payload
+    digest (same payload → same pixels, any worker)."""
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires an imaging library (not in this environment); "
+            "use fake=True for deterministic test pixels"
+        )
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def extract_features(media: DataFrame, feature_dim: int = FEATURE_DIM) -> DataFrame:
+    """mapInPandas feature extraction: payload → float feature vector.
+    The features are a deterministic digest-fold of the payload (stub for
+    a real encoder); the dataflow — Arrow batches in, ``array<float>``
+    out, partition-parallel — is the production shape."""
+    out_schema = f"doc_id bigint, media_type string, features array<float>"
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                digest = hashlib.sha256(bytes(payload)).digest()
+                arr = np.frombuffer((digest * ((feature_dim * 4) // len(digest) + 1))[: feature_dim * 4], dtype=np.uint32)
+                feats.append((arr.astype(np.float32) / np.float32(2**32)).tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": pdf["media_type"], "features": feats}
+            )
+
+    return media.mapInPandas(_extract, schema=out_schema)
+
+
+def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """'Resize' planning pass: computes target dimensions JVM-side (the
+    pixel work would live in the decode stub); shows metadata-only column
+    math stays out of Python entirely."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("meta.width"), F.col("meta.height")),
+    )
+    return media.select(
+        "doc_id",
+        "media_type",
+        "meta",
+        F.round(F.col("meta.width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("meta.height") * scale).cast("int").alias("target_height"),
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sample planning: one output row per sampled frame index —
+    the explode-style cardinality change a video pipeline needs."""
+    idx = F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n))
+    return media.filter(F.col("media_type") == "video/mp4").select(
+        "doc_id",
+        F.explode(idx).alias("frame_index"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the full multimodal plumbing — synth media → mapInPandas
+    feature extraction → resize planning → frame sampling counts."""
+    media = synth_media(spark, sf_dir)
+    feats = extract_features(media)
+    resized = resize_meta(media)
+    frames = sample_frames(media).groupBy("doc_id").agg(F.count("*").alias("n_sampled_frames"))
+    return (
+        feats.join(resized.select("doc_id", "target_width", "target_height"), "doc_id")
+        .join(frames, "doc_id", "left")
+        .select(
+            "doc_id",
+            "media_type",
+            F.size("features").cast("long").alias("feature_dim"),
+            F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+            "target_width",
+            "target_height",
+            F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"),
+        )
+    )
+
+
+QUERIES = {"q_multimodal_features": q_multimodal_features}
+ORACLE: dict[str, str] = {}
+ROWS_ONLY = {"q_multimodal_features"}

@@ -50,8 +50,13 @@ IP_OR_HOST = compile_grok(IP_OR_HOSTNAME_TEMPLATE)
 # --------------------------------------------------------------------------
 
 def synth_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One deterministic access-log line per event (FIXTURES.md §4 shape)."""
-    e = load(spark, sf_dir, "events")
+    """One deterministic access-log line per event (FIXTURES.md §4 shape).
+
+    The events table is a single small parquet file, which Spark scans as
+    ONE partition — serializing the (CPU-heavy) regex work downstream.  A
+    cheap explicit repartition to the cluster's parallelism fixes that; on
+    a real deployment the source would already arrive in many splits."""
+    e = load(spark, sf_dir, "events").repartition(spark.sparkContext.defaultParallelism)
     k = F.get_json_object("props", "$.k")
     method = (
         F.when(F.col("event_type") == "purchase", "POST")

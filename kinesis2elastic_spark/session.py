@@ -18,8 +18,38 @@ local[32] for tests and on a 1000-executor cluster at 100 TB:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute this package to executor Python workers via addPyFile.
+
+    Functions/classes from this package pickle BY REFERENCE (module path),
+    so executors must be able to import it.  Local runs from the repo cwd
+    work by accident (workers inherit the JVM's cwd on sys.path); a driver
+    launched anywhere else — or a real cluster — needs the package shipped.
+    The zip is content-stable per version and built at most once."""
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "kinesis2elastic_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_root):
+                for fn in filenames:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.join(
+                            "kinesis2elastic_spark", os.path.relpath(full, pkg_root)
+                        )
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
 
 
 def get_spark(app_name: str = "kinesis2elastic_spark", cpus: int | str | None = None) -> SparkSession:
@@ -41,6 +71,7 @@ def get_spark(app_name: str = "kinesis2elastic_spark", cpus: int | str | None = 
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
 
 
@@ -55,4 +86,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass
+    ship_package(spark)
     return spark

@@ -1,0 +1,132 @@
+"""Structured Streaming operators (SURVEY §2 B27-B31 + A1/A35 semantics).
+
+The reference's unit of streaming is one Firehose HTTP delivery = one
+micro-batch (upstream buffers 1 MB / 60 s and retries for 300 s,
+cloudformation-template.yaml:147-162; all data is also backed up to S3).
+Spark-first mapping:
+
+- source: ``readStream`` over a file directory (the S3-backup replay path —
+  the reference architecture already writes every envelope to S3, so a file
+  stream over that bucket is a *faithful* source, not a test shortcut; a
+  Kinesis connector slots in by swapping ``format``);
+- trigger: ``availableNow`` in tests (deterministic drain),
+  ``processingTime='60 seconds'`` in production to mirror the upstream
+  buffer cadence;
+- event time: ``record.data.logEvents.timestamp`` is the watermark column —
+  the envelope @timestamp is delivery time and deliberately NOT used
+  (main.go:524-526 keeps them distinct because "firehose batches and
+  buffers the records");
+- at-least-once upstream + deterministic document ids downstream (sink.py)
+  = effectively-once, the fix for the reference's duplicate-on-retry
+  behavior (no _id at main.go:555-559).
+
+State-store sizing at 100 TB: windowed aggregations keep |keys x open
+windows| rows of state; the watermark bounds open windows, so the delay
+below is the knob that trades late-data tolerance for state size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schemas import FIREHOSE_ENVELOPE
+
+# Event-stream schema used by the streaming tests (mirrors the events table).
+EVENT_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+def stream_envelopes(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """A1: file-stream source over Firehose envelope JSON (S3-backup
+    replay shape).  Explicit schema — no inference job at stream start."""
+    reader = spark.readStream.schema(FIREHOSE_ENVELOPE)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-stream source over event-shaped JSON fixtures."""
+    return spark.readStream.schema(EVENT_SCHEMA).json(path)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """B27: tumbling event-time window aggregate with late-data bound."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "10 minutes", slide: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """B27: sliding window variant."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """B28: session windows (same semantics as the batch q_sessionize:
+    a session closes after ``gap`` of inactivity)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """B30: drop duplicate event_ids within the watermark horizon — state
+    is bounded by the watermark (without it, the seen-set grows forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """B31: arbitrary stateful op via applyInPandasWithState — per-user
+    running event count + value sum, emitted per micro-batch."""
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion into an in-memory table
+    (availableNow trigger): deterministic for tests; returns the query."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,92 @@
+"""Decode-chain tests: golden fixture envelopes through decode_envelopes
+(SURVEY §5 item 2), including the per-record dead-letter paths."""
+
+import base64
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from kinesis2elastic_spark.operators.decode import build_envelopes, decode_envelopes
+from kinesis2elastic_spark.schemas import FIREHOSE_ENVELOPE
+
+
+def _payload(log_events, log_group="/aws/test/group"):
+    return {
+        "messageType": "DATA_MESSAGE",
+        "owner": "111111111111",
+        "logGroup": log_group,
+        "logStream": "stream-0",
+        "subscriptionFilters": ["all"],
+        "logEvents": log_events,
+    }
+
+
+def _record(payload: dict) -> dict:
+    return {"data": base64.b64encode(gzip.compress(json.dumps(payload).encode())).decode()}
+
+
+def test_golden_flatten(spark):
+    env = spark.createDataFrame(
+        [
+            (
+                "req-1",
+                1635622518652,
+                [
+                    _record(
+                        _payload(
+                            [
+                                {"id": "e1", "timestamp": 1635622510000, "message": '{"level":"info","n":1}'},
+                                {"id": "e2", "timestamp": 1635622511000, "message": "plain text line"},
+                            ]
+                        )
+                    )
+                ],
+            )
+        ],
+        FIREHOSE_ENVELOPE,
+    )
+    rows = {r.eid: r for r in decode_envelopes(env).select(
+        "requestId",
+        "timestamp",
+        F.col("record.data.logGroup").alias("lg"),
+        F.col("record.data.logEvents.id").alias("eid"),
+        F.col("record.data.logEvents.timestamp").alias("ets"),
+        F.col("record.data.logEvents.message").alias("msg"),
+        "error_message",
+    ).collect()}
+    # cardinality: one row per logEvent (main.go:492)
+    assert set(rows) == {"e1", "e2"}
+    # envelope time vs event time kept distinct (main.go:515 vs :526)
+    assert rows["e1"].timestamp.isoformat().startswith("2021-10-30T19:35:18")
+    assert rows["e1"].ets.isoformat().startswith("2021-10-30T19:35:10")
+    # JSON message verbatim; text wrapped (main.go:494-510)
+    assert json.loads(rows["e1"].msg) == {"level": "info", "n": 1}
+    assert json.loads(rows["e2"].msg) == {"text": "plain text line"}
+    assert rows["e1"].error_message is None
+
+
+def test_dead_letter_per_record(spark):
+    good = _record(_payload([{"id": "ok", "timestamp": 1, "message": "m"}]))
+    cases = [
+        good,
+        {"data": base64.b64encode(b"not gzip").decode()},
+        {"data": "!!!not base64!!!"},
+        {"data": base64.b64encode(gzip.compress(b"{broken")).decode()},
+        _record(_payload([])),
+    ]
+    env = spark.createDataFrame([("req-2", 1, cases)], FIREHOSE_ENVELOPE)
+    out = decode_envelopes(env).select("error_message").collect()
+    errs = sorted(r.error_message or "ok" for r in out)
+    assert errs == sorted(
+        ["ok", "gzip decompress failed", "base64 decode failed", "json parse failed", "no logEvents"]
+    )
+
+
+def test_build_envelopes_roundtrip(spark, sf_dir):
+    env = build_envelopes(spark, sf_dir)
+    docs = decode_envelopes(env)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    got = docs.count()
+    assert got == n_events  # every synthesized logEvent decodes to one row
+    assert docs.filter(F.col("error_message").isNotNull()).count() == 0

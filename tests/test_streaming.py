@@ -1,0 +1,127 @@
+"""Streaming smoke tests (SURVEY §5 item 3): file source → availableNow →
+memory sink; batch-equivalence and late-data behavior."""
+
+import json
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis2elastic_spark.streaming import windows as sw
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    """events table re-written as JSON files (the stream fixture)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    from kinesis2elastic_spark.catalog import load
+
+    load(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).coalesce(2).write.mode("overwrite").json(path)
+    return path
+
+
+def _table(spark, name):
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_matches_batch(spark, sf_dir, event_dir):
+    stream = sw.stream_events(spark, event_dir)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    sw.run_to_memory_sink(sw.tumbling_counts(stream), name, output_mode="append")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in _table(spark, name).collect()
+    }
+    from kinesis2elastic_spark.catalog import load
+    from kinesis2elastic_spark.operators.relational import q_tumble_batch
+
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in q_tumble_batch(spark, sf_dir).collect()
+    }
+    # append mode only emits windows fully below the final watermark: the
+    # tail window(s) at max(ts) stay open — everything emitted must match
+    # batch exactly, and only tail windows may be withheld.
+    assert set(got) <= set(want)
+    assert all(got[k] == want[k] for k in got)
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=1, minutes=10)
+    missing = set(want) - set(got)
+    assert missing and all(ws > cutoff for ws, _ in missing)
+
+
+def test_session_window_counts(spark, sf_dir, event_dir):
+    stream = sw.stream_events(spark, event_dir)
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    sw.run_to_memory_sink(sw.session_counts(stream), name, output_mode="append")
+    got = _table(spark, name)
+    from kinesis2elastic_spark.operators.relational import q_sessionize
+
+    batch = q_sessionize(spark, sf_dir)
+    # same sessions per user as the batch lag+cumsum formulation, except
+    # each user's final session may be withheld below the closing watermark
+    g = {r.user_id: r["count"] for r in got.groupBy("user_id").count().collect()}
+    b = {r.user_id: r["count"] for r in batch.groupBy("user_id").count().collect()}
+    assert set(g) <= set(b)
+    assert all(0 <= b[u] - g.get(u, 0) <= 1 for u in b)
+    assert sum(g.values()) >= sum(b.values()) - len(b)
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dedup") / "events")
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 1, "ts": "2024-01-01T00:00:01.000Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:05:00.000Z", "user_id": 1, "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/part-0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    stream = sw.stream_events(spark, path)
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    sw.run_to_memory_sink(sw.streaming_dedup(stream), name)
+    assert _table(spark, name).count() == 2
+
+
+def test_stateful_running_totals(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("state") / "events")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T00:0{i}:00.000Z", "user_id": i % 2, "event_type": "click", "value": float(i), "props": "{}"}
+        for i in range(6)
+    ]
+    with open(f"{path}/part-0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    stream = sw.stream_events(spark, path)
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    sw.run_to_memory_sink(sw.running_totals_stateful(stream), name, output_mode="update")
+    got = {r.user_id: (r.n_events, r.total_value) for r in _table(spark, name).collect()}
+    assert got == {0: (3, 0.0 + 2 + 4), 1: (3, 1.0 + 3 + 5)}
+
+
+def test_envelope_stream_decodes(spark, sf_dir, tmp_path_factory):
+    """Firehose envelopes as a file stream → decode chain → memory sink."""
+    from kinesis2elastic_spark.operators.decode import build_envelopes, decode_envelopes
+
+    path = str(tmp_path_factory.mktemp("env") / "envelopes")
+    build_envelopes(spark, sf_dir).coalesce(1).write.mode("overwrite").json(path)
+    stream = sw.stream_envelopes(spark, path)
+    docs = decode_envelopes(stream).select(
+        "requestId", F.col("record.data.logEvents.id").alias("eid"), "error_message"
+    )
+    name = f"e_{uuid.uuid4().hex[:8]}"
+    sw.run_to_memory_sink(docs, name)
+    out = _table(spark, name)
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert out.count() == n_events
+    assert out.filter(F.col("error_message").isNotNull()).count() == 0
