@@ -1,0 +1,318 @@
+"""Extended relational surface (SURVEY §2 Part B, second tier): analytic
+window frames, statistical and percentile aggregates, grouping sets,
+unpivot, map/array lateral ops, correlated subqueries, and the SQL entry
+path (TPC-H Q3 shape via ``spark.sql`` over registered views).
+
+Same engine-comparability conventions as ``relational.py`` (identical
+aliases, rounded floats, BIGINT casts for computed integers, unique-key
+tie-breaks).  Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+
+
+def q_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a unique global ordering."""
+    e = load(spark, sf_dir, "events")
+    w = W.orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full-partition frame
+    (last_value without it silently means 'current row' — classic trap)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(wfull).alias("last_type"),
+    )
+
+
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a calendar interval (7 trailing days) — value-based
+    frames include peers, so no tie-break is needed for determinism."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+        FROM orders
+        """
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per group.  At 100 TB the
+    exact form needs a sort per group — approx_percentile is the scale
+    variant (B5's sketch argument); both are exposed, oracle checks exact."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance (sample), correlation,
+    covariance — all single-pass partial-aggregable."""
+    e = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+        F.round(F.corr("value", uid), 6).alias("corr_uid"),
+        F.round(F.covar_samp("value", uid), 6).alias("covar_uid"),
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping flags (B6 beyond rollup)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation (LISTAGG equivalent, expressed
+    deterministically as sort(collect_set) → join)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-user sorted list of event types + rounded
+    values (array outputs hash canonically on both engines)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("event_type")).alias("types"),
+        F.array_sort(F.collect_list(F.round("value", 2))).alias("values_sorted"),
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide measures → (metric, val) rows."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.selectExpr(
+        "l_orderkey",
+        "stack(3, 'qty', l_quantity, 'price', l_extendedprice, 'disc', l_discount) AS (metric, val)",
+    ).select("l_orderkey", "metric", F.round("val", 2).alias("val"))
+
+
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral view with element position (0-based)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "word")
+
+
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: parse props into map<string,long>, explode
+    to (key, value) rows (map_keys/map_values are the same plumbing)."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select("event_id", F.explode(m).alias("key", "value"))
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (planned as a left outer aggregate join)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT round(max(o_totalprice), 2) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+        """
+    )
+
+
+def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) through the SQL surface — scan pruning,
+    selective dim filter, two shuffled joins, agg, top-10."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: day/month offsets, month end, least/greatest."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 10).alias("plus_10d"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.least(d, F.lit("1995-01-01").cast("date")).alias("clamped_lo"),
+        F.greatest(d, F.lit("1997-01-01").cast("date")).alias("clamped_hi"),
+    )
+
+
+QUERIES = {
+    "q_ntile_dist": q_ntile_dist,
+    "q_window_firstlast": q_window_firstlast,
+    "q_window_range_interval": q_window_range_interval,
+    "q_percentiles": q_percentiles,
+    "q_stats_agg": q_stats_agg,
+    "q_grouping_sets": q_grouping_sets,
+    "q_string_agg": q_string_agg,
+    "q_collect_sorted": q_collect_sorted,
+    "q_unpivot": q_unpivot,
+    "q_posexplode": q_posexplode,
+    "q_map_explode": q_map_explode,
+    "q_scalar_subquery": q_scalar_subquery,
+    "q_sql_q3": q_sql_q3,
+    "q_date_arith": q_date_arith,
+}
+
+ORACLE = {
+    "q_ntile_dist": """
+        SELECT event_id,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6)    AS cume
+        FROM events WINDOW w AS (ORDER BY value, event_id)
+    """,
+    "q_window_firstlast": """
+        SELECT user_id, event_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "q_window_range_interval": """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+        FROM orders
+    """,
+    "q_percentiles": """
+        SELECT event_type,
+               round(median(value), 6)            AS med,
+               round(quantile_cont(value, 0.25), 6) AS p25,
+               round(quantile_cont(value, 0.9), 6)  AS p90,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "q_stats_agg": """
+        SELECT event_type,
+               round(stddev_samp(value), 6)                          AS sd,
+               round(var_samp(value), 6)                             AS var,
+               round(corr(value, CAST(user_id AS DOUBLE)), 6)        AS corr_uid,
+               round(covar_samp(value, CAST(user_id AS DOUBLE)), 6)  AS covar_uid
+        FROM events GROUP BY event_type
+    """,
+    "q_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "q_string_agg": """
+        SELECT o_orderstatus,
+               string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_collect_sorted": """
+        SELECT user_id,
+               list_sort(list(event_type))          AS types,
+               list_sort(list(round(value, 2)))     AS values_sorted
+        FROM events GROUP BY user_id
+    """,
+    "q_unpivot": """
+        SELECT l_orderkey, 'qty' AS metric, round(l_quantity, 2) AS val
+        FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, 'price', round(l_extendedprice, 2) FROM lineitem WHERE l_linenumber = 1
+        UNION ALL
+        SELECT l_orderkey, 'disc', round(l_discount, 2) FROM lineitem WHERE l_linenumber = 1
+    """,
+    "q_posexplode": """
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+               unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id % 10 = 0
+    """,
+    "q_map_explode": """
+        SELECT event_id, 'k' AS key,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
+        FROM events
+    """,
+    "q_scalar_subquery": """
+        SELECT c_custkey, c_name,
+               (SELECT round(max(o_totalprice), 2) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+    """,
+    "q_sql_q3": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q_date_arith": """
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) + 10                          AS plus_10d,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+               last_day(CAST(o_orderdate AS DATE))                     AS month_end,
+               least(CAST(o_orderdate AS DATE), DATE '1995-01-01')     AS clamped_lo,
+               greatest(CAST(o_orderdate AS DATE), DATE '1997-01-01')  AS clamped_hi
+        FROM orders
+    """,
+}
+
+ROWS_ONLY: set[str] = set()

@@ -1,0 +1,66 @@
+"""Plan-shape regression tests: the 100 TB properties (SURVEY §4).
+
+These assert the *physical* plan, because a correctness-green query with a
+broken plan (lost pushdown, accidental global sort, missed broadcast) is
+exactly the regression that only shows up at scale.
+"""
+
+from kinesis2elastic_spark.operators import relational as r
+from kinesis2elastic_spark.plans.explain import (
+    assert_plan,
+    formatted_plan,
+    pushed_filters,
+    read_schema,
+)
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    # 3 of 11 lineitem columns in ReadSchema — column pruning reached parquet
+    rs = read_schema(r.q_scan_project(spark, sf_dir))
+    assert rs and "l_orderkey" in rs[0] and "l_shipdate" not in rs[0]
+
+
+def test_filters_push_to_parquet(spark, sf_dir):
+    pf = "\n".join(pushed_filters(r.q_filter(spark, sf_dir)))
+    assert "l_quantity" in pf and "l_shipdate" in pf
+
+
+def test_agg_filter_pushdown(spark, sf_dir):
+    pf = "\n".join(pushed_filters(r.q_pricing_agg(spark, sf_dir)))
+    assert "l_shipdate" in pf
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    assert_plan(
+        r.q_join_star(spark, sf_dir),
+        contains=("BroadcastHashJoin",),
+        absent=("CartesianProduct",),
+    )
+
+
+def test_sort_limit_is_topk_not_global_sort(spark, sf_dir):
+    assert_plan(r.q_sort_limit(spark, sf_dir), contains=("TakeOrderedAndProject",))
+
+
+def test_topk_per_group_uses_group_limit(spark, sf_dir):
+    # WindowGroupLimit: per-partition top-K before the shuffle
+    assert_plan(r.q_topk_per_group(spark, sf_dir), contains=("WindowGroupLimit",))
+
+
+def test_range_joins_broadcast_small_side(spark, sf_dir):
+    from kinesis2elastic_spark.operators.pipeline import q_geoip_join
+
+    assert_plan(r.q_join_range(spark, sf_dir), contains=("BroadcastNestedLoopJoin",))
+    assert_plan(q_geoip_join(spark, sf_dir), contains=("BroadcastNestedLoopJoin",))
+
+
+def test_udf_does_not_block_envelope_pruning(spark, sf_dir):
+    """The decode chain must parse the payload once per record (not per
+    exploded event): the plan has exactly one ArrowEvalPython feeding the
+    generator, never above it."""
+    from kinesis2elastic_spark.operators.decode import build_envelopes, decode_envelopes
+
+    plan = formatted_plan(decode_envelopes(build_envelopes(spark, sf_dir)))
+    gen_pos = plan.find("Generate")
+    arrow_pos = plan.find("ArrowEvalPython")
+    assert arrow_pos != -1 and gen_pos != -1
