@@ -1,0 +1,112 @@
+"""Firehose HTTP receiver tests: the reference's endpoint contract
+(content-type guard, magic-byte sniff, encoding-mismatch tolerance, ack and
+error bodies) + spool-to-stream integration + observe() metrics."""
+
+import base64
+import gzip
+import json
+import urllib.error
+import urllib.request
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis2elastic_spark.metrics import CollectingListener, with_doc_metrics
+from kinesis2elastic_spark.sources.firehose import FirehoseReceiver
+
+
+def _envelope(n_events: int = 2) -> dict:
+    payload = {
+        "messageType": "DATA_MESSAGE",
+        "owner": "1",
+        "logGroup": "/aws/test",
+        "logStream": "s",
+        "subscriptionFilters": [],
+        "logEvents": [
+            {"id": f"e{i}", "timestamp": 1635622510000 + i, "message": f"msg {i}"}
+            for i in range(n_events)
+        ],
+    }
+    data = base64.b64encode(gzip.compress(json.dumps(payload).encode())).decode()
+    return {"requestId": str(uuid.uuid4()), "timestamp": 1635622518652,
+            "records": [{"data": data}]}
+
+
+def _post(url, body: bytes, headers: dict):
+    req = urllib.request.Request(url + "/firehose", data=body, headers=headers, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture()
+def receiver(tmp_path):
+    r = FirehoseReceiver(str(tmp_path / "spool")).start()
+    yield r
+    r.stop()
+
+
+def test_ping(receiver):
+    with urllib.request.urlopen(receiver.url + "/ping", timeout=10) as resp:
+        assert json.loads(resp.read()) == {"message": "pong"}
+
+
+def test_plain_json_delivery_acks(receiver):
+    env = _envelope()
+    status, body = _post(receiver.url, json.dumps(env).encode(),
+                         {"Content-Type": "application/json",
+                          "X-Amz-Firehose-Request-Id": "req-123"})
+    assert status == 200
+    assert body["requestId"] == "req-123"
+    assert "timestamp" in body
+
+
+def test_gzip_body_with_mismatched_header_tolerated(receiver):
+    """main.go:271-273: body is gzip but Content-Encoding is absent —
+    magic-byte sniffing must still decode it."""
+    env = _envelope()
+    gz = gzip.compress(json.dumps(env).encode())
+    status, _ = _post(receiver.url, gz, {"Content-Type": "application/json"})
+    assert status == 200
+
+
+def test_wrong_content_type_rejected(receiver):
+    status, body = _post(receiver.url, b"x", {"Content-Type": "text/plain"})
+    assert status == 400
+    assert "content type" in body["errorMessage"]
+
+
+def test_invalid_envelope_rejected_with_error_body(receiver):
+    status, body = _post(receiver.url, json.dumps({"nope": 1}).encode(),
+                         {"Content-Type": "application/json"})
+    assert status == 400
+    assert "requestId" in body and "errorMessage" in body
+
+
+def test_spool_feeds_stream_with_metrics(spark, receiver):
+    """HTTP delivery → spool → file stream → decode → observe() counters."""
+    for _ in range(3):
+        _post(receiver.url, json.dumps(_envelope()).encode(),
+              {"Content-Type": "application/json"})
+
+    from kinesis2elastic_spark.operators.decode import decode_envelopes
+    from kinesis2elastic_spark.streaming import windows as sw
+
+    listener = CollectingListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = sw.stream_envelopes(spark, receiver.spool_dir)
+        docs = with_doc_metrics(decode_envelopes(stream))
+        name = f"fh_{uuid.uuid4().hex[:8]}"
+        sw.run_to_memory_sink(docs.select("requestId", "error_message"), name)
+        out = spark.sql(f"SELECT * FROM {name}")
+        assert out.count() == 6  # 3 envelopes x 2 logEvents
+        assert out.filter(F.col("error_message").isNotNull()).count() == 0
+        batches = [p for p in listener.progress if p["numInputRows"] > 0]
+        assert batches and sum(p["observed"]["n_docs"] for p in batches if p["observed"]) == 6
+        assert all(p["observed"]["n_errors"] == 0 for p in batches if p["observed"])
+    finally:
+        spark.streams.removeListener(listener)
