@@ -52,8 +52,18 @@ def main() -> None:
     spark = get_spark("k2e-bench", cpus=cpus)
     queries = entrymod.queries()
 
-    # Warm the JVM/session on a trivial action so q1 doesn't pay startup.
+    # Warm the JVM/session so the first measured query reflects steady
+    # state (a long-lived cluster), not one-time init: codegen, the parquet
+    # reader path, and the Python-UDF worker pool.
     spark.range(1000).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.functions.gzip_udf import gunzip_text, gzip_bytes
+
+    spark.range(8).select(
+        gunzip_text(gzip_bytes(F.lit("warmup"))).alias("w")
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

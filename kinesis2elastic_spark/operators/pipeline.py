@@ -358,11 +358,15 @@ def q_pipeline_axway(spark: SparkSession, sf_dir: str) -> DataFrame:
     msg = F.when(F.col("event_id") % 17 == 0, F.lit("not an access log")).otherwise(F.col("line"))
     staged = lines.select("event_id", log_group.alias("logGroup"), msg.alias("message_text"))
 
-    is_axway = F.col("logGroup").rlike("axway")
-    matched = grok_matched(F.col("message_text"), AXWAY)
-    g = grok_columns(F.col("message_text"), AXWAY)
-    active = is_axway & matched
+    # Materialize the match/dispatch guards once: every output column below
+    # references them, and leaving them as inline expressions would re-run
+    # the (expensive) whole-pattern rlike per column.
+    staged = staged.withColumn(
+        "_matched", grok_matched(F.col("message_text"), AXWAY)
+    ).withColumn("_active", F.col("logGroup").rlike("axway") & F.col("_matched"))
 
+    g = grok_columns(F.col("message_text"), AXWAY)
+    active = F.col("_active")
     status = F.when(active, g["http.response.status_code"])
     enriched = staged.select(
         "event_id",
@@ -376,7 +380,10 @@ def q_pipeline_axway(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestamp_promoted"
         ),
         F.when(active, g["source.address"]).alias("source.ip"),
-        F.when(is_axway & ~matched, F.lit("grok pattern did not match")).alias("error_message"),
+        F.when(
+            F.col("logGroup").rlike("axway") & ~F.col("_matched"),
+            F.lit("grok pattern did not match"),
+        ).alias("error_message"),
     )
     out = geoip_enrich(enriched, synthetic_geoip_dim(spark), "source.ip")
     return out.select(
