@@ -24,7 +24,7 @@ DOC_METRICS = "doc_metrics"
 def with_doc_metrics(df: DataFrame, error_col: str = "error_message") -> DataFrame:
     """Attach success/error counters to the flow (A16): n_docs = rows
     emitted, n_errors = dead-lettered rows, n_ok = indexed documents."""
-    err = F.col(error_col) if error_col in df.columns else F.lit(None)
+    err = F.col(f"`{error_col}`") if error_col in df.columns else F.lit(None)
     return df.observe(
         DOC_METRICS,
         F.count(F.lit(1)).alias("n_docs"),

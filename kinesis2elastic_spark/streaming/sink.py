@@ -135,8 +135,8 @@ class BulkSink:
         stamp the deterministic _id, write partition-parallel."""
         payload_cols = [c for c in batch_df.columns if c != self.id_col]
         ser = batch_df.select(
-            F.col(self.id_col).cast("string").alias(self.id_col),
-            F.to_json(F.struct(*payload_cols)).alias("doc_json"),
+            F.col(f"`{self.id_col}`").cast("string").alias(self.id_col),
+            F.to_json(F.struct(*[F.col(f"`{c}`") for c in payload_cols])).alias("doc_json"),
         )
         results = ser.rdd.mapPartitions(
             lambda rows: self.write_partition(rows)
@@ -149,5 +149,8 @@ def document_id(df: DataFrame, event_id_col: str = "record.data.logEvents.id") -
     reference, incoming/firehose.go:41 — promoting it to _id is the
     idempotency fix), else a digest of the serialized document."""
     ev_id = F.col(event_id_col)
-    fallback = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])).cast("binary"))
+    # backtick-quote: flat columns may have dotted-path NAMES (pipeline ctx)
+    fallback = F.md5(
+        F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns])).cast("binary")
+    )
     return df.withColumn("_id", F.coalesce(ev_id, fallback))

@@ -118,6 +118,30 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval
+    bound (right within [left - within, left]).  Both sides watermarked so
+    the join state is bounded: a buffered row can be evicted once the other
+    side's watermark passes its eviction bound — without the time bound the
+    state would grow forever."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion into an in-memory table
     (availableNow trigger): deterministic for tests; returns the query."""
