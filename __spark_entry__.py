@@ -21,7 +21,15 @@ def _collect_modules():
     from kinesis2elastic_spark.operators import relational
 
     mods.append(relational)
-    for name in ("relational_ext", "decode", "pipeline", "llmops", "multimodal", "temporal"):
+    for name in (
+        "relational_ext",
+        "decode",
+        "pipeline",
+        "llmops",
+        "multimodal",
+        "temporal",
+        "skew",
+    ):
         try:
             mod = __import__(
                 f"kinesis2elastic_spark.operators.{name}", fromlist=[name]
