@@ -69,6 +69,18 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (rows-only: sketch estimates legitimately
+    differ between engines).  This is the 100 TB path for q_percentiles:
+    fixed-size mergeable sketch per partition instead of a per-group sort."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.approx_percentile("value", F.lit(0.5), F.lit(10000)), 2).alias("approx_med"),
+        F.round(F.approx_percentile("value", F.lit(0.9), F.lit(10000)), 2).alias("approx_p90"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance (sample), correlation,
     covariance — all single-pass partial-aggregable."""
@@ -196,6 +208,7 @@ QUERIES = {
     "q_window_firstlast": q_window_firstlast,
     "q_window_range_interval": q_window_range_interval,
     "q_percentiles": q_percentiles,
+    "q_approx_quantile": q_approx_quantile,
     "q_stats_agg": q_stats_agg,
     "q_grouping_sets": q_grouping_sets,
     "q_string_agg": q_string_agg,
@@ -315,4 +328,4 @@ ORACLE = {
     """,
 }
 
-ROWS_ONLY: set[str] = set()
+ROWS_ONLY: set[str] = {"q_approx_quantile"}
