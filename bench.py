@@ -38,8 +38,12 @@ HEADLINE = [
     "q_firehose_flatten",
     "q_dedup_exact",
     "q_minhash_near_dup",
+    "q_dedup_clusters",
     "q_cosine_topk",
     "q_text_stats",
+    "q_sql_q3",
+    "q_asof_join",
+    "q_skew_salted_agg",
 ]
 
 

@@ -293,6 +293,69 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 8) -
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iters: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    'group near-dup pairs into duplicate clusters' step.
+
+    Each node starts labeled with its own id; every iteration each node
+    takes the min label in its neighborhood; stops when no label changes.
+    Iteration count is O(graph diameter) — near-dup graphs are shallow
+    (dups of dups), so this converges in a handful of rounds.  Each round
+    is one shuffle; the loop is driven by an aggregate (count of changed
+    labels), never a collect of the data.
+
+    Every round ends in ``localCheckpoint`` — iterative DataFrames MUST
+    truncate lineage, or the nested self-join plan grows exponentially and
+    OOMs the driver/optimizer around ~8 iterations (measured: a 10-node
+    chain graph heap-crashed without it).  On a cluster with unreliable
+    executors use ``checkpoint()`` to HDFS instead.
+    """
+    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionAll(
+        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias("_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters (rows-only: iterative).  Output:
+    one row per clustered doc with its cluster id (min doc_id in the
+    component) plus the cluster size — the 'keep one per cluster' dedup
+    decision at corpus scale."""
+    pairs = q_minhash_near_dup(spark, sf_dir)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -482,6 +545,7 @@ QUERIES = {
     "q_dedup_stats": q_dedup_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_near_dup": q_minhash_near_dup,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_cosine_topk": q_cosine_topk,
@@ -583,4 +647,4 @@ ORACLE = {
     """,
 }
 
-ROWS_ONLY = {"q_minhash_near_dup", "q_simhash_near_dup", "q_ann_lsh"}
+ROWS_ONLY = {"q_minhash_near_dup", "q_simhash_near_dup", "q_ann_lsh", "q_dedup_clusters"}

@@ -60,6 +60,24 @@ def test_ann_lsh_is_subset_quality(spark, sf_dir):
             assert abs(exact - r.sim) < 1e-6  # ANN scores are exact cosines
 
 
+def test_connected_components_known_graphs(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a bigint, doc_b bigint")
+    comp = {r.node: r.cluster_id for r in llmops.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    # worst-case diameter: a chain must fully converge (lineage-truncation
+    # regression guard — this OOMed before localCheckpoint was added)
+    chain = spark.createDataFrame([(i, i + 1) for i in range(9)], "doc_a bigint, doc_b bigint")
+    cc = {r.cluster_id for r in llmops.connected_components(chain).collect()}
+    assert cc == {0}
+
+
+def test_dedup_clusters_cover_pairs(spark, sf_dir):
+    pairs = llmops.q_minhash_near_dup(spark, sf_dir).collect()
+    clusters = {r.doc_id: r.cluster_id for r in llmops.q_dedup_clusters(spark, sf_dir).collect()}
+    for p in pairs:  # every near-dup pair must land in one cluster
+        assert clusters[p.doc_a] == clusters[p.doc_b]
+
+
 def test_dedup_exact_keeps_min_doc_id(spark, sf_dir):
     df = llmops.q_dedup_exact(spark, sf_dir)
     assert df.filter(F.col("n_copies") < 1).count() == 0
