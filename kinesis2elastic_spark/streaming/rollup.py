@@ -1,0 +1,79 @@
+"""Continuous aggregate / hypertable-style rollup: an incrementally
+maintained, time-partitioned materialization of a windowed aggregate.
+
+Pattern (the foreachBatch upsert idiom):
+
+1. aggregate the incoming micro-batch to partial sums per (bucket, key);
+2. read the CURRENT materialized partials for ONLY the touched buckets;
+3. combine (sum of sums / counts — any algebraic aggregate merges);
+4. rewrite exactly those bucket partitions with dynamic partition
+   overwrite (``spark.sql.sources.partitionOverwriteMode=dynamic``).
+
+At 100 TB this is the difference between re-aggregating history per batch
+and touching a handful of hour partitions: cost per batch is proportional
+to the batch's time spread, not the table's age.  Readers get atomic
+per-partition swaps (parquet dir replace).
+
+Late data needs no special path: a late event lands in an old bucket and
+that bucket is simply rewritten — the materialization is eventually exact
+(contrast with watermark-dropped windows in pure streaming aggregation).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLLUP_SCHEMA = "bucket timestamp, event_type string, n bigint, sum_value double"
+
+
+def rollup_batch(batch_df: DataFrame, bucket: str = "1 hour") -> DataFrame:
+    """Partial aggregate of one batch: (hour bucket, event_type) partials."""
+    return (
+        batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+def merge_rollup(spark: SparkSession, state_path: str, batch_partials: DataFrame) -> None:
+    """Merge batch partials into the materialized rollup, rewriting only
+    the touched bucket partitions."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    touched = [r.bucket for r in batch_partials.select("bucket").distinct().collect()]
+    if not touched:
+        return
+    if os.path.isdir(state_path) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(state_path)
+    ):
+        existing = spark.read.parquet(state_path).filter(F.col("bucket").isin(touched))
+        combined_src = existing.unionByName(batch_partials)
+    else:
+        combined_src = batch_partials
+    combined = combined_src.groupBy("bucket", "event_type").agg(
+        F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")
+    )
+    # one file per touched hour partition is plenty; dynamic overwrite
+    # replaces only partitions present in `combined`
+    (
+        combined.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(state_path)
+    )
+
+
+def continuous_rollup_writer(spark: SparkSession, state_path: str):
+    """foreachBatch handler maintaining the rollup from an event stream."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_rollup(spark, state_path, rollup_batch(batch_df))
+
+    return handle
+
+
+def read_rollup(spark: SparkSession, state_path: str) -> DataFrame:
+    return spark.read.parquet(state_path).select("bucket", "event_type", "n", "sum_value")
