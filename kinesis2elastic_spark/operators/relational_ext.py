@@ -189,6 +189,49 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation predicate (planned as Filter over the
+    aggregate — no second scan)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 12 AND sum(o_totalprice) > 100000
+        """
+    )
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subqueries (planned as semi/anti joins)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') AS has_f_order
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """
+    )
+
+
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: NULLIF/COALESCE/IS DISTINCT FROM — the
+    three-valued-logic cases that differ from plain equality."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id,
+               nullif(event_type, 'error')                         AS type_or_null,
+               coalesce(nullif(event_type, 'error'), 'masked')     AS type_masked,
+               event_type IS DISTINCT FROM 'error'                 AS not_error_nullsafe,
+               CASE WHEN nullif(event_type, 'error') IS NULL THEN 0 ELSE 1 END AS has_type
+        FROM events
+        """
+    )
+
+
 def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic: day/month offsets, month end, least/greatest."""
     o = load(spark, sf_dir, "orders")
@@ -218,6 +261,9 @@ QUERIES = {
     "q_map_explode": q_map_explode,
     "q_scalar_subquery": q_scalar_subquery,
     "q_sql_q3": q_sql_q3,
+    "q_having": q_having,
+    "q_in_subquery": q_in_subquery,
+    "q_null_semantics": q_null_semantics,
     "q_date_arith": q_date_arith,
 }
 
@@ -316,6 +362,26 @@ ORACLE = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
+    """,
+    "q_having": """
+        SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_custkey
+        HAVING count(*) >= 12 AND sum(o_totalprice) > 100000
+    """,
+    "q_in_subquery": """
+        SELECT c_custkey, c_mktsegment,
+               c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') AS has_f_order
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "q_null_semantics": """
+        SELECT event_id,
+               nullif(event_type, 'error')                         AS type_or_null,
+               coalesce(nullif(event_type, 'error'), 'masked')     AS type_masked,
+               event_type IS DISTINCT FROM 'error'                 AS not_error_nullsafe,
+               CASE WHEN nullif(event_type, 'error') IS NULL THEN 0 ELSE 1 END AS has_type
+        FROM events
     """,
     "q_date_arith": """
         SELECT o_orderkey,
