@@ -17,19 +17,30 @@ from kinesis2elastic_spark.session import tune_session
 
 def _collect_modules():
     """Import every operator module that defines QUERIES/ORACLE dicts."""
+    # Ordered so a driver that caps its run still sees every *module*:
+    # reference-semantics (decode/pipeline), LLM-ops, temporal/skew/multimodal
+    # first; the long relational/relational_ext tails (already driver-green in
+    # round 1) come last.
     mods = []
     from kinesis2elastic_spark.operators import relational
 
-    mods.append(relational)
     for name in (
-        "relational_ext",
         "decode",
         "pipeline",
         "llmops",
-        "multimodal",
         "temporal",
         "skew",
+        "multimodal",
     ):
+        try:
+            mod = __import__(
+                f"kinesis2elastic_spark.operators.{name}", fromlist=[name]
+            )
+            mods.append(mod)
+        except ImportError:
+            pass
+    mods.append(relational)
+    for name in ("relational_ext",):
         try:
             mod = __import__(
                 f"kinesis2elastic_spark.operators.{name}", fromlist=[name]

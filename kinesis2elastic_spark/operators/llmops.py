@@ -125,27 +125,35 @@ def minhash_signatures(
     )
 
 
-def q_minhash_near_dup(
+def _minhash_band_candidates(
     spark: SparkSession,
     sf_dir: str,
     num_hashes: int = 32,
     bands: int = 8,
-    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
+    materialize: bool = False,
 ) -> DataFrame:
-    """B33: MinHash + LSH banding near-dup pairs (rows-only).
+    """Lazy plan for the LSH candidate (doc_a, doc_b) id pairs — the banding
+    half of the near-dup pipeline, shared by verify and clustering.
 
-    Pipeline: shingle → 32 minhashes → 8 bands x 4 rows → bucket join on
-    (band_id, band_hash) → candidate pairs → exact shingle-Jaccard verify.
-    At 100 TB: the only shuffles are the two bucket/groupBys on short hash
-    keys; a bucket-size cap (drop buckets > 10k docs: boilerplate) bounds
-    the pair blow-up; AQE skew-split handles hot buckets."""
+    Scale design (the part that must survive 100 TB):
+    - the band self-join carries ONLY (doc_id, band_id, band_hash) — never
+      shingle arrays.  Shingles are re-attached to the (tiny) surviving
+      candidate set afterwards;
+    - bucket-size guard: a window count per (band_id, band_hash) drops
+      singleton buckets (no pairs possible — the vast majority) and caps
+      hot buckets at ``max_bucket_size`` (boilerplate text would otherwise
+      make one bucket a quadratic pair blow-up);
+    - the result is eagerly ``localCheckpoint``-ed: it is small by
+      construction (bounded by capped buckets) and is reused by both the
+      Jaccard verify and connected-components without re-running the LSH.
+    """
     rows_per_band = num_hashes // bands
     d = _docs_parallel(spark, sf_dir)
-    sigs = minhash_signatures(d).select("doc_id", "_shingles", "minhash")
+    sigs = minhash_signatures(d, num_hashes=num_hashes).select("doc_id", "minhash")
 
     banded = sigs.select(
         "doc_id",
-        "_shingles",
         F.explode(
             F.array(
                 *[
@@ -165,7 +173,19 @@ def q_minhash_near_dup(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "_shingles", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+    wb = W.partitionBy("band_id", "band_hash")
+    banded = (
+        banded.withColumn("_bucket_n", F.count("*").over(wb))
+        .filter((F.col("_bucket_n") >= 2) & (F.col("_bucket_n") <= max_bucket_size))
+        .drop("_bucket_n")
+    )
+    if materialize:
+        # (doc_id, band_id, band_hash) only — 24 bytes/row; materializing it
+        # means the expensive signature pass runs ONCE, not once per side of
+        # the self-join (ReuseExchange is not guaranteed across the alias)
+        banded = banded.localCheckpoint(eager=True)
 
     left = banded.alias("a")
     right = banded.alias("b")
@@ -179,14 +199,70 @@ def q_minhash_near_dup(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a._shingles").alias("sh_a"),
-            F.col("b._shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    return candidates
+
+
+def minhash_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Materialized LSH candidate pairs: small by construction (bounded by
+    capped buckets), eagerly checkpointed so the Jaccard verify and the
+    connected-components clustering reuse it without re-running the LSH."""
+    return _minhash_band_candidates(
+        spark,
+        sf_dir,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket_size=max_bucket_size,
+        materialize=True,
+    ).localCheckpoint(eager=True)
+
+
+def q_minhash_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """B33: MinHash + LSH banding near-dup pairs (rows-only).
+
+    Pipeline: shingle → 32 minhashes → 8 bands x 4 rows → bucket join on
+    (band_id, band_hash) id-only → candidate pairs → re-attach shingles to
+    surviving docs only → exact shingle-Jaccard verify.  See
+    ``minhash_candidate_pairs`` for the 100 TB shuffle/skew analysis."""
+    candidates = minhash_candidate_pairs(
+        spark, sf_dir, num_hashes=num_hashes, bands=bands, max_bucket_size=max_bucket_size
+    )
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = _docs_parallel(spark, sf_dir)
+    # shingles for surviving candidate docs only (tiny); checkpointed so the
+    # two sides of the pair join don't each re-scan the corpus
+    sh = (
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    paired = candidates.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b"
+    )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        candidates.withColumn("jaccard", F.round(jac, 4))
+        paired.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -228,20 +304,6 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     def _simhash(texts: pd.Series) -> pd.Series:
         import numpy as np
 
-        def one(t):
-            if not t:
-                return 0
-            votes = np.zeros(64, dtype=np.int64)
-            for tok in t.split(" "):
-                h = np.uint64(hash_token(tok))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes += np.where(bits == 1, 1, -1)
-            sig = np.uint64(0)
-            for i in range(64):
-                if votes[i] > 0:
-                    sig |= np.uint64(1) << np.uint64(i)
-            return int(sig.astype(np.int64))
-
         def hash_token(tok: str) -> int:
             # FNV-1a 64-bit: deterministic across processes (unlike hash())
             h = 0xCBF29CE484222325
@@ -249,7 +311,30 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
             return h
 
-        return texts.map(one)
+        out = np.zeros(len(texts), dtype=np.int64)
+        valid = texts.notna() & (texts != "")
+        if valid.any():
+            token_lists = texts[valid].str.split(" ")
+            lengths = token_lists.str.len().to_numpy()
+            doc_idx = np.repeat(np.arange(len(token_lists)), lengths)
+            all_tokens = np.concatenate(token_lists.to_numpy())
+            # corpora repeat tokens heavily: hash each distinct token once,
+            # then the whole batch is numpy bit-matrix work
+            uniq, inv = np.unique(all_tokens, return_inverse=True)
+            uniq_hashes = np.fromiter(
+                (hash_token(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+            )
+            h = uniq_hashes[inv]                                   # (T,)
+            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes_pm = np.where(bits == np.uint64(1), 1, -1).astype(np.int64)
+            votes = np.zeros((len(token_lists), 64), dtype=np.int64)
+            np.add.at(votes, doc_idx, votes_pm)                    # segment-sum
+            sig_bits = (votes > 0).astype(np.uint64)
+            sigs = (sig_bits << np.arange(64, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[valid.to_numpy()] = sigs.astype(np.int64)
+        return pd.Series(out)
 
     return docs.withColumn("simhash", _simhash(F.col(text_col)))
 
@@ -309,7 +394,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     OOMs the driver/optimizer around ~8 iterations (measured: a 10-node
     chain graph heap-crashed without it).  On a cluster with unreliable
     executors use ``checkpoint()`` to HDFS instead.
+
+    Convergence is detected with an ``Observation`` metric piggybacked on
+    the eager checkpoint — one Spark job per round instead of a separate
+    ``count()`` action (halves the fixed per-round scheduling cost).
     """
+    from pyspark.sql import Observation
+
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionAll(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
     )
@@ -326,6 +417,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
             .select(
@@ -333,9 +425,10 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
                 (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias("_changed"),
             )
+            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("_changed")).count()
+        changed = obs.get["changed"] or 0
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
@@ -347,7 +440,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per clustered doc with its cluster id (min doc_id in the
     component) plus the cluster size — the 'keep one per cluster' dedup
     decision at corpus scale."""
-    pairs = q_minhash_near_dup(spark, sf_dir)
+    # materialize the verified pairs once: CC symmetrizes/iterates over the
+    # edge list, which would otherwise re-run the whole LSH+verify pipeline
+    pairs = q_minhash_near_dup(spark, sf_dir).localCheckpoint(eager=True)
     comp = connected_components(pairs)
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (

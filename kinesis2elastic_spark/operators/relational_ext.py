@@ -121,12 +121,15 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: per-user sorted list of event types + rounded
-    values (array outputs hash canonically on both engines)."""
+    """Array aggregation, emitted as deterministic scalar strings: per-user
+    sorted event types / rounded values joined with '|'.  Scalars (not raw
+    array columns) so any downstream canonicalizer can hash-sort the rows;
+    values go through DECIMAL(18,2) so both engines print a fixed scale."""
     e = load(spark, sf_dir, "events")
+    val_str = F.round("value", 2).cast("decimal(18,2)").cast("string")
     return e.groupBy("user_id").agg(
-        F.array_sort(F.collect_list("event_type")).alias("types"),
-        F.array_sort(F.collect_list(F.round("value", 2))).alias("values_sorted"),
+        F.concat_ws("|", F.array_sort(F.collect_list("event_type"))).alias("types"),
+        F.concat_ws("|", F.array_sort(F.collect_list(val_str))).alias("values_sorted"),
     )
 
 
@@ -321,8 +324,9 @@ ORACLE = {
     """,
     "q_collect_sorted": """
         SELECT user_id,
-               list_sort(list(event_type))          AS types,
-               list_sort(list(round(value, 2)))     AS values_sorted
+               string_agg(event_type, '|' ORDER BY event_type) AS types,
+               string_agg(CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR), '|'
+                          ORDER BY CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR)) AS values_sorted
         FROM events GROUP BY user_id
     """,
     "q_unpivot": """

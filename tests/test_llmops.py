@@ -36,6 +36,26 @@ def test_simhash_hamming(planted):
     assert ham_near < ham_far  # near dup closer than unrelated
 
 
+def test_simhash_fixed_vectors(spark):
+    """Pin exact signatures (independently computed with a scalar FNV-1a +
+    per-bit majority-vote reference) so the vectorized numpy batch path
+    can never silently drift."""
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "spark structured streaming engine test"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.simhash for r in llmops.simhash64(df).collect()}
+    assert got == {
+        1: 5363936793200807308,
+        2: -469266135462921397,
+        3: 0,
+        4: 0,
+    }
+
+
 def test_minhash_near_dup_on_corpus(spark, sf_dir):
     pairs = llmops.q_minhash_near_dup(spark, sf_dir).collect()
     assert all(p.jaccard >= 0.5 for p in pairs)

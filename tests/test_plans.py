@@ -54,6 +54,24 @@ def test_range_joins_broadcast_small_side(spark, sf_dir):
     assert_plan(q_geoip_join(spark, sf_dir), contains=("BroadcastNestedLoopJoin",))
 
 
+def test_minhash_band_join_shuffles_ids_only(spark, sf_dir):
+    """The LSH band self-join must never shuffle shingle arrays: every
+    Exchange in the candidate-pair plan carries only id/hash columns
+    (doc ids + band keys), and the bucket-size guard is present as a
+    window count over (band_id, band_hash)."""
+    import re
+
+    from kinesis2elastic_spark.operators.llmops import _minhash_band_candidates
+
+    plan = formatted_plan(_minhash_band_candidates(spark, sf_dir))
+    assert "_shingles" not in plan
+    exchanges = re.findall(r"\(\d+\) Exchange\n(Input \[\d+\]: \[[^\]]*\])", plan)
+    assert exchanges, "no Exchange nodes found"
+    for inp in exchanges:
+        assert "_shingles" not in inp and "minhash" not in inp, inp
+    assert "Window" in plan  # bucket-size guard
+
+
 def test_udf_does_not_block_envelope_pruning(spark, sf_dir):
     """The decode chain must parse the payload once per record (not per
     exploded event): the plan has exactly one ArrowEvalPython feeding the
