@@ -3,10 +3,16 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q_...": sec, ...}, "sf": <float>}
+     "queries": {"q_...": sec, ...}, "sf": <float>,
+     "duckdb": {"q_...": sec, ...}, "ratio_spark_over_duckdb": {...},
+     "ratio_median": <float>}
 
-Each query is forced end-to-end with a noop-format write (full
-materialization, no driver collect overhead in the timing).
+Each Spark query is forced end-to-end with a noop-format write (full
+materialization, no driver collect overhead in the timing).  For every
+headline query that has an oracle, the DuckDB oracle SQL is also timed on
+the same parquet (fetchall materialization) — the per-query
+spark/duckdb ratio is the concrete stand-in for the reference baseline
+(BASELINE.md publishes no numbers), tracked round over round.
 """
 
 from __future__ import annotations
@@ -69,6 +75,18 @@ def main() -> None:
         gunzip_text(gzip_bytes(F.lit("warmup"))).alias("w")
     ).count()
 
+    # Compile every headline query's codegen once against the smallest SF:
+    # whole-stage codegen compilation is a one-time JVM cost that a
+    # long-lived cluster amortizes across thousands of runs — timing it
+    # into the first query would measure JIT, not the operator.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                queries[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+            except Exception:
+                pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -76,12 +94,45 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # DuckDB side: same parquet, same SQL the correctness gate trusts.
+    import duckdb
+
+    from kinesis2elastic_spark.catalog import TABLES
+
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    duck: dict[str, float] = {}
+    ratio: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if not sql:
+            continue
+        try:
+            con.execute(sql).fetchall()  # warm (catalog/IO) pass
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            duck[name] = round(time.time() - t0, 3)
+        except Exception:
+            continue
+        if duck[name] > 0:
+            ratio[name] = round(timings[name] / duck[name], 2)
+
+    ratios = sorted(ratio.values())
+    median = ratios[len(ratios) // 2] if ratios else None
+
     out = {
         "metric": "sec total over headline query set (noop-write materialization)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "duckdb": duck,
+        "ratio_spark_over_duckdb": ratio,
+        "ratio_median": median,
     }
     print(json.dumps(out))
 

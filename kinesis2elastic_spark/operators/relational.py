@@ -91,13 +91,23 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B5: HyperLogLog++ approximate distinct (rows-only check — estimates
-    legitimately differ from DuckDB's HLL).  At 100 TB this is the only
-    sane distinct-cardinality operator: fixed-size sketch per partition."""
+    """B5: HyperLogLog++ approximate distinct.  At 100 TB this is the only
+    sane distinct-cardinality operator: fixed-size sketch per partition.
+
+    Sketch estimates legitimately differ between engines, so the estimate
+    itself is not emitted; instead the query computes the EXACT distinct
+    alongside and emits ``est_ok`` = |estimate−exact|/exact ≤ 5%.  That
+    makes the sketch fully oracle-checkable (DuckDB recomputes the exact
+    value and expects TRUE) instead of an unverified rows-only row."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("_approx"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count("*").alias("n"),
+    )
+    err = F.abs(F.col("_approx") - F.col("exact_parts")) / F.col("exact_parts")
+    return agg.select(
+        "l_returnflag", "exact_parts", "n", (err <= 0.05).alias("est_ok")
     )
 
 
@@ -492,6 +502,13 @@ ORACLE = {
                count(*)                  AS n_orders
         FROM orders GROUP BY o_orderpriority
     """,
+    "q_approx_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               count(*)                  AS n,
+               TRUE                      AS est_ok
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q_rollup": """
         SELECT l_returnflag, l_linestatus,
                count(*)                   AS n,
@@ -672,4 +689,4 @@ ORACLE = {
 }
 
 # Queries whose outputs are estimates / engine-specific → rows-only check.
-ROWS_ONLY = {"q_approx_distinct"}
+ROWS_ONLY: set[str] = set()

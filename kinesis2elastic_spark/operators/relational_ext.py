@@ -70,14 +70,33 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (rows-only: sketch estimates legitimately
-    differ between engines).  This is the 100 TB path for q_percentiles:
-    fixed-size mergeable sketch per partition instead of a per-group sort."""
+    """Approximate percentiles — the 100 TB path for q_percentiles:
+    fixed-size mergeable sketch per partition instead of a per-group sort.
+
+    Sketch estimates legitimately differ between engines, so the raw
+    estimates are not emitted; the query computes the exact percentiles
+    alongside and emits ``est_ok`` = both estimates within 5% (with a
+    small absolute floor for near-zero values) — oracle-checkable: DuckDB
+    recomputes the exact percentiles and expects TRUE."""
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.round(F.approx_percentile("value", F.lit(0.5), F.lit(10000)), 2).alias("approx_med"),
-        F.round(F.approx_percentile("value", F.lit(0.9), F.lit(10000)), 2).alias("approx_p90"),
+    agg = e.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("_amed"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("_ap90"),
+        F.percentile("value", F.lit(0.5)).alias("_emed"),
+        F.percentile("value", F.lit(0.9)).alias("_ep90"),
         F.count("*").alias("n"),
+    )
+
+    def ok(approx, exact):
+        tol = F.greatest(F.abs(F.col(exact)) * 0.05, F.lit(0.01))
+        return F.abs(F.col(approx) - F.col(exact)) <= tol
+
+    return agg.select(
+        "event_type",
+        F.round("_emed", 4).alias("exact_med"),
+        F.round("_ep90", 4).alias("exact_p90"),
+        "n",
+        (ok("_amed", "_emed") & ok("_ap90", "_ep90")).alias("est_ok"),
     )
 
 
@@ -329,6 +348,14 @@ ORACLE = {
                           ORDER BY CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR)) AS values_sorted
         FROM events GROUP BY user_id
     """,
+    "q_approx_quantile": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS exact_med,
+               round(quantile_cont(value, 0.9), 4) AS exact_p90,
+               count(*) AS n,
+               TRUE AS est_ok
+        FROM events GROUP BY event_type
+    """,
     "q_unpivot": """
         SELECT l_orderkey, 'qty' AS metric, round(l_quantity, 2) AS val
         FROM lineitem WHERE l_linenumber = 1
@@ -398,4 +425,4 @@ ORACLE = {
     """,
 }
 
-ROWS_ONLY: set[str] = {"q_approx_quantile"}
+ROWS_ONLY: set[str] = set()

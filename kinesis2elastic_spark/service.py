@@ -63,22 +63,41 @@ def run_service(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     processing_time: str = "60 seconds",
+    logger=None,
 ):
     """Start the full ingest service; returns the StreamingQuery.
 
     ``available_now=True`` drains the spool and stops (tests / batch
     replay); otherwise a 60 s trigger mirrors the upstream Firehose buffer
-    cadence (cloudformation-template.yaml:147-149)."""
+    cadence (cloudformation-template.yaml:147-149).  ``logger`` (A33,
+    :class:`kinesis2elastic_spark.logs.StructuredLogger`) gets an
+    epoch-bound child per micro-batch with batch lifecycle + per-chunk
+    sink outcomes — the request-scoped pattern of main.go:151-197."""
     interp = PipelineInterpreter(pipelines, geoip_dim=geoip_dim) if pipelines else None
 
     def handle(batch_df: DataFrame, epoch_id: int):
+        log = logger.bind(epoch=epoch_id) if logger else None
+        if log:
+            log.info("batch_start")
         docs = decode_envelopes(batch_df)
         flat = flatten_for_pipeline(docs)
         if interp is not None:
             flat = interp.run(flat, entry_pipeline)
         flat = document_id(flat, event_id_col="`records.data.logEvents.id`")
         flat = with_doc_metrics(flat, error_col="decode.error")
-        sink.write_batch(flat, epoch_id)
+        results = sink.write_batch(flat, epoch_id)
+        if log:
+            for r in results:
+                if r["errors"]:
+                    log.error("bulk_chunk_failed", **r)
+                else:
+                    log.debug("bulk_chunk_ok", **r)
+            log.info(
+                "batch_done",
+                n_chunks=len(results),
+                n_items=sum(r["n_items"] for r in results),
+                n_failed_chunks=sum(1 for r in results if r["errors"]),
+            )
 
     writer = stream_envelopes(spark, spool_dir).writeStream.foreachBatch(handle)
     if checkpoint_dir:

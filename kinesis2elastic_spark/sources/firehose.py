@@ -37,6 +37,7 @@ import os
 import threading
 import time
 import uuid
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 GZIP_MAGIC = b"\x1f\x8b"
@@ -70,9 +71,10 @@ def validate_envelope(payload: bytes) -> dict:
 class FirehoseReceiver:
     """Threaded HTTP receiver spooling validated envelopes to JSON files."""
 
-    def __init__(self, spool_dir: str, port: int = 0):
+    def __init__(self, spool_dir: str, port: int = 0, logger=None):
         self.spool_dir = spool_dir
         os.makedirs(spool_dir, exist_ok=True)
+        self.logger = logger  # A33: StructuredLogger or None
         receiver = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -96,18 +98,24 @@ class FirehoseReceiver:
             def do_POST(self):
                 req_id = self.headers.get("X-Amz-Firehose-Request-Id", str(uuid.uuid4()))
                 now_ms = int(time.time() * 1000)
+                # A33: request-scoped structured logger (main.go:151-197)
+                log = receiver.logger.bind(requestId=req_id) if receiver.logger else None
                 if self.path != "/firehose":
                     self._respond(404, {"requestId": req_id, "timestamp": now_ms,
                                         "errorMessage": "not found"})
                     return
+                body = b""
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(n)
                     payload = detect_and_decode(body, self.headers.get("Content-Type"))
                     env = validate_envelope(payload)
-                except (ValueError, json.JSONDecodeError, OSError, EOFError) as e:
-                    # EOFError: truncated gzip stream (gzip.decompress)
+                except (ValueError, json.JSONDecodeError, OSError, EOFError, zlib.error) as e:
+                    # EOFError: truncated gzip stream; zlib.error: valid gzip
+                    # magic but corrupt deflate data (gzip.decompress)
                     # Firehose error body → upstream retry (main.go:56-69)
+                    if log:
+                        log.error("request_rejected", reason=str(e), n_bytes=len(body))
                     self._respond(400, {"requestId": req_id, "timestamp": now_ms,
                                         "errorMessage": str(e)})
                     return
@@ -116,6 +124,8 @@ class FirehoseReceiver:
                     "accessKey": self.headers.get("X-Amz-Firehose-Access-Key"),
                 }
                 receiver._spool(env)
+                if log:
+                    log.info("request_spooled", n_records=len(env["records"]))
                 self._respond(200, {"requestId": req_id, "timestamp": now_ms})
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)

@@ -56,6 +56,13 @@ def merge_rollup(spark: SparkSession, state_path: str, batch_partials: DataFrame
     combined = combined_src.groupBy("bucket", "event_type").agg(
         F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")
     )
+    # Materialize the merged partials BEFORE overwriting: `combined` reads
+    # from state_path, and overwriting a path that the same job lazily reads
+    # only works by accident of write staging — a failure mid-write could
+    # otherwise lose the old partials with nothing to recompute them from.
+    # (Full multi-partition atomicity needs a transactional table format —
+    # Iceberg/Delta `replaceWhere` — in production.)
+    combined = combined.localCheckpoint(eager=True)
     # one file per touched hour partition is plenty; dynamic overwrite
     # replaces only partitions present in `combined`
     (

@@ -44,21 +44,26 @@ Transport = Callable[[str, bytes, dict], tuple[int, dict]]
 
 def make_bulk_chunks(
     docs: Iterator[tuple[str, str]], flush_bytes: int = DEFAULT_FLUSH_BYTES
-) -> Iterator[bytes]:
-    """Pack (doc_id, json_doc) pairs into _bulk NDJSON bodies capped at
-    ``flush_bytes`` (one chunk may exceed it only if a single doc does)."""
+) -> Iterator[tuple[bytes, int]]:
+    """Pack (doc_id, json_doc) pairs into (_bulk NDJSON body, n_items)
+    tuples capped at ``flush_bytes`` (one chunk may exceed it only if a
+    single doc does).  The item count is tracked while packing — scanning
+    the body for ``{"index"`` afterwards would miscount any document whose
+    own JSON text contains that substring."""
     buf: list[bytes] = []
     size = 0
+    n_items = 0
     for doc_id, doc_json in docs:
         action = json.dumps({"index": {"_id": doc_id}}).encode() + b"\n"
         line = action + doc_json.encode() + b"\n"
         if buf and size + len(line) > flush_bytes:
-            yield b"".join(buf)
-            buf, size = [], 0
+            yield b"".join(buf), n_items
+            buf, size, n_items = [], 0, 0
         buf.append(line)
         size += len(line)
+        n_items += 1
     if buf:
-        yield b"".join(buf)
+        yield b"".join(buf), n_items
 
 
 def post_with_retry(
@@ -119,9 +124,8 @@ class BulkSink:
         errors are surfaced, not fatal (per-record DLQ semantics)."""
         url, headers, fb = self.bulk_url(), self.headers(), self.flush_bytes
         docs = ((r[self.id_col], r["doc_json"]) for r in rows)
-        for chunk in make_bulk_chunks(docs, fb):
+        for chunk, n_items in make_bulk_chunks(docs, fb):
             status, resp = post_with_retry(self.transport, url, chunk, headers)
-            n_items = chunk.count(b'{"index"')
             yield {
                 "status": status,
                 "n_items": n_items,

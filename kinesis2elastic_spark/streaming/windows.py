@@ -49,6 +49,65 @@ def stream_envelopes(spark: SparkSession, path: str, max_files_per_trigger: int 
     return reader.json(path)
 
 
+def normalize_connector_payload(df: DataFrame) -> DataFrame:
+    """Normalize a connector-delivered stream to the envelope schema.
+
+    Stream connectors deliver the envelope JSON as an opaque payload
+    column — ``data`` (the Kinesis connector's record payload) or
+    ``value`` (Kafka / text) — rather than parsed columns.  Cast to
+    string, parse with the explicit envelope schema, flatten.  Records
+    that fail to parse surface as all-null rows (caught downstream by the
+    decode chain's error column), never as stream-killing exceptions."""
+    if "data" in df.columns:
+        payload = F.col("data")
+    elif "value" in df.columns:
+        payload = F.col("value")
+    else:
+        raise ValueError(
+            f"no payload column ('data' or 'value') in {df.columns}"
+        )
+    return df.select(
+        F.from_json(payload.cast("string"), FIREHOSE_ENVELOPE).alias("env")
+    ).select("env.*")
+
+
+def envelope_source(
+    spark: SparkSession,
+    source_format: str = "json",
+    path: str | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """A1 source seam (main.go:248-365): one factory for every envelope
+    transport, returning the same envelope-schema DataFrame so the rest of
+    the pipeline is source-agnostic.
+
+    - ``json`` (default): file stream over the spool / S3-backup directory
+      (the reference deployment's ``S3BackupMode: AllData`` replay path);
+    - ``kinesis``: pass-through to a Kinesis connector (e.g. the AWS
+      ``spark-streaming-sql-kinesis`` connector) — supply its options
+      (``streamName``, ``region``, ``endpointUrl``,
+      ``startingPosition``, ...) via ``options``; the connector's binary
+      ``data`` column is parsed with the envelope schema;
+    - ``kafka``: pass-through (``kafka.bootstrap.servers``,
+      ``subscribe``, ...); the binary ``value`` column is parsed the same
+      way.
+
+    No connector jar ships here (none is available in this sandbox); the
+    seam is the contract: ``.format(fmt).options(**opts).load()`` +
+    ``normalize_connector_payload``.  Tested with the built-in ``text``
+    source driving the identical generic branch."""
+    options = dict(options or {})
+    if source_format == "json":
+        if path is None:
+            path = options.pop("path", None)
+        reader = spark.readStream.schema(FIREHOSE_ENVELOPE).options(**options)
+        return reader.json(path)
+    if path is not None:
+        options.setdefault("path", path)
+    df = spark.readStream.format(source_format).options(**options).load()
+    return normalize_connector_payload(df)
+
+
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
     """File-stream source over event-shaped JSON fixtures."""
     return spark.readStream.schema(EVENT_SCHEMA).json(path)

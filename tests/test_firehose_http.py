@@ -79,6 +79,16 @@ def test_wrong_content_type_rejected(receiver):
     assert "content type" in body["errorMessage"]
 
 
+def test_corrupt_gzip_rejected_with_error_body(receiver):
+    """Valid 0x1f8b magic but corrupt deflate stream: gzip.decompress
+    raises zlib.error — the handler must still send the Firehose error
+    body (errorMessage) so upstream redelivers, not die silently."""
+    bad = b"\x1f\x8b" + b"\x00" * 40
+    status, body = _post(receiver.url, bad, {"Content-Type": "application/json"})
+    assert status == 400
+    assert "requestId" in body and "errorMessage" in body
+
+
 def test_invalid_envelope_rejected_with_error_body(receiver):
     status, body = _post(receiver.url, json.dumps({"nope": 1}).encode(),
                          {"Content-Type": "application/json"})

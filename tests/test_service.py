@@ -6,6 +6,7 @@ import base64
 import gzip
 import json
 import os
+import urllib.error
 import urllib.request
 import uuid
 
@@ -188,3 +189,54 @@ def test_stream_stream_join(spark, tmp_path):
     )
     rows = {(r.buy_id, r.click_id) for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert rows == {(10, 1)}
+
+
+def test_structured_logging_request_and_batch_scoped(spark, tmp_path):
+    """A33: JSON-lines logger — requestId-bound lines from the receiver,
+    epoch-bound batch lifecycle + chunk outcomes from the service; level
+    filtering suppresses debug at info."""
+    from kinesis2elastic_spark.logs import StructuredLogger
+
+    lines = []
+    logger = StructuredLogger("ingest", level="info", sink=lines.append)
+
+    receiver = FirehoseReceiver(str(tmp_path / "spool3"), logger=logger).start()
+    _post_envelope(receiver.url, "/aws/app", ["m1", "m2"])
+    # one rejected request (bad content type) → error line with requestId
+    req = urllib.request.Request(
+        receiver.url + "/firehose", data=b"x",
+        headers={"Content-Type": "text/plain",
+                 "X-Amz-Firehose-Request-Id": "req-bad"}, method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=10)
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+    def transport(url, body, headers):
+        return 200, {"errors": False}
+
+    sink = BulkSink("http://fake:9200", "logs", transport)
+    q = run_service(spark, receiver.spool_dir, sink,
+                    checkpoint_dir=str(tmp_path / "ck3"), logger=logger)
+    q.awaitTermination()
+    receiver.stop()
+
+    recs = [json.loads(l) for l in lines]
+    assert all({"ts", "level", "component", "event"} <= set(r) for r in recs)
+    spooled = [r for r in recs if r["event"] == "request_spooled"]
+    assert len(spooled) == 1 and spooled[0]["n_records"] == 1
+    assert spooled[0]["requestId"]  # request-scoped binding
+    rejected = [r for r in recs if r["event"] == "request_rejected"]
+    assert len(rejected) == 1 and rejected[0]["requestId"] == "req-bad"
+    assert rejected[0]["level"] == "error"
+    done = [r for r in recs if r["event"] == "batch_done"]
+    assert done and done[0]["n_items"] == 2 and "epoch" in done[0]
+    assert done[0]["n_failed_chunks"] == 0
+    # level filter: bulk_chunk_ok is debug → suppressed at info
+    assert not [r for r in recs if r["event"] == "bulk_chunk_ok"]
+
+    dbg_lines = []
+    dbg = StructuredLogger("x", level="debug", sink=dbg_lines.append)
+    dbg.debug("visible")
+    assert json.loads(dbg_lines[0])["event"] == "visible"

@@ -17,16 +17,27 @@ def test_chunking_respects_byte_cap():
     docs = [(f"id{i}", json.dumps({"x": "a" * 100})) for i in range(100)]
     chunks = list(make_bulk_chunks(iter(docs), flush_bytes=1000))
     assert len(chunks) > 1
-    assert all(len(c) <= 1200 for c in chunks)  # cap + one doc tolerance
+    assert all(len(body) <= 1200 for body, _ in chunks)  # cap + one doc tolerance
     # every doc present exactly once across chunks
-    total = b"".join(chunks).count(b'{"index"')
-    assert total == 100
+    assert sum(n for _, n in chunks) == 100
+    assert b"".join(body for body, _ in chunks).count(b'{"index"') == 100
 
 
 def test_single_oversized_doc_still_ships():
     docs = [("big", json.dumps({"x": "a" * 10000}))]
     chunks = list(make_bulk_chunks(iter(docs), flush_bytes=100))
     assert len(chunks) == 1
+    assert chunks[0][1] == 1
+
+
+def test_item_count_ignores_index_substring_in_docs():
+    """A document whose own JSON contains {"index" (e.g. a nested object
+    whose first field is named "index") must not inflate the per-chunk item
+    count — counts come from packing, not body scanning."""
+    docs = [("a", json.dumps({"outer": {"index": 1}}, separators=(",", ":")))]
+    (body, n_items), = make_bulk_chunks(iter(docs))
+    assert body.count(b'{"index"') == 2  # the action line AND the payload
+    assert n_items == 1
 
 
 def test_retry_backoff_on_overload():
