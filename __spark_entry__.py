@@ -28,6 +28,7 @@ def _collect_modules():
         "decode",
         "pipeline",
         "llmops",
+        "corpus",
         "temporal",
         "skew",
         "multimodal",

@@ -185,12 +185,19 @@ def stream_stream_join(
     right_ts: str = "ts",
     within: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` with an event-time interval
-    bound (right within [left - within, left]).  Both sides watermarked so
-    the join state is bounded: a buffered row can be evicted once the other
+    """Stream-stream join on ``key`` with an event-time interval bound
+    (right within [left - within, left]).  Both sides watermarked so the
+    join state is bounded: a buffered row can be evicted once the other
     side's watermark passes its eviction bound — without the time bound the
-    state would grow forever."""
+    state would grow forever.
+
+    ``how``: ``inner`` | ``leftOuter`` | ``rightOuter`` | ``fullOuter``.
+    Outer results are *deferred* by construction: an unmatched row is only
+    emitted (null-padded) once the watermark guarantees no match can still
+    arrive — the time bound is what makes outer stream-stream joins
+    decidable at all."""
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -198,7 +205,25 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
+
+
+def use_rocksdb_state(spark: SparkSession) -> None:
+    """Switch the streaming state store to RocksDB (A35/B27-B31 at scale).
+
+    The default HDFS-backed provider keeps every key in executor heap —
+    fine for bounded test state, an OOM at 100 TB key cardinality.  RocksDB
+    spills to local disk with bounded memory and changelog checkpointing.
+    Session-wide conf: set before starting stateful queries."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # changelog checkpointing: upload deltas, not full snapshots, per batch
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
 
 
 def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):

@@ -174,3 +174,75 @@ def test_normalize_connector_payload_kinesis_shape(spark):
     assert by_req == {"r1", None}
     with _pytest.raises(ValueError):
         sw.normalize_connector_payload(spark.createDataFrame([(1,)], "x bigint"))
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path_factory):
+    """Outer stream-stream join: the unmatched left row is emitted
+    null-padded once the watermark passes its eviction bound."""
+    import os
+
+    def write(path, rows):
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/part-0.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+
+    base = tmp_path_factory.mktemp("ssoj")
+    buys = [
+        {"event_id": 10, "ts": "2024-01-01T10:30:00.000Z", "user_id": 1, "event_type": "purchase", "value": 9.0, "props": "{}"},
+        {"event_id": 11, "ts": "2024-01-01T10:40:00.000Z", "user_id": 2, "event_type": "purchase", "value": 9.0, "props": "{}"},
+        # watermark pusher: far-future event advances both watermarks so
+        # the unmatched buy@10:40 can be finalized as unmatched
+        {"event_id": 99, "ts": "2024-01-02T12:00:00.000Z", "user_id": 9, "event_type": "purchase", "value": 0.0, "props": "{}"},
+    ]
+    clicks = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 98, "ts": "2024-01-02T12:00:00.000Z", "user_id": 8, "event_type": "click", "value": 0.0, "props": "{}"},
+    ]
+    bp, cp = str(base / "buys"), str(base / "clicks")
+    write(bp, buys)
+    write(cp, clicks)
+    joined = sw.stream_stream_join(
+        sw.stream_events(spark, bp),
+        sw.stream_events(spark, cp),
+        key="user_id",
+        within="1 hour",
+        how="leftOuter",
+    )
+    name = f"oj_{uuid.uuid4().hex[:8]}"
+    sw.run_to_memory_sink(
+        joined.select(
+            F.col("l.event_id").alias("buy_id"), F.col("r.event_id").alias("click_id")
+        ),
+        name,
+    )
+    rows = {(r.buy_id, r.click_id) for r in _table(spark, name).collect()}
+    assert (10, 1) in rows          # matched within the hour
+    assert (11, None) in rows       # unmatched left emitted with nulls
+
+
+def test_stateful_agg_on_rocksdb_provider(spark, sf_dir, event_dir):
+    """B27 on the RocksDB state store: same results as the default
+    provider — the scale configuration is a drop-in."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    sw.use_rocksdb_state(spark)
+    try:
+        stream = sw.stream_events(spark, event_dir)
+        name = f"rdb_{uuid.uuid4().hex[:8]}"
+        sw.run_to_memory_sink(sw.tumbling_counts(stream), name, output_mode="append")
+        got = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in _table(spark, name).collect()
+        }
+        from kinesis2elastic_spark.operators.relational import q_tumble_batch
+
+        want = {
+            (r.window_start, r.event_type): (r.n, r.sum_value)
+            for r in q_tumble_batch(spark, sf_dir).collect()
+        }
+        assert got and set(got) <= set(want)
+        assert all(got[k] == want[k] for k in got)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
