@@ -613,6 +613,92 @@ def q_ann_lsh(
     )
 
 
+def q_ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    n_queries: int = 5,
+) -> DataFrame:
+    """B34 scale path, IVF flavor (rows-only): inverted-file ANN.
+
+    Coarse quantizer: ``n_centroids`` data points with the smallest
+    vec_ids past the query range (the standard sample-as-centroids IVF
+    bootstrap — k-means refinement is an offline model-building concern,
+    deliberately out of the query path).  Every vector is assigned to its
+    nearest centroid with one vectorized numpy pass; a query probes its
+    ``n_probe`` nearest centroids and exact-reranks only those buckets.
+
+    At 100 TB: assignment is a stateless Arrow map (centroid matrix
+    broadcast in the closure, ~n_centroids x dim floats); the candidate
+    join is an equi-join on a small int centroid id; re-rank touches
+    n/n_centroids x n_probe of the corpus per query.  Recall tunes with
+    n_probe (buckets probed) vs n_centroids (bucket size)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    # bounded driver collects: centroid seeds + query vectors (small by
+    # definition; production would load a trained coarse quantizer)
+    seeds = sorted(
+        emb.filter(
+            (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
+        )
+        .select("vec_id", "vec")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    C = np.array([r.vec for r in seeds], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": np.argmax(Mn @ Cn.T, axis=1).astype(np.int64),
+                    "vec": pdf["vec"],
+                }
+            )
+
+    assigned = emb.select("vec_id", "vec").mapInPandas(
+        assign, "vec_id long, centroid_id long, vec array<double>"
+    )
+
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec").collect(),
+        key=lambda r: r.vec_id,
+    )
+    Q = np.array([r.vec for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_rows = []
+    for r, qn in zip(qrows, Qn):
+        order = np.argsort(-(Cn @ qn))[:n_probe]
+        probe_rows.extend((r.vec_id, int(c), list(r.vec)) for c in order)
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, centroid_id long, qvec array<double>"
+    )
+
+    candidates = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", "vec_id", "vec")
+    )
+    scored = candidates.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 4))
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -694,6 +780,7 @@ QUERIES = {
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_cosine_topk": q_cosine_topk,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
@@ -791,4 +878,10 @@ ORACLE = {
     """,
 }
 
-ROWS_ONLY = {"q_minhash_near_dup", "q_simhash_near_dup", "q_ann_lsh", "q_dedup_clusters"}
+ROWS_ONLY = {
+    "q_minhash_near_dup",
+    "q_simhash_near_dup",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_dedup_clusters",
+}

@@ -144,6 +144,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_multimodal_features": q_multimodal_features}
-ORACLE: dict[str, str] = {}
+def q_multimodal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked: the deterministic metadata-side of the multimodal
+    pipeline — media typing, resize planning, and frame-sample counts are
+    pure column arithmetic, so an external engine can verify them exactly
+    (the digest-fold feature vectors stay rows-only in
+    q_multimodal_features)."""
+    media = synth_media(spark, sf_dir)
+    resized = resize_meta(media)
+    frames = sample_frames(media).groupBy("doc_id").agg(
+        F.count("*").alias("n_frames_sampled")
+    )
+    return (
+        resized.join(frames, "doc_id", "left")
+        .select(
+            "doc_id",
+            "media_type",
+            "target_width",
+            "target_height",
+            F.coalesce("n_frames_sampled", F.lit(0)).alias("n_frames_sampled"),
+        )
+    )
+
+
+QUERIES = {
+    "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_plan": q_multimodal_plan,
+}
+ORACLE: dict[str, str] = {
+    "q_multimodal_plan": """
+        WITH m AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                      WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                      ELSE 'video/mp4' END AS media_type,
+                 n_chars % 640 + 16 AS width,
+                 n_chars % 480 + 16 AS height,
+                 n_chars % 120 + 1  AS n_frames
+          FROM documents),
+        r AS (
+          SELECT *, least(1.0, 256.0 / greatest(width, height)) AS scale FROM m)
+        SELECT doc_id, media_type,
+               CAST(round(width * scale) AS INT)  AS target_width,
+               CAST(round(height * scale) AS INT) AS target_height,
+               CASE WHEN media_type = 'video/mp4'
+                    THEN (n_frames - 1) // 10 + 1 ELSE 0 END AS n_frames_sampled
+        FROM r
+    """,
+}
 ROWS_ONLY = {"q_multimodal_features"}

@@ -238,6 +238,40 @@ def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS correlated subqueries (planned as left-semi and
+    left-anti joins — no subquery re-execution per row)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        """
+    )
+
+
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per customer by price —
+    the lateral form of top-K-per-group (Spark plans the correlated
+    limit-sort as a lateral join, not a per-row re-scan)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, o.o_orderkey, o.top_price
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, round(o_totalprice, 2) AS top_price
+            FROM orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2) o
+        """
+    )
+
+
 def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling surface: NULLIF/COALESCE/IS DISTINCT FROM — the
     three-valued-logic cases that differ from plain equality."""
@@ -285,6 +319,8 @@ QUERIES = {
     "q_sql_q3": q_sql_q3,
     "q_having": q_having,
     "q_in_subquery": q_in_subquery,
+    "q_exists_subquery": q_exists_subquery,
+    "q_lateral_topn": q_lateral_topn,
     "q_null_semantics": q_null_semantics,
     "q_date_arith": q_date_arith,
 }
@@ -405,6 +441,23 @@ ORACLE = {
                c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') AS has_f_order
         FROM customer
         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "q_exists_subquery": """
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    "q_lateral_topn": """
+        SELECT c_custkey, o.o_orderkey, o.top_price
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, round(o_totalprice, 2) AS top_price
+            FROM orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2) o
     """,
     "q_null_semantics": """
         SELECT event_id,

@@ -80,6 +80,32 @@ def test_ann_lsh_is_subset_quality(spark, sf_dir):
             assert abs(exact - r.sim) < 1e-6  # ANN scores are exact cosines
 
 
+def test_ann_ivf_scores_exact_and_recall(spark, sf_dir):
+    """IVF ANN: candidate scores are exact cosines; top-10 recall vs brute
+    force clears a floor even on near-random synthetic embeddings."""
+    brute = llmops.q_cosine_topk(spark, sf_dir, k=10).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    brute_sims = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in llmops.q_cosine_topk(spark, sf_dir, k=10**6).collect()
+    }
+    ivf = llmops.q_ann_ivf(spark, sf_dir).collect()
+    assert ivf
+    for r in ivf:
+        exact = brute_sims.get((r.query_id, r.neighbor_id))
+        if exact is not None:
+            assert abs(exact - r.sim) < 1e-6
+    got_sets = {}
+    for r in ivf:
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(got_sets.get(q, set()) & s) / len(s) for q, s in brute_sets.items()
+    ]
+    assert sum(recalls) / len(recalls) > 0.3  # 4/16 buckets probed
+
+
 def test_connected_components_known_graphs(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a bigint, doc_b bigint")
     comp = {r.node: r.cluster_id for r in llmops.connected_components(edges).collect()}
