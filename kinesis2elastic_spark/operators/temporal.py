@@ -160,6 +160,92 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.45)
     )
 
 
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (hypertable-style): per-user hourly grid
+    over each user's own observed span, with three fill strategies side by
+    side — raw observation, LOCF carry-forward, and linear interpolation
+    between the neighboring observations.
+
+    Spark-first shape: the grid is ``sequence(min_h, max_h, 1 hour)``
+    exploded per key (no driver loop, no cross join against a global
+    calendar — each key materializes only its own span), one left join
+    back to the observed hours, then one window sort per key computes both
+    fills: LOCF is ``last(v, ignorenulls)``; interpolation carries
+    (prev value, prev time) forward and (next value, next time) backward
+    and blends by elapsed-time fraction.  One shuffle on user_id; state
+    is one window sort per key — the same plan at any scale."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("v_obs"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    wb = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = W.partitionBy("user_id").orderBy("h").rowsBetween(W.currentRow, W.unboundedFollowing)
+    obs_h = F.when(F.col("v_obs").isNotNull(), F.col("h"))
+    prev_v = F.last("v_obs", ignorenulls=True).over(wb)
+    next_v = F.first("v_obs", ignorenulls=True).over(wf)
+    prev_h = F.last(obs_h, ignorenulls=True).over(wb)
+    next_h = F.first(obs_h, ignorenulls=True).over(wf)
+    span = F.unix_timestamp(next_h) - F.unix_timestamp(prev_h)
+    frac = (F.unix_timestamp("h") - F.unix_timestamp(prev_h)) / span
+    interp = F.when(
+        F.col("v_obs").isNotNull(), F.col("v_obs")
+    ).when(
+        next_v.isNotNull() & prev_v.isNotNull() & (span > 0),
+        prev_v + (next_v - prev_v) * frac,
+    ).otherwise(prev_v)
+    # NOT F.round: interpolated values land exactly on .00005 decimal
+    # halves (pre-rounded inputs x dyadic time fractions), where Spark's
+    # BigDecimal HALF_UP and other engines' float rounding disagree.
+    # floor(x*1e4 + 0.5)/1e4 is pure double IEEE arithmetic — identical
+    # expression, identical result, in any engine.
+    interp_r = F.floor(interp * 10000 + F.lit(0.5)) / 10000
+    return j.select(
+        "user_id",
+        "h",
+        "v_obs",
+        prev_v.alias("v_locf"),
+        interp_r.alias("v_interp"),
+        F.col("v_obs").isNull().alias("is_gap"),
+    )
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (LOCF weighting): each observation's
+    value counts for the duration until the next observation, so irregular
+    sampling doesn't bias the mean toward bursts — the standard
+    continuous-aggregate companion to gap filling.
+
+    One window (lead) per key for the durations, then a plain weighted
+    aggregate; the unweighted mean and observation count ride along to
+    show the bias being corrected.  One shuffle on user_id at any scale."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    # integer microseconds on both engines — unix_timestamp() would
+    # truncate sub-second parts that DuckDB's epoch() keeps
+    dur = (F.unix_micros(nxt) - F.unix_micros("ts")).cast("double")
+    seg = e.select("user_id", "value", dur.alias("dur"))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 4
+            ).alias("twa_value"),
+            F.round(F.avg("value"), 4).alias("plain_avg"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+
+
 def q_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36: the UDF registration surface — a pandas UDF registered by name
     and invoked from SQL (the oracle recomputes the same quantity
@@ -180,6 +266,8 @@ def q_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_cosine_near_dup": q_cosine_near_dup,
+    "q_gapfill_locf": q_gapfill_locf,
+    "q_time_weighted_avg": q_time_weighted_avg,
     "q_registered_udf": q_registered_udf,
 }
 
@@ -194,6 +282,53 @@ ORACLE = {
         FROM events e
         ASOF LEFT JOIN orders_daily d
           ON e.user_id = d.cust AND e.ts >= d.odate
+    """,
+    "q_gapfill_locf": """
+        WITH hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v_obs
+          FROM events GROUP BY user_id, date_trunc('hour', ts)),
+        span AS (
+          SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id),
+        grid AS (
+          SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+          FROM span),
+        j AS (
+          SELECT g.user_id, g.h, hr.v_obs
+          FROM grid g LEFT JOIN hourly hr ON g.user_id = hr.user_id AND g.h = hr.h),
+        f AS (
+          SELECT user_id, h, v_obs,
+                 last_value(v_obs IGNORE NULLS) OVER wb AS prev_v,
+                 first_value(v_obs IGNORE NULLS) OVER wf AS next_v,
+                 last_value(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS prev_h,
+                 first_value(CASE WHEN v_obs IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS next_h
+          FROM j
+          WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, h, v_obs,
+               prev_v AS v_locf,
+               floor(CASE
+                 WHEN v_obs IS NOT NULL THEN v_obs
+                 WHEN next_v IS NOT NULL AND prev_v IS NOT NULL
+                      AND epoch(next_h) - epoch(prev_h) > 0
+                 THEN prev_v + (next_v - prev_v)
+                      * ((epoch(h) - epoch(prev_h)) / (epoch(next_h) - epoch(prev_h)))
+                 ELSE prev_v END * 10000 + 0.5) / 10000 AS v_interp,
+               v_obs IS NULL AS is_gap
+        FROM f
+    """,
+    "q_time_weighted_avg": """
+        WITH seg AS (
+          SELECT user_id, value,
+                 CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                      - epoch_us(ts) AS DOUBLE) AS dur
+          FROM events)
+        SELECT user_id,
+               round(sum(value * dur) / sum(dur), 4) AS twa_value,
+               round(avg(value), 4) AS plain_avg,
+               count(*) AS n_obs
+        FROM seg GROUP BY user_id
     """,
     "q_registered_udf": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents

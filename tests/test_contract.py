@@ -21,3 +21,30 @@ def test_queries_run_at_smallest_sf(spark, sf_dir):
     qs = entrymod.queries()
     for name in ("q_pricing_agg", "q_join_star", "q_grok", "q_cosine_topk", "q_dedup_exact"):
         assert qs[name](spark, sf_dir).count() > 0
+
+
+def test_gapfill_semantics_constructed(spark, tmp_path):
+    """LOCF + linear interpolation on a known gappy series: obs at hours
+    0 and 4 (values 10, 30) → hours 1-3 interpolate 15/20/25, LOCF holds
+    10; leading coverage starts at each user's own first observation."""
+    import pandas as pd
+
+    from kinesis2elastic_spark.operators import temporal
+
+    rows = [
+        (1, "2024-01-01 00:30:00", 7, "a", 10.0, "{}"),
+        (2, "2024-01-01 04:30:00", 7, "a", 30.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["f"]).col("ts").cast("timestamp"))
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    # q_gapfill_locf loads <sf_dir>/events.parquet
+    out = sorted(
+        temporal.q_gapfill_locf(spark, str(tmp_path)).collect(), key=lambda r: r.h
+    )
+    assert [r.v_obs for r in out] == [10.0, None, None, None, 30.0]
+    assert [r.v_locf for r in out] == [10.0, 10.0, 10.0, 10.0, 30.0]
+    assert [r.v_interp for r in out] == [10.0, 15.0, 20.0, 25.0, 30.0]
+    assert [r.is_gap for r in out] == [False, True, True, True, False]
