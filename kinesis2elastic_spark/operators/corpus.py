@@ -169,12 +169,154 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# RE2-safe AND java.util.regex-safe (no lookaround, no backrefs) so the same
+# pattern strings run in Spark and the DuckDB oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{4}-\d{2}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass (emails,
+    phone numbers, IPv4 addresses → typed placeholders) plus per-record
+    redaction counts for audit accounting.
+
+    The synthetic tables carry no real PII, so the contact text is
+    synthesized deterministically from ``customer`` in-query (same CTE in
+    the DuckDB oracle — the pipeline.py convention), then scrubbed with
+    engine-portable regexes.  The scrub itself is a stateless projection:
+    at 100 TB it rides the scan with zero shuffle, and the counts make the
+    audit aggregate a cheap partial-agg rollup downstream.
+
+    Order matters: emails are redacted before IPs so the dotted domain of
+    an address can never be half-eaten by the IP pattern."""
+    c = load(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("Reach "), F.col("c_name"),
+        F.lit(" <"), F.lower(F.regexp_replace("c_name", "#", ".")), F.lit("@example.com>"),
+        F.lit(" phone 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit("-"), F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"),
+        F.lit(" last seen from 10."), (F.col("c_custkey") % 200).cast("string"),
+        F.lit("."), (F.col("c_custkey") % 250).cast("string"),
+        F.lit("."), ((F.col("c_custkey") % 9) + 1).cast("string"),
+        F.lit(" segment "), F.col("c_mktsegment"),
+    )
+    d = c.select("c_custkey", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "c_custkey",
+        redacted.alias("redacted"),
+        F.regexp_count("raw", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count("raw", F.lit(PII_IP)).cast("long").alias("n_ips"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination + repetition quality
+# --------------------------------------------------------------------------
+
+# Word-shingle width for contamination checks.  Production decontamination
+# uses 8-13-gram exact match; the synthetic corpus has a ~40-word vocabulary,
+# so 4 is the width where genuine cross-doc collisions exist to detect (8+
+# yields zero overlap and a vacuous check at test scale).
+NGRAM_N = 4
+BENCH_MOD = 53  # doc_id % BENCH_MOD == 0 -> held-out "benchmark" doc
+
+
+def _word_ngrams(n: int):
+    """Column expr: list of n-word shingles of ``text`` (empty when the
+    document is shorter than n words).  Guarded with ``when`` because Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0], not an empty list."""
+    return F.when(
+        F.size(F.split("text", " ")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+            f"i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``NGRAM_N``-word shingle with a held-out benchmark set (here the
+    deterministic doc_id % 53 == 0 slice), reporting how many distinct
+    benchmark shingles each contaminated doc matches.
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so its
+    distinct-shingle set is BROADCAST — the training side streams through a
+    map-side hash probe with no shuffle of shingle text against it; only the
+    per-doc count aggregate shuffles (doc_id, count)."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(_word_ngrams(NGRAM_N)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("long").alias("n_contaminated_grams"))
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-unigram ratio
+    and the fraction of bigram occurrences taken by the single most frequent
+    bigram.  High top-bigram fraction / low distinct ratio = boilerplate or
+    degenerate repetition — the standard cheap pre-filter before near-dup.
+
+    One explode + two partial-agg shuffles keyed by doc_id; the shuffle rows
+    carry (doc_id, bigram) pairs, never full documents."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+    )
+    bg = (
+        d.select("doc_id", F.explode(_word_ngrams(2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("long").alias("top_bigram_count"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    return base.join(bg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 QUERIES = {
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
     "q_token_histogram": q_token_histogram,
     "q_quality_filter": q_quality_filter,
     "q_seq_pack": q_seq_pack,
+    "q_pii_redact": q_pii_redact,
+    "q_decontam": q_decontam,
+    "q_repetition_stats": q_repetition_stats,
 }
 
 ORACLE = {
@@ -221,5 +363,63 @@ ORACLE = {
         FROM s GROUP BY 1, 2, 3
     """,
 }
+
+ORACLE["q_pii_redact"] = f"""
+    WITH d AS (
+      SELECT c_custkey,
+             concat('Reach ', c_name,
+                    ' <', lower(regexp_replace(c_name, '#', '.', 'g')), '@example.com>',
+                    ' phone 555-', lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+                    '-', lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0'),
+                    ' last seen from 10.', CAST(c_custkey % 200 AS VARCHAR),
+                    '.', CAST(c_custkey % 250 AS VARCHAR),
+                    '.', CAST((c_custkey % 9) + 1 AS VARCHAR),
+                    ' segment ', c_mktsegment) AS raw
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+               '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_PHONE}', '<PHONE>', 'g'),
+               '{PII_IP}', '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(raw, '{PII_IP}')) AS BIGINT) AS n_ips
+    FROM d
+"""
+
+ORACLE["q_decontam"] = f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - {NGRAM_N - 1}, 0) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + {NGRAM_N - 1}), ' '))) AS gram
+      FROM documents),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+    train AS (SELECT doc_id, gram FROM g WHERE doc_id % {BENCH_MOD} <> 0)
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.gram) AS BIGINT) AS n_contaminated_grams
+    FROM train t JOIN bench b USING (gram)
+    GROUP BY t.doc_id
+"""
+
+ORACLE["q_repetition_stats"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    base AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens,
+                    CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct
+             FROM w),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(words) - 1, 0) + 1),
+                    i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS gram
+      FROM w),
+    bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+    agg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams
+            FROM bc GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           round(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS distinct_ratio,
+           round(CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams, 6) AS top_bigram_frac
+    FROM base b JOIN agg a USING (doc_id)
+"""
 
 ROWS_ONLY = {"q_seq_pack"}

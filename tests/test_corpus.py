@@ -84,3 +84,75 @@ def test_quality_filter_partitions_all_docs(spark, sf_dir):
     assert total == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     verdicts = {r.verdict for r in out.select("verdict").distinct().collect()}
     assert verdicts <= {"kept", "dropped_short", "dropped_lowq"}
+
+
+def test_pii_redact_scrubs_everything(spark, sf_dir):
+    out = corpus.q_pii_redact(spark, sf_dir)
+    # every synthesized record carries exactly one of each PII kind ...
+    counts = out.agg(
+        F.min("n_emails"), F.max("n_emails"),
+        F.min("n_phones"), F.max("n_phones"),
+        F.min("n_ips"), F.max("n_ips"),
+    ).first()
+    assert tuple(counts) == (1, 1, 1, 1, 1, 1)
+    # ... and no raw pattern survives redaction
+    leftover = out.filter(
+        F.col("redacted").rlike(corpus.PII_EMAIL)
+        | F.col("redacted").rlike(corpus.PII_PHONE)
+        | F.col("redacted").rlike(corpus.PII_IP)
+    ).count()
+    assert leftover == 0
+    assert out.filter(~F.col("redacted").contains("<EMAIL>")).count() == 0
+
+
+def test_decontam_flags_planted_overlap(spark):
+    import kinesis2elastic_spark.operators.corpus as c
+
+    # doc 0 (doc_id % BENCH_MOD == 0) is benchmark; doc 1 copies one of its
+    # shingles verbatim, doc 2 shares nothing.
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, bench_text, "en", "web"),
+        (1, "x y alpha beta gamma delta z w", "en", "web"),
+        (2, "p q r s t u v", "en", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    grams = df.select("doc_id", F.explode(c._word_ngrams(c.NGRAM_N)).alias("gram"))
+    bench = grams.filter(F.col("doc_id") % c.BENCH_MOD == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % c.BENCH_MOD != 0)
+    hits = {
+        r.doc_id: r.n
+        for r in train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n"))
+        .collect()
+    }
+    assert hits == {1: 1}  # exactly the planted 4-gram, doc 2 clean
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    rows = [
+        (1, "spam spam spam spam", "en", "web"),   # 1 distinct word, 1 bigram
+        (2, "a b c d", "en", "web"),               # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    import kinesis2elastic_spark.operators.corpus as c
+
+    words = F.split("text", " ")
+    base = df.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+    )
+    bg = (
+        df.select("doc_id", F.explode(c._word_ngrams(2)).alias("gram"))
+        .groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("m"), F.sum("c").cast("long").alias("t"))
+    )
+    got = {
+        r.doc_id: (r.n_distinct / r.n_tokens, r.m / r.t)
+        for r in base.join(bg, "doc_id").collect()
+    }
+    assert got[1] == (0.25, 1.0)   # degenerate: one word, one repeated bigram
+    assert got[2] == (1.0, 1.0 / 3)

@@ -82,3 +82,22 @@ def test_udf_does_not_block_envelope_pruning(spark, sf_dir):
     gen_pos = plan.find("Generate")
     arrow_pos = plan.find("ArrowEvalPython")
     assert arrow_pos != -1 and gen_pos != -1
+
+
+def test_decontam_broadcasts_benchmark_side(spark, sf_dir):
+    # The benchmark shingle set must broadcast: the training corpus side
+    # streams through a map-side hash probe, never a sort-merge shuffle.
+    from kinesis2elastic_spark.operators.corpus import q_decontam
+
+    assert_plan(
+        q_decontam(spark, sf_dir),
+        contains=("BroadcastHashJoin",),
+        absent=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
+def test_pii_redact_is_scan_projection(spark, sf_dir):
+    # Redaction is stateless: no Exchange anywhere in the plan.
+    from kinesis2elastic_spark.operators.corpus import q_pii_redact
+
+    assert_plan(q_pii_redact(spark, sf_dir), absent=("Exchange",))
