@@ -29,6 +29,7 @@ def _collect_modules():
         "pipeline",
         "llmops",
         "corpus",
+        "tableops",
         "temporal",
         "skew",
         "multimodal",

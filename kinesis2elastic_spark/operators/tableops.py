@@ -1,0 +1,163 @@
+"""Table-maintenance operators (driver-contract extension): the jobs a
+large-scale pipeline runs *around* its queries — column profiling for data
+quality gates, CDC latest-state compaction, and run-compression of
+append-only histories.
+
+Scale posture:
+- the profiler is one aggregate pass; exact distincts expand to one
+  shuffle per profiled column (Spark's count(distinct) expand), which is
+  the audit-job trade-off — the approximate twin (q_approx_distinct)
+  covers the always-on path;
+- CDC latest-state is one window shuffle keyed by the entity id — the
+  shuffle carries (key, ts, row), never history joins;
+- run compression is the gaps-and-islands pattern: two window functions
+  over the SAME (key, ts) sort order, so Catalyst plans ONE shuffle + one
+  sort, then a partial-agg per island.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over ``orders``: one row per profiled column with
+    row/null/distinct accounting and the null fraction — the standard
+    pre-ingest data-quality gate.  Single wide aggregate; the per-column
+    exact distincts are the expensive (expand + shuffle) part and exist
+    here because an audit gate needs exactness."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in PROFILE_COLS
+    )
+    n = len(PROFILE_COLS)
+    return wide.selectExpr(
+        "n_rows", f"stack({n}, {stacked}) AS (col_name, n_non_null, n_distinct)"
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("n_non_null")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round((F.col("n_rows") - F.col("n_non_null")) / F.col("n_rows"), 6).alias(
+            "null_frac"
+        ),
+    )
+
+
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: treat ``events`` as a change stream keyed by
+    user_id (event_type 'error' = tombstone, anything else = upsert of
+    ``value``) and emit the latest surviving state per key plus its
+    version count — the merge-on-read "latest wins" materialization.
+
+    One window shuffle on the key; ties on ts break on event_id so the
+    result is deterministic under at-least-once replay."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    versions = e.groupBy("user_id").agg(F.count("*").cast("long").alias("n_versions"))
+    return (
+        latest.filter(F.col("event_type") != "error")
+        .join(versions, "user_id")
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            "n_versions",
+        )
+    )
+
+
+def q_run_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run compression: collapse each user's consecutive
+    same-type events into one range row (first/last ts, run length) — the
+    SCD2-style history compaction for append-only logs.
+
+    The island id is the classic difference of two row_numbers over the
+    same sort order, so the whole query is ONE shuffle + one sort + a
+    partial aggregate keyed by (user_id, island)."""
+    e = load(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "island")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count("*").cast("long").alias("run_len"),
+        )
+        .select("user_id", "event_type", "run_start", "run_end", "run_len")
+    )
+
+
+QUERIES = {
+    "q_profile_columns": q_profile_columns,
+    "q_cdc_latest": q_cdc_latest,
+    "q_run_compress": q_run_compress,
+}
+
+_PROFILE_UNION = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               round(CAST(count(*) - count({c}) AS DOUBLE) / count(*), 6) AS null_frac
+        FROM orders"""
+    for c in PROFILE_COLS
+)
+
+ORACLE = {
+    "q_profile_columns": _PROFILE_UNION,
+    "q_cdc_latest": """
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events),
+        versions AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions
+          FROM events GROUP BY user_id)
+        SELECT r.user_id,
+               r.event_type AS last_event_type,
+               round(r.value, 2) AS last_value,
+               r.ts AS last_ts,
+               v.n_versions
+        FROM ranked r JOIN versions v USING (user_id)
+        WHERE r.rn = 1 AND r.event_type <> 'error'
+    """,
+    "q_run_compress": """
+        WITH runs AS (
+          SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS island
+          FROM events)
+        SELECT user_id, event_type,
+               min(ts) AS run_start, max(ts) AS run_end,
+               CAST(count(*) AS BIGINT) AS run_len
+        FROM runs GROUP BY user_id, event_type, island
+    """,
+}
+
+ROWS_ONLY: set[str] = set()
