@@ -211,6 +211,53 @@ def q_sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_Q5 = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                                AND c_nationkey = s_nationkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+"""
+
+SQL_Q18 = """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+"""
+
+
+def q_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume) through the SQL surface: a 6-table
+    join where the region/nation dims broadcast and the c_nationkey =
+    s_nationkey condition rides the supplier join — the canonical
+    star-plus-constraint plan.  Identical SQL runs on the DuckDB oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_Q5)
+
+
+def q_sql_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): IN-subquery over an aggregate
+    (plans as a semi join against the grouped lineitem), then a 3-table
+    join + re-aggregation and a deterministic top-100."""
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_Q18)
+
+
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HAVING: post-aggregation predicate (planned as Filter over the
     aggregate — no second scan)."""
@@ -317,6 +364,8 @@ QUERIES = {
     "q_map_explode": q_map_explode,
     "q_scalar_subquery": q_scalar_subquery,
     "q_sql_q3": q_sql_q3,
+    "q_sql_q5": q_sql_q5,
+    "q_sql_q18": q_sql_q18,
     "q_having": q_having,
     "q_in_subquery": q_in_subquery,
     "q_exists_subquery": q_exists_subquery,
@@ -430,6 +479,8 @@ ORACLE = {
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
     """,
+    "q_sql_q5": SQL_Q5,
+    "q_sql_q18": SQL_Q18,
     "q_having": """
         SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         FROM orders
