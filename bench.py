@@ -48,8 +48,12 @@ HEADLINE = [
     "q_cosine_topk",
     "q_text_stats",
     "q_sql_q3",
+    "q_sql_q5",
     "q_asof_join",
     "q_skew_salted_agg",
+    "q_pii_redact",
+    "q_decontam",
+    "q_run_compress",
 ]
 
 
