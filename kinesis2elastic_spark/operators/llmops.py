@@ -774,6 +774,52 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recall floors for the self-verifying ANN check.  Measured on the
+# synthetic near-random embeddings (the hostile case for LSH/IVF): LSH
+# (4 planes x 8 tables) means 0.66-0.70 at sf0.01-0.1, IVF (16 centroids,
+# 4 probes) 0.42-0.46.  Floors sit under the observed band so the flag
+# trips on real regressions (a broken hash family collapses recall to
+# ~1/n), not on noise.
+ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.3}
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5) -> DataFrame:
+    """Self-verifying ANN quality check (rows-only: ANN is not
+    SQL-expressible): recall@k of both ANN variants against the exact
+    brute-force top-k, one row per method with the mean/min recall over
+    the query set and a pass flag against the measured floors — the same
+    est-within-bounds pattern the approximate sketches use, so a driver
+    that only sees row counts still records a meaningful check (the test
+    suite asserts the flags are TRUE)."""
+    exact = q_cosine_topk(spark, sf_dir, k=k, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    qids = spark.range(n_queries).select(F.col("id").alias("query_id"))
+    out = []
+    for method, fn in (("lsh", q_ann_lsh), ("ivf", q_ann_ivf)):
+        ann = fn(spark, sf_dir, k=k, n_queries=n_queries).select(
+            "query_id", "neighbor_id"
+        )
+        per_q = (
+            exact.join(ann, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg((F.count("*") / k).alias("recall"))
+            .join(qids, "query_id", "right")
+            .select("query_id", F.coalesce("recall", F.lit(0.0)).alias("recall"))
+        )
+        floor = ANN_RECALL_FLOORS[method]
+        out.append(
+            per_q.agg(
+                F.lit(method).alias("method"),
+                F.count("*").cast("long").alias("n_queries"),
+                F.round(F.avg("recall"), 3).alias("mean_recall"),
+                F.round(F.min("recall"), 3).alias("min_recall"),
+                (F.avg("recall") >= floor).alias("recall_ok"),
+            )
+        )
+    return out[0].unionAll(out[1])
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_stats": q_dedup_stats,
@@ -785,6 +831,7 @@ QUERIES = {
     "q_cosine_topk": q_cosine_topk,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_recall": q_ann_recall,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
@@ -887,5 +934,6 @@ ROWS_ONLY = {
     "q_simhash_near_dup",
     "q_ann_lsh",
     "q_ann_ivf",
+    "q_ann_recall",
     "q_dedup_clusters",
 }

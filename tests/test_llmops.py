@@ -129,3 +129,13 @@ def test_dedup_exact_keeps_min_doc_id(spark, sf_dir):
     assert df.filter(F.col("n_copies") < 1).count() == 0
     total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert df.agg(F.sum("n_copies")).first()[0] == total_docs
+
+
+def test_ann_recall_flags_pass(spark, sf_dir):
+    from kinesis2elastic_spark.operators.llmops import q_ann_recall
+
+    rows = {r.method: r for r in q_ann_recall(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert r.recall_ok, (r.method, r.mean_recall)
+        assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
