@@ -308,6 +308,45 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATUM_QUOTA = 20  # docs kept per language stratum
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with a fixed per-stratum quota: keep exactly
+    ``STRATUM_QUOTA`` documents per language, chosen by rank in the md5
+    keyspace — a deterministic, engine-reproducible stand-in for random
+    sampling that is also consistent across derived tables (same winners
+    every run, no RNG).
+
+    Scale shape: one window shuffle keyed by the stratum; Spark plans a
+    WindowGroupLimit so each partition pre-prunes to the quota before the
+    shuffle — the shuffle carries O(strata x quota), not the corpus."""
+    d = load(spark, sf_dir, "documents")
+    key = _doc_key(F.col("doc_id"))
+    w = W.partitionBy("lang").orderBy("sample_key", "doc_id")
+    return (
+        d.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .withColumn("stratum_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("stratum_rank") <= STRATUM_QUOTA)
+    )
+
+
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (mean pooling), emitted long-form as
+    (label, dim pos, avg) rows so the result is engine-comparable without
+    array-column hashing.  posexplode + one partial-agg shuffle keyed by
+    (label, pos) — the shuffle carries scalars; at corpus scale this is
+    the standard map-side-combinable reduction (dims x labels cells)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+        )
+        .groupBy(F.col("label").cast("long").alias("label"), (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("avg_v"), F.count("*").cast("long").alias("n_vecs"))
+    )
+
+
 QUERIES = {
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
@@ -317,6 +356,8 @@ QUERIES = {
     "q_pii_redact": q_pii_redact,
     "q_decontam": q_decontam,
     "q_repetition_stats": q_repetition_stats,
+    "q_stratified_sample": q_stratified_sample,
+    "q_embed_centroid": q_embed_centroid,
 }
 
 ORACLE = {
@@ -420,6 +461,33 @@ ORACLE["q_repetition_stats"] = """
            round(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS distinct_ratio,
            round(CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams, 6) AS top_bigram_frac
     FROM base b JOIN agg a USING (doc_id)
+"""
+
+ORACLE["q_stratified_sample"] = f"""
+    WITH k AS (
+      SELECT doc_id, lang, source,
+             md5(CAST(doc_id AS VARCHAR)) AS sample_key
+      FROM documents),
+    r AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                                        ORDER BY sample_key, doc_id) AS BIGINT)
+                AS stratum_rank
+      FROM k)
+    SELECT doc_id, lang, source, sample_key, stratum_rank
+    FROM r WHERE stratum_rank <= {STRATUM_QUOTA}
+"""
+
+ORACLE["q_embed_centroid"] = """
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(pos AS BIGINT) AS pos,
+           round(avg(v), 6) AS avg_v,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM (
+      SELECT label,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+    GROUP BY label, pos
 """
 
 ROWS_ONLY = {"q_seq_pack"}

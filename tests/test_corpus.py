@@ -156,3 +156,36 @@ def test_repetition_stats_degenerate_doc(spark):
     }
     assert got[1] == (0.25, 1.0)   # degenerate: one word, one repeated bigram
     assert got[2] == (1.0, 1.0 / 3)
+
+
+def test_stratified_sample_exact_quota(spark, sf_dir):
+    out = corpus.q_stratified_sample(spark, sf_dir).collect()
+    per_lang = {}
+    for r in out:
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in per_lang.items():
+        assert len(rows) == corpus.STRATUM_QUOTA
+        assert sorted(r.stratum_rank for r in rows) == list(
+            range(1, corpus.STRATUM_QUOTA + 1)
+        )
+
+
+def test_stratified_sample_pre_prunes(spark, sf_dir):
+    from kinesis2elastic_spark.plans.explain import assert_plan
+
+    assert_plan(corpus.q_stratified_sample(spark, sf_dir), contains=("WindowGroupLimit",))
+
+
+def test_embed_centroid_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    got = {(r.label, r.pos): r.avg_v for r in corpus.q_embed_centroid(spark, sf_dir).collect()}
+    for label, vecs in by_label.items():
+        M = np.array(vecs, dtype=np.float64)
+        want = M.mean(axis=0)
+        for pos in (1, len(want) // 2, len(want)):
+            assert abs(got[(label, pos)] - round(float(want[pos - 1]), 6)) <= 1e-6
