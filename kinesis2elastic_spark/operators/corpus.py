@@ -308,6 +308,103 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_LEN = 120  # chars per chunk
+CHUNK_STRIDE = 80  # chunk start spacing (overlap = CHUNK_LEN - CHUNK_STRIDE)
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size document chunking with overlap — the step that turns a
+    document store into model-context-sized training windows (chunk 120
+    chars, stride 80 → 40-char overlap so no boundary context is lost).
+
+    Spark shape: ``sequence`` + ``explode`` is a pure flat-map — no
+    shuffle, no state; chunking 100 TB parallelizes per input split and
+    the overlap factor (len/stride) is the exact output amplification."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    offs = F.expr(
+        f"sequence(0L, CAST((length(text) - 1) DIV {CHUNK_STRIDE} AS LONG)"
+        f" * {CHUNK_STRIDE}, CAST({CHUNK_STRIDE} AS LONG))"
+    )
+    return (
+        d.select("doc_id", "text", F.explode(offs).alias("off"))
+        .select(
+            "doc_id",
+            F.expr(f"off DIV {CHUNK_STRIDE}").cast("long").alias("chunk_id"),
+            F.expr(f"substring(text, off + 1, {CHUNK_LEN})").alias("chunk"),
+            F.length(F.expr(f"substring(text, off + 1, {CHUNK_LEN})"))
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
+TFIDF_MIN_TF = 3  # per-doc term-frequency floor for emitted rows
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting over the corpus: tokenize (lower, alpha
+    runs), per-(doc, token) term frequency, per-token document frequency,
+    weight = tf * ln(N/df).  Rows are emitted for tf >= 3 so the output is
+    the informative-term table, not the full posting list.
+
+    Scale shape: two partial-aggregable groupBys (map-side combine) over
+    the token stream; the corpus size N is a 1-row broadcast.  The join
+    back to df is keyed on token — skewed stopword tokens are exactly the
+    rows the tf floor and AQE skew-split absorb.  No sort, no window."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        tf.filter(F.col("tf") >= TFIDF_MIN_TF)
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic cheap
+    gibberish/boilerplate signal (low entropy = repeated filler, high =
+    random noise; both are quality-filter candidates).
+
+    Identity used: H = ln(n) - (sum c*ln c)/n over per-char counts c, so
+    one explode + two partial-aggregable groupBys compute it exactly —
+    no per-doc collect, no UDF.  The char explode amplifies rows by doc
+    length but carries only (doc_id, 1-char string); at corpus scale this
+    is a map-side-combined count shuffle, same shape as wordcount."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+            4,
+        ).alias("char_entropy"),
+    )
+
+
 STRATUM_QUOTA = 20  # docs kept per language stratum
 
 
@@ -358,6 +455,9 @@ QUERIES = {
     "q_repetition_stats": q_repetition_stats,
     "q_stratified_sample": q_stratified_sample,
     "q_embed_centroid": q_embed_centroid,
+    "q_doc_chunk": q_doc_chunk,
+    "q_tfidf": q_tfidf,
+    "q_char_entropy": q_char_entropy,
 }
 
 ORACLE = {
@@ -488,6 +588,52 @@ ORACLE["q_embed_centroid"] = """
              generate_subscripts(embedding, 1) AS pos
       FROM embeddings)
     GROUP BY label, pos
+"""
+
+ORACLE["q_doc_chunk"] = f"""
+    SELECT doc_id,
+           CAST(off // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           substr(text, CAST(off + 1 AS BIGINT), {CHUNK_LEN}) AS chunk,
+           CAST(length(substr(text, CAST(off + 1 AS BIGINT), {CHUNK_LEN})) AS BIGINT)
+             AS chunk_len
+    FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(0, ((length(text) - 1) // {CHUNK_STRIDE})
+                                       * {CHUNK_STRIDE}, {CHUNK_STRIDE})) AS off
+      FROM documents WHERE length(text) > 0)
+"""
+
+ORACLE["q_tfidf"] = f"""
+    WITH toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE t <> ''),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    WHERE tf.tf >= {TFIDF_MIN_TF}
+"""
+
+ORACLE["q_char_entropy"] = """
+    WITH ch AS (
+      SELECT doc_id, substr(text, CAST(i AS BIGINT), 1) AS ch
+      FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+            FROM documents WHERE length(text) > 0)),
+    f AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 4)
+             AS char_entropy
+    FROM f GROUP BY doc_id
 """
 
 ROWS_ONLY = {"q_seq_pack"}

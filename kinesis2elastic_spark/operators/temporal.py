@@ -263,8 +263,66 @@ def q_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: which user sessions were concurrently
+    active?  Sessions are 30-min-gap intervals (same construction as
+    q_sessionize); a pair (a, b) qualifies iff a.start <= b.end AND
+    b.start <= a.end, with user_a < user_b to emit each pair once.
+
+    Spark-first scale shape: a naive theta self-join is O(n²) — instead
+    each interval is exploded onto the 1-hour grid cells it covers, the
+    join is an equi-join on the grid cell (shuffle keyed by hour), the
+    exact overlap predicate filters within cells, and ``distinct`` drops
+    the multi-cell duplicates.  Candidate pairs are bounded by per-cell
+    concurrency, not table size — the standard bucketed interval join
+    (DuckDB's oracle uses its native IEJoin over the raw predicate,
+    making this an independent semantic check)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    iv = (
+        e.withColumn("session_id", F.sum(new_session).over(wrun).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    cells = iv.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_start") <= F.col("b.s_end"))
+            & (F.col("b.s_start") <= F.col("a.s_end")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.session_id").alias("session_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.session_id").alias("session_b"),
+            (
+                F.unix_micros(F.least("a.s_end", "b.s_end"))
+                - F.unix_micros(F.greatest("a.s_start", "b.s_start"))
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+
+
 QUERIES = {
     "q_asof_join": q_asof_join,
+    "q_session_overlap": q_session_overlap,
     "q_cosine_near_dup": q_cosine_near_dup,
     "q_gapfill_locf": q_gapfill_locf,
     "q_time_weighted_avg": q_time_weighted_avg,
@@ -334,5 +392,33 @@ ORACLE = {
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
     """,
 }
+
+ORACLE["q_session_overlap"] = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM flagged
+    ), iv AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM sessioned GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS user_a, a.session_id AS session_a,
+           b.user_id AS user_b, b.session_id AS session_b,
+           CAST(epoch_us(least(a.s_end, b.s_end))
+                - epoch_us(greatest(a.s_start, b.s_start)) AS BIGINT) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end
+     AND b.s_start <= a.s_end
+"""
 
 ROWS_ONLY = {"q_cosine_near_dup"}

@@ -48,3 +48,35 @@ def test_gapfill_semantics_constructed(spark, tmp_path):
     assert [r.v_locf for r in out] == [10.0, 10.0, 10.0, 10.0, 30.0]
     assert [r.v_interp for r in out] == [10.0, 15.0, 20.0, 25.0, 30.0]
     assert [r.is_gap for r in out] == [False, True, True, True, False]
+
+
+def test_session_overlap_constructed(spark, tmp_path):
+    """Three users with known intervals: u1 [0:00-1:30] overlaps u2
+    [1:00-2:00] (30 min) and touches u3 exactly at a boundary; u2/u3
+    [2:00] share a point overlap. Grid-cell blocking must not drop pairs
+    that only meet inside one shared hour, and each pair appears once."""
+    from kinesis2elastic_spark.operators import temporal
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a", 1.0, "{}"),
+        (2, "2024-01-01 00:20:00", 1, "a", 1.0, "{}"),
+        (3, "2024-01-01 00:40:00", 1, "a", 1.0, "{}"),
+        (4, "2024-01-01 01:00:00", 1, "a", 1.0, "{}"),
+        (5, "2024-01-01 01:30:00", 1, "a", 1.0, "{}"),  # u1: 00:00-01:30
+        (6, "2024-01-01 01:00:00", 2, "a", 1.0, "{}"),
+        (7, "2024-01-01 01:20:00", 2, "a", 1.0, "{}"),
+        (8, "2024-01-01 01:40:00", 2, "a", 1.0, "{}"),
+        (9, "2024-01-01 02:00:00", 2, "a", 1.0, "{}"),  # u2: 01:00-02:00
+        (10, "2024-01-01 03:00:00", 3, "a", 1.0, "{}"),  # u3: point at 03:00
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = temporal.q_session_overlap(spark, str(tmp_path)).collect()
+    pairs = {(r.user_a, r.user_b): r.overlap_us for r in out}
+    assert pairs == {(1, 2): 30 * 60 * 1_000_000}  # u3 overlaps nobody
+    assert len(out) == 1  # multi-cell pair emitted exactly once

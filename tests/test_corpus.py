@@ -189,3 +189,81 @@ def test_embed_centroid_matches_numpy(spark, sf_dir):
         want = M.mean(axis=0)
         for pos in (1, len(want) // 2, len(want)):
             assert abs(got[(label, pos)] - round(float(want[pos - 1]), 6)) <= 1e-6
+
+
+def test_doc_chunk_covers_text_with_overlap(spark, sf_dir):
+    out = corpus.q_doc_chunk(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # reassembling chunk starts at stride spacing reproduces each text's length
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.max("chunk_id").alias("max_id"),
+            F.sum(F.when(F.col("chunk_len") < corpus.CHUNK_LEN, 1).otherwise(0)).alias(
+                "n_short"
+            ),
+        )
+        .join(docs.select("doc_id", F.length("text").alias("n")), "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        assert r.n_chunks == r.max_id + 1  # contiguous chunk ids from 0
+        assert r.n_chunks == (r.n - 1) // corpus.CHUNK_STRIDE + 1
+        # only trailing chunks whose window runs past the text end may be
+        # short: at most ceil(LEN/STRIDE) of them
+        assert r.n_short <= -(-corpus.CHUNK_LEN // corpus.CHUNK_STRIDE)
+    # consecutive chunks overlap by CHUNK_LEN - CHUNK_STRIDE chars
+    two = (
+        out.filter(F.col("chunk_id") <= 1)
+        .groupBy("doc_id")
+        .pivot("chunk_id", [0, 1])
+        .agg(F.first("chunk"))
+        .filter(F.col("1").isNotNull())
+        .first()
+    )
+    ov = corpus.CHUNK_LEN - corpus.CHUNK_STRIDE
+    assert two["0"][corpus.CHUNK_STRIDE:] == two["1"][:ov]
+
+
+def test_tfidf_rare_term_outweighs_common(spark):
+    rows = [
+        (1, "apple apple apple zebra zebra zebra"),
+        (2, "apple apple apple banana"),
+        (3, "apple apple apple cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_t")
+    import kinesis2elastic_spark.operators.corpus as c
+
+    orig = c.load
+    try:
+        c.load = lambda spark, sf_dir, name: df
+        out = {(r.doc_id, r.token): r.tfidf for r in c.q_tfidf(spark, "x").collect()}
+    finally:
+        c.load = orig
+    # 'apple' appears in every doc -> idf = ln(1) = 0
+    assert out[(1, "apple")] == 0.0
+    # 'zebra' is unique to doc 1 with tf=3 -> 3 * ln(3)
+    import math
+
+    assert abs(out[(1, "zebra")] - round(3 * math.log(3), 4)) < 1e-9
+
+
+def test_char_entropy_bounds(spark):
+    rows = [(1, "aaaaaaaa"), (2, "abcdefgh")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import kinesis2elastic_spark.operators.corpus as c
+
+    orig = c.load
+    try:
+        c.load = lambda spark, sf_dir, name: df
+        out = {r.doc_id: r for r in c.q_char_entropy(spark, "x").collect()}
+    finally:
+        c.load = orig
+    assert out[1].char_entropy == 0.0  # single repeated char
+    import math
+
+    assert abs(out[2].char_entropy - round(math.log(8), 4)) < 1e-9  # uniform
+    assert out[2].n_distinct_chars == 8
