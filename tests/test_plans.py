@@ -101,3 +101,34 @@ def test_pii_redact_is_scan_projection(spark, sf_dir):
     from kinesis2elastic_spark.operators.corpus import q_pii_redact
 
     assert_plan(q_pii_redact(spark, sf_dir), absent=("Exchange",))
+
+
+def test_doc_chunk_has_no_shuffle(spark, sf_dir):
+    # Chunking is a pure flat-map (sequence + explode + substring):
+    # any Exchange would mean an accidental repartition of 100 TB of text.
+    from kinesis2elastic_spark.operators.corpus import q_doc_chunk
+
+    assert_plan(q_doc_chunk(spark, sf_dir), contains=("Generate",), absent=("Exchange",))
+
+
+def test_tfidf_broadcasts_corpus_size(spark, sf_dir):
+    # The 1-row corpus-size side must broadcast; the tf/df join must not
+    # degrade to a cartesian product over the posting list.
+    from kinesis2elastic_spark.operators.corpus import q_tfidf
+
+    assert_plan(
+        q_tfidf(spark, sf_dir),
+        contains=("BroadcastNestedLoopJoin",),
+        absent=("CartesianProduct",),
+    )
+
+
+def test_session_overlap_is_equi_join_on_cells(spark, sf_dir):
+    # The interval self-join must plan as a hash join keyed on the grid
+    # cell — never a nested-loop over all session pairs.
+    from kinesis2elastic_spark.operators.temporal import q_session_overlap
+
+    assert_plan(
+        q_session_overlap(spark, sf_dir),
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
