@@ -703,6 +703,88 @@ def q_ann_ivf(
     )
 
 
+def kmeans_iterate(
+    emb: DataFrame, k: int = 8, n_iter: int = 3
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd k-means over an embedding column — the offline centroid
+    refinement q_ann_ivf's coarse quantizer defers to, and the engine of
+    semantic dedup / diversity-balanced corpus sampling.
+
+    Spark-first iteration shape (the only sane one at 100 TB):
+    - ASSIGN: the k x dim centroid matrix rides inside a pandas-UDF
+      closure (a few KB — broadcast, never shuffled); one vectorized
+      numpy argmin per Arrow batch, stateless, embarrassingly parallel.
+    - UPDATE: per-dimension means via posexplode + groupBy(cluster, pos)
+      — a map-side-combinable agg whose shuffle carries k x dim scalars,
+      not vectors. The driver only ever holds k x dim doubles.
+    Each round is one flat pass (no nested lineage — assignment is
+    recomputed from the source, so no checkpointing is needed, unlike
+    label-propagation loops).
+
+    Init is deterministic: the k lowest vec_ids (same convention as the
+    IVF sample-centroid bootstrap). Ties in argmin resolve to the lowest
+    cluster index on every engine. Returns (assignment DF, per-iteration
+    inertia history); the history is the convergence certificate the
+    tests assert (monotone non-increasing — Lloyd's guarantee)."""
+    import numpy as np
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    C = np.array(
+        [r.vec for r in vecs.orderBy("vec_id").limit(k).collect()]
+    )  # k x dim: bounded by construction
+
+    def make_assign(cm):
+        @F.pandas_udf("int")
+        def assign(vs: pd.Series) -> pd.Series:
+            M = np.array(vs.tolist())
+            d2 = ((M[:, None, :] - cm[None, :, :]) ** 2).sum(axis=-1)
+            return pd.Series(d2.argmin(axis=1))
+
+        return assign
+
+    def make_sqdist(cm):
+        @F.pandas_udf("double")
+        def sqdist(vs: pd.Series, cl: pd.Series) -> pd.Series:
+            M = np.array(vs.tolist())
+            return pd.Series(((M - cm[cl.to_numpy()]) ** 2).sum(axis=1))
+
+        return sqdist
+
+    history: list[float] = []
+    assigned = None
+    for _ in range(n_iter):
+        assigned = vecs.withColumn("cluster", make_assign(C)("vec")).withColumn(
+            "sqdist", make_sqdist(C)("vec", "cluster")
+        )
+        inertia = assigned.select(F.sum("sqdist").alias("j")).first()["j"]
+        history.append(float(inertia))
+        means = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )  # k x dim rows — bounded
+        C = C.copy()
+        for r in means:
+            C[r.cluster][r.pos] = r.m
+    return assigned, history
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3) -> DataFrame:
+    """B34/B33 companion (rows-only): k-means cluster profile after
+    ``n_iter`` Lloyd rounds — per-cluster population and inertia, the
+    summary a semantic-dedup / diversity-sampling pass consumes."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_iterate(emb, k=k, n_iter=n_iter)
+    return (
+        assigned.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("sqdist"), 4).alias("avg_sqdist"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -832,6 +914,7 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_recall": q_ann_recall,
+    "q_kmeans": q_kmeans,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
@@ -930,6 +1013,7 @@ ORACLE = {
 }
 
 ROWS_ONLY = {
+    "q_kmeans",
     "q_minhash_near_dup",
     "q_simhash_near_dup",
     "q_ann_lsh",

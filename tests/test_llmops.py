@@ -139,3 +139,27 @@ def test_ann_recall_flags_pass(spark, sf_dir):
     for r in rows.values():
         assert r.recall_ok, (r.method, r.mean_recall)
         assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
+
+
+def test_kmeans_lloyd_invariants(spark, sf_dir):
+    """Lloyd's algorithm guarantees: clusters partition the input, and
+    inertia is non-increasing across iterations (assignment and update
+    steps each only ever lower it)."""
+    from kinesis2elastic_spark.catalog import load
+    from kinesis2elastic_spark.operators.llmops import kmeans_iterate, q_kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    assigned, history = kmeans_iterate(emb, k=8, n_iter=3)
+    assert len(history) == 3
+    assert all(history[i + 1] <= history[i] + 1e-6 for i in range(len(history) - 1))
+    assert history[-1] < history[0]  # actually moved from the seed centroids
+
+    out = {r.cluster: r for r in q_kmeans(spark, sf_dir).collect()}
+    assert sum(r.n_vecs for r in out.values()) == n_total
+    assert set(out) <= set(range(8))
+    assert all(r.avg_sqdist >= 0 for r in out.values())
+
+    # determinism: same seeds, same history
+    _, h2 = kmeans_iterate(emb, k=8, n_iter=3)
+    assert h2 == history
