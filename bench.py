@@ -54,6 +54,9 @@ HEADLINE = [
     "q_pii_redact",
     "q_decontam",
     "q_run_compress",
+    "q_tfidf",
+    "q_doc_chunk",
+    "q_session_overlap",
 ]
 
 

@@ -270,13 +270,20 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     b.start <= a.end, with user_a < user_b to emit each pair once.
 
     Spark-first scale shape: a naive theta self-join is O(n²) — instead
-    each interval is exploded onto the 1-hour grid cells it covers, the
-    join is an equi-join on the grid cell (shuffle keyed by hour), the
-    exact overlap predicate filters within cells, and ``distinct`` drops
-    the multi-cell duplicates.  Candidate pairs are bounded by per-cell
-    concurrency, not table size — the standard bucketed interval join
-    (DuckDB's oracle uses its native IEJoin over the raw predicate,
-    making this an independent semantic check)."""
+    each interval is exploded onto the 15-minute grid cells it covers,
+    the join is an equi-join on the cell id (two overlapping intervals
+    always share the cell containing any shared instant, so no grid
+    granularity can drop a pair), the exact overlap predicate filters
+    within cells, and ``distinct`` drops the multi-cell duplicates.
+    Candidate pairs are bounded by per-cell concurrency, not table size
+    — the standard bucketed interval join; the cell width is the
+    candidate-count vs explode-amplification dial (15 min ≈ 9x fewer
+    candidates than 1 h on this workload's mostly-point sessions).
+    The session table is checkpointed so the sessionize window pass runs
+    once, not once per self-join side.  (DuckDB's oracle uses its native
+    IEJoin over the raw predicate, making this an independent semantic
+    check.)"""
+    cell_us = 15 * 60 * 1_000_000
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
@@ -291,12 +298,11 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.explode(
             F.sequence(
-                F.date_trunc("hour", "s_start"),
-                F.date_trunc("hour", "s_end"),
-                F.expr("INTERVAL 1 HOUR"),
+                (F.unix_micros("s_start") / cell_us).cast("long"),
+                (F.unix_micros("s_end") / cell_us).cast("long"),
             )
         ),
-    )
+    ).localCheckpoint(eager=True)
     a, b = cells.alias("a"), cells.alias("b")
     return (
         a.join(
