@@ -424,6 +424,27 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hop_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 companion: hopping (sliding) 1-hour windows every 30 minutes in
+    batch — each event lands in exactly window/slide = 2 overlapping
+    windows.  ``F.window(ts, win, slide)`` is the same operator Structured
+    Streaming uses, so the batch oracle check covers the streaming window
+    assignment logic too.  The explode-by-2 amplification happens before
+    a map-side-combinable agg — the shuffle carries (window, type)
+    partials, not events."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_tumble_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B26: tumbling 1-hour windows (batch form of streaming B27); the
     window start is surfaced as a plain timestamp column."""
@@ -467,6 +488,7 @@ QUERIES = {
     "q_regex": q_regex,
     "q_sessionize": q_sessionize,
     "q_tumble_batch": q_tumble_batch,
+    "q_hop_batch": q_hop_batch,
 }
 
 
@@ -685,6 +707,15 @@ ORACLE = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "q_hop_batch": """
+        -- each event belongs to exactly win/slide = 2 hop windows:
+        -- starts floor(epoch/1800)*1800 and that minus 1800
+        SELECT to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800)
+                 AS window_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events, unnest([0, 1]) AS t(i)
+        GROUP BY 1, 2
     """,
 }
 

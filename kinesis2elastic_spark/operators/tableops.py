@@ -112,10 +112,89 @@ def q_run_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median + MAD (median
+    absolute deviation), flagging |value - median| > 3 * MAD — the
+    data-cleaning gate that, unlike z-scores, is not dragged by the
+    outliers it hunts.
+
+    Two exact-percentile aggregation passes (median, then MAD over the
+    residuals) joined back via a small broadcast (one row per event_type)
+    — events shuffle once per pass, stats never leave the executors
+    except as the k-row dim.  Cross-engine robustness: the cut uses
+    ROUNDED median/MAD (6 dp) so boundary rows can't flip on last-ulp
+    interpolation differences between engines."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "med", "mad", "n", "n_outliers")
+    )
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (record linkage): probe names with a planted
+    1-edit typo (``Customer`` → ``Custmer``) matched back against the
+    customer table by Levenshtein distance <= 2.
+
+    An unblocked fuzzy join is O(n x m) edit-distance calls — the classic
+    scale killer.  Here candidates are generated by an equi-join on a
+    blocking key (the 4-char name suffix, untouched by the head typo), so
+    the expensive ``levenshtein`` runs only within blocks; the probe side
+    broadcasts.  Same pattern as the LSH dedup paths: cheap candidate
+    generation, exact verify on candidates only."""
+    c = load(spark, sf_dir, "customer")
+    probes = (
+        c.filter(F.col("c_custkey") % 97 == 0)
+        .select(
+            F.col("c_custkey").alias("probe_key"),
+            F.expr("replace(c_name, 'Customer', 'Custmer')").alias("probe_name"),
+            F.expr("right(c_name, 4)").alias("blk"),
+        )
+    )
+    cand = F.broadcast(probes).join(
+        c.withColumn("blk", F.expr("right(c_name, 4)")), "blk"
+    )
+    return (
+        cand.withColumn(
+            "edit_dist", F.levenshtein("probe_name", "c_name").cast("long")
+        )
+        .filter(F.col("edit_dist") <= 2)
+        .select(
+            "probe_key",
+            "probe_name",
+            F.col("c_custkey").alias("match_key"),
+            F.col("c_name").alias("match_name"),
+            "edit_dist",
+        )
+    )
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_cdc_latest": q_cdc_latest,
     "q_run_compress": q_run_compress,
+    "q_outlier_mad": q_outlier_mad,
+    "q_fuzzy_join": q_fuzzy_join,
 }
 
 _PROFILE_UNION = "\nUNION ALL\n".join(
@@ -157,6 +236,35 @@ ORACLE = {
                min(ts) AS run_start, max(ts) AS run_end,
                CAST(count(*) AS BIGINT) AS run_len
         FROM runs GROUP BY user_id, event_type, island
+    """,
+    "q_outlier_mad": """
+        WITH med AS (
+          SELECT event_type, round(median(value), 6) AS med
+          FROM events GROUP BY event_type),
+        mad AS (
+          SELECT e.event_type,
+                 round(median(abs(e.value - m.med)), 6) AS mad,
+                 any_value(m.med) AS med
+          FROM events e JOIN med m USING (event_type)
+          GROUP BY e.event_type)
+        SELECT e.event_type, m.med, m.mad,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN mad m USING (event_type)
+        GROUP BY e.event_type, m.med, m.mad
+    """,
+    "q_fuzzy_join": """
+        WITH probes AS (
+          SELECT c_custkey AS probe_key,
+                 replace(c_name, 'Customer', 'Custmer') AS probe_name,
+                 right(c_name, 4) AS blk
+          FROM customer WHERE c_custkey % 97 = 0)
+        SELECT p.probe_key, p.probe_name,
+               c.c_custkey AS match_key, c.c_name AS match_name,
+               CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS edit_dist
+        FROM probes p JOIN customer c ON right(c.c_name, 4) = p.blk
+        WHERE levenshtein(p.probe_name, c.c_name) <= 2
     """,
 }
 

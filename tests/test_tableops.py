@@ -48,3 +48,50 @@ def test_run_compress_rebuilds_history_lengths(spark, sf_dir):
     e = load(spark, sf_dir, "events")
     assert out.agg(F.sum("run_len")).first()[0] == e.count()
     assert out.filter(F.col("run_start") > F.col("run_end")).count() == 0
+
+
+def test_outlier_mad_flags_planted_outlier(spark, tmp_path):
+    """49 values at ~10 plus one at 1000: median ~10, MAD small, the 1000
+    must be the single flagged outlier."""
+    rows = [(i, "2024-01-01 00:00:00", 1, "a", 10.0 + (i % 5) * 0.1, "{}") for i in range(49)]
+    rows.append((99, "2024-01-01 00:00:00", 1, "a", 1000.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = tableops.q_outlier_mad(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 50 and r.n_outliers == 1
+    assert abs(r.med - 10.2) < 0.5
+
+
+def test_fuzzy_join_recovers_planted_typos(spark, sf_dir):
+    """Every probe (a 1-edit typo of a real name) must match its own
+    original at edit distance 1; blocking must not lose it."""
+    out = tableops.q_fuzzy_join(spark, sf_dir).collect()
+    self_matches = {r.probe_key for r in out if r.match_key == r.probe_key}
+    probe_keys = {r.probe_key for r in out}
+    n_probes = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .count()
+    )
+    assert len(self_matches) == n_probes  # no probe lost to blocking
+    assert all(
+        r.edit_dist == 1 for r in out if r.match_key == r.probe_key
+    )  # the planted edit is exactly one deletion
+    assert probe_keys == self_matches
+
+
+def test_hop_batch_double_counts_each_event(spark, sf_dir):
+    """win/slide = 2 -> total n across windows is exactly 2x the events;
+    tumbling totals are preserved within each hour pair."""
+    out = tableops.load(spark, sf_dir, "events")
+    n_events = out.count()
+    hopped = __import__(
+        "kinesis2elastic_spark.operators.relational", fromlist=["r"]
+    ).q_hop_batch(spark, sf_dir)
+    total = hopped.agg(F.sum("n")).first()[0]
+    assert total == 2 * n_events
