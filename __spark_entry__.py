@@ -31,6 +31,7 @@ def _collect_modules():
         "corpus",
         "tableops",
         "temporal",
+        "sequence",
         "skew",
         "multimodal",
     ):

@@ -1,0 +1,177 @@
+"""Event-sequence analytics (driver-contract extension): ordered-behavior
+operators over the event stream — conversion funnels, cohort retention,
+and first-order transition matrices.  These are the canonical
+product-analytics / sequence-modeling-prep queries a log-analytics engine
+is expected to answer (and the shape session-ized training data takes
+before next-event modeling).
+
+Scale posture:
+- the funnel is three conditional-min aggregations, each map-side
+  combinable and keyed by user_id — one shuffle per stage boundary,
+  carrying (user, timestamp) pairs only, never event history;
+- retention is a self-join-free double aggregation: first-seen per user
+  (one shuffle), then (cohort, offset) cells (second shuffle of one row
+  per active user-day) — the cell count is bounded by cohorts x horizon,
+  independent of event volume;
+- transitions are one window pass (lag/lead share the sessionize sort)
+  plus a map-side-combinable pair count; the matrix is |types|² cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view → click → purchase per user:
+    the earliest view, the earliest click AFTER that view, the earliest
+    purchase AFTER that click; funnel_depth counts completed stages.
+
+    Each stage is a conditional-min aggregate joined back on user_id
+    (the per-user stage timestamps are scalars, so the join sides stay
+    narrow); no window over full event history is needed."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(c.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("funnel_depth"),
+        )
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    distinct in each later week offset — the activation/decay matrix.
+
+    Two aggregations, no self-join: first-seen per user, then distinct
+    users per (cohort_week, week_offset) cell.  The second shuffle
+    carries one row per active (user, day), and the output is bounded by
+    cohorts x horizon regardless of event volume."""
+    e = load(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "cohort_day").cast("date").alias("cohort_week"),
+            F.floor(F.datediff(F.col("d"), F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    counts and row-normalized probabilities for (event_type → next),
+    the prep table for Markov-style next-event modeling.  One window
+    pass (the same (user, ts) sort sessionization uses) then a
+    map-side-combinable pair count; |types|² output cells."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = W.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+QUERIES = {
+    "q_event_funnel": q_event_funnel,
+    "q_retention_cohorts": q_retention_cohorts,
+    "q_event_transitions": q_event_transitions,
+}
+
+ORACLE = {
+    "q_event_funnel": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS t_click, any_value(v.t_view) AS t_view
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               CAST(1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS funnel_depth
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    "q_retention_cohorts": """
+        WITH act AS (
+          SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        first AS (
+          SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id)
+        SELECT CAST(date_trunc('week', f.cohort_day) AS DATE) AS cohort_week,
+               CAST(date_diff('day', f.cohort_day, a.d) // 7 AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM act a JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    """,
+    "q_event_transitions": """
+        WITH seq AS (
+          SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events),
+        pairs AS (
+          SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type)
+        SELECT event_type, next_type, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY event_type), 6) AS p
+        FROM pairs
+    """,
+}
+
+ROWS_ONLY: set[str] = set()

@@ -1,0 +1,56 @@
+"""Event-sequence analytics: funnel strict ordering, retention cohort
+accounting, transition-matrix row-stochasticity."""
+
+from pyspark.sql import functions as F
+
+from kinesis2elastic_spark.operators import sequence
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_funnel_requires_strict_order(spark, tmp_path):
+    """u1 completes view->click->purchase in order (depth 3). u2 clicked
+    BEFORE their first view — the click must not count (depth 1). u3
+    views and clicks but purchases before the click (depth 2)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 01:00:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 02:00:00", 1, "purchase", 0.0, "{}"),
+        (4, "2024-01-02 01:00:00", 2, "click", 0.0, "{}"),
+        (5, "2024-01-02 02:00:00", 2, "view", 0.0, "{}"),
+        (6, "2024-01-03 00:00:00", 3, "view", 0.0, "{}"),
+        (7, "2024-01-03 00:30:00", 3, "purchase", 0.0, "{}"),
+        (8, "2024-01-03 01:00:00", 3, "click", 0.0, "{}"),
+    ]
+    _events(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.user_id: r for r in sequence.q_event_funnel(spark, str(tmp_path)).collect()}
+    assert out[1].funnel_depth == 3
+    assert out[2].funnel_depth == 1 and out[2].t_click is None
+    assert out[3].funnel_depth == 2 and out[3].t_purchase is None
+
+
+def test_retention_week0_counts_every_user(spark, sf_dir):
+    out = sequence.q_retention_cohorts(spark, sf_dir)
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id").distinct().count()
+    )
+    week0 = out.filter(F.col("week_offset") == 0).agg(F.sum("n_active")).first()[0]
+    assert week0 == n_users  # everyone is active in their own first week
+    assert out.filter(F.col("week_offset") < 0).count() == 0
+
+
+def test_transitions_are_row_stochastic(spark, sf_dir):
+    out = sequence.q_event_transitions(spark, sf_dir)
+    sums = out.groupBy("event_type").agg(F.round(F.sum("p"), 4).alias("s")).collect()
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-3, r
+    n_pairs = out.agg(F.sum("n")).first()[0]
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert n_pairs == n_events - n_users  # each user contributes len-1 pairs
