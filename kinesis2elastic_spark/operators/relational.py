@@ -111,6 +111,47 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 companion: MERGEABLE distinct-count sketches (Apache
+    DataSketches HLL).  Per-group sketches are built once, then the
+    global cardinality comes from ``hll_union_agg`` over the sketch
+    column — the raw data is never re-touched.  That mergeability is the
+    100 TB property: per-partition/per-day sketches roll up into any
+    coarser grain as pure sketch unions (the continuous-rollup pattern,
+    `streaming/rollup.py`, applied to distinct counts, which plain
+    ``approx_count_distinct`` partials cannot do once materialized).
+
+    Self-verifying like q_approx_distinct: per-group AND merged-union
+    estimates are compared in-engine against exact distincts; the oracle
+    recomputes the exacts and expects every ``est_ok`` TRUE."""
+    li = load(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_parts"))
+        / F.col("exact_parts")
+        <= 0.05
+    )
+    per_out = per.select(
+        F.col("l_returnflag").alias("scope"), "exact_parts", ok.alias("est_ok")
+    )
+    glob = (
+        per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(li.agg(F.countDistinct("l_partkey").alias("exact_parts")))
+        .select(
+            F.lit("ALL").alias("scope"),
+            "exact_parts",
+            (
+                F.abs(F.col("est") - F.col("exact_parts")) / F.col("exact_parts")
+                <= 0.05
+            ).alias("est_ok"),
+        )
+    )
+    return per_out.unionByName(glob)
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6: ROLLUP grouping sets; Spark's Expand operator replicates rows per
     grouping set before one hash aggregate (map-side partials still apply)."""
@@ -467,6 +508,7 @@ QUERIES = {
     "q_pricing_agg": q_pricing_agg,
     "q_agg_distinct": q_agg_distinct,
     "q_approx_distinct": q_approx_distinct,
+    "q_hll_merge": q_hll_merge,
     "q_rollup": q_rollup,
     "q_join_inner": q_join_inner,
     "q_join_star": q_join_star,
@@ -530,6 +572,14 @@ ORACLE = {
                count(*)                  AS n,
                TRUE                      AS est_ok
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_hll_merge": """
+        SELECT l_returnflag AS scope,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS est_ok
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'ALL', count(DISTINCT l_partkey), TRUE FROM lineitem
     """,
     "q_rollup": """
         SELECT l_returnflag, l_linestatus,
