@@ -132,3 +132,14 @@ def test_session_overlap_is_equi_join_on_cells(spark, sf_dir):
         q_session_overlap(spark, sf_dir),
         absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
     )
+
+
+def test_funnel_stays_equi_join(spark, sf_dir):
+    # Conditional-min stages must compose as equi-joins on user_id —
+    # a nested-loop here would rescan event history per user at scale.
+    from kinesis2elastic_spark.operators.sequence import q_event_funnel
+
+    assert_plan(
+        q_event_funnel(spark, sf_dir),
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
