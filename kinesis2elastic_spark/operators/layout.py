@@ -1,0 +1,89 @@
+"""Data-layout maintenance: small-file compaction and partitioned+sorted
+(clustered) writes.
+
+The two chronic operational problems of a 100 TB parquet lake:
+
+- **Small files.**  Streaming micro-batches and over-parallel writers
+  produce thousands of KB-sized files per partition; every later scan
+  then pays per-file open/footer costs and the driver pays listing costs.
+  ``compact_parquet`` rewrites a directory into ~``target_mb`` files,
+  sized from the ACTUAL byte size on disk, not a guessed partition count.
+- **Unclustered data.**  ``write_partitioned_sorted`` writes
+  ``partitionBy(date-ish)`` for partition pruning plus
+  ``sortWithinPartitions(key)`` so min/max footer stats make point/range
+  predicates on ``key`` skip row groups — the poor man's Z-order, and the
+  right default for time-partitioned fact tables.
+
+Both are pure write-path helpers (no queries() entry — their observable
+contract is the resulting file layout, asserted in
+``tests/test_layout.py``).  Complements ``bucketing.py`` (join
+co-location) and ``streaming/rollup.py`` (incremental materialization).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def parquet_files(path: str) -> list[str]:
+    """Data files (not _SUCCESS/metadata) under a parquet output dir."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, target_mb: int = 128
+) -> int:
+    """Rewrite ``src`` into ``dst`` as ceil(bytes / target_mb) files and
+    return that file count.
+
+    Scale shape: one coalesce-style repartition — no keys, no sort — so
+    the only cost is the rewrite itself.  File count derives from real
+    on-disk bytes; at cluster scale the same arithmetic comes from the
+    filesystem listing the driver already holds.  Production would gate
+    this on a small-file-ratio threshold and run per partition; the
+    per-directory primitive is the same."""
+    n_bytes = _dir_bytes(src)
+    n_files = max(1, -(-n_bytes // (target_mb * 1024 * 1024)))
+    spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files
+
+
+def write_partitioned_sorted(
+    df: DataFrame, dst: str, partition_col: str, sort_col: str
+) -> None:
+    """Clustered write: hive-style ``partitionBy(partition_col)`` for
+    partition pruning + ``sortWithinPartitions(sort_col)`` so parquet
+    row-group min/max stats cover ``sort_col`` ranges tightly and
+    selective scans skip row groups.  ``repartition(partition_col)``
+    first, so each hive partition is written by one task (one file, no
+    small-file spray from every task touching every partition).
+
+    The sort is (partition_col, sort_col), not sort_col alone: the file
+    writer requires rows grouped by the partition column and inserts its
+    OWN sort on it when the incoming order doesn't already satisfy that —
+    a sort that does not preserve the secondary order.  Leading with the
+    partition column makes the writer's requirement already-met, so the
+    sort_col clustering survives into the files."""
+    (
+        df.repartition(partition_col)
+        .sortWithinPartitions(partition_col, sort_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(dst)
+    )
