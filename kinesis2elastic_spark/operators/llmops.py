@@ -770,6 +770,52 @@ def kmeans_iterate(
     return assigned, history
 
 
+def q_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (rows-only): k-means
+    clusters act as LEARNED candidate buckets; exact cosine similarity
+    runs only within a cluster, and pairs above ``threshold`` are
+    near-duplicates (threshold matches q_cosine_near_dup — the synthetic
+    embeddings' similarity tail, where a real corpus would use ~0.95).
+
+    This is the third candidate-generation strategy next to the
+    hyperplane-LSH (q_cosine_near_dup) and IVF (q_ann_ivf) buckets, and
+    the one that adapts to the data: cluster granularity (k) bounds the
+    within-bucket O(n_c²) exactly like the LSH bucket-size guard, but
+    buckets follow the embedding distribution instead of random planes.
+    Scale shape: assignment is the stateless k-means Arrow pass; the
+    pair join is an equi-join on cluster id; the exact cosine verify
+    touches within-cluster candidates only.  (Cites: SemDeDup, Abbas et
+    al. 2023 — cluster-then-dedup is how semantic dedup avoids the n²
+    similarity matrix.)"""
+    from ..functions.vectors import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_iterate(emb, k=k, n_iter=n_iter)
+    side = assigned.select("cluster", "vec_id", "vec")
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4))
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.col("a.cluster").cast("long").alias("cluster"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "sim",
+        )
+    )
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3) -> DataFrame:
     """B34/B33 companion (rows-only): k-means cluster profile after
     ``n_iter`` Lloyd rounds — per-cluster population and inertia, the
@@ -915,6 +961,7 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_ann_recall": q_ann_recall,
     "q_kmeans": q_kmeans,
+    "q_semantic_dedup": q_semantic_dedup,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
@@ -1014,6 +1061,7 @@ ORACLE = {
 
 ROWS_ONLY = {
     "q_kmeans",
+    "q_semantic_dedup",
     "q_minhash_near_dup",
     "q_simhash_near_dup",
     "q_ann_lsh",

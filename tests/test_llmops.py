@@ -163,3 +163,29 @@ def test_kmeans_lloyd_invariants(spark, sf_dir):
     # determinism: same seeds, same history
     _, h2 = kmeans_iterate(emb, k=8, n_iter=3)
     assert h2 == history
+
+
+def test_semantic_dedup_finds_planted_duplicate(spark, tmp_path):
+    """Two well-separated blobs plus one planted exact-duplicate pair:
+    k=2 k-means must put the identical vectors in the same cluster, and
+    the within-cluster cosine verify must emit exactly that pair at
+    sim 1.0 under a high threshold."""
+    import numpy as np
+
+    from kinesis2elastic_spark.operators.llmops import q_semantic_dedup
+
+    rng = np.random.default_rng(7)
+    blob_a = rng.normal(loc=5.0, scale=0.3, size=(20, 8))
+    blob_b = rng.normal(loc=-5.0, scale=0.3, size=(20, 8))
+    dup = rng.normal(size=8)
+    dup = dup / np.linalg.norm(dup) + 5.0  # lives in blob A's region
+    vecs = np.vstack([blob_a, blob_b, dup, dup])
+    rows = [
+        (int(i), [float(x) for x in v], 0) for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = q_semantic_dedup(spark, str(tmp_path), k=2, n_iter=2, threshold=0.999999).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in out}
+    assert (40, 41) in pairs  # the planted duplicates, co-clustered and flagged
+    assert all(r.sim >= 0.9999 for r in out)
