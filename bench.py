@@ -57,6 +57,7 @@ HEADLINE = [
     "q_tfidf",
     "q_doc_chunk",
     "q_session_overlap",
+    "q_hll_merge",
 ]
 
 

@@ -226,21 +226,40 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One window (lead) per key for the durations, then a plain weighted
     aggregate; the unweighted mean and observation count ride along to
-    show the bias being corrected.  One shuffle on user_id at any scale."""
+    show the bias being corrected.  One shuffle on user_id at any scale.
+
+    Numerics (two cross-engine traps live here):
+    - double sums are summation-ORDER-dependent, so both sums are exact:
+      value snapped to DECIMAL(18,6) (order-independent addition),
+      duration in integer microseconds; only the final twa division runs
+      in double (one deterministic IEEE op on identical inputs).
+    - round() TIE MODES differ (Spark HALF_UP, DuckDB half-even on
+      doubles), and a per-user mean with a power-of-two count (n=64 at
+      sf0.1) lands EXACTLY on .xxxx5 — so the unweighted side is emitted
+      as the exact decimal sum (hash-identical, never rounded) rather
+      than a rounded mean.  The twa quotient cannot tie: sum(dur) is not
+      a power of two, so the quotient is never exactly representable at
+      a decimal rounding boundary."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     # integer microseconds on both engines — unix_timestamp() would
     # truncate sub-second parts that DuckDB's epoch() keeps
-    dur = (F.unix_micros(nxt) - F.unix_micros("ts")).cast("double")
-    seg = e.select("user_id", "value", dur.alias("dur"))
+    dur = F.unix_micros(nxt) - F.unix_micros("ts")
+    seg = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        dur.alias("dur"),
+    )
     return (
         seg.groupBy("user_id")
         .agg(
             F.round(
-                F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 4
+                F.sum(F.col("v") * F.col("dur").cast("decimal(20,0)")).cast("double")
+                / F.sum("dur").cast("double"),
+                4,
             ).alias("twa_value"),
-            F.round(F.avg("value"), 4).alias("plain_avg"),
+            F.sum("v").cast("decimal(20,6)").alias("plain_sum"),
             F.count("*").alias("n_obs"),
         )
     )
@@ -384,13 +403,14 @@ ORACLE = {
     """,
     "q_time_weighted_avg": """
         WITH seg AS (
-          SELECT user_id, value,
-                 CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                      - epoch_us(ts) AS DOUBLE) AS dur
+          SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+                 epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dur
           FROM events)
         SELECT user_id,
-               round(sum(value * dur) / sum(dur), 4) AS twa_value,
-               round(avg(value), 4) AS plain_avg,
+               round(CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 4)
+                 AS twa_value,
+               CAST(sum(v) AS DECIMAL(20,6)) AS plain_sum,
                count(*) AS n_obs
         FROM seg GROUP BY user_id
     """,
