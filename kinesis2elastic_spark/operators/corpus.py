@@ -405,6 +405,46 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a corpus-trained character
+    bigram model — the relational miniature of KenLM-filtering: documents
+    whose character transitions are improbable under the corpus's own
+    statistics (mojibake, binary spill, wrong-language text) score high
+    and get filtered.
+
+    score(doc) = -mean over its bigrams of ln P(c2|c1), with
+    P(c2|c1) = corpus_count(c1c2) / corpus_count(c1·).
+
+    Scale shape: the "model" is the bigram count table — a few thousand
+    rows regardless of corpus size — built by one map-side-combinable
+    aggregation and BROADCAST back; scoring is then a per-bigram
+    broadcast-join + one partial-aggregable mean per doc.  Train and
+    score are the same two-pass shape at 100 TB (the model table grows
+    with alphabet², not data)."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 1)
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+        F.lower("text").alias("t"),
+    ).select("doc_id", F.expr("substring(t, i, 2)").alias("bg"))
+    model = (
+        grams.groupBy("bg")
+        .agg(F.count("*").alias("n_bg"))
+        .withColumn("c1", F.substring("bg", 1, 1))
+        .withColumn("n_c1", F.sum("n_bg").over(W.partitionBy("c1")))
+    )
+    scored = grams.join(F.broadcast(model.select("bg", "n_bg", "n_c1")), "bg")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -F.avg(F.log(F.col("n_bg").cast("double") / F.col("n_c1"))), 4
+            ).alias("nll_score"),
+        )
+    )
+
+
 STRATUM_QUOTA = 20  # docs kept per language stratum
 
 
@@ -458,6 +498,7 @@ QUERIES = {
     "q_doc_chunk": q_doc_chunk,
     "q_tfidf": q_tfidf,
     "q_char_entropy": q_char_entropy,
+    "q_charlm_score": q_charlm_score,
 }
 
 ORACLE = {
@@ -634,6 +675,24 @@ ORACLE["q_char_entropy"] = """
                  - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 4)
              AS char_entropy
     FROM f GROUP BY doc_id
+"""
+
+ORACLE["q_charlm_score"] = """
+    WITH grams AS (
+      SELECT doc_id, substr(lower(text), CAST(i AS BIGINT), 2) AS bg
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - 1)) AS i
+            FROM documents WHERE length(text) > 1)),
+    model AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS n_bg FROM grams GROUP BY bg),
+    model2 AS (
+      SELECT bg, n_bg,
+             sum(n_bg) OVER (PARTITION BY substr(bg, 1, 1)) AS n_c1
+      FROM model)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(ln(CAST(m.n_bg AS DOUBLE) / m.n_c1)), 4) AS nll_score
+    FROM grams g JOIN model2 m USING (bg)
+    GROUP BY g.doc_id
 """
 
 ROWS_ONLY = {"q_seq_pack"}

@@ -267,3 +267,18 @@ def test_char_entropy_bounds(spark):
 
     assert abs(out[2].char_entropy - round(math.log(8), 4)) < 1e-9  # uniform
     assert out[2].n_distinct_chars == 8
+
+
+def test_charlm_scores_gibberish_higher(spark, tmp_path):
+    """A document of corpus-typical text must score a lower negative
+    log-likelihood than line noise under the corpus-trained bigram
+    model."""
+    rows = [
+        (1, "the cat sat on the mat and the dog sat on the log", "en", "web", 49),
+        (2, "the man ran to the van and the fan was on the can", "en", "web", 49),
+        (3, "qz xv jk wq zx kj qx vz jq kx zq xj", "en", "web", 35),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r.nll_score for r in corpus.q_charlm_score(spark, str(tmp_path)).collect()}
+    assert out[3] > out[1] and out[3] > out[2]
