@@ -34,6 +34,7 @@ def _collect_modules():
         "sequence",
         "skew",
         "multimodal",
+        "tpch",
     ):
         try:
             mod = __import__(

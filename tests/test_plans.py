@@ -143,3 +143,35 @@ def test_funnel_stays_equi_join(spark, sf_dir):
         q_event_funnel(spark, sf_dir),
         absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
     )
+
+
+def test_tpch_exists_plans_as_semi_join(spark, sf_dir):
+    # Q4's EXISTS must plan as a (left-)semi join against lineitem, never
+    # a per-order re-scan; Q22's NOT EXISTS as an anti join.
+    from kinesis2elastic_spark.operators.tpch import QUERIES
+
+    q4 = formatted_plan(QUERIES["q_sql_q4"](spark, sf_dir))
+    assert "Semi" in q4 and "CartesianProduct" not in q4
+    q22 = formatted_plan(QUERIES["q_sql_q22"](spark, sf_dir))
+    assert "Anti" in q22 and "CartesianProduct" not in q22
+
+
+def test_tpch_q8_broadcasts_dims(spark, sf_dir):
+    # The 7-table market-share join: dim sides (nation x2, region, part,
+    # supplier at TPC-H ratios) broadcast; no cartesian anywhere.
+    from kinesis2elastic_spark.operators.tpch import QUERIES
+
+    assert_plan(
+        QUERIES["q_sql_q8"](spark, sf_dir),
+        contains=("BroadcastHashJoin",),
+        absent=("CartesianProduct",),
+    )
+
+
+def test_tpch_q17_threshold_is_aggregate_join(spark, sf_dir):
+    # The correlated 0.2*avg(qty per part) threshold must rewrite to an
+    # aggregate-then-join, not a per-row subquery (no nested-loop node).
+    from kinesis2elastic_spark.operators.tpch import QUERIES
+
+    plan = formatted_plan(QUERIES["q_sql_q17"](spark, sf_dir))
+    assert "HashAggregate" in plan and "CartesianProduct" not in plan
