@@ -484,6 +484,101 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_M_BITS = 1 << 22  # 4.2M bits = 512 KB bitmap
+BLOOM_K = 3  # hash functions; fp/gram ≈ (fill)³ — <1% up to ~1M bench grams
+
+
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB path for ``q_decontam``.
+
+    The exact path broadcasts the benchmark's distinct shingle SET; at real
+    scale that set is 10⁸+ strings (GBs) and stops being broadcastable.  A
+    Bloom filter compresses it to a fixed ``BLOOM_M_BITS``-bit bitmap (512
+    KB here) at the cost of a bounded false-positive rate and ZERO false
+    negatives — exactly the right trade for contamination screening, where
+    a false positive merely quarantines one extra document.
+
+    Scale shape:
+    - positions are hashed JVM-side (``xxhash64(gram, seed) mod m`` — no
+      Python string hashing);
+    - the bitmap is built DISTRIBUTED: each partition segment-ORs its
+      positions into a local bitmap (``mapInPandas``), the driver ORs
+      |partitions| × 512 KB buffers — never a row-per-position collect;
+    - the probe side broadcasts the bitmap (``sparkContext.broadcast``)
+      and tests all K positions per gram with vectorized numpy indexing;
+      only the per-doc flag aggregate shuffles.
+
+    Self-verifying (the est_ok pattern): the query recomputes the exact
+    broadcast-join contamination alongside and emits one summary row —
+    ``no_false_negatives`` (guaranteed by construction, asserted anyway)
+    and ``fp_ok`` (false-positive DOC rate among clean docs ≤ 5%).  The
+    DuckDB oracle recomputes the exact counts and expects TRUE flags."""
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(_word_ngrams(NGRAM_N)).alias("gram"))
+    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+
+    pos_cols = [
+        F.pmod(F.xxhash64("gram", F.lit(seed)), F.lit(BLOOM_M_BITS)).alias(f"p{seed}")
+        for seed in range(BLOOM_K)
+    ]
+    positions = bench.select(F.explode(F.array(*pos_cols)).alias("pos"))
+    nbytes = BLOOM_M_BITS // 8
+
+    def partition_bitmap(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                p = pdf["pos"].to_numpy()
+                np.bitwise_or.at(bm, p // 8, (1 << (p % 8)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    partials = positions.mapInPandas(partition_bitmap, "bm binary").collect()
+    bitmap = np.zeros(nbytes, dtype=np.uint8)
+    for row in partials:  # |partitions| buffers of 512 KB — bounded
+        bitmap |= np.frombuffer(row.bm, dtype=np.uint8)
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def bloom_maybe(p0: pd.Series, p1: pd.Series, p2: pd.Series) -> pd.Series:
+        bm = bc.value
+        out = np.ones(len(p0), dtype=bool)
+        for p in (p0.to_numpy(), p1.to_numpy(), p2.to_numpy()):
+            out &= (bm[p // 8] >> (p % 8)) & 1 == 1
+        return pd.Series(out)
+
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    flagged = (
+        train.select("doc_id", *pos_cols)
+        .withColumn("maybe", bloom_maybe("p0", "p1", "p2"))
+        .groupBy("doc_id")
+        .agg(F.max("maybe").alias("bloom_flag"))
+    )
+    exact = (
+        train.join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_flag", F.lit(True))
+    )
+    per_doc = flagged.join(exact, "doc_id", "left").select(
+        "bloom_flag", F.coalesce("exact_flag", F.lit(False)).alias("exact_flag")
+    )
+    n_clean = F.sum((~F.col("exact_flag")).cast("long"))
+    n_fp = F.sum((F.col("bloom_flag") & ~F.col("exact_flag")).cast("long"))
+    return per_doc.agg(
+        F.count("*").cast("long").alias("n_train_docs"),
+        F.sum(F.col("exact_flag").cast("long")).cast("long").alias("n_exact_contaminated"),
+        (F.sum((F.col("exact_flag") & ~F.col("bloom_flag")).cast("long")) == 0).alias(
+            "no_false_negatives"
+        ),
+        (F.coalesce(n_fp / F.nullif(n_clean, F.lit(0)), F.lit(0.0)) <= 0.05).alias("fp_ok"),
+    )
+
+
 QUERIES = {
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
@@ -499,6 +594,7 @@ QUERIES = {
     "q_tfidf": q_tfidf,
     "q_char_entropy": q_char_entropy,
     "q_charlm_score": q_charlm_score,
+    "q_bloom_decontam": q_bloom_decontam,
 }
 
 ORACLE = {
@@ -582,6 +678,22 @@ ORACLE["q_decontam"] = f"""
            CAST(count(DISTINCT t.gram) AS BIGINT) AS n_contaminated_grams
     FROM train t JOIN bench b USING (gram)
     GROUP BY t.doc_id
+"""
+
+ORACLE["q_bloom_decontam"] = f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - {NGRAM_N - 1}, 0) + 1),
+               i -> array_to_string(list_slice(string_split(text, ' '), i, i + {NGRAM_N - 1}), ' '))) AS gram
+      FROM documents),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+    train AS (SELECT doc_id, gram FROM g WHERE doc_id % {BENCH_MOD} <> 0),
+    exact AS (SELECT DISTINCT t.doc_id FROM train t JOIN bench b USING (gram))
+    SELECT CAST((SELECT count(DISTINCT doc_id) FROM train) AS BIGINT) AS n_train_docs,
+           CAST((SELECT count(*) FROM exact) AS BIGINT)               AS n_exact_contaminated,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_ok
 """
 
 ORACLE["q_repetition_stats"] = """

@@ -282,3 +282,28 @@ def test_charlm_scores_gibberish_higher(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     out = {r.doc_id: r.nll_score for r in corpus.q_charlm_score(spark, str(tmp_path)).collect()}
     assert out[3] > out[1] and out[3] > out[2]
+
+
+def test_bloom_decontam_planted(spark, tmp_path):
+    """Planted contamination: doc 53 is the benchmark (53 % 53 == 0);
+    doc 1 shares a 4-gram with it verbatim, docs 2-3 do not.  The Bloom
+    path must flag exactly the exact-path set (no false negatives by
+    construction) and the summary flags must hold."""
+    shared = "alpha beta gamma delta"
+    rows = [
+        (53, f"{shared} epsilon zeta", "en", "web", 28),
+        (1, f"prefix words {shared} suffix", "en", "web", 33),
+        (2, "totally unrelated content here now", "en", "web", 34),
+        (3, "another clean document with words", "en", "web", 33),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = corpus.q_bloom_decontam(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_train_docs == 3
+    assert r.n_exact_contaminated == 1
+    assert r.no_false_negatives is True
+    assert r.fp_ok is True
