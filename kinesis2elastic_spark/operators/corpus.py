@@ -484,6 +484,43 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 256
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction + coverage: the top-``VOCAB_SIZE``
+    words by corpus frequency (deterministic tie-break: count desc, word
+    asc) become the vocab; every document reports its token count, OOV
+    token count, and OOV rate — the coverage diagnostic run before
+    committing to a tokenizer vocab.
+
+    Scale shape: the global word count is one map-side-combinable
+    aggregate (shuffle carries (word, count)); the top-V compiles to
+    TakeOrderedAndProject (per-partition heads, never a global sort); the
+    vocab — small by definition — broadcasts into the probe join, so the
+    corpus side streams map-side with only the per-doc aggregate
+    shuffling."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "word")
+        .limit(VOCAB_SIZE)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    n_oov = F.sum((~F.coalesce("in_vocab", F.lit(False))).cast("long"))
+    return (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+            F.round(n_oov / F.count("*"), 4).alias("oov_rate"),
+        )
+    )
+
+
 BLOOM_M_BITS = 1 << 22  # 4.2M bits = 512 KB bitmap
 BLOOM_K = 3  # hash functions; fp/gram ≈ (fill)³ — <1% up to ~1M bench grams
 
@@ -595,6 +632,7 @@ QUERIES = {
     "q_char_entropy": q_char_entropy,
     "q_charlm_score": q_charlm_score,
     "q_bloom_decontam": q_bloom_decontam,
+    "q_vocab_oov": q_vocab_oov,
 }
 
 ORACLE = {
@@ -678,6 +716,24 @@ ORACLE["q_decontam"] = f"""
            CAST(count(DISTINCT t.gram) AS BIGINT) AS n_contaminated_grams
     FROM train t JOIN bench b USING (gram)
     GROUP BY t.doc_id
+"""
+
+ORACLE["q_vocab_oov"] = f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    vocab AS (
+      SELECT word, TRUE AS in_vocab
+      FROM (SELECT word, count(*) AS c FROM w GROUP BY word
+            ORDER BY c DESC, word LIMIT {VOCAB_SIZE})),
+    per AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN coalesce(in_vocab, FALSE) THEN 0 ELSE 1 END) AS n_oov
+      FROM w LEFT JOIN vocab USING (word)
+      GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT)    AS n_oov,
+           round(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_rate
+    FROM per
 """
 
 ORACLE["q_bloom_decontam"] = f"""

@@ -175,3 +175,15 @@ def test_tpch_q17_threshold_is_aggregate_join(spark, sf_dir):
 
     plan = formatted_plan(QUERIES["q_sql_q17"](spark, sf_dir))
     assert "HashAggregate" in plan and "CartesianProduct" not in plan
+
+
+def test_vocab_oov_topv_and_broadcast(spark, sf_dir):
+    # Vocab induction: top-V must compile to TakeOrderedAndProject (no
+    # global sort of the word counts) and the vocab probe must broadcast.
+    from kinesis2elastic_spark.operators.corpus import q_vocab_oov
+
+    assert_plan(
+        q_vocab_oov(spark, sf_dir),
+        contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
+        absent=("SortMergeJoin", "CartesianProduct"),
+    )
