@@ -282,6 +282,42 @@ def q_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36: the Python UDTF surface (Spark 4) — a table function registered
+    by name and invoked through SQL LATERAL, emitting one row per word
+    bigram with its position.  This is the UDTF leg of the UDF-surface
+    matrix (scalar pandas UDF = q_registered_udf, UDAF-alike =
+    applyInPandas in q_seq_pack, UDTF = here, mapInPandas = multimodal).
+
+    Scale notes: a Python UDTF is a per-row generator — the slow path by
+    design; it exists for logic that genuinely must emit a variable
+    number of rows from imperative Python.  Anything expressible as
+    explode(transform(...)) (like this bigram demo — see
+    corpus._word_ngrams) should use the JVM form in production; the input
+    here is pre-filtered (doc_id % 10 = 0) and the oracle checks the full
+    row set, which is the point of the demo."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, gram string")
+    class Bigrams:
+        def eval(self, text: str):
+            words = (text or "").split(" ")
+            for i in range(len(words) - 1):
+                yield i, words[i] + " " + words[i + 1]
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id, g.pos, g.gram
+        FROM documents, LATERAL bigrams_udtf(text) AS g
+        WHERE doc_id % 10 = 0
+        """
+    )
+
+
 def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap self-join: which user sessions were concurrently
     active?  Sessions are 30-min-gap intervals (same construction as
@@ -352,6 +388,7 @@ QUERIES = {
     "q_gapfill_locf": q_gapfill_locf,
     "q_time_weighted_avg": q_time_weighted_avg,
     "q_registered_udf": q_registered_udf,
+    "q_udtf_ngrams": q_udtf_ngrams,
 }
 
 ORACLE = {
@@ -413,6 +450,16 @@ ORACLE = {
                CAST(sum(v) AS DECIMAL(20,6)) AS plain_sum,
                count(*) AS n_obs
         FROM seg GROUP BY user_id
+    """,
+    "q_udtf_ngrams": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents WHERE doc_id % 10 = 0),
+        g AS (SELECT doc_id, words,
+                     unnest(range(1, greatest(len(words) - 1, 0) + 1)) AS i
+              FROM w)
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(list_slice(words, i, i + 1), ' ') AS gram
+        FROM g
     """,
     "q_registered_udf": """
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
