@@ -268,6 +268,86 @@ def q_minhash_near_dup(
     )
 
 
+EXACT_SUBSTR_K = 8  # span seed length in tokens (50 in Lee et al.; the
+# synthetic docs are ~30 words, so 8 keeps the operator meaningfully
+# exercised at test scale — the plan shape is length-independent)
+
+
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    token spans that occur more than once in the corpus and report, per
+    document, how much of it is covered by duplicated text.
+
+    The suffix-array construction of the paper is replaced by the
+    Spark-native equivalent: positional K-token shingles → global
+    occurrence count → keep shingles occurring ≥ 2× → per-doc
+    gaps-and-islands merge of the covered [start, end] token intervals
+    (running-max window + cumulative island ids — overlapping or adjacent
+    seed matches coalesce into maximal spans, exactly the paper's merged
+    duplicate spans for matches ≥ K).
+
+    Scale shape: the only corpus-sized shuffle is the shingle count,
+    keyed by the shingle itself (at production scale hash it to a 16-byte
+    digest first; kept as text here so the DuckDB oracle can recompute
+    byte-identically).  The island merge shuffles only the surviving
+    duplicate occurrences, partitioned by doc_id."""
+    k = EXACT_SUBSTR_K
+    d = _docs_parallel(spark, sf_dir)
+    words = F.split("text", " ")
+    base = d.select("doc_id", words.alias("w"), F.size(words).alias("n_tokens"))
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.array_join(F.slice("w", i, k), " ").alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<s:int,gram:string>>"))
+        ).alias("sg"),
+    ).select("doc_id", F.col("sg.s").alias("s"), F.col("sg.gram").alias("gram"))
+
+    dup_grams = sh.groupBy("gram").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    occ = sh.join(dup_grams.select("gram"), "gram", "left_semi").select(
+        "doc_id", "s", (F.col("s") + (k - 1)).alias("e")
+    )
+    w_prev = W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.partitionBy("doc_id").orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    isl = (
+        occ.withColumn("pme", F.max("e").over(w_prev))
+        .withColumn(
+            "new_isl",
+            F.when(F.col("pme").isNull() | (F.col("s") > F.col("pme") + 1), 1).otherwise(0),
+        )
+        .withColumn("iid", F.sum("new_isl").over(w_cum))
+    )
+    spans = isl.groupBy("doc_id", "iid").agg(
+        F.min("s").alias("ss"), F.max("e").alias("ee")
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("ee") - F.col("ss") + 1).cast("long").alias("n_dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard within blocking keys (lang, source,
     n_chars DIV 20) — the oracle-checkable exact counterpart of the LSH
@@ -955,6 +1035,7 @@ QUERIES = {
     "q_minhash_near_dup": q_minhash_near_dup,
     "q_dedup_clusters": q_dedup_clusters,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_exact_substr_dedup": q_exact_substr_dedup,
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_cosine_topk": q_cosine_topk,
     "q_ann_lsh": q_ann_lsh,
@@ -984,6 +1065,38 @@ ORACLE = {
                md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))    AS fingerprint,
                sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint_sha256
         FROM documents
+    """,
+    "q_exact_substr_dedup": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        sh AS (SELECT doc_id, words,
+                      unnest(range(1, greatest(len(words) - {EXACT_SUBSTR_K - 1}, 0) + 1)) AS s
+               FROM w),
+        g AS (SELECT doc_id, s, s + {EXACT_SUBSTR_K - 1} AS e,
+                     array_to_string(list_slice(words, s, s + {EXACT_SUBSTR_K - 1}), ' ') AS gram
+              FROM sh),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        occ AS (SELECT doc_id, s, e FROM g SEMI JOIN dup USING (gram)),
+        m AS (SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              FROM occ),
+        isl AS (SELECT doc_id, s, e,
+                       sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS iid
+                FROM m),
+        spans AS (SELECT doc_id, iid, min(s) AS ss, max(e) AS ee
+                  FROM isl GROUP BY doc_id, iid),
+        per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                       CAST(sum(ee - ss + 1) AS BIGINT) AS n_dup_tokens
+                FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               coalesce(per.n_dup_spans, 0)  AS n_dup_spans,
+               coalesce(per.n_dup_tokens, 0) AS n_dup_tokens,
+               round(CAST(coalesce(per.n_dup_tokens, 0) AS DOUBLE)
+                     / len(string_split(d.text, ' ')), 4) AS dup_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
     """,
     "q_ngram_jaccard": """
         WITH toks AS (

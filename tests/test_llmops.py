@@ -189,3 +189,28 @@ def test_semantic_dedup_finds_planted_duplicate(spark, tmp_path):
     pairs = {(r.vec_a, r.vec_b) for r in out}
     assert (40, 41) in pairs  # the planted duplicates, co-clustered and flagged
     assert all(r.sim >= 0.9999 for r in out)
+
+
+def test_exact_substr_planted_spans(spark, tmp_path):
+    """Planted duplicated run: docs 1 and 2 share a 12-token run (tokens
+    a5..a16 of doc 1); with K=8 the seed matches start at the run's first
+    5 offsets and must merge into ONE maximal span covering exactly the
+    12 shared tokens in each doc.  Doc 3 is fully unique -> zero dups."""
+    a = [f"a{i}" for i in range(1, 21)]          # doc 1: a1..a20
+    shared = a[4:16]                              # a5..a16 (12 tokens)
+    b = ["b1", "b2", *shared, "b3", "b4"]         # doc 2: 16 tokens
+    c = [f"c{i}" for i in range(1, 15)]           # doc 3: unique
+    rows = [
+        (1, " ".join(a), "en", "web", len(" ".join(a))),
+        (2, " ".join(b), "en", "web", len(" ".join(b))),
+        (3, " ".join(c), "en", "web", len(" ".join(c))),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in llmops.q_exact_substr_dedup(spark, str(tmp_path)).collect()}
+    assert out[1].n_dup_spans == 1 and out[1].n_dup_tokens == 12
+    assert out[1].dup_frac == round(12 / 20, 4)
+    assert out[2].n_dup_spans == 1 and out[2].n_dup_tokens == 12
+    assert out[3].n_dup_spans == 0 and out[3].n_dup_tokens == 0
