@@ -484,6 +484,65 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("data", "query", "table")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring for a fixed query term set — the classic IR
+    ranking function on top of the TF-IDF machinery (q_tfidf), as used to
+    retrieve/rank corpus documents against a probe query.
+
+    Okapi BM25: score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with idf_t = ln((N − df_t + 0.5)/(df_t + 0.5) + 1).
+
+    Scale shape: per-term tf is a JVM higher-order filter over the token
+    array (no explode, no shuffle); corpus stats (N, avgdl, per-term df)
+    are ONE single-row aggregate broadcast back over the docs — the whole
+    query is a scan + one broadcast, and only matching docs are emitted.
+    The term loop is compile-time (|query| columns), so query length just
+    widens the projection."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    def _tf(term: str):
+        # one-parameter HOF lambda via def-closure: a `lambda x, _t=t`
+        # default-arg capture would bind as (element, index) in PySpark
+        # and shadow the term with the array index
+        return F.size(F.filter(words, lambda x: x == term)).cast("double")
+
+    tf = {t: _tf(t) for t in BM25_TERMS}
+    base = d.select(
+        "doc_id",
+        F.size(words).cast("double").alias("dl"),
+        *[tf[t].alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("double")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+
+    def term_score(t: str):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5) + 1.0
+        )
+        tf_c = F.col(f"tf_{t}")
+        denom = tf_c + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        return idf * tf_c * (BM25_K1 + 1.0) / denom
+
+    score = term_score(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        score = score + term_score(t)
+    return (
+        j.select("doc_id", F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+    )
+
+
 VOCAB_SIZE = 256
 
 
@@ -633,6 +692,7 @@ QUERIES = {
     "q_charlm_score": q_charlm_score,
     "q_bloom_decontam": q_bloom_decontam,
     "q_vocab_oov": q_vocab_oov,
+    "q_bm25": q_bm25,
 }
 
 ORACLE = {
@@ -716,6 +776,31 @@ ORACLE["q_decontam"] = f"""
            CAST(count(DISTINCT t.gram) AS BIGINT) AS n_contaminated_grams
     FROM train t JOIN bench b USING (gram)
     GROUP BY t.doc_id
+"""
+
+_BM25_TF = {
+    t: f"CAST(len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS DOUBLE)"
+    for t in BM25_TERMS
+}
+_BM25_SCORE = " + ".join(
+    f"""(ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)
+         * tf_{t} * ({BM25_K1} + 1.0)
+         / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)))"""
+    for t in BM25_TERMS
+)
+ORACLE["q_bm25"] = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             {', '.join(f"{_BM25_TF[t]} AS tf_{t}" for t in BM25_TERMS)}
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+             {', '.join(f"sum(CASE WHEN tf_{t} > 0 THEN 1.0 ELSE 0.0 END) AS df_{t}" for t in BM25_TERMS)}
+      FROM base)
+    SELECT doc_id, round({_BM25_SCORE}, 4) AS bm25
+    FROM base CROSS JOIN stats
+    WHERE round({_BM25_SCORE}, 4) > 0
 """
 
 ORACLE["q_vocab_oov"] = f"""

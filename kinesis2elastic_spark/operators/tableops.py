@@ -83,6 +83,33 @@ def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: turn the per-user change stream into
+    validity-interval rows — one row per STATE CHANGE with
+    [valid_from, valid_to) and a current flag, consecutive identical
+    states collapsed (the warehouse-standard slowly-changing-dimension
+    materialization, the history-preserving sibling of q_cdc_latest).
+
+    Two window passes over one shuffle key (user_id): lag() detects state
+    changes, lead() over the surviving change rows closes each interval.
+    Ties on ts break on event_id, so the history is deterministic under
+    at-least-once replay.  At scale both windows reuse the same hash
+    partitioning — one Exchange total (plan-asserted)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return chg.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
 def q_run_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands run compression: collapse each user's consecutive
     same-type events into one range row (first/last ts, run length) — the
@@ -195,6 +222,7 @@ QUERIES = {
     "q_run_compress": q_run_compress,
     "q_outlier_mad": q_outlier_mad,
     "q_fuzzy_join": q_fuzzy_join,
+    "q_scd2_history": q_scd2_history,
 }
 
 _PROFILE_UNION = "\nUNION ALL\n".join(
@@ -209,6 +237,18 @@ _PROFILE_UNION = "\nUNION ALL\n".join(
 
 ORACLE = {
     "q_profile_columns": _PROFILE_UNION,
+    "q_scd2_history": """
+        WITH chg AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events
+          QUALIFY prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "q_cdc_latest": """
         WITH ranked AS (
           SELECT *, row_number() OVER (PARTITION BY user_id
