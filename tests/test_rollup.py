@@ -73,3 +73,46 @@ def test_streaming_drives_rollup(spark, tmp_path):
     q.awaitTermination()
     got = {r.bucket.hour: r.n for r in read_rollup(spark, state).collect()}
     assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_distinct_rollup_converges_and_unions(spark, sf_dir, tmp_path):
+    """Incremental HLL merges must converge to (approximately) the exact
+    distinct count per bucket — and the per-type union over buckets must
+    approximate the GLOBAL distinct, which frozen count partials cannot
+    produce (users active in several hours would double-count)."""
+    from kinesis2elastic_spark.streaming.rollup import (
+        distinct_rollup_batch,
+        distinct_rollup_total,
+        merge_distinct_rollup,
+        read_distinct_rollup,
+    )
+
+    state = str(tmp_path / "dist")
+    e = load(spark, sf_dir, "events")
+    for lo, hi in [(0, 300), (300, 301), (301, 10_000_000)]:
+        batch = e.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        merge_distinct_rollup(spark, state, distinct_rollup_batch(batch))
+
+    exact = {
+        (r.bucket, r.event_type): r.n
+        for r in e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        (r.bucket, r.event_type): r.n_users_est
+        for r in read_distinct_rollup(spark, state).collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+    exact_total = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    got_total = {
+        r.event_type: r.n_users_est for r in distinct_rollup_total(spark, state).collect()
+    }
+    for t, est in got_total.items():
+        assert abs(est - exact_total[t]) <= max(2, 0.05 * exact_total[t])
