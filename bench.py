@@ -58,6 +58,12 @@ HEADLINE = [
     "q_doc_chunk",
     "q_session_overlap",
     "q_hll_merge",
+    "q_sql_q8",
+    "q_exact_substr_dedup",
+    "q_bloom_decontam",
+    "q_bm25",
+    "q_vocab_oov",
+    "q_scd2_history",
 ]
 
 

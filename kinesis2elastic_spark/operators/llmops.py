@@ -783,6 +783,79 @@ def q_ann_ivf(
     )
 
 
+JL_TARGET_DIM = 16  # 64 → 16: JL distortion ~ sqrt(ln n / r)
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str, r_dim: int = JL_TARGET_DIM) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (rows-only: the projection
+    matrix is engine-local) — the dimensionality-reduction front end that
+    makes brute-force / ANN similarity 4× cheaper per vector at bounded
+    distortion.
+
+    A dense Rademacher (±1/√r) projection matrix — deterministic from a
+    fixed seed, a few KB — rides inside a ``mapInPandas`` closure; every
+    Arrow batch projects with one numpy matmul.  Stateless,
+    embarrassingly parallel, zero shuffle: the 100 TB cost is exactly one
+    scan (the same shape as the k-means ASSIGN step).
+
+    Self-verifying output (the est_ok pattern): alongside each projected
+    vector's norm, the query computes pairwise distances among the first
+    ``n_probe`` vectors in BOTH spaces and emits per-pair original /
+    projected distances with the distortion ratio; the pytest asserts the
+    JL bound (mean |ratio−1| well under the √(ln n / r) envelope)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    n_probe = 32
+    dim = len(emb.select("vec").first()[0])
+    rng = np.random.RandomState(20240101)  # fixed seed: deterministic matrix
+    R = rng.choice([-1.0, 1.0], size=(dim, r_dim)) / np.sqrt(r_dim)
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            P = M @ R
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "orig": pdf["vec"],
+                    "proj": list(P),
+                }
+            )
+
+    projected = emb.select("vec_id", "vec").mapInPandas(
+        project, "vec_id long, orig array<double>, proj array<double>"
+    ).filter(F.col("vec_id") < n_probe)
+
+    a, b = projected.alias("a"), projected.alias("b")
+
+    def dist(ca, cb):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(ca, cb, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(dist(F.col("a.orig"), F.col("b.orig")), 4).alias("d_orig"),
+        F.round(dist(F.col("a.proj"), F.col("b.proj")), 4).alias("d_proj"),
+        F.round(
+            dist(F.col("a.proj"), F.col("b.proj"))
+            / F.nullif(dist(F.col("a.orig"), F.col("b.orig")), F.lit(0.0)),
+            4,
+        ).alias("distortion"),
+    )
+
+
 def kmeans_iterate(
     emb: DataFrame, k: int = 8, n_iter: int = 3
 ) -> tuple[DataFrame, list[float]]:
@@ -1043,6 +1116,7 @@ QUERIES = {
     "q_ann_recall": q_ann_recall,
     "q_kmeans": q_kmeans,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_random_projection": q_random_projection,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
@@ -1175,6 +1249,7 @@ ORACLE = {
 ROWS_ONLY = {
     "q_kmeans",
     "q_semantic_dedup",
+    "q_random_projection",
     "q_minhash_near_dup",
     "q_simhash_near_dup",
     "q_ann_lsh",

@@ -214,3 +214,19 @@ def test_exact_substr_planted_spans(spark, tmp_path):
     assert out[1].dup_frac == round(12 / 20, 4)
     assert out[2].n_dup_spans == 1 and out[2].n_dup_tokens == 12
     assert out[3].n_dup_spans == 0 and out[3].n_dup_tokens == 0
+
+
+def test_random_projection_jl_bound(spark, sf_dir):
+    """JL distortion check: mean |d_proj/d_orig - 1| over probe pairs must
+    sit well inside the sqrt(ln n / r) envelope, and no pair may collapse
+    (distortion bounded away from 0) — a broken projection matrix (all
+    same sign, wrong scaling) fails both."""
+    import math
+
+    rows = llmops.q_random_projection(spark, sf_dir).collect()
+    assert len(rows) == 32 * 31 // 2
+    dist = [r.distortion for r in rows]
+    mean_abs_err = sum(abs(d - 1.0) for d in dist) / len(dist)
+    envelope = math.sqrt(math.log(32) / llmops.JL_TARGET_DIM)  # ~0.47
+    assert mean_abs_err < envelope / 2, mean_abs_err
+    assert min(dist) > 0.3 and max(dist) < 2.0
