@@ -613,7 +613,14 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     grams = d.select("doc_id", F.explode(_word_ngrams(NGRAM_N)).alias("gram"))
-    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    # small by definition (the held-out benchmark); materialized once so the
+    # bitmap build and the exact-verify join don't each re-shingle the corpus
+    bench = (
+        grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     pos_cols = [
         F.pmod(F.xxhash64("gram", F.lit(seed)), F.lit(BLOOM_M_BITS)).alias(f"p{seed}")
