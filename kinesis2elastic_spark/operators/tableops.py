@@ -110,6 +110,52 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_PIT_SQL = """
+    WITH facts AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_id % 7 = 0),
+    stream AS (
+      SELECT * FROM events WHERE event_id % 7 <> 0),
+    lagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM stream),
+    chg AS (
+      SELECT * FROM lagged
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    scd2_dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM chg)
+    SELECT f.event_id, f.user_id, d.state,
+           d.valid_from, d.valid_to
+    FROM facts f JOIN scd2_dim d
+      ON d.user_id = f.user_id
+     AND f.ts >= d.valid_from
+     AND (f.ts < d.valid_to OR d.valid_to IS NULL)
+"""
+
+
+def q_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension: a fact slice of the
+    event stream (event_id % 7 = 0) is enriched with the state each user
+    was in at the fact's timestamp, where the state history is the SCD2
+    build (q_scd2_history) over the remaining events.
+
+    The textbook PIT predicate — fact.ts >= valid_from AND (fact.ts <
+    valid_to OR valid_to IS NULL) — rides as a residual filter on the
+    user_id equi-join, so the shuffle stays keyed and bounded (never a
+    cross product).  Each fact matches exactly one interval (intervals
+    partition the timeline per user), which the pytest asserts.  DuckDB
+    runs the identical SQL, independently planned (IEJoin)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SCD2_PIT_SQL)
+
+
 def q_run_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands run compression: collapse each user's consecutive
     same-type events into one range row (first/last ts, run length) — the
@@ -223,6 +269,7 @@ QUERIES = {
     "q_outlier_mad": q_outlier_mad,
     "q_fuzzy_join": q_fuzzy_join,
     "q_scd2_history": q_scd2_history,
+    "q_scd2_pointintime": q_scd2_pointintime,
 }
 
 _PROFILE_UNION = "\nUNION ALL\n".join(
@@ -237,6 +284,7 @@ _PROFILE_UNION = "\nUNION ALL\n".join(
 
 ORACLE = {
     "q_profile_columns": _PROFILE_UNION,
+    "q_scd2_pointintime": SCD2_PIT_SQL,
     "q_scd2_history": """
         WITH chg AS (
           SELECT user_id, event_type, ts, event_id,

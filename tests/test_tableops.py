@@ -95,3 +95,18 @@ def test_hop_batch_double_counts_each_event(spark, sf_dir):
     ).q_hop_batch(spark, sf_dir)
     total = hopped.agg(F.sum("n")).first()[0]
     assert total == 2 * n_events
+
+
+def test_scd2_pit_unique_state_per_fact(spark, sf_dir):
+    """Each matched fact event must land in exactly ONE validity interval
+    (intervals partition the per-user timeline), and the join must stay
+    an equi-join on user_id (no cartesian/nested-loop)."""
+    from kinesis2elastic_spark.operators.tableops import q_scd2_pointintime
+    from kinesis2elastic_spark.plans.explain import formatted_plan
+
+    df = q_scd2_pointintime(spark, sf_dir)
+    n_rows = df.count()
+    n_facts = df.select("event_id").distinct().count()
+    assert n_rows == n_facts and n_rows > 0
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
