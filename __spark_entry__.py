@@ -78,20 +78,33 @@ _R1_DRIVER_GREEN = frozenset({
 
 def _ordered_names(mods) -> list[tuple]:
     """(name, fn) pairs: unproven-with-oracle first, unproven rows-only
-    next, round-1-proven last; module order is the tiebreak within each
-    tier."""
-    tiers: list[list[tuple]] = [[], [], []]
+    next, round-1-proven last.  Within the unproven-oracle tier, entries
+    are ROUND-ROBINED across modules so a driver that caps its run still
+    records hard-signal rows for EVERY module (evidence breadth beats
+    finishing one module's tail)."""
+    tier0_by_mod: list[list[tuple]] = []
+    tiers: list[list[tuple]] = [[], []]
     for mod in mods:
         rows_only = getattr(mod, "ROWS_ONLY", set())
+        mod_tier0: list[tuple] = []
         for name, fn in mod.QUERIES.items():
             if name in _R1_DRIVER_GREEN:
-                tier = 2
+                tiers[1].append((name, fn))
             elif name in rows_only or name not in getattr(mod, "ORACLE", {}):
-                tier = 1
+                tiers[0].append((name, fn))
             else:
-                tier = 0
-            tiers[tier].append((name, fn))
-    return [pair for tier in tiers for pair in tier]
+                mod_tier0.append((name, fn))
+        if mod_tier0:
+            tier0_by_mod.append(mod_tier0)
+    interleaved: list[tuple] = []
+    i = 0
+    while any(tier0_by_mod):
+        for mod_list in tier0_by_mod:
+            if i < len(mod_list):
+                interleaved.append(mod_list[i])
+        tier0_by_mod = [m for m in tier0_by_mod if len(m) > i + 1]
+        i += 1
+    return interleaved + tiers[0] + tiers[1]
 
 
 def entry(spark: SparkSession) -> DataFrame:

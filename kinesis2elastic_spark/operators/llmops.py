@@ -783,6 +783,42 @@ def q_ann_ivf(
     )
 
 
+def q_diversity_sample(
+    spark: SparkSession, sf_dir: str, k: int = 8, target: int = 100, n_iter: int = 2
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (rows-only: k-means inside) —
+    the D4/SemDeDup-style corpus diversification step: instead of
+    sampling uniformly (which mirrors the corpus's mode collapse), each
+    k-means cluster gets an equal quota, so dense boilerplate regions
+    can't dominate the sample.
+
+    Selection within a cluster is the deterministic md5-keyspace rank
+    (the q_hash_sample convention — reproducible, no RNG), compiled to a
+    per-cluster WindowGroupLimit.  Output: per-cluster population, kept
+    count, and the effective sampling rate — the audit summary a
+    curation run logs.  pytest asserts quota compliance and determinism."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_iterate(emb, k=k, n_iter=n_iter)
+    quota = -(-target // k)  # ceil
+    w = W.partitionBy("cluster").orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id")
+    ranked = assigned.select("vec_id", "cluster").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return (
+        ranked.groupBy(F.col("cluster").cast("long").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_in_cluster"),
+            F.sum((F.col("rk") <= quota).cast("long")).alias("n_kept"),
+        )
+        .select(
+            "cluster",
+            "n_in_cluster",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_in_cluster"), 4).alias("keep_rate"),
+        )
+    )
+
+
 JL_TARGET_DIM = 16  # 64 → 16: JL distortion ~ sqrt(ln n / r)
 
 
@@ -1117,6 +1153,7 @@ QUERIES = {
     "q_kmeans": q_kmeans,
     "q_semantic_dedup": q_semantic_dedup,
     "q_random_projection": q_random_projection,
+    "q_diversity_sample": q_diversity_sample,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
@@ -1250,6 +1287,7 @@ ROWS_ONLY = {
     "q_kmeans",
     "q_semantic_dedup",
     "q_random_projection",
+    "q_diversity_sample",
     "q_minhash_near_dup",
     "q_simhash_near_dup",
     "q_ann_lsh",

@@ -230,3 +230,18 @@ def test_random_projection_jl_bound(spark, sf_dir):
     envelope = math.sqrt(math.log(32) / llmops.JL_TARGET_DIM)  # ~0.47
     assert mean_abs_err < envelope / 2, mean_abs_err
     assert min(dist) > 0.3 and max(dist) < 2.0
+
+
+def test_diversity_sample_quota_and_determinism(spark, sf_dir):
+    """Per-cluster kept counts must respect the quota ceil(target/k),
+    clusters smaller than the quota keep everything, and two runs
+    produce identical summaries (md5-keyspace rank, no RNG)."""
+    k, target = 8, 100
+    quota = -(-target // k)
+    a = {r.cluster: r for r in llmops.q_diversity_sample(spark, sf_dir, k=k, target=target).collect()}
+    b = {r.cluster: r for r in llmops.q_diversity_sample(spark, sf_dir, k=k, target=target).collect()}
+    assert {c: (r.n_in_cluster, r.n_kept) for c, r in a.items()} == {
+        c: (r.n_in_cluster, r.n_kept) for c, r in b.items()
+    }
+    for r in a.values():
+        assert r.n_kept == min(r.n_in_cluster, quota)
