@@ -177,6 +177,47 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """B31, Spark-4 form: the same per-user running totals through
+    ``transformWithStateInPandas`` — the successor API to
+    applyInPandasWithState, with TYPED state handles (ValueState here;
+    ListState/MapState/timers available) managed by the state store
+    instead of a single opaque tuple.
+
+    At scale this is the API that composes with RocksDB + changelog
+    checkpointing (``use_rocksdb_state``): per-key state lives in the
+    store, not the Python worker, and each micro-batch streams Arrow
+    batches per key through the processor."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

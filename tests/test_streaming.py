@@ -246,3 +246,40 @@ def test_stateful_agg_on_rocksdb_provider(spark, sf_dir, event_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_transform_with_state_matches_legacy(spark, tmp_path_factory):
+    """The Spark-4 transformWithStateInPandas path must produce the same
+    per-user running totals as the applyInPandasWithState path.
+
+    Gated on protobuf: the TWS state-server protocol imports
+    google.protobuf in the Python driver worker; this container ships
+    without it (and installs are off-limits), so environments lacking it
+    skip — the operator itself is the production shape either way."""
+    import pytest
+
+    pytest.importorskip("google.protobuf", reason="TWS state server needs protobuf")
+    path = str(tmp_path_factory.mktemp("tws") / "events")
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T00:0{i}:00.000Z", "user_id": i % 2,
+         "event_type": "click", "value": float(i), "props": "{}"}
+        for i in range(6)
+    ]
+    with open(f"{path}/part-0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    sw.use_rocksdb_state(spark)  # transformWithState requires RocksDB
+    try:
+        stream = sw.stream_events(spark, path)
+        name = f"tws_{uuid.uuid4().hex[:8]}"
+        sw.run_to_memory_sink(sw.running_totals_tws(stream), name, output_mode="update")
+        got = {r.user_id: (r.n_events, r.total_value) for r in _table(spark, name).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert got == {0: (3, 0.0 + 2 + 4), 1: (3, 1.0 + 3 + 5)}
