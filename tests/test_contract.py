@@ -80,3 +80,41 @@ def test_session_overlap_constructed(spark, tmp_path):
     pairs = {(r.user_a, r.user_b): r.overlap_us for r in out}
     assert pairs == {(1, 2): 30 * 60 * 1_000_000}  # u3 overlaps nobody
     assert len(out) == 1  # multi-cell pair emitted exactly once
+
+
+def test_asof_join_property_vs_bruteforce(spark):
+    """Property test: on hypothesis-generated (key, time, value) series,
+    the union+carry-forward asof_join must equal the brute-force
+    definition (for each left row, the right row with the greatest
+    right_time <= left_time for that key, None when no such row)."""
+    from hypothesis import given, settings, strategies as st
+
+    from kinesis2elastic_spark.operators.temporal import asof_join
+
+    keys = st.integers(min_value=0, max_value=2)
+    times = st.integers(min_value=0, max_value=20)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lefts=st.lists(st.tuples(keys, times), min_size=1, max_size=8, unique=True),
+        rights=st.lists(st.tuples(keys, times), min_size=0, max_size=8, unique=True),
+    )
+    def check(lefts, rights):
+        ldf = spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid long, k long, t long"
+        )
+        rdf = spark.createDataFrame(
+            [(k, t, k * 100 + t) for (k, t) in rights], "k long, rt long, v long"
+        )
+        got = {
+            r.lid: r.v
+            for r in asof_join(
+                ldf, rdf, key="k", left_time="t", right_time="rt", value_cols=["v"]
+            ).collect()
+        }
+        for i, (k, t) in enumerate(lefts):
+            cands = [(rt, k * 100 + rt) for (rk, rt) in rights if rk == k and rt <= t]
+            want = max(cands)[1] if cands else None
+            assert got[i] == want, (i, k, t, got[i], want)
+
+    check()
