@@ -167,9 +167,32 @@ def q_multimodal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: group payloads by (media_type, content digest,
+    byte length) and keep-first — the first stage of any media pipeline
+    (identical uploads, re-crawls, mirrored assets).  The digest is
+    computed JVM-side over the binary column, so at 100 TB the shuffle
+    carries (16-byte digest, type, length, ids) — never payload bytes.
+    Perceptual near-dup is the downstream stage and reuses the B34
+    cosine machinery over real encoder features (the digest-fold stub
+    features are deliberately not used for similarity — they are random
+    by construction).  Oracle: DuckDB recomputes md5/strlen over the
+    same synthesized payloads."""
+    media = synth_media(spark, sf_dir)
+    return media.groupBy(
+        "media_type",
+        F.md5("payload").alias("content_digest"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    ).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").cast("long").alias("n_copies"),
+    )
+
+
 QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_plan": q_multimodal_plan,
+    "q_media_dedup": q_media_dedup,
 }
 ORACLE: dict[str, str] = {
     "q_multimodal_plan": """
@@ -190,6 +213,17 @@ ORACLE: dict[str, str] = {
                CASE WHEN media_type = 'video/mp4'
                     THEN (n_frames - 1) // 10 + 1 ELSE 0 END AS n_frames_sampled
         FROM r
+    """,
+    "q_media_dedup": """
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS media_type,
+               md5(text)                  AS content_digest,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               min(doc_id)                AS keep_doc_id,
+               CAST(count(*) AS BIGINT)   AS n_copies
+        FROM documents
+        GROUP BY 1, 2, 3
     """,
 }
 ROWS_ONLY = {"q_multimodal_features"}
