@@ -129,6 +129,47 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 completion: full CUBE over two dims with grouping flags — all
+    four grouping-set combinations from one pass (Catalyst expands to a
+    single Expand + partial-aggregable hash agg, not four scans)."""
+    o = load(spark, sf_dir, "orders")
+    # grouping() is only resolvable INSIDE the cube aggregate (Catalyst
+    # rewrites it against the Expand's spark_grouping_id), so the flags
+    # must be agg expressions, not a downstream projection
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "total"
+        )
+    )
+
+
+def q_window_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12-B14 completion: nth_value over the full partition frame and
+    the previous-NON-NULL value (last(..., ignorenulls) over a
+    preceding-exclusive frame — Spark's lag() has no IGNORE NULLS, so
+    this frame form IS the portable idiom; DuckDB writes the same with
+    last_value(...) IGNORE NULLS)."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wprev = w.rowsBetween(W.unboundedPreceding, -1)
+    non_error = F.nullif("event_type", F.lit("error"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.nth_value("event_type", 2).over(wfull).alias("second_type"),
+        F.last(non_error, ignorenulls=True).over(wprev).alias("prev_nonerror_type"),
+    )
+
+
 def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered distinct string aggregation (LISTAGG equivalent, expressed
     deterministically as sort(collect_set) → join)."""
@@ -357,6 +398,8 @@ QUERIES = {
     "q_approx_quantile": q_approx_quantile,
     "q_stats_agg": q_stats_agg,
     "q_grouping_sets": q_grouping_sets,
+    "q_cube": q_cube,
+    "q_window_nth": q_window_nth,
     "q_string_agg": q_string_agg,
     "q_collect_sorted": q_collect_sorted,
     "q_unpivot": q_unpivot,
@@ -419,6 +462,24 @@ ORACLE = {
                round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "q_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "q_window_nth": """
+        SELECT user_id, event_id,
+               nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_type,
+               last_value(nullif(event_type, 'error') IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nonerror_type
+        FROM events
     """,
     "q_string_agg": """
         SELECT o_orderstatus,
