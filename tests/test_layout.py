@@ -47,3 +47,51 @@ def test_partitioned_sorted_layout(spark, sf_dir, tmp_path):
     ].to_pylist()
     assert col == sorted(col)
     assert spark.read.parquet(dst).count() == e.count()
+
+
+def test_zorder_skips_both_columns(spark, sf_dir, tmp_path):
+    """File-level min/max spans: a user_id-sorted layout is tight on
+    user_id but each file spans ~the full value range (no skipping on
+    value); the z-ordered layout must be substantially tight on BOTH
+    columns — the whole point of multi-column clustering."""
+    import pyarrow.parquet as pq
+
+    from kinesis2elastic_spark.catalog import load
+    from kinesis2elastic_spark.operators.layout import (
+        parquet_files,
+        write_partitioned_sorted,
+        write_zordered,
+    )
+
+    e = load(spark, sf_dir, "events").select("user_id", "value", "event_id")
+    zdst = str(tmp_path / "zorder")
+    sdst = str(tmp_path / "sorted")
+    write_zordered(e, zdst, "user_id", "value", n_files=16)
+    (
+        e.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(sdst)
+    )
+
+    def mean_span(path, col):
+        lo = hi = None
+        spans = []
+        per_file = []
+        for f in parquet_files(path):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            per_file.append((fmin, fmax))
+            lo = fmin if lo is None else min(lo, fmin)
+            hi = fmax if hi is None else max(hi, fmax)
+        total = (hi - lo) or 1
+        return sum((b - a) / total for a, b in per_file) / len(per_file)
+
+    z_user, z_value = mean_span(zdst, "user_id"), mean_span(zdst, "value")
+    s_user, s_value = mean_span(sdst, "user_id"), mean_span(sdst, "value")
+    assert s_user < 0.25            # single-column sort: tight on its column
+    assert s_value > 0.5            # ...and near-useless for the other
+    assert z_user < 0.6 and z_value < 0.6   # z-order: tight on BOTH
+    assert z_value < 0.75 * s_value  # and strictly better than the sort on value
