@@ -187,3 +187,43 @@ def test_vocab_oov_topv_and_broadcast(spark, sf_dir):
         contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
         absent=("SortMergeJoin", "CartesianProduct"),
     )
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The runtime half of the skew story (skew.py is the manual half):
+    under AQE, a sort-merge join with one hot key must be re-planned with
+    skew-split partitions — the final adaptive plan carries skew=true.
+    Thresholds are lowered so local-scale data triggers the same code
+    path a hot 100 TB key would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 220_000).select(
+            F.when(F.col("id") < 200_000, 0).otherwise((F.col("id") % 99) + 1).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 200_000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, "k")
+        # drive THIS QueryExecution (write/count build their own) so the
+        # final adaptive plan is attached to it
+        j._jdf.queryExecution().toRdd().count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
