@@ -498,10 +498,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-term tf is a JVM higher-order filter over the token
     array (no explode, no shuffle); corpus stats (N, avgdl, per-term df)
-    are ONE single-row aggregate broadcast back over the docs — the whole
-    query is a scan + one broadcast, and only matching docs are emitted.
-    The term loop is compile-time (|query| columns), so query length just
-    widens the projection."""
+    are ONE single-row aggregate broadcast back over the docs.  The
+    narrow (doc_id, dl, tf_*) projection is materialized once
+    (``localCheckpoint``) so the stats aggregate and the scoring pass
+    share one tokenization scan instead of re-splitting the corpus
+    twice.  The term loop is compile-time (|query| columns), so query
+    length just widens the projection."""
     d = load(spark, sf_dir, "documents")
     words = F.split("text", " ")
     def _tf(term: str):
@@ -515,7 +517,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(words).cast("double").alias("dl"),
         *[tf[t].alias(f"tf_{t}") for t in BM25_TERMS],
-    )
+    ).localCheckpoint(eager=True)
     stats = base.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -646,18 +648,22 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         bitmap |= np.frombuffer(row.bm, dtype=np.uint8)
     bc = spark.sparkContext.broadcast(bitmap)
 
-    @F.pandas_udf("boolean")
-    def bloom_maybe(p0: pd.Series, p1: pd.Series, p2: pd.Series) -> pd.Series:
+    def _probe_all(*probes: pd.Series) -> pd.Series:
+        # arity follows BLOOM_K (legacy-style pandas_udf: *args keeps the
+        # probe count and the build's pos_cols in lockstep)
         bm = bc.value
-        out = np.ones(len(p0), dtype=bool)
-        for p in (p0.to_numpy(), p1.to_numpy(), p2.to_numpy()):
+        out = np.ones(len(probes[0]), dtype=bool)
+        for s in probes:
+            p = s.to_numpy()
             out &= (bm[p // 8] >> (p % 8)) & 1 == 1
         return pd.Series(out)
+
+    bloom_maybe = F.pandas_udf(_probe_all, "boolean")
 
     train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
     flagged = (
         train.select("doc_id", *pos_cols)
-        .withColumn("maybe", bloom_maybe("p0", "p1", "p2"))
+        .withColumn("maybe", bloom_maybe(*[f"p{i}" for i in range(BLOOM_K)]))
         .groupBy("doc_id")
         .agg(F.max("maybe").alias("bloom_flag"))
     )

@@ -115,6 +115,11 @@ def write_zordered(
         F.min(col_b).alias("b_min"),
         F.max(col_b).alias("b_max"),
     ).first()
+    if any(v is None for v in (stats.a_min, stats.a_max, stats.b_min, stats.b_max)):
+        # empty input (or an all-NULL cluster column): no curve to build —
+        # write as-is rather than crash in the literal arithmetic below
+        df.write.mode("overwrite").parquet(dst)
+        return
     z = zorder_value(
         F.col(col_a), F.col(col_b),
         stats.a_min, stats.a_max, stats.b_min, stats.b_max, bits=bits,

@@ -831,14 +831,19 @@ def q_random_projection(spark: SparkSession, sf_dir: str, r_dim: int = JL_TARGET
     A dense Rademacher (±1/√r) projection matrix — deterministic from a
     fixed seed, a few KB — rides inside a ``mapInPandas`` closure; every
     Arrow batch projects with one numpy matmul.  Stateless,
-    embarrassingly parallel, zero shuffle: the 100 TB cost is exactly one
-    scan (the same shape as the k-means ASSIGN step).
+    embarrassingly parallel, zero shuffle: at 100 TB the production
+    projection is exactly one scan (the same shape as the k-means ASSIGN
+    step).
 
-    Self-verifying output (the est_ok pattern): alongside each projected
-    vector's norm, the query computes pairwise distances among the first
-    ``n_probe`` vectors in BOTH spaces and emits per-pair original /
-    projected distances with the distortion ratio; the pytest asserts the
-    JL bound (mean |ratio−1| well under the √(ln n / r) envelope)."""
+    Self-verifying output (the est_ok pattern): the query compares
+    pairwise distances among the first ``n_probe`` vectors in BOTH
+    spaces and emits per-pair original / projected distances with the
+    distortion ratio; the pytest asserts the JL bound (mean |ratio−1|
+    well under the √(ln n / r) envelope).  Because only probe pairs are
+    emitted, the probe filter sits BELOW ``mapInPandas`` (filters can't
+    push through an opaque Python map, so it's placed there by hand) and
+    the projected probes are pinned with ``localCheckpoint`` so the
+    non-equi self-join doesn't re-project either side."""
     import numpy as np
 
     emb = load(spark, sf_dir, "embeddings").withColumn(
@@ -863,9 +868,12 @@ def q_random_projection(spark: SparkSession, sf_dir: str, r_dim: int = JL_TARGET
                 }
             )
 
-    projected = emb.select("vec_id", "vec").mapInPandas(
-        project, "vec_id long, orig array<double>, proj array<double>"
-    ).filter(F.col("vec_id") < n_probe)
+    projected = (
+        emb.select("vec_id", "vec")
+        .filter(F.col("vec_id") < n_probe)
+        .mapInPandas(project, "vec_id long, orig array<double>, proj array<double>")
+        .localCheckpoint(eager=True)
+    )
 
     a, b = projected.alias("a"), projected.alias("b")
 

@@ -100,13 +100,12 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     chg = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
     )
-    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
     return chg.select(
         "user_id",
         F.col("event_type").alias("state"),
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
-        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
     )
 
 

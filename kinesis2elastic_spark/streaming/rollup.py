@@ -39,9 +39,24 @@ def rollup_batch(batch_df: DataFrame, bucket: str = "1 hour") -> DataFrame:
     )
 
 
-def merge_rollup(spark: SparkSession, state_path: str, batch_partials: DataFrame) -> None:
-    """Merge batch partials into the materialized rollup, rewriting only
-    the touched bucket partitions."""
+def _merge_touched_partitions(
+    spark: SparkSession,
+    state_path: str,
+    batch_partials: DataFrame,
+    combine_exprs: list,
+) -> None:
+    """Shared touched-partition merge: read current partials for ONLY the
+    buckets this batch touches, combine with ``combine_exprs`` (any
+    algebraic/mergeable aggregate — sum-of-sums, hll_union_agg), and
+    dynamic-overwrite exactly those bucket partitions.
+
+    The merged partials are materialized (``localCheckpoint``) BEFORE the
+    overwrite: ``combined`` reads from state_path, and overwriting a path
+    the same job lazily reads only works by accident of write staging — a
+    failure mid-write could otherwise lose the old partials with nothing
+    to recompute them from.  (Full multi-partition atomicity needs a
+    transactional table format — Iceberg/Delta ``replaceWhere`` — in
+    production.)"""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     touched = [r.bucket for r in batch_partials.select("bucket").distinct().collect()]
     if not touched:
@@ -53,15 +68,7 @@ def merge_rollup(spark: SparkSession, state_path: str, batch_partials: DataFrame
         combined_src = existing.unionByName(batch_partials)
     else:
         combined_src = batch_partials
-    combined = combined_src.groupBy("bucket", "event_type").agg(
-        F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")
-    )
-    # Materialize the merged partials BEFORE overwriting: `combined` reads
-    # from state_path, and overwriting a path that the same job lazily reads
-    # only works by accident of write staging — a failure mid-write could
-    # otherwise lose the old partials with nothing to recompute them from.
-    # (Full multi-partition atomicity needs a transactional table format —
-    # Iceberg/Delta `replaceWhere` — in production.)
+    combined = combined_src.groupBy("bucket", "event_type").agg(*combine_exprs)
     combined = combined.localCheckpoint(eager=True)
     # one file per touched hour partition is plenty; dynamic overwrite
     # replaces only partitions present in `combined`
@@ -70,6 +77,17 @@ def merge_rollup(spark: SparkSession, state_path: str, batch_partials: DataFrame
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(state_path)
+    )
+
+
+def merge_rollup(spark: SparkSession, state_path: str, batch_partials: DataFrame) -> None:
+    """Merge batch partials into the materialized rollup, rewriting only
+    the touched bucket partitions."""
+    _merge_touched_partitions(
+        spark,
+        state_path,
+        batch_partials,
+        [F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value")],
     )
 
 
@@ -97,27 +115,11 @@ def merge_distinct_rollup(
     """Merge batch HLL partials into the materialized distinct rollup —
     same touched-partition rewrite discipline as ``merge_rollup``, with
     ``hll_union_agg`` as the combine instead of sum-of-sums."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    touched = [r.bucket for r in batch_partials.select("bucket").distinct().collect()]
-    if not touched:
-        return
-    if os.path.isdir(state_path) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(state_path)
-    ):
-        existing = spark.read.parquet(state_path).filter(F.col("bucket").isin(touched))
-        combined_src = existing.unionByName(batch_partials)
-    else:
-        combined_src = batch_partials
-    combined = combined_src.groupBy("bucket", "event_type").agg(
-        F.hll_union_agg("users_hll").alias("users_hll")
-    )
-    # same read-before-overwrite hazard as merge_rollup: materialize first
-    combined = combined.localCheckpoint(eager=True)
-    (
-        combined.repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(state_path)
+    _merge_touched_partitions(
+        spark,
+        state_path,
+        batch_partials,
+        [F.hll_union_agg("users_hll").alias("users_hll")],
     )
 
 

@@ -227,3 +227,14 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scd2_history_single_exchange(spark, sf_dir):
+    """lag() and lead() in q_scd2_history share one window spec, so both
+    Window passes must reuse a single hashpartitioning(user_id) Exchange —
+    a second Exchange would double-shuffle the event stream at scale."""
+    from kinesis2elastic_spark.operators.tableops import q_scd2_history
+
+    plan = formatted_plan(q_scd2_history(spark, sf_dir))
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, f"expected exactly 1 Exchange, got {n_exchanges}:\n{plan[:4000]}"
