@@ -688,6 +688,88 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (search-shard materialization): term →
+    document frequency + the head of the sorted posting list.  The
+    retrieval-side sibling of q_bm25: BM25 scores queries online, this
+    materializes the offline index a search service would serve from.
+
+    Scale shape: explode → DISTINCT (term, doc_id) is map-side
+    combinable, so the shuffle carries one row per posting, not per
+    occurrence; the posting list is assembled per term AFTER the
+    distinct, and the emitted list is capped (first ``cap`` doc_ids in
+    doc_id order) so no output row is unbounded — full posting lists
+    would be written partitioned by term range, never collected into one
+    row.  Rare terms (df < ``min_df``) are dropped the way a real index
+    drops hapax legomena."""
+    cap, min_df = 20, 5
+    d = load(spark, sf_dir, "documents")
+    postings = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.length("term") >= 4)
+        .distinct()
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, cap),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+HH_CAPACITY = 200  # candidate-sketch capacity k: captures every token with freq > N/k
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the token stream — every token with global
+    frequency > N/k (k = ``HH_CAPACITY``), computed sketch-first:
+
+    1. CANDIDATES: per Arrow batch, exact in-batch counts keep only
+       tokens with in-batch freq > n_batch/k.  Superset guarantee: if
+       freq(x) > N/k globally then some batch has freq_b(x) > n_b/k
+       (otherwise summing the per-batch bounds gives freq(x) ≤ N/k) —
+       so no global heavy hitter is ever missed, and each batch emits
+       at most k tokens.
+    2. VERIFY: exact recount of candidate tokens only (broadcast
+       semi-join), filtered against the global threshold from a
+       single-row total-count aggregate.
+
+    Why not a plain groupBy-HAVING: that shuffles one partial count per
+    DISTINCT token — at 100 TB the unique-token tail dominates the
+    shuffle.  Candidate pruning bounds the recount's shuffle to ≤ k
+    tokens per partition regardless of vocabulary size, and the final
+    answer is still EXACT (oracle-checked against the plain SQL)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def batch_candidates(batches):
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            thr = len(pdf) / HH_CAPACITY
+            yield pd.DataFrame({"token": vc.index[vc.to_numpy() > thr]})
+
+    cand = toks.mapInPandas(batch_candidates, "token string").distinct()
+    counts = (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("freq") > F.col("n_total") / HH_CAPACITY)
+        .select("token", "freq")
+    )
+
+
 QUERIES = {
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
@@ -706,6 +788,8 @@ QUERIES = {
     "q_bloom_decontam": q_bloom_decontam,
     "q_vocab_oov": q_vocab_oov,
     "q_bm25": q_bm25,
+    "q_inverted_index": q_inverted_index,
+    "q_heavy_hitters": q_heavy_hitters,
 }
 
 ORACLE = {
@@ -959,6 +1043,30 @@ ORACLE["q_charlm_score"] = """
            round(-avg(ln(CAST(m.n_bg AS DOUBLE) / m.n_c1)), 4) AS nll_score
     FROM grams g JOIN model2 m USING (bg)
     GROUP BY g.doc_id
+"""
+
+ORACLE["q_inverted_index"] = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    f AS (SELECT DISTINCT term, doc_id FROM tok WHERE length(term) >= 4),
+    r AS (
+      SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY term) AS df
+      FROM f)
+    SELECT term, CAST(df AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_head
+    FROM r WHERE rn <= 20 AND df >= 5
+    GROUP BY term, df
+"""
+
+ORACLE["q_heavy_hitters"] = f"""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM t GROUP BY token
+    HAVING count(*) > (SELECT count(*) FROM t) / {HH_CAPACITY}.0
 """
 
 ROWS_ONLY = {"q_seq_pack"}

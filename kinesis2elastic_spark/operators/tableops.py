@@ -261,6 +261,55 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a transactional table format: apply a
+    change batch to a target snapshot with the full matched/not-matched
+    action matrix (reference parity: the bulk sink's index-vs-update
+    behavior, ``main.go`` bulk actions; warehouse parity: Delta/Iceberg
+    MERGE).  Target = latest state per user from even event_ids; source
+    = latest change per user from odd event_ids.  WHEN MATCHED AND
+    source is an error → DELETE; WHEN MATCHED → UPDATE; WHEN NOT
+    MATCHED AND not error → INSERT; target rows without a change KEEP.
+
+    Scale shape: one full-outer shuffle join on the merge key (both
+    sides pre-collapsed to one row per key by WindowGroupLimit-able
+    row_number), then a pure projection — the same single-shuffle plan a
+    table format's MERGE executes; the emitted ``action`` column is the
+    audit trail a MERGE would log as its operation metrics."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def latest(pred):
+        return (
+            e.filter(pred)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value", "ts")
+        )
+
+    target = latest(F.col("event_id") % 2 == 0)
+    source = latest(F.col("event_id") % 2 == 1)
+    j = target.alias("t").join(source.alias("s"), "user_id", "full_outer")
+    action = (
+        F.when(F.col("s.event_type").isNull(), "keep")
+        .when(F.col("s.event_type") == "error", "delete")
+        .when(F.col("t.event_type").isNull(), "insert")
+        .otherwise("update")
+    )
+    return (
+        j.select(
+            "user_id",
+            F.coalesce("s.event_type", "t.event_type").alias("state"),
+            F.round(F.coalesce("s.value", "t.value"), 2).alias("value"),
+            F.coalesce("s.ts", "t.ts").alias("state_ts"),
+            action.alias("action"),
+        )
+        # delete covers both MATCHED-delete and the not-matched error
+        # no-op (MERGE skips those); neither survives the merge
+        .filter(F.col("action") != "delete")
+    )
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_cdc_latest": q_cdc_latest,
@@ -269,6 +318,7 @@ QUERIES = {
     "q_fuzzy_join": q_fuzzy_join,
     "q_scd2_history": q_scd2_history,
     "q_scd2_pointintime": q_scd2_pointintime,
+    "q_merge_upsert": q_merge_upsert,
 }
 
 _PROFILE_UNION = "\nUNION ALL\n".join(
@@ -340,6 +390,29 @@ ORACLE = {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM events e JOIN mad m USING (event_type)
         GROUP BY e.event_type, m.med, m.mad
+    """,
+    "q_merge_upsert": """
+        WITH tgt AS (
+          SELECT user_id, event_type, value, ts
+          FROM events WHERE event_id % 2 = 0
+          QUALIFY row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) = 1),
+        src AS (
+          SELECT user_id, event_type, value, ts
+          FROM events WHERE event_id % 2 = 1
+          QUALIFY row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) = 1),
+        merged AS (
+          SELECT coalesce(t.user_id, s.user_id) AS user_id,
+                 coalesce(s.event_type, t.event_type) AS state,
+                 round(coalesce(s.value, t.value), 2) AS value,
+                 coalesce(s.ts, t.ts) AS state_ts,
+                 CASE WHEN s.event_type IS NULL THEN 'keep'
+                      WHEN s.event_type = 'error' THEN 'delete'
+                      WHEN t.event_type IS NULL THEN 'insert'
+                      ELSE 'update' END AS action
+          FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id)
+        SELECT * FROM merged WHERE action <> 'delete'
     """,
     "q_fuzzy_join": """
         WITH probes AS (

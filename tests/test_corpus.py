@@ -307,3 +307,39 @@ def test_bloom_decontam_planted(spark, tmp_path):
     assert r.n_exact_contaminated == 1
     assert r.no_false_negatives is True
     assert r.fp_ok is True
+
+
+def test_heavy_hitters_matches_exact(spark, sf_dir):
+    """The sketch-first path (per-batch candidates → exact recount) must
+    return EXACTLY the plain groupBy-HAVING heavy hitters — the superset
+    guarantee means candidate pruning can never lose a true heavy
+    hitter, and the verify pass removes every false candidate."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.catalog import load
+
+    got = {(r.token, r.freq) for r in corpus.q_heavy_hitters(spark, sf_dir).collect()}
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    n_total = toks.count()
+    exact = {
+        (r.token, r.freq)
+        for r in toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .filter(F.col("freq") > n_total / corpus.HH_CAPACITY)
+        .collect()
+    }
+    assert got == exact and got
+
+
+def test_inverted_index_caps_postings(spark, sf_dir):
+    """Posting heads are capped (≤ 20 doc_ids), sorted ascending, and df
+    counts distinct docs (≥ the emitted head length)."""
+    rows = corpus.q_inverted_index(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.postings_head.split(",")]
+        assert len(ids) <= 20
+        assert ids == sorted(ids)
+        assert r.df >= len(ids) and r.df >= 5

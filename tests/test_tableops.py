@@ -110,3 +110,21 @@ def test_scd2_pit_unique_state_per_fact(spark, sf_dir):
     assert n_rows == n_facts and n_rows > 0
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_action_matrix(spark, sf_dir):
+    """MERGE semantics: no delete rows survive; every user appears at
+    most once; inserts carry source state, keeps carry target state."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.tableops import q_merge_upsert
+
+    df = q_merge_upsert(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    assert {r.action for r in rows} <= {"keep", "insert", "update"}
+    ids = [r.user_id for r in rows]
+    assert len(ids) == len(set(ids))  # one merged row per user
+    # error-state rows can only appear via 'keep' (target untouched):
+    # update/insert take the source state, and error sources are deletes
+    assert all(r.action == "keep" for r in rows if r.state == "error")
