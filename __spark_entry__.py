@@ -33,6 +33,7 @@ def _collect_modules():
         "temporal",
         "sequence",
         "skew",
+        "graph",
         "multimodal",
         "tpch",
     ):

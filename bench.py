@@ -64,6 +64,9 @@ HEADLINE = [
     "q_bm25",
     "q_vocab_oov",
     "q_scd2_history",
+    "q_merge_upsert",
+    "q_inverted_index",
+    "q_heavy_hitters",
 ]
 
 
@@ -101,12 +104,20 @@ def main() -> None:
             except Exception:
                 pass
 
+    # min of two timed runs: single-shot timings at this scale are
+    # dominated by one-off effects (page-cache first touch, GC timing,
+    # shuffle-service init for a new plan shape) — the min is the
+    # steady-state cost a long-lived cluster sees, and is stable round
+    # over round where a single sample can swing 2-3x.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # DuckDB side: same parquet, same SQL the correctness gate trusts.
     import duckdb
@@ -127,9 +138,12 @@ def main() -> None:
             continue
         try:
             con.execute(sql).fetchall()  # warm (catalog/IO) pass
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            duck[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                best = min(best, time.time() - t0)
+            duck[name] = round(best, 3)
         except Exception:
             continue
         if duck[name] > 0:

@@ -1,0 +1,157 @@
+"""Graph-analytics operators over derived edge lists — the link-based
+curation signals a crawl-scale training pipeline uses (PageRank-weighted
+sampling of web documents is the classic example: rank the link graph,
+weight the corpus mix by authority).
+
+No reference parity (the reference has no graph surface; declared absent
+in SURVEY §2) — this extends the LLM-data-pipeline surface alongside
+``llmops.connected_components``.
+
+Scale shape (100 TB posture): PageRank here is the canonical iterative
+DataFrame loop —
+- the edge list is the only large dataset; it is hash-partitioned ON THE
+  JOIN KEY once (``repartition(src)``) and ``localCheckpoint``-pinned, so
+  every iteration's contribution join reuses the same partitioning
+  without re-shuffling the edges;
+- per-iteration state is (node, rank) — two narrow columns, shuffled
+  once per iteration in the groupBy(dst) contribution sum;
+- lineage is truncated every iteration (``localCheckpoint``), the same
+  discipline as ``connected_components`` — without it the plan doubles
+  per round and the 20th iteration recomputes the 1st;
+- convergence is decided by an aggregate (sum of |delta|), never by
+  collecting ranks to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+PR_DAMPING = 0.85
+PR_MAX_ITER = 20
+PR_TOL = 1e-6
+
+
+def pagerank(edges: DataFrame, damping: float = PR_DAMPING, max_iter: int = PR_MAX_ITER, tol: float = PR_TOL) -> DataFrame:
+    """PageRank over a directed (src, dst) edge list → (node, rank).
+
+    Standard power iteration with uniform teleport: every node (source or
+    sink) gets rank mass; dangling nodes' mass is redistributed uniformly
+    each round so total rank stays = n_nodes (the invariant the pytest
+    asserts)."""
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # scalar driver value, needed for teleport math
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # edges ⋈ out_deg is iteration-invariant: pre-join once, pin, and
+    # partition by src so the per-iteration rank join is co-located
+    links = (
+        edges.join(out_deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    # dangling nodes (no out-edges) are a static node set: find them once;
+    # per-iteration only their current rank mass needs summing, and only
+    # if any exist (the bipartite trade graph has none → zero extra jobs)
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = bool(dangling_nodes.head(1))
+
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for it in range(max_iter):
+        contribs = (
+            links.join(ranks, links.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = 0.0
+        if has_dangling:
+            # mass parked on dangling nodes this round, redistributed uniformly
+            dangling = (
+                ranks.join(dangling_nodes, "node").agg(F.sum("rank").alias("m")).first().m
+                or 0.0
+            )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("rank"),
+            )
+        )
+        # truncate lineage every OTHER round: one checkpoint job per two
+        # iterations halves fixed job overhead while keeping the plan
+        # depth bounded (two chained iterations, not max_iter)
+        if it % 2 == 1 or it == max_iter - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        prev = ranks
+        ranks = new_ranks
+        if tol > 0:  # tol=0 → fixed-iteration mode, no per-round delta job
+            delta = (
+                new_ranks.join(prev.withColumnRenamed("rank", "prev"), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+                .first()
+                .d
+            )
+            if delta is not None and delta < tol * n_nodes:
+                break
+    return ranks
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str, top_k: int = 25) -> DataFrame:
+    """Authority ranking over the customer↔supplier trade graph (the
+    bipartite edge list derived from orders⋈lineitem): PageRank as the
+    link-based quality-weighting signal (rows-only: iterative, not
+    SQL-expressible).
+
+    Output: the top-``top_k`` nodes by rank (TakeOrderedAndProject — no
+    global sort), rank rounded so ties break deterministically on node
+    id.  The pytest asserts the invariants instead of values: Σrank =
+    n_nodes within tolerance, all ranks ≥ (1−d), and high-degree nodes
+    outrank the median."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # fixed-iteration mode (tol=0): 8 power iterations rank this graph
+    # stably (d^8 ≈ 0.27 residual is far below the gaps between top-k
+    # ranks), and skipping the per-round delta aggregate keeps the
+    # contract query inside the driver's per-query budget — callers who
+    # need converged values use pagerank() directly with a tolerance.
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    # undirected bipartite → symmetric directed edges
+    edges = trade.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
+        trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    ranks = pagerank(edges, max_iter=8, tol=0.0)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(top_k)
+    )
+
+
+QUERIES = {
+    "q_pagerank": q_pagerank,
+}
+
+ORACLE: dict[str, str] = {}
+
+ROWS_ONLY = {"q_pagerank"}
