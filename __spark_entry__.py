@@ -8,6 +8,9 @@ SQL for each (omitted for non-SQL-expressible ops → rows-only check).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,45 +59,59 @@ def _collect_modules():
     return mods
 
 
-# Queries the round-1 driver already recorded green (CORRECTNESS_r01.json).
-# A driver that caps its run at N entries should spend its budget on queries
-# with no hard-signal row yet, so these sort last; among the unproven,
-# oracle-checkable queries (strong signal) sort ahead of rows-only ones.
-_R1_DRIVER_GREEN = frozenset({
-    "q_scan_project", "q_filter", "q_pricing_agg", "q_agg_distinct",
-    "q_approx_distinct", "q_rollup", "q_join_inner", "q_join_star",
-    "q_join_outer", "q_join_semi_anti", "q_join_range", "q_window_rank",
-    "q_window_running", "q_window_laglead", "q_topk_per_group",
-    "q_sort_limit", "q_set_algebra", "q_pivot", "q_string_funcs",
-    "q_date_funcs", "q_math_funcs", "q_json_scalar", "q_array_wordcount",
-    "q_regex", "q_sessionize", "q_tumble_batch", "q_ntile_dist",
-    "q_window_firstlast", "q_window_range_interval", "q_percentiles",
-    "q_approx_quantile", "q_stats_agg", "q_grouping_sets", "q_string_agg",
-    "q_unpivot", "q_posexplode", "q_map_explode", "q_scalar_subquery",
-    "q_sql_q3", "q_having", "q_in_subquery", "q_null_semantics",
-    "q_date_arith", "q_base64", "q_json_parse", "q_explode",
-    "q_json_fallback", "q_epoch_ts", "q_restructure",
-})
+def _driver_history() -> tuple[frozenset, frozenset]:
+    """(hash_green, ever_checked) query names from every CORRECTNESS_r*.json
+    the driver has written so far.  Reading the files (instead of a frozen
+    literal) means each round's ordering automatically deprioritizes what
+    the previous rounds already proved — the round-2 postmortem found a
+    stale hand-maintained set starved 48 queries of any correctness row."""
+    green: set[str] = set()
+    checked: set[str] = set()
+    base = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            checked.add(name)
+            if row.get("hash_match") is True:
+                green.add(name)
+    return frozenset(green), frozenset(checked)
 
 
 def _ordered_names(mods) -> list[tuple]:
-    """(name, fn) pairs: unproven-with-oracle first, unproven rows-only
-    next, round-1-proven last.  Within the unproven-oracle tier, entries
-    are ROUND-ROBINED across modules so a driver that caps its run still
-    records hard-signal rows for EVERY module (evidence breadth beats
-    finishing one module's tail)."""
+    """(name, fn) pairs ordered so a driver that caps its run at N entries
+    spends its budget on queries with no hard-signal row yet:
+
+      tier 0 — oracle-backed, never driver-checked (ROUND-ROBINED across
+               modules: evidence breadth beats finishing one module's tail)
+      tier 1 — oracle-backed, checked but never hash-green (re-checks of
+               fixed regressions)
+      tier 2 — rows-only, never driver-checked
+      tier 3 — everything with a green (or rows-recorded) driver row
+    """
+    green, checked = _driver_history()
     tier0_by_mod: list[list[tuple]] = []
-    tiers: list[list[tuple]] = [[], []]
+    tiers: list[list[tuple]] = [[], [], []]
     for mod in mods:
         rows_only = getattr(mod, "ROWS_ONLY", set())
         mod_tier0: list[tuple] = []
         for name, fn in mod.QUERIES.items():
-            if name in _R1_DRIVER_GREEN:
-                tiers[1].append((name, fn))
-            elif name in rows_only or name not in getattr(mod, "ORACLE", {}):
-                tiers[0].append((name, fn))
-            else:
+            has_oracle = name not in rows_only and name in getattr(mod, "ORACLE", {})
+            if name in green:
+                tiers[2].append((name, fn))
+            elif has_oracle and name not in checked:
                 mod_tier0.append((name, fn))
+            elif has_oracle:
+                tiers[0].append((name, fn))
+            elif name not in checked:
+                tiers[1].append((name, fn))
+            else:
+                tiers[2].append((name, fn))
         if mod_tier0:
             tier0_by_mod.append(mod_tier0)
     interleaved: list[tuple] = []
@@ -105,7 +122,7 @@ def _ordered_names(mods) -> list[tuple]:
                 interleaved.append(mod_list[i])
         tier0_by_mod = [m for m in tier0_by_mod if len(m) > i + 1]
         i += 1
-    return interleaved + tiers[0] + tiers[1]
+    return interleaved + tiers[0] + tiers[1] + tiers[2]
 
 
 def entry(spark: SparkSession) -> DataFrame:

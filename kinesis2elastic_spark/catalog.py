@@ -43,6 +43,24 @@ BROADCAST_DIMS = {"region", "nation", "supplier"}
 NANO_TS_COLS = {"events": ("ts",)}
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (session-TZ aware).
+
+    The driver testdata has stored ``events.ts`` under several parquet
+    encodings across rounds: INT64 TIMESTAMP(NANOS) (handled via
+    ``nanosAsLong`` below) and plain ``timestamp[us]`` with no TZ annotation,
+    which Spark reads as TIMESTAMP_NTZ.  Chrono functions like
+    ``F.unix_micros`` accept only TIMESTAMP, so we normalize once at load.
+    The session TZ is pinned UTC (session.py), making the cast a pure
+    re-tag — identical microsecond values, no wall-clock shift — and it
+    stays a metadata-only projection that Catalyst folds into the scan.
+    """
+    for cname, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (lazy; pushdown-friendly)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -50,7 +68,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in NANO_TS_COLS.get(name, ()):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -63,6 +63,83 @@ PATTERNS: dict[str, str] = {
     "HTTPDATE": r"(?:0[1-9]|[12]\d|3[01]|[1-9])/\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\b/(?:\d\d){1,2}:(?:2[0123]|[01]?\d):(?:[0-5]\d):(?:[0-5]\d) [+-]\d{4}",
 }
 
+# ---------------------------------------------------------------------------
+# The rest of the standard grok base-pattern table (public logstash
+# grok-patterns semantics), re-expressed RE2-safe: no lookarounds, no
+# backrefs, non-capturing groups only — so arbitrary reference-style
+# pipelines (not just the Axway one) compile, and the DuckDB oracle can run
+# the same compiled regex.  Composed entries reference the table itself so a
+# definition changes in exactly one place.
+# ---------------------------------------------------------------------------
+PATTERNS.update({
+    "POSINT": r"\b[1-9]\d*\b",
+    "NONNEGINT": r"\b\d+\b",
+    "BASE10NUM": PATTERNS["NUMBER"],
+    # logstash BASE16NUM uses a lookbehind; the boundary assertion is
+    # dropped for RE2 compatibility.
+    "BASE16NUM": r"[+-]?(?:0[xX])?[0-9A-Fa-f]+",
+    "BASE16FLOAT": r"\b[+-]?(?:0[xX])?(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)\b",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "PORT": r"(?:6553[0-5]|655[0-2]\d|65[0-4]\d{2}|6[0-4]\d{3}|[1-5]?\d{1,4})",
+    "HOUR": r"(?:2[0123]|[01]?\d)",
+    "MINUTE": r"(?:[0-5]\d)",
+    "SECOND": r"(?:[0-5]?\d(?:[:.,]\d+)?|60(?:[:.,]\d+)?)",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-](?:2[0123]|[01]?\d)(?::?(?:[0-5]\d)))",
+    "LOGLEVEL": (
+        r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|"
+        r"[Ii]nfo(?:rmation)?|INFO(?:RMATION)?|[Ww]arn(?:ing)?|WARN(?:ING)?|"
+        r"[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|[Ff]atal|"
+        r"FATAL|[Ss]evere|SEVERE|[Ee]merg(?:ency)?|EMERG(?:ENCY)?)"
+    ),
+    # logstash QUOTEDSTRING needs backrefs; this RE2-safe form accepts
+    # double- or single-quoted bodies with escapes.
+    "QUOTEDSTRING": r"(?:\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
+    "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]+)+",
+    "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
+    "TTY": r"/dev/(?:pts|tty(?:[pq])?)(?:\w+)?(?:/\w+)?",
+    "PROG": r"[\x21-\x5a\x5c\x5e-\x7e]+",
+})
+PATTERNS.update({
+    "MAC": rf"(?:{PATTERNS['CISCOMAC']}|{PATTERNS['WINDOWSMAC']}|{PATTERNS['COMMONMAC']})",
+    "PATH": rf"(?:{PATTERNS['UNIXPATH']}|{PATTERNS['WINPATH']})",
+    "QS": PATTERNS["QUOTEDSTRING"],
+    "HOSTPORT": rf"{PATTERNS['IPORHOST']}:{PATTERNS['PORT']}",
+    "DATE_US": rf"{PATTERNS['MONTHNUM']}[/-]{PATTERNS['MONTHDAY']}[/-]{PATTERNS['YEAR']}",
+    "DATE_EU": rf"{PATTERNS['MONTHDAY']}[./-]{PATTERNS['MONTHNUM']}[./-]{PATTERNS['YEAR']}",
+    "TIMESTAMP_ISO8601": (
+        rf"{PATTERNS['YEAR']}-{PATTERNS['MONTHNUM']}-{PATTERNS['MONTHDAY']}"
+        rf"[T ]{PATTERNS['HOUR']}:?{PATTERNS['MINUTE']}"
+        rf"(?::?{PATTERNS['SECOND']})?{PATTERNS['ISO8601_TIMEZONE']}?"
+    ),
+    "SYSLOGTIMESTAMP": rf"{PATTERNS['MONTH']} +{PATTERNS['MONTHDAY']} {PATTERNS['TIME']}",
+    "SYSLOGPROG": rf"{PATTERNS['PROG']}(?:\[{PATTERNS['POSINT']}\])?",
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]*",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
+})
+PATTERNS.update({
+    "DATE": rf"(?:{PATTERNS['DATE_US']}|{PATTERNS['DATE_EU']})",
+    "SYSLOGHOST": PATTERNS["IPORHOST"],
+    "URIHOST": rf"{PATTERNS['IPORHOST']}(?::{PATTERNS['PORT']})?",
+    "URIPATHPARAM": rf"{PATTERNS['URIPATH']}(?:{PATTERNS['URIPARAM']})?",
+})
+PATTERNS.update({
+    "DATESTAMP": rf"{PATTERNS['DATE']}[- ]{PATTERNS['TIME']}",
+    "URI": (
+        rf"{PATTERNS['URIPROTO']}://(?:{PATTERNS['USER']}(?::[^@]*)?@)?"
+        rf"(?:{PATTERNS['URIHOST']})?(?:{PATTERNS['URIPATHPARAM']})?"
+    ),
+    "SYSLOGBASE": (
+        rf"{PATTERNS['SYSLOGTIMESTAMP']} (?:.+ )?{PATTERNS['IPORHOST']} "
+        rf"{PATTERNS['SYSLOGPROG']}:"
+    ),
+})
+
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.@\[\]_-]+))?(?::(\w+))?\}")
 _NAMED_GROUP = re.compile(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>")
 

@@ -761,7 +761,10 @@ ORACLE = {
     "q_hop_batch": """
         -- each event belongs to exactly win/slide = 2 hop windows:
         -- starts floor(epoch/1800)*1800 and that minus 1800
-        SELECT to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800)
+        -- make_timestamp(us) yields a naive TIMESTAMP (TZ-independent),
+        -- matching Spark's window start under the UTC-pinned session;
+        -- to_timestamp would yield TIMESTAMPTZ and shift under non-UTC TZs.
+        SELECT make_timestamp(((CAST(floor(epoch(ts) / 1800) AS BIGINT) - i) * 1800) * 1000000)
                  AS window_start,
                event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         FROM events, unnest([0, 1]) AS t(i)

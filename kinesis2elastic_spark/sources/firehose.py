@@ -71,10 +71,21 @@ def validate_envelope(payload: bytes) -> dict:
 class FirehoseReceiver:
     """Threaded HTTP receiver spooling validated envelopes to JSON files."""
 
-    def __init__(self, spool_dir: str, port: int = 0, logger=None):
+    def __init__(self, spool_dir: str, port: int = 0, logger=None, registry=None):
         self.spool_dir = spool_dir
         os.makedirs(spool_dir, exist_ok=True)
         self.logger = logger  # A33: StructuredLogger or None
+        if registry is None:
+            from kinesis2elastic_spark.metrics import MetricsRegistry
+
+            registry = MetricsRegistry()
+        self.registry = registry  # A32: /metrics scrape surface
+        registry.describe(
+            "k2e_http_requests_total", "HTTP requests by path and status"
+        )
+        registry.describe(
+            "k2e_records_spooled_total", "Firehose records accepted and spooled"
+        )
         receiver = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -91,7 +102,17 @@ class FirehoseReceiver:
 
             def do_GET(self):
                 if self.path == "/ping":  # A2 (main.go:220-224)
+                    receiver.registry.inc(
+                        "k2e_http_requests_total", {"path": "/ping", "status": "200"}
+                    )
                     self._respond(200, {"message": "pong"})
+                elif self.path == "/metrics":  # A32 (main.go:215-217)
+                    body = receiver.registry.render().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._respond(404, {"errorMessage": "not found"})
 
@@ -116,6 +137,9 @@ class FirehoseReceiver:
                     # Firehose error body → upstream retry (main.go:56-69)
                     if log:
                         log.error("request_rejected", reason=str(e), n_bytes=len(body))
+                    receiver.registry.inc(
+                        "k2e_http_requests_total", {"path": "/firehose", "status": "400"}
+                    )
                     self._respond(400, {"requestId": req_id, "timestamp": now_ms,
                                         "errorMessage": str(e)})
                     return
@@ -126,6 +150,12 @@ class FirehoseReceiver:
                 receiver._spool(env)
                 if log:
                     log.info("request_spooled", n_records=len(env["records"]))
+                receiver.registry.inc(
+                    "k2e_http_requests_total", {"path": "/firehose", "status": "200"}
+                )
+                receiver.registry.inc(
+                    "k2e_records_spooled_total", amount=len(env["records"])
+                )
                 self._respond(200, {"requestId": req_id, "timestamp": now_ms})
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)

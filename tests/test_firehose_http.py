@@ -120,3 +120,49 @@ def test_spool_feeds_stream_with_metrics(spark, receiver):
         assert all(p["observed"]["n_errors"] == 0 for p in batches if p["observed"])
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_metrics_endpoint_scrapeable(receiver):
+    """A32: /metrics serves Prometheus text exposition (main.go:215-217)
+    with request + spool counters reflecting the traffic served."""
+    _post(receiver.url, json.dumps(_envelope()).encode(),
+          {"Content-Type": "application/json"})
+    _post(receiver.url, b"x", {"Content-Type": "text/plain"})  # a 400
+    with urllib.request.urlopen(receiver.url + "/metrics", timeout=10) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        body = resp.read().decode()
+    assert '# TYPE k2e_http_requests_total counter' in body
+    assert 'k2e_http_requests_total{path="/firehose",status="200"} 1' in body
+    assert 'k2e_http_requests_total{path="/firehose",status="400"} 1' in body
+    assert 'k2e_records_spooled_total 1' in body
+
+
+def test_listener_publishes_to_registry():
+    """CollectingListener + MetricsRegistry: per-batch doc counters land on
+    the same scrape surface the receiver serves."""
+    from kinesis2elastic_spark.metrics import MetricsRegistry
+
+    reg = MetricsRegistry()
+    listener = CollectingListener(registry=reg)
+
+    class _Obs:
+        def __init__(self, d):
+            self._d = d
+
+        def asDict(self):
+            return dict(self._d)
+
+    class _Progress:
+        batchId = 0
+        numInputRows = 4
+        observedMetrics = {"doc_metrics": _Obs({"n_docs": 4, "n_ok": 3, "n_errors": 1})}
+
+    class _Event:
+        progress = _Progress()
+
+    listener.onQueryProgress(_Event())
+    assert reg.value("k2e_docs_total") == 4
+    assert reg.value("k2e_docs_ok_total") == 3
+    assert reg.value("k2e_doc_errors_total") == 1
+    assert "k2e_docs_total 4" in reg.render()

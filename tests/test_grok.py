@@ -87,3 +87,70 @@ def test_unknown_pattern_raises():
         assert "NOPE" in str(e)
     else:
         raise AssertionError("expected KeyError")
+
+
+def test_pattern_table_breadth_syslog():
+    """Non-Axway pipelines compile: classic syslog line (SYSLOGTIMESTAMP,
+    SYSLOGPROG via PROG/POSINT) — the reference relies on the stock
+    OpenSearch pattern table, so common patterns beyond the Axway subset
+    must compile and match."""
+    import re as _re
+
+    from kinesis2elastic_spark.operators.grok import compile_grok
+
+    c = compile_grok(
+        "%{SYSLOGTIMESTAMP:ts} %{IPORHOST:host} %{PROG:prog}(?:\\[%{POSINT:pid:long}\\])?: %{GREEDYDATA:msg}"
+    )
+    line = "Oct 11 22:14:15 web01.example.com sshd[4721]: Failed password for root"
+    m = _re.search(c.regex, line)
+    assert m
+    vals = {f.name: m.group(f.group) for f in c.fields}
+    assert vals["ts"] == "Oct 11 22:14:15"
+    assert vals["host"] == "web01.example.com"
+    assert vals["prog"] == "sshd"
+    assert vals["pid"] == "4721"
+    assert vals["msg"] == "Failed password for root"
+
+
+def test_pattern_table_breadth_app_log():
+    """ISO8601 timestamp + LOGLEVEL + UUID + URI — a typical app-log grok."""
+    import re as _re
+
+    from kinesis2elastic_spark.operators.grok import compile_grok
+
+    c = compile_grok(
+        "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} \\[%{UUID:trace}\\] %{WORD:verb} %{URI:uri} -> %{NUMBER:status:long}"
+    )
+    line = (
+        "2024-03-05T12:34:56.789Z ERROR [123e4567-e89b-12d3-a456-426614174000] "
+        "GET https://api.example.com:8443/v1/items?q=x -> 503"
+    )
+    m = _re.search(c.regex, line)
+    assert m
+    vals = {f.name: m.group(f.group) for f in c.fields}
+    assert vals["level"] == "ERROR"
+    assert vals["trace"] == "123e4567-e89b-12d3-a456-426614174000"
+    assert vals["uri"] == "https://api.example.com:8443/v1/items?q=x"
+    assert vals["status"] == "503"
+
+
+def test_pattern_table_breadth_net_fields(spark):
+    """MAC/QS/PATH/DATESTAMP compile and extract typed columns JVM-side."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.grok import compile_grok, grok_columns
+
+    c = compile_grok(
+        "%{COMMONMAC:mac} %{QS:agent} %{UNIXPATH:path} %{DATESTAMP:when}"
+    )
+    df = spark.createDataFrame(
+        [Row(line='aa:bb:cc:dd:ee:ff "Mozilla \\"5.0\\"" /var/log/app.log 03/22/2024 14:01:02')]
+    )
+    out = df.select(
+        *[v.alias(k) for k, v in grok_columns(F.col("line"), c).items()]
+    ).first()
+    assert out["mac"] == "aa:bb:cc:dd:ee:ff"
+    assert out["agent"] == '"Mozilla \\"5.0\\""'
+    assert out["path"] == "/var/log/app.log"
+    assert out["when"] == "03/22/2024 14:01:02"
