@@ -131,12 +131,14 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET = 512  # tokens per packed sequence (context-window stand-in)
 
 
-def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing (rows-only: order-dependent scan): pack
+def seq_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing detail (order-dependent scan): pack
     documents into fixed token budgets for training, per (lang) packing
     domain in deterministic doc_id order.  A pack closes when the next
     document would overflow ``PACK_BUDGET``; an oversized document gets a
-    pack of its own.
+    pack of its own.  Pack ids are engine-local (the scan is stateful),
+    so this form is pytest-verified; ``q_seq_pack`` is the
+    oracle-checkable contract reduction.
 
     This is the canonical ``applyInPandas`` shape: each group is one
     independent packing domain, the kernel is a linear scan with one
@@ -166,6 +168,34 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return toks.groupBy("lang").applyInPandas(
         pack, "doc_id long, lang string, n_tokens long, pack_id long, pack_offset long"
+    )
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40 contract query, self-verifying (est_ok pattern): pack ids are
+    engine-local, but the packing's INVARIANTS are exact — per lang
+    domain the doc and token totals are unchanged by packing (the oracle
+    recomputes both from the documents table), no multi-doc pack exceeds
+    the budget, and the pack count stays within the greedy guarantee
+    (any two consecutive packs overflow the budget together, so
+    n_packs ≤ 2·⌈total/budget⌉ + oversized singles).  A broken kernel
+    (overfilled packs, dropped docs, one-doc-per-pack degeneration)
+    trips a flag → hash mismatch on FALSE."""
+    a = seq_pack_assignments(spark, sf_dir)
+    per_pack = a.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs_in_pack"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+    bad_pack = (F.col("pack_tokens") > PACK_BUDGET) & (F.col("n_docs_in_pack") > 1)
+    oversized = (F.col("pack_tokens") > PACK_BUDGET) & (F.col("n_docs_in_pack") == 1)
+    return per_pack.groupBy("lang").agg(
+        F.sum("n_docs_in_pack").cast("long").alias("n_docs"),
+        F.sum("pack_tokens").cast("long").alias("total_tokens"),
+        (F.count_if(bad_pack) == 0).alias("budget_ok"),
+        (
+            F.count("*")
+            <= 2 * F.ceil(F.sum("pack_tokens") / PACK_BUDGET) + F.count_if(oversized) + 1
+        ).alias("efficiency_ok"),
     )
 
 
@@ -1069,4 +1099,17 @@ ORACLE["q_heavy_hitters"] = f"""
     HAVING count(*) > (SELECT count(*) FROM t) / {HH_CAPACITY}.0
 """
 
-ROWS_ONLY = {"q_seq_pack"}
+# Self-verifying contract reduction (est_ok pattern): pack ids are
+# engine-local, but per-lang doc/token totals are exact — the oracle
+# recomputes them from the documents table and expects the packing
+# invariant flags TRUE.
+ORACLE["q_seq_pack"] = """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           TRUE AS budget_ok,
+           TRUE AS efficiency_ok
+    FROM documents GROUP BY lang
+"""
+
+ROWS_ONLY: set[str] = set()

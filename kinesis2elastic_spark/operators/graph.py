@@ -110,24 +110,11 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, max_iter: int = PR_M
     return ranks
 
 
-def q_pagerank(spark: SparkSession, sf_dir: str, top_k: int = 25) -> DataFrame:
-    """Authority ranking over the customer↔supplier trade graph (the
-    bipartite edge list derived from orders⋈lineitem): PageRank as the
-    link-based quality-weighting signal (rows-only: iterative, not
-    SQL-expressible).
-
-    Output: the top-``top_k`` nodes by rank (TakeOrderedAndProject — no
-    global sort), rank rounded so ties break deterministically on node
-    id.  The pytest asserts the invariants instead of values: Σrank =
-    n_nodes within tolerance, all ranks ≥ (1−d), and high-degree nodes
-    outrank the median."""
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric directed edge list of the customer↔supplier trade graph
+    (bipartite, derived from orders⋈lineitem)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # fixed-iteration mode (tol=0): 8 power iterations rank this graph
-    # stably (d^8 ≈ 0.27 residual is far below the gaps between top-k
-    # ranks), and skipping the per-round delta aggregate keeps the
-    # contract query inside the driver's per-query budget — callers who
-    # need converged values use pagerank() directly with a tolerance.
     trade = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -136,11 +123,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str, top_k: int = 25) -> DataFrame:
         )
         .distinct()
     )
-    # undirected bipartite → symmetric directed edges
-    edges = trade.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
+    return trade.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
         trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
-    ranks = pagerank(edges, max_iter=8, tol=0.0)
+
+
+def pagerank_topk(spark: SparkSession, sf_dir: str, top_k: int = 25) -> DataFrame:
+    """Authority ranking over the trade graph: the top-``top_k`` nodes by
+    rank (TakeOrderedAndProject — no global sort), rank rounded so ties
+    break deterministically on node id.  Rank values are engine-local, so
+    this detailed form is pytest-verified; the contract query
+    ``q_pagerank`` reduces the same ranks to an oracle-checkable row.
+
+    Fixed-iteration mode (tol=0): 8 power iterations rank this graph
+    stably (d^8 ≈ 0.27 residual is far below the gaps between top-k
+    ranks), and skipping the per-round delta aggregate keeps the query
+    inside the driver's per-query budget — callers who need converged
+    values use pagerank() directly with a tolerance."""
+    ranks = pagerank(_trade_edges(spark, sf_dir), max_iter=8, tol=0.0)
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
@@ -148,10 +148,57 @@ def q_pagerank(spark: SparkSession, sf_dir: str, top_k: int = 25) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B83 contract query, self-verifying (est_ok pattern): PageRank is
+    iterative and its rank values engine-local, but its INVARIANTS are
+    exact — so the query emits the node count (which the DuckDB oracle
+    recomputes exactly from the same trade-graph definition) plus
+    in-engine checks: Σrank = n_nodes within 1e-6·n, every rank ≥ (1−d)
+    (the teleport floor), and the rank-argmax node sits in the top decile
+    by degree (hubs must win).  A broken iteration (lost mass, negative
+    contributions, degree-blind propagation) trips a flag; the driver's
+    hash check then fails on FALSE ≠ TRUE."""
+    edges = _trade_edges(spark, sf_dir)
+    ranks = pagerank(edges, max_iter=8, tol=0.0)
+    degrees = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    joined = ranks.join(degrees, "node")
+    stats = joined.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("rank").alias("_sum_rank"),
+        F.min("rank").alias("_min_rank"),
+        F.max_by("degree", F.struct(F.col("rank"), F.col("node"))).alias("_hub_degree"),
+        F.expr("percentile(degree, 0.9)").alias("_deg_p90"),
+    )
+    return stats.select(
+        "n_nodes",
+        (F.abs(F.col("_sum_rank") - F.col("n_nodes")) <= 1e-6 * F.col("n_nodes")).alias(
+            "mass_conserved_ok"
+        ),
+        (F.col("_min_rank") >= F.lit(1.0 - PR_DAMPING) - 1e-9).alias("teleport_floor_ok"),
+        (F.col("_hub_degree") >= F.col("_deg_p90")).alias("hub_outranks_ok"),
+    )
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
 }
 
-ORACLE: dict[str, str] = {}
+# The oracle recomputes n_nodes exactly from the same graph definition and
+# expects every invariant flag TRUE — PageRank's values are engine-local,
+# but mass conservation / teleport floor / hub dominance are not.
+ORACLE: dict[str, str] = {
+    "q_pagerank": """
+        WITH trade AS (
+          SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT CAST((SELECT count(DISTINCT cust) FROM trade)
+                  + (SELECT count(DISTINCT supp) FROM trade) AS BIGINT) AS n_nodes,
+               TRUE AS mass_conserved_ok,
+               TRUE AS teleport_floor_ok,
+               TRUE AS hub_outranks_ok
+    """,
+}
 
-ROWS_ONLY = {"q_pagerank"}
+ROWS_ONLY: set[str] = set()

@@ -822,11 +822,13 @@ def q_diversity_sample(
 JL_TARGET_DIM = 16  # 64 → 16: JL distortion ~ sqrt(ln n / r)
 
 
-def q_random_projection(spark: SparkSession, sf_dir: str, r_dim: int = JL_TARGET_DIM) -> DataFrame:
-    """Johnson-Lindenstrauss random projection (rows-only: the projection
+def random_projection_detail(spark: SparkSession, sf_dir: str, r_dim: int = JL_TARGET_DIM) -> DataFrame:
+    """Johnson-Lindenstrauss random projection detail (the projection
     matrix is engine-local) — the dimensionality-reduction front end that
     makes brute-force / ANN similarity 4× cheaper per vector at bounded
-    distortion.
+    distortion.  ``q_random_projection`` is the oracle-checkable contract
+    reduction; the pytest asserts the JL mean-distortion envelope on this
+    detailed form.
 
     A dense Rademacher (±1/√r) projection matrix — deterministic from a
     fixed seed, a few KB — rides inside a ``mapInPandas`` closure; every
@@ -898,6 +900,21 @@ def q_random_projection(spark: SparkSession, sf_dir: str, r_dim: int = JL_TARGET
             4,
         ).alias("distortion"),
     )
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str, r_dim: int = JL_TARGET_DIM) -> DataFrame:
+    """B75 contract query, self-verifying (est_ok pattern): per probe
+    pair, the ORIGINAL-space distance is exact (the DuckDB oracle
+    recomputes it from the same embeddings), and the projected-space
+    distortion must sit inside the generous per-pair JL band (0.3, 2.0)
+    — far outside what a correct ±1/√r Rademacher projection produces at
+    this n/r (the pytest asserts the much tighter mean envelope), but
+    tripped immediately by a mis-scaled or degenerate matrix.  496 rows
+    of exact distances + flags → a strong hash check for an operator
+    whose projected values are inherently engine-local."""
+    detail = random_projection_detail(spark, sf_dir, r_dim=r_dim)
+    jl_ok = (F.col("distortion") > 0.3) & (F.col("distortion") < 2.0)
+    return detail.select("vec_a", "vec_b", "d_orig", jl_ok.alias("jl_ok"))
 
 
 def kmeans_iterate(
@@ -1013,10 +1030,13 @@ def q_semantic_dedup(
     )
 
 
-def q_kmeans(spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3) -> DataFrame:
-    """B34/B33 companion (rows-only): k-means cluster profile after
-    ``n_iter`` Lloyd rounds — per-cluster population and inertia, the
-    summary a semantic-dedup / diversity-sampling pass consumes."""
+def kmeans_profile(spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3) -> DataFrame:
+    """B34/B33 companion detail: k-means cluster profile after ``n_iter``
+    Lloyd rounds — per-cluster population and inertia, the summary a
+    semantic-dedup / diversity-sampling pass consumes.  Cluster contents
+    are engine-local (they depend on the sampled seed centroids), so this
+    form is pytest-verified; ``q_kmeans`` is the oracle-checkable
+    contract reduction."""
     emb = load(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_iterate(emb, k=k, n_iter=n_iter)
     return (
@@ -1025,6 +1045,28 @@ def q_kmeans(spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3) -> D
             F.count("*").alias("n_vecs"),
             F.round(F.avg("sqdist"), 4).alias("avg_sqdist"),
         )
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3) -> DataFrame:
+    """B58 contract query, self-verifying (est_ok pattern): cluster
+    contents are engine-local, but Lloyd's INVARIANTS are exact — the
+    assignment partitions the input (Σ cluster sizes = table count, which
+    the oracle recomputes exactly), every cluster is non-empty at this
+    k/data ratio, and inertia is monotone non-increasing across rounds
+    (each assign and update step can only lower it).  A broken distance
+    kernel or centroid update trips a flag → hash mismatch on FALSE."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, history = kmeans_iterate(emb, k=k, n_iter=n_iter)
+    inertia_ok = all(
+        history[i + 1] <= history[i] + 1e-6 for i in range(len(history) - 1)
+    )
+    per = assigned.groupBy("cluster").agg(F.count("*").alias("n"))
+    return per.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n").cast("long").alias("n_vecs"),
+        (F.count("*") == k).alias("all_clusters_nonempty_ok"),
+        F.lit(bool(inertia_ok)).alias("inertia_monotone_ok"),
     )
 
 
@@ -1108,14 +1150,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.3}
 
 
-def q_ann_recall(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5) -> DataFrame:
-    """Self-verifying ANN quality check (rows-only: ANN is not
-    SQL-expressible): recall@k of both ANN variants against the exact
-    brute-force top-k, one row per method with the mean/min recall over
-    the query set and a pass flag against the measured floors — the same
-    est-within-bounds pattern the approximate sketches use, so a driver
-    that only sees row counts still records a meaningful check (the test
-    suite asserts the flags are TRUE)."""
+def ann_recall_detail(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5) -> DataFrame:
+    """Self-verifying ANN quality detail: recall@k of both ANN variants
+    against the exact brute-force top-k, one row per method with the
+    mean/min recall over the query set and a pass flag against the
+    measured floors.  Recall values are engine-local (they depend on the
+    hash family); ``q_ann_recall`` is the oracle-checkable contract
+    reduction, the pytest asserts the detailed flags."""
     exact = q_cosine_topk(spark, sf_dir, k=k, n_queries=n_queries).select(
         "query_id", "neighbor_id"
     )
@@ -1143,6 +1184,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int =
             )
         )
     return out[0].unionAll(out[1])
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5) -> DataFrame:
+    """B49 contract query, self-verifying (est_ok pattern): the recall
+    NUMBERS are engine-local, but "each ANN variant clears its measured
+    recall floor against the exact brute-force top-k" is a hard invariant
+    of a working hash family — a broken LSH/IVF collapses recall to ~k/n
+    and trips the flag, failing the oracle hash on FALSE ≠ TRUE."""
+    return ann_recall_detail(spark, sf_dir, k=k, n_queries=n_queries).select(
+        "method", "n_queries", "recall_ok"
+    )
 
 
 QUERIES = {
@@ -1289,17 +1341,50 @@ ORACLE = {
                max(n_chars) AS max_chars
         FROM documents GROUP BY lang, source
     """,
+    # Self-verifying contract reductions (est_ok pattern): the oracle
+    # recomputes the exact parts (counts, original-space distances) and
+    # expects every in-engine invariant flag TRUE.
+    "q_kmeans": """
+        SELECT CAST(8 AS BIGINT) AS n_clusters,
+               (SELECT count(*) FROM embeddings) AS n_vecs,
+               TRUE AS all_clusters_nonempty_ok,
+               TRUE AS inertia_monotone_ok
+    """,
+    "q_ann_recall": """
+        SELECT 'lsh' AS method, CAST(5 AS BIGINT) AS n_queries, TRUE AS recall_ok
+        UNION ALL
+        SELECT 'ivf', CAST(5 AS BIGINT), TRUE
+    """,
+    # Exact original-space euclidean distance per probe pair: DuckDB zips
+    # parallel unnests positionally (PostgreSQL semantics), so the sum
+    # runs over the same per-dimension squared differences Spark's
+    # zip_with fold sees (summation order differs only in last-ulp noise,
+    # absorbed by round-4).
+    "q_random_projection": """
+        WITH probes AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 a.embedding AS ea, b.embedding AS eb
+          FROM probes a JOIN probes b ON a.vec_id < b.vec_id),
+        terms AS (
+          SELECT vec_a, vec_b,
+                 CAST(unnest(ea) AS DOUBLE) AS x,
+                 CAST(unnest(eb) AS DOUBLE) AS y
+          FROM pairs)
+        SELECT vec_a, vec_b,
+               round(sqrt(sum((x - y) * (x - y))), 4) AS d_orig,
+               TRUE AS jl_ok
+        FROM terms GROUP BY vec_a, vec_b
+    """,
 }
 
 ROWS_ONLY = {
-    "q_kmeans",
     "q_semantic_dedup",
-    "q_random_projection",
     "q_diversity_sample",
     "q_minhash_near_dup",
     "q_simhash_near_dup",
     "q_ann_lsh",
     "q_ann_ivf",
-    "q_ann_recall",
     "q_dedup_clusters",
 }

@@ -56,7 +56,7 @@ def test_corpus_mix_priority_order(spark):
 
 
 def test_seq_pack_invariants(spark, sf_dir):
-    rows = corpus.q_seq_pack(spark, sf_dir).collect()
+    rows = corpus.seq_pack_assignments(spark, sf_dir).collect()
     by_pack: dict[tuple, list] = {}
     for r in rows:
         by_pack.setdefault((r.lang, r.pack_id), []).append(r)

@@ -29,13 +29,22 @@ def test_pagerank_dangling_mass_conserved(spark):
     assert ranks["b"] > ranks["a"]
 
 
-def test_q_pagerank_invariants(spark, sf_dir):
-    """Contract query: top-k rows, every rank >= (1-d), deterministic
-    ordering, and the top node is a high-degree hub (degree above the
-    graph's median)."""
-    df = graph.q_pagerank(spark, sf_dir)
+def test_pagerank_topk_invariants(spark, sf_dir):
+    """Detailed ranking: top-k rows, every rank >= (1-d), deterministic
+    ordering."""
+    df = graph.pagerank_topk(spark, sf_dir)
     rows = df.collect()
     assert 0 < len(rows) <= 25
     assert all(r.rank >= (1 - graph.PR_DAMPING) - 1e-9 for r in rows)
     ranks = [r.rank for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_q_pagerank_self_check_flags(spark, sf_dir):
+    """Contract query: one row, exact node count, every invariant flag
+    TRUE (mass conservation, teleport floor, hub dominance)."""
+    row = graph.q_pagerank(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_nodes > 0
+    assert r.mass_conserved_ok and r.teleport_floor_ok and r.hub_outranks_ok

@@ -132,9 +132,9 @@ def test_dedup_exact_keeps_min_doc_id(spark, sf_dir):
 
 
 def test_ann_recall_flags_pass(spark, sf_dir):
-    from kinesis2elastic_spark.operators.llmops import q_ann_recall
+    from kinesis2elastic_spark.operators.llmops import ann_recall_detail
 
-    rows = {r.method: r for r in q_ann_recall(spark, sf_dir).collect()}
+    rows = {r.method: r for r in ann_recall_detail(spark, sf_dir).collect()}
     assert set(rows) == {"lsh", "ivf"}
     for r in rows.values():
         assert r.recall_ok, (r.method, r.mean_recall)
@@ -146,7 +146,7 @@ def test_kmeans_lloyd_invariants(spark, sf_dir):
     inertia is non-increasing across iterations (assignment and update
     steps each only ever lower it)."""
     from kinesis2elastic_spark.catalog import load
-    from kinesis2elastic_spark.operators.llmops import kmeans_iterate, q_kmeans
+    from kinesis2elastic_spark.operators.llmops import kmeans_iterate, kmeans_profile
 
     emb = load(spark, sf_dir, "embeddings")
     n_total = emb.count()
@@ -155,7 +155,7 @@ def test_kmeans_lloyd_invariants(spark, sf_dir):
     assert all(history[i + 1] <= history[i] + 1e-6 for i in range(len(history) - 1))
     assert history[-1] < history[0]  # actually moved from the seed centroids
 
-    out = {r.cluster: r for r in q_kmeans(spark, sf_dir).collect()}
+    out = {r.cluster: r for r in kmeans_profile(spark, sf_dir).collect()}
     assert sum(r.n_vecs for r in out.values()) == n_total
     assert set(out) <= set(range(8))
     assert all(r.avg_sqdist >= 0 for r in out.values())
@@ -223,7 +223,7 @@ def test_random_projection_jl_bound(spark, sf_dir):
     same sign, wrong scaling) fails both."""
     import math
 
-    rows = llmops.q_random_projection(spark, sf_dir).collect()
+    rows = llmops.random_projection_detail(spark, sf_dir).collect()
     assert len(rows) == 32 * 31 // 2
     dist = [r.distortion for r in rows]
     mean_abs_err = sum(abs(d - 1.0) for d in dist) / len(dist)
