@@ -67,6 +67,12 @@ HEADLINE = [
     "q_merge_upsert",
     "q_inverted_index",
     "q_heavy_hitters",
+    # r3: the heaviest of the newly-completed TPC-H shapes — correlated
+    # per-part min over a derived partsupp (Q2), 5-way fact-dim profit
+    # join (Q9), EXISTS/NOT-EXISTS self-join pair (Q21).
+    "q_sql_q2",
+    "q_sql_q9",
+    "q_sql_q21",
 ]
 
 

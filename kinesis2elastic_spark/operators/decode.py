@@ -274,9 +274,18 @@ def q_restructure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_firehose_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1+A8-A15 end-to-end (rows-only: gzip not expressible in DuckDB):
-    synthesize envelopes from events, run the full decode chain, and prove
-    the cardinality contract: one output row per logEvent, all decoded."""
+    """A1+A8-A15 end-to-end, ORACLE-CHECKED: synthesize envelopes from
+    events, run the full decode chain (unbase64 → gunzip pandas UDF →
+    from_json → explode → json-or-text fallback → restructure), and prove
+    the cardinality contract: one output row per logEvent, all decoded.
+
+    DuckDB cannot gunzip — but it doesn't need to: the fixture is built
+    deterministically FROM the events table, so the base64+gzip roundtrip
+    cancels out and the oracle predicts the entire flattened output from
+    first principles (requestId/logGroup from event_id % 50, the envelope
+    constant @timestamp, the ms-truncated event time, the json-or-text
+    wrapped message).  Any corruption anywhere in the decode chain
+    changes a value and fails the hash."""
     env = build_envelopes(spark, sf_dir)
     docs = decode_envelopes(env)
     return docs.select(
@@ -291,15 +300,21 @@ def q_firehose_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_udf_gunzip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 (rows-only): gzip → gunzip roundtrip through the pandas UDFs,
-    plus the NULL-on-malformed dead-letter policy."""
+    """A9, oracle-checked via the est_ok pattern: the compressed bytes are
+    engine-local (zlib impl/level), but the CONTRACT is not — gunzip
+    inverts gzip for every document, malformed input dead-letters to NULL
+    (never throws), and the compressed size stays inside a sane band
+    (non-empty, < input + gzip overhead; a pass-through or
+    double-compressing UDF trips it).  The oracle expects one all-TRUE
+    row per document."""
     d = load(spark, sf_dir, "documents")
     gz = gzip_bytes(F.col("text"))
+    gz_len = F.length(gz)
     return d.select(
         "doc_id",
         (gunzip_text(gz) == F.col("text")).alias("roundtrip_ok"),
         gunzip_text(F.col("text").cast("binary")).isNull().alias("malformed_is_null"),
-        F.length(gz).cast("long").alias("gz_len"),
+        ((gz_len > 0) & (gz_len <= F.length("text") + 64)).alias("gz_len_sane"),
     )
 
 
@@ -359,6 +374,29 @@ ORACLE = {
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_created
         FROM events
     """,
+    # The decode chain's end-to-end output, predicted from first
+    # principles: build_envelopes derives every envelope field from the
+    # events table, so the oracle reconstructs the expected flattened rows
+    # without ever gunzipping (the base64+gzip roundtrip cancels out).
+    # The json-or-text wrapping mirrors the r1-green q_json_fallback
+    # oracle (to_json(struct_pack(...)) matches Spark's to_json format).
+    "q_firehose_flatten": """
+        SELECT concat('req-', CAST(event_id % 50 AS VARCHAR)) AS requestId,
+               make_timestamp(1635622518652 * 1000)           AS timestamp,
+               concat('/aws/app/group-', CAST(event_id % 50 AS VARCHAR)) AS logGroup,
+               CAST(event_id AS VARCHAR)                      AS event_id,
+               make_timestamp(epoch_ms(ts) * 1000)            AS event_ts,
+               CASE WHEN event_id % 3 = 0 THEN to_json(struct_pack(
+                        text := concat('plain text event ', CAST(event_id AS VARCHAR))))
+                    ELSE props END                            AS message,
+               CAST(NULL AS VARCHAR)                          AS error_message
+        FROM events
+    """,
+    "q_udf_gunzip": """
+        SELECT doc_id, TRUE AS roundtrip_ok, TRUE AS malformed_is_null,
+               TRUE AS gz_len_sane
+        FROM documents
+    """,
 }
 
-ROWS_ONLY = {"q_firehose_flatten", "q_udf_gunzip"}
+ROWS_ONLY: set[str] = set()
