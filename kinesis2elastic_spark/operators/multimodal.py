@@ -123,12 +123,25 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: the full multimodal plumbing — synth media → mapInPandas
-    feature extraction → resize planning → frame sampling counts."""
+    """The full multimodal plumbing, oracle-checked (est_ok pattern):
+    synth media → mapInPandas feature extraction → resize planning →
+    frame sampling counts.  The digest-fold feature VALUES are float32
+    and engine-local, but everything around them is exact — per-row
+    media type, feature dimension, resize targets, and sampled-frame
+    counts are recomputed by the oracle, and the feature vector itself
+    is flag-checked (right dim, every component in [0,1), non-degenerate
+    sum) so a broken UDF (empty vectors, NaNs, unscaled ints) fails the
+    hash on FALSE."""
     media = synth_media(spark, sf_dir)
     feats = extract_features(media)
     resized = resize_meta(media)
     frames = sample_frames(media).groupBy("doc_id").agg(F.count("*").alias("n_sampled_frames"))
+    fsum = F.aggregate(
+        F.col("features"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    in_unit = F.size(
+        F.filter("features", lambda x: (x >= 0.0) & (x < 1.0))
+    ) == F.size("features")
     return (
         feats.join(resized.select("doc_id", "target_width", "target_height"), "doc_id")
         .join(frames, "doc_id", "left")
@@ -136,7 +149,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "media_type",
             F.size("features").cast("long").alias("feature_dim"),
-            F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+            in_unit.alias("features_in_unit_ok"),
+            ((fsum > 0.0) & (fsum < F.size("features"))).alias("feature_sum_sane_ok"),
             "target_width",
             "target_height",
             F.coalesce("n_sampled_frames", F.lit(0)).alias("n_sampled_frames"),
@@ -226,4 +240,30 @@ ORACLE: dict[str, str] = {
         GROUP BY 1, 2, 3
     """,
 }
-ROWS_ONLY = {"q_multimodal_features"}
+# q_multimodal_features: the exact parts (typing, dims, resize targets,
+# frame counts) recomputed from the documents table; the engine-local
+# float32 feature values are flag-checked in-engine (all-TRUE expected).
+ORACLE["q_multimodal_features"] = f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS media_type,
+             n_chars % 640 + 16 AS width,
+             n_chars % 480 + 16 AS height,
+             n_chars % 120 + 1  AS n_frames
+      FROM documents),
+    r AS (
+      SELECT *, least(1.0, 256.0 / greatest(width, height)) AS scale FROM m)
+    SELECT doc_id, media_type,
+           CAST({FEATURE_DIM} AS BIGINT) AS feature_dim,
+           TRUE AS features_in_unit_ok,
+           TRUE AS feature_sum_sane_ok,
+           CAST(round(width * scale) AS INT)  AS target_width,
+           CAST(round(height * scale) AS INT) AS target_height,
+           CASE WHEN media_type = 'video/mp4'
+                THEN (n_frames - 1) // 10 + 1 ELSE 0 END AS n_sampled_frames
+    FROM r
+"""
+
+ROWS_ONLY: set[str] = set()
