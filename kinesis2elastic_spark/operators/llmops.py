@@ -1157,14 +1157,21 @@ def ann_recall_detail(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: 
     measured floors.  Recall values are engine-local (they depend on the
     hash family); ``q_ann_recall`` is the oracle-checkable contract
     reduction, the pytest asserts the detailed flags."""
-    exact = q_cosine_topk(spark, sf_dir, k=k, n_queries=n_queries).select(
-        "query_id", "neighbor_id"
+    # k x n_queries rows each — pinned eagerly so the exact top-k pipeline
+    # runs once (not once per method branch of the final union) and each
+    # ANN pipeline runs once (not once per join side/action).
+    exact = (
+        q_cosine_topk(spark, sf_dir, k=k, n_queries=n_queries)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     qids = spark.range(n_queries).select(F.col("id").alias("query_id"))
     out = []
     for method, fn in (("lsh", q_ann_lsh), ("ivf", q_ann_ivf)):
-        ann = fn(spark, sf_dir, k=k, n_queries=n_queries).select(
-            "query_id", "neighbor_id"
+        ann = (
+            fn(spark, sf_dir, k=k, n_queries=n_queries)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
         )
         per_q = (
             exact.join(ann, ["query_id", "neighbor_id"])
