@@ -347,10 +347,14 @@ def q_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_axway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A17-A31 end-to-end (rows-only): dispatch + full axway chain over a
-    mixed stream — axway-routed rows get the whole enrichment (grok,
-    uri_parts, sets, date promotion, geoip, renames), others pass through;
-    garbage lines in the axway branch dead-letter."""
+    """A17-A31 end-to-end, ORACLE-CHECKED: dispatch + full axway chain
+    over a mixed stream — axway-routed rows get the whole enrichment
+    (grok, uri_parts, sets, date promotion, geoip, renames), others pass
+    through; garbage lines in the axway branch dead-letter.  Every stage
+    has its own green oracle precedent (q_grok, q_case_when,
+    q_date_parse, q_geoip_join, q_dispatch, q_dead_letter); this oracle
+    composes the same SQL pieces over the same synthesized lines, so the
+    full composed pipeline is value-hash-checked end to end."""
     lines = synth_lines(spark, sf_dir)
     log_group = F.when(
         F.col("user_id") % 3 == 0, F.lit("/aws/axway/gateway")
@@ -566,4 +570,57 @@ ORACLE = {
     """,
 }
 
-ROWS_ONLY = {"q_pipeline_axway"}
+# The full composed pipeline, from the same SQL pieces its per-stage
+# oracles already proved: lines CTE + dispatch guard + gated grok
+# extraction + outcome CASE + date promotion + geoip range join.
+ORACLE["q_pipeline_axway"] = SQL_LINES_CTE + f"""
+    , staged AS (
+      SELECT event_id,
+             CASE WHEN user_id % 3 = 0 THEN '/aws/axway/gateway'
+                  ELSE '/aws/app/service' END AS lg,
+             CASE WHEN event_id % 17 = 0 THEN 'not an access log'
+                  ELSE line END AS msg
+      FROM lines),
+    flags AS (
+      SELECT *,
+             regexp_matches(msg, '{_RX}') AS matched,
+             (regexp_matches(lg, 'axway') AND regexp_matches(msg, '{_RX}')) AS active
+      FROM staged),
+    extracted AS (
+      SELECT event_id, lg, matched, active,
+             {_sql_grok('http.response.status_code', 'raw_status', 'BIGINT', col='msg')},
+             {_sql_grok('_tmp.url_orig', 'raw_url', col='msg')},
+             {_sql_grok('apache.access.time', 'raw_time', col='msg')},
+             {_sql_grok('source.address', 'raw_src', col='msg')}
+      FROM flags),
+    enriched AS (
+      SELECT event_id,
+             lg AS logGroup,
+             matched,
+             CASE WHEN active THEN raw_status END AS status_code,
+             CASE WHEN active THEN raw_url END AS url_orig,
+             CASE WHEN active AND raw_status < 400 THEN 'success'
+                  WHEN active AND raw_status > 399 THEN 'failure' END AS event_outcome,
+             CASE WHEN active THEN
+               timezone('UTC', strptime(raw_time, '%d/%b/%Y:%H:%M:%S %z')) END
+               AS timestamp_promoted,
+             CASE WHEN active THEN raw_src END AS source_ip
+      FROM extracted),
+    with_int AS (
+      SELECT *,
+             CAST(string_split(source_ip, '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(source_ip, '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(source_ip, '.')[3] AS BIGINT) * 256
+           + CAST(string_split(source_ip, '.')[4] AS BIGINT) AS ip_int
+      FROM enriched)
+    SELECT w.event_id, w.logGroup, w.status_code, w.url_orig,
+           w.event_outcome, w.timestamp_promoted, w.source_ip,
+           geoip.geo_country, geoip.as_number,
+           CASE WHEN regexp_matches(w.logGroup, 'axway') AND NOT w.matched
+                THEN 'grok pattern did not match' END AS error_message
+    FROM with_int w
+    LEFT JOIN {GEOIP_SQL_VALUES}
+      ON w.ip_int >= ip_lo AND w.ip_int <= ip_hi
+"""
+
+ROWS_ONLY: set[str] = set()
