@@ -181,3 +181,56 @@ def test_reference_literal_configs_execute(spark, docs):
     assert out[2]["event.outcome"] == "failure"
     assert out[3]["error.message"] is not None
     assert out[4]["event.kind"] is None  # non-axway untouched
+
+
+def test_non_axway_pipeline_with_standard_patterns(spark):
+    """A user-authored syslog pipeline (not the reference's Axway chain)
+    compiles and runs through the interpreter using the standard grok
+    base-pattern table added in r3 — the breadth the reference gets for
+    free from OpenSearch's stock pattern library."""
+    spec = {
+        "syslog": {
+            "processors": [
+                {
+                    "grok": {
+                        "field": "message",
+                        "patterns": [
+                            "%{SYSLOGTIMESTAMP:system.timestamp} "
+                            "%{IPORHOST:host.name} "
+                            "%{PROG:process.name}(?:\\[%{POSINT:process.pid:long}\\])?: "
+                            "%{GREEDYDATA:system.message}"
+                        ],
+                    }
+                },
+                {
+                    "set": {
+                        "field": "event.kind",
+                        "value": "event",
+                        "if": "ctx.process?.pid != null",
+                    }
+                },
+            ],
+            "on_failure": [
+                {"set": {"field": "error.message", "value": "syslog grok failed"}}
+            ],
+        }
+    }
+    rows = [
+        ("Oct 11 22:14:15 web01.example.com sshd[4721]: Failed password for root",),
+        ("Oct 12 03:02:09 10.1.2.3 cron[88]: (root) CMD (run-parts /etc/cron.hourly)",),
+        ("not even close to a syslog line",),
+    ]
+    df = spark.createDataFrame(rows, "message string")
+    out = PipelineInterpreter(spec).run(df, "syslog")
+    got = out.collect()
+    by_msg = {r["message"]: r for r in got}
+    ok1 = by_msg[rows[0][0]]
+    assert ok1["process.name"] == "sshd" and ok1["process.pid"] == 4721
+    assert ok1["host.name"] == "web01.example.com"
+    assert ok1["event.kind"] == "event"
+    assert ok1["error.message"] is None
+    ok2 = by_msg[rows[1][0]]
+    assert ok2["process.name"] == "cron" and ok2["process.pid"] == 88
+    bad = by_msg[rows[2][0]]
+    assert bad["error.message"] == "syslog grok failed"
+    assert bad["process.name"] is None

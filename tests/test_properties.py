@@ -1,0 +1,205 @@
+"""Property-based tests (hypothesis) over the engine's pure-Python kernels —
+the compiler/registry/harness layers where a structural invariant, not a
+single example, is the real contract.  No SparkSession needed: these run in
+milliseconds and fuzz the corners example tests miss.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesis2elastic_spark.metrics import MetricsRegistry
+from kinesis2elastic_spark.operators.grok import (
+    PATTERNS,
+    _noncapturing,
+    compile_grok,
+    named_group_regex,
+)
+
+# ---------------------------------------------------------------------------
+# grok compiler
+# ---------------------------------------------------------------------------
+
+# Patterns with a representative example each (used to build matching
+# lines); kept to patterns whose examples are stable under concatenation
+# with the separators below.
+PATTERN_EXAMPLES = {
+    "INT": "-42",
+    "NUMBER": "3.14",
+    "WORD": "hello",
+    "NOTSPACE": "a/b:c",
+    "USERNAME": "j.doe-1",
+    "IPV4": "192.168.0.1",
+    "UUID": "123e4567-e89b-12d3-a456-426614174000",
+    "COMMONMAC": "aa:bb:cc:dd:ee:ff",
+    "LOGLEVEL": "ERROR",
+    "MONTH": "Oct",
+    "MONTHDAY": "11",
+    "YEAR": "2026",
+    "TIME": "22:14:15",
+    "HOUR": "23",
+    "UNIXPATH": "/var/log/app.log",
+    "TIMESTAMP_ISO8601": "2026-08-13T10:15:32Z",
+    "POSINT": "4721",
+}
+
+_pattern_names = st.sampled_from(sorted(PATTERN_EXAMPLES))
+# Separators must be regex-literal: grok templates ARE regexes outside
+# %{} refs (so '|' would be alternation, '.' any-char, etc. — by design).
+_separators = st.sampled_from([" ", " - ", ": ", ", ", "="])
+
+
+@settings(max_examples=200)
+@given(st.lists(st.tuples(_pattern_names, _separators), min_size=1, max_size=6))
+def test_grok_compile_matches_constructed_line(parts):
+    """For ANY template built from known patterns and literal separators:
+    the compiled regex matches a line built from per-pattern examples, the
+    field list is in template order, and each field's group captures its
+    own example."""
+    template = ""
+    line = ""
+    expected = []
+    for i, (name, sep) in enumerate(parts):
+        field = f"f{i}"
+        template += f"%{{{name}:{field}}}{sep}"
+        line += PATTERN_EXAMPLES[name] + sep
+        expected.append((field, PATTERN_EXAMPLES[name]))
+    compiled = compile_grok(template)
+    assert [f.name for f in compiled.fields] == [f for f, _ in expected]
+    m = re.search(compiled.regex, line)
+    assert m, (template, line, compiled.regex)
+    for f, (fname, example) in zip(compiled.fields, expected):
+        assert f.name == fname
+        # DATA/GREEDYDATA-style minimal matches aside, each example here is
+        # fully consumed by its own pattern
+        assert m.group(f.group) == example, (fname, m.group(f.group))
+
+
+@settings(max_examples=100)
+@given(st.sampled_from(sorted(PATTERNS)))
+def test_grok_pattern_table_is_re2_safe(name):
+    """Every pattern in the table compiles as plain re AND contains no
+    constructs the DuckDB/RE2 oracle side rejects (lookaround, backrefs,
+    possessive quantifiers)."""
+    body = PATTERNS[name]
+    re.compile(body)
+    assert "(?=" not in body and "(?!" not in body and "(?<=" not in body
+    assert not re.search(r"\\[1-9]", body), "backreference"
+    assert "*+" not in body and "++" not in body
+
+
+@settings(max_examples=100)
+@given(st.lists(st.tuples(_pattern_names, _separators), min_size=1, max_size=5))
+def test_named_group_regex_group_parity(parts):
+    """The RE2 named-group re-emission preserves group count and captures
+    the same substrings as the numbered form."""
+    template = "".join(f"%{{{n}:f{i}}}{s}" for i, (n, s) in enumerate(parts))
+    line = "".join(PATTERN_EXAMPLES[n] + s for n, s in parts)
+    compiled = compile_grok(template)
+    named = named_group_regex(compiled)
+    m_num = re.search(compiled.regex, line)
+    m_named = re.search(named, line)
+    assert m_num and m_named
+    for f in compiled.fields:
+        assert m_num.group(f.group) == m_named.group(f"g{f.group}")
+
+
+@settings(max_examples=100)
+@given(st.text(alphabet=string.printable, max_size=40))
+def test_noncapturing_never_adds_capture_groups(body):
+    """_noncapturing output, when it still compiles, has zero capturing
+    groups (that's its whole job — keep group indices dense for the
+    compiler's own captures)."""
+    rewritten = _noncapturing(body)
+    try:
+        rx = re.compile(rewritten)
+    except re.error:
+        return  # arbitrary text need not be a valid regex
+    assert rx.groups == 0
+
+
+# ---------------------------------------------------------------------------
+# MetricsRegistry (A32)
+# ---------------------------------------------------------------------------
+
+_label_keys = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=5)
+_label_vals = st.text(alphabet=string.ascii_letters + string.digits, min_size=1, max_size=8)
+
+
+@settings(max_examples=100)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a_total", "b_total", "c_total"]),
+            st.dictionaries(_label_keys, _label_vals, max_size=2),
+            st.integers(min_value=1, max_value=1000),
+        ),
+        max_size=30,
+    )
+)
+def test_registry_counters_sum_and_render_roundtrip(ops):
+    """inc() accumulates exactly; render() emits one sample line per
+    (name, labelset) whose value parses back to the accumulated sum."""
+    reg = MetricsRegistry()
+    expect: dict[tuple, float] = {}
+    for name, labels, amount in ops:
+        reg.inc(name, labels, amount)
+        key = (name, tuple(sorted(labels.items())))
+        expect[key] = expect.get(key, 0) + amount
+    for (name, labels), total in expect.items():
+        assert reg.value(name, dict(labels)) == total
+    rendered = reg.render()
+    sample_lines = [
+        l for l in rendered.splitlines() if l and not l.startswith("#")
+    ]
+    assert len(sample_lines) == len(expect)
+    for line in sample_lines:
+        val = float(line.rsplit(" ", 1)[1])
+        assert val == int(val) and val >= 1
+
+
+# ---------------------------------------------------------------------------
+# Oracle harness canonicalization (tools/check_oracle mirrors the driver)
+# ---------------------------------------------------------------------------
+
+def _table_hash(cols, rows):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.table_hash(cols, rows)
+
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(min_value=-(10**9), max_value=10**9),
+    st.text(alphabet=string.ascii_letters, max_size=6),
+    st.booleans(),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.lists(_cell, min_size=3, max_size=3), min_size=1, max_size=8), st.randoms())
+def test_table_hash_is_order_insensitive(rows, rnd):
+    """The correctness-gate hash must be invariant under row order and
+    column order (with names permuted consistently) — exactly the
+    equivalence the driver's compare relies on."""
+    cols = ["a", "b", "c"]
+    base = _table_hash(cols, [tuple(r) for r in rows])
+
+    shuffled_rows = list(rows)
+    rnd.shuffle(shuffled_rows)
+    assert _table_hash(cols, [tuple(r) for r in shuffled_rows]) == base
+
+    perm = [2, 0, 1]
+    perm_cols = [cols[i] for i in perm]
+    perm_rows = [tuple(r[i] for i in perm) for r in rows]
+    assert _table_hash(perm_cols, perm_rows) == base
