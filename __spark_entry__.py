@@ -87,14 +87,23 @@ def _ordered_names(mods) -> list[tuple]:
     """(name, fn) pairs ordered so a driver that caps its run at N entries
     spends its budget on queries with no hard-signal row yet:
 
-      tier 0 — oracle-backed, never driver-checked (ROUND-ROBINED across
+      tier 0 — oracle-backed, checked but never hash-green: re-checks of
+               fixed regressions (small and bounded, so they go first —
+               leaving one red unchecked would hide a claimed fix)
+      tier 1 — oracle-backed, never driver-checked (ROUND-ROBINED across
                modules: evidence breadth beats finishing one module's tail)
-      tier 1 — oracle-backed, checked but never hash-green (re-checks of
-               fixed regressions)
       tier 2 — rows-only, never driver-checked
       tier 3 — everything with a green (or rows-recorded) driver row
     """
     green, checked = _driver_history()
+    # Queries first registered in round 3: within the never-checked tier
+    # they yield to queries that have waited since rounds 1-2 (a capped
+    # driver run should clear the oldest evidence debt first).  Self-heals:
+    # once checked, entries leave this tier entirely.
+    newest = {
+        "q_sql_q2", "q_sql_q9", "q_sql_q11", "q_sql_q16", "q_sql_q19",
+        "q_sql_q20", "q_sql_q21",
+    }
     tier0_by_mod: list[list[tuple]] = []
     tiers: list[list[tuple]] = [[], [], []]
     for mod in mods:
@@ -114,15 +123,27 @@ def _ordered_names(mods) -> list[tuple]:
                 tiers[2].append((name, fn))
         if mod_tier0:
             tier0_by_mod.append(mod_tier0)
-    interleaved: list[tuple] = []
-    i = 0
-    while any(tier0_by_mod):
-        for mod_list in tier0_by_mod:
-            if i < len(mod_list):
-                interleaved.append(mod_list[i])
-        tier0_by_mod = [m for m in tier0_by_mod if len(m) > i + 1]
-        i += 1
-    return interleaved + tiers[0] + tiers[1] + tiers[2]
+
+    def _interleave(by_mod: list[list[tuple]]) -> list[tuple]:
+        out: list[tuple] = []
+        i = 0
+        while any(by_mod):
+            for mod_list in by_mod:
+                if i < len(mod_list):
+                    out.append(mod_list[i])
+            by_mod = [m for m in by_mod if len(m) > i + 1]
+            i += 1
+        return out
+
+    # Two interleave passes: every module's OLD unchecked entries first
+    # (globally), then this round's additions — so a capped run clears the
+    # oldest evidence debt before spending slots on brand-new queries.
+    old_by_mod = [[t for t in m_ if t[0] not in newest] for m_ in tier0_by_mod]
+    new_by_mod = [[t for t in m_ if t[0] in newest] for m_ in tier0_by_mod]
+    interleaved = _interleave([m_ for m_ in old_by_mod if m_]) + _interleave(
+        [m_ for m_ in new_by_mod if m_]
+    )
+    return tiers[0] + interleaved + tiers[1] + tiers[2]
 
 
 def entry(spark: SparkSession) -> DataFrame:
