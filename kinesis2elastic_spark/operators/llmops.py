@@ -492,6 +492,18 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
     )
     sym = sym.localCheckpoint(eager=True)
+    # Size the loop's partitioning to the GRAPH, not the session default:
+    # the near-dup edge list is orders of magnitude smaller than the
+    # corpus, and every iteration schedules one task per partition per
+    # stage — at test scale 32 near-empty partitions make the loop
+    # scheduler-bound, while the rows-per-partition target below keeps a
+    # 100 TB edge list at sane partition sizes.  The count is one cheap
+    # job over already-checkpointed data.
+    n_edges = sym.count()
+    default_p = sym.rdd.getNumPartitions()
+    parts = max(2, min(default_p, n_edges // 250_000 + 1))
+    if parts < default_p:
+        sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
