@@ -42,11 +42,20 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, max_iter: int = PR_M
     each round so total rank stays = n_nodes (the invariant the pytest
     asserts)."""
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").distinct()
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # Size the loop's partitioning to the GRAPH (same rationale as
+    # connected_components): every one of the max_iter iterations
+    # schedules one task per partition per stage, so a derived graph far
+    # smaller than its source table must not inherit the session's
+    # shuffle width; the rows-per-partition target keeps huge edge lists
+    # wide.  Joins against `links` then co-partition to this width too.
+    n_edges = edges.count()
+    parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 1))
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition(parts, "node")
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # scalar driver value, needed for teleport math
@@ -55,7 +64,7 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, max_iter: int = PR_M
     # partition by src so the per-iteration rank join is co-located
     links = (
         edges.join(out_deg, "src")
-        .repartition("src")
+        .repartition(parts, "src")
         .localCheckpoint(eager=True)
     )
     # dangling nodes (no out-edges) are a static node set: find them once;
