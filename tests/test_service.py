@@ -240,3 +240,51 @@ def test_structured_logging_request_and_batch_scoped(spark, tmp_path):
     dbg = StructuredLogger("x", level="debug", sink=dbg_lines.append)
     dbg.debug("visible")
     assert json.loads(dbg_lines[0])["event"] == "visible"
+
+
+def test_service_metrics_scrapeable(spark, tmp_path):
+    """A32 composed: the receiver and the streaming listener publish to
+    ONE registry, served at GET /metrics (main.go:215-217) — after a
+    service drain the scrape shows both the HTTP request counters and the
+    per-batch stream counters."""
+    from kinesis2elastic_spark.metrics import CollectingListener, MetricsRegistry
+
+    registry = MetricsRegistry()
+    receiver = FirehoseReceiver(str(tmp_path / "spool"), registry=registry).start()
+    listener = CollectingListener(registry=registry)
+    spark.streams.addListener(listener)
+    try:
+        _post_envelope(receiver.url, "/aws/app/a", ['{"k": 1}'])
+        _post_envelope(receiver.url, "/aws/app/b", ["plain text"])
+
+        def transport(url, body, headers):
+            return 200, {"errors": False}
+
+        sink = BulkSink("http://fake:9200", "logs", transport)
+        q = run_service(
+            spark,
+            receiver.spool_dir,
+            sink,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+        # listener events are delivered on an async bus thread — give the
+        # progress callbacks a moment to drain into the registry
+        import time as _time
+
+        deadline = _time.time() + 15
+        while registry.value("k2e_batches_total") < 1 and _time.time() < deadline:
+            _time.sleep(0.2)
+
+        with urllib.request.urlopen(receiver.url + "/metrics", timeout=10) as resp:
+            body = resp.read().decode()
+        assert 'k2e_http_requests_total{path="/firehose",status="200"} 2' in body
+        assert "k2e_records_spooled_total 2" in body
+        # listener-side counters: one availableNow drain = >=1 batch over
+        # the 2 spooled envelopes
+        assert registry.value("k2e_batches_total") >= 1
+        assert registry.value("k2e_input_rows_total") >= 2
+        assert "k2e_batches_total" in body and "k2e_input_rows_total" in body
+    finally:
+        spark.streams.removeListener(listener)
+        receiver.stop()
