@@ -238,3 +238,49 @@ def test_scd2_history_single_exchange(spark, sf_dir):
     plan = formatted_plan(q_scd2_history(spark, sf_dir))
     n_exchanges = plan.count(") Exchange")
     assert n_exchanges == 1, f"expected exactly 1 Exchange, got {n_exchanges}:\n{plan[:4000]}"
+
+
+def test_tpch_q21_semi_anti_pair_no_cartesian(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must plan as LeftSemi + LeftAnti hash
+    joins over the fact self-reference — never a per-row subquery or a
+    cartesian expansion."""
+    from kinesis2elastic_spark.operators import tpch
+
+    assert_plan(
+        tpch.QUERIES["q_sql_q21"](spark, sf_dir),
+        contains=("LeftSemi", "LeftAnti"),
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+
+def test_tpch_q2_correlated_min_is_aggregate_join(spark, sf_dir):
+    """Q2's correlated per-part MIN must decorrelate into one aggregate
+    joined back on partkey (plus broadcast dims), not re-execute per row."""
+    from kinesis2elastic_spark.operators import tpch
+
+    plan = formatted_plan(tpch.QUERIES["q_sql_q2"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partsupp agg + the min agg
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_disjunction_pushes_brand_filter(spark, sf_dir):
+    """Q19's three-way OR residual: the common join still runs as an
+    equi-join on partkey with the disjunction as a post-join filter (or
+    pushed residual) — never a nested-loop."""
+    from kinesis2elastic_spark.operators import tpch
+
+    assert_plan(
+        tpch.QUERIES["q_sql_q19"](spark, sf_dir),
+        contains=("BroadcastHashJoin",),
+        absent=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+
+def test_tpch_q20_nested_in_stacks_semi_joins(spark, sf_dir):
+    """Q20's double-nested IN must stack two left-semi joins."""
+    from kinesis2elastic_spark.operators import tpch
+
+    plan = formatted_plan(tpch.QUERIES["q_sql_q20"](spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
