@@ -276,10 +276,14 @@ SQL_Q2 = f"""
 # both engines emit the identical rounded profit (a raw double sum
 # straddles cent boundaries differently per engine's partial-sum order).
 SQL_Q9 = """
-    -- 1e4 (not 10000.0): Spark types the decimal-form literal as DECIMAL,
-    -- which would make sum_profit DECIMAL on Spark but DOUBLE on DuckDB.
+    -- Final cent-rounding happens in INTEGER space: sum_i/100.0 carries
+    -- exact .5 halves (x10^-4 sums have legal half-cents), which both
+    -- engines round away from zero identically — whereas round(x, 2) of
+    -- the double quotient diverges on those ties (Spark rounds the
+    -- shortest decimal repr, DuckDB the raw binary value).  1e2/1e4 (not
+    -- 100.0): Spark types decimal-form literals as DECIMAL.
     SELECT nation, o_year,
-           round(sum(amount_i) / 1e4, 2) AS sum_profit
+           CAST(round(sum(amount_i) / 1e2) AS BIGINT) / 1e2 AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
              CAST(round((l_extendedprice * (1 - l_discount)
@@ -310,7 +314,9 @@ SQL_Q11 = f"""
       FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
                     JOIN nation   ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_3')
-    SELECT ps_partkey, round(sum(value_i) / 1e4, 2) AS value
+    -- integer-space cent rounding: see Q9's determinism note
+    SELECT ps_partkey,
+           CAST(round(sum(value_i) / 1e2) AS BIGINT) / 1e2 AS value
     FROM national
     GROUP BY ps_partkey
     HAVING sum(value_i) > (SELECT sum(value_i) * 0.001 FROM national)

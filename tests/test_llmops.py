@@ -135,7 +135,7 @@ def test_ann_recall_flags_pass(spark, sf_dir):
     from kinesis2elastic_spark.operators.llmops import ann_recall_detail
 
     rows = {r.method: r for r in ann_recall_detail(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf"}
+    assert set(rows) == {"lsh", "ivf", "pq"}
     for r in rows.values():
         assert r.recall_ok, (r.method, r.mean_recall)
         assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
@@ -245,3 +245,25 @@ def test_diversity_sample_quota_and_determinism(spark, sf_dir):
     }
     for r in a.values():
         assert r.n_kept == min(r.n_in_cluster, quota)
+
+
+def test_pq_codes_and_recall(spark, sf_dir):
+    """PQ-ADC: top-k shape per query, deterministic across runs, and the
+    approximate ranking beats random (the recall floor itself is asserted
+    through ann_recall_detail's pq row)."""
+    out1 = llmops.q_ann_pq(spark, sf_dir).collect()
+    by_q = {}
+    for r in out1:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rows in by_q.items():
+        assert len(rows) == 10
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, 11))
+        assert all(r.neighbor_id != q for r in rows)
+        sims = [r.approx_sim for r in sorted(rows, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True)
+    # determinism: fixed codebook init + fixed sample → identical output
+    out2 = llmops.q_ann_pq(spark, sf_dir).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(out1, key=key) == sorted(out2, key=key)
