@@ -73,6 +73,8 @@ HEADLINE = [
     "q_sql_q2",
     "q_sql_q9",
     "q_sql_q21",
+    # r3: PQ-ADC — the compressed-codes ANN scale path
+    "q_ann_pq",
 ]
 
 
