@@ -376,6 +376,75 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.3)
 
 
+def q_setsim_join(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin-style)
+    — the deterministic complement to MinHash-LSH: every pair with
+    word-set Jaccard ≥ ``threshold`` is found, zero false negatives, no
+    hash-family recall loss, and the whole output is oracle-checkable
+    against a brute-force all-pairs recomputation.
+
+    Scale shape (why this survives 100 TB where all-pairs dies):
+    - each doc's distinct tokens are ordered GLOBALLY by rarity
+      ((document-frequency, token) — a total order needs no dense rank,
+      so there is NO single-partition row_number window);
+    - only the first |d| − ⌈j·|d|⌉ + 1 tokens (the rarest — smallest
+      candidate lists) are exploded as join keys: two sets with Jaccard
+      ≥ j MUST share a token inside both prefixes, so the equi-join on
+      prefix tokens is a complete candidate generator;
+    - a size filter (⌈j·|a|⌉ ≤ |b|, symmetric) prunes before dedup; the
+      exact Jaccard verify touches only surviving candidate pairs with
+      re-attached token arrays.
+    The shuffles carry (token_df, token) pairs and (doc_id, n) candidate
+    rows — never documents."""
+    d = _docs_parallel(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
+    )
+    tok = toks.select("doc_id", F.explode("words").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "token"))).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            F.transform("ordered", lambda s: s.token).alias("rare_first"),
+        )
+    )
+    j = float(threshold)
+    sized = ordered.select(
+        "doc_id",
+        F.size("rare_first").alias("n"),
+        F.expr(
+            f"slice(rare_first, 1, size(rare_first) - CAST(ceil({j} * size(rare_first)) AS INT) + 1)"
+        ).alias("prefix"),
+    )
+    pre = sized.select("doc_id", "n", F.explode("prefix").alias("token"))
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.ceil(F.lit(j) * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(F.lit(j) * F.col("b.n"))),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    wb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    jac = F.size(F.array_intersect("wa", "wb")) / F.size(F.array_union("wa", "wb"))
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= j)
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """SimHash-64 per document via an Arrow-vectorized pandas UDF (numpy
     bit-matrix majority vote — the one place Python wins the encoding)."""
@@ -1349,6 +1418,7 @@ QUERIES = {
     "q_minhash_near_dup": q_minhash_near_dup,
     "q_dedup_clusters": q_dedup_clusters,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_setsim_join": q_setsim_join,
     "q_exact_substr_dedup": q_exact_substr_dedup,
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_cosine_topk": q_cosine_topk,
@@ -1414,6 +1484,21 @@ ORACLE = {
                round(CAST(coalesce(per.n_dup_tokens, 0) AS DOUBLE)
                      / len(string_split(d.text, ' ')), 4) AS dup_frac
         FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+    # Brute-force all-pairs recomputation: the prefix filter is exact (no
+    # false negatives), so the PPJoin output must equal the unfiltered
+    # quadratic join's ≥-threshold pairs — the strongest possible check
+    # of a filtered-join operator.
+    "q_setsim_join": """
+        WITH toks AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.words, b.words))), 4) >= 0.8
     """,
     "q_ngram_jaccard": """
         WITH toks AS (

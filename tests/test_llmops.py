@@ -267,3 +267,28 @@ def test_pq_codes_and_recall(spark, sf_dir):
     out2 = llmops.q_ann_pq(spark, sf_dir).collect()
     key = lambda r: (r.query_id, r.rank)
     assert sorted(out1, key=key) == sorted(out2, key=key)
+
+
+def test_setsim_prefix_filter_is_exact(spark, sf_dir):
+    """PPJoin exactness: the prefix-filtered join must return EXACTLY the
+    brute-force all-pairs >= threshold set — prefix filtering may prune
+    candidates, never results."""
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in llmops.q_setsim_join(spark, sf_dir).collect()
+    }
+    toks = {
+        r.doc_id: set(r.words)
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("words"))
+        .collect()
+    }
+    ids = sorted(toks)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+            if round(j, 4) >= 0.8:
+                want[(a, b)] = round(j, 4)
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
