@@ -102,7 +102,7 @@ def _ordered_names(mods) -> list[tuple]:
     # once checked, entries leave this tier entirely.
     newest = {
         "q_sql_q2", "q_sql_q9", "q_sql_q11", "q_sql_q16", "q_sql_q19",
-        "q_sql_q20", "q_sql_q21",
+        "q_sql_q20", "q_sql_q21", "q_setsim_join", "q_ann_pq",
     }
     tier0_by_mod: list[list[tuple]] = []
     tiers: list[list[tuple]] = [[], [], []]
