@@ -96,14 +96,12 @@ def _ordered_names(mods) -> list[tuple]:
       tier 3 — everything with a green (or rows-recorded) driver row
     """
     green, checked = _driver_history()
-    # Queries first registered in round 3: within the never-checked tier
-    # they yield to queries that have waited since rounds 1-2 (a capped
-    # driver run should clear the oldest evidence debt first).  Self-heals:
-    # once checked, entries leave this tier entirely.
-    newest = {
-        "q_sql_q2", "q_sql_q9", "q_sql_q11", "q_sql_q16", "q_sql_q19",
-        "q_sql_q20", "q_sql_q21", "q_setsim_join", "q_ann_pq",
-    }
+    # Round-new queries yield to queries that have waited longer (a capped
+    # driver run should clear the oldest evidence debt first).  EMPTY in
+    # round 4 on the judge's instruction: the r3 set deferred the last 12
+    # never-checked queries; with no new registrations pending, every
+    # remaining unchecked query leads the ordering this round.
+    newest: set = set()
     tier0_by_mod: list[list[tuple]] = []
     tiers: list[list[tuple]] = [[], [], []]
     for mod in mods:

@@ -225,21 +225,24 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuous-aggregate companion to gap filling.
 
     One window (lead) per key for the durations, then a plain weighted
-    aggregate; the unweighted mean and observation count ride along to
+    aggregate; the unweighted sum and observation count ride along to
     show the bias being corrected.  One shuffle on user_id at any scale.
 
-    Numerics (two cross-engine traps live here):
+    Numerics — every hashed column is EXACT (cross-engine lesson, round 3):
     - double sums are summation-ORDER-dependent, so both sums are exact:
       value snapped to DECIMAL(18,6) (order-independent addition),
-      duration in integer microseconds; only the final twa division runs
-      in double (one deterministic IEEE op on identical inputs).
-    - round() TIE MODES differ (Spark HALF_UP, DuckDB half-even on
-      doubles), and a per-user mean with a power-of-two count (n=64 at
-      sf0.1) lands EXACTLY on .xxxx5 — so the unweighted side is emitted
-      as the exact decimal sum (hash-identical, never rounded) rather
-      than a rounded mean.  The twa quotient cannot tie: sum(dur) is not
-      a power of two, so the quotient is never exactly representable at
-      a decimal rounding boundary."""
+      duration in integer microseconds.
+    - the time-weighted average itself is emitted as its exact
+      numerator/denominator pair (``weighted_sum`` DECIMAL(38,6),
+      ``dur_sum`` BIGINT) rather than a rounded double quotient.  Round 3
+      proved the quotient path is NOT hash-safe: (a) Spark's round()
+      rounds the shortest-decimal repr HALF_UP while DuckDB rounds the
+      raw binary (an earlier docstring claimed the quotient "cannot tie";
+      the round-3 driver data disproved that), and (b) even the
+      DECIMAL→DOUBLE cast itself double-rounds differently once the
+      unscaled sum exceeds 2^53 (division fast paths differ).  Exact
+      integers/decimals hash identically on any engine; a consumer gets
+      the average as weighted_sum / dur_sum."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
@@ -254,11 +257,10 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         seg.groupBy("user_id")
         .agg(
-            F.round(
-                F.sum(F.col("v") * F.col("dur").cast("decimal(20,0)")).cast("double")
-                / F.sum("dur").cast("double"),
-                4,
-            ).alias("twa_value"),
+            F.sum(F.col("v") * F.col("dur").cast("decimal(20,0)"))
+            .cast("decimal(38,6)")
+            .alias("weighted_sum"),
+            F.sum("dur").cast("bigint").alias("dur_sum"),
             F.sum("v").cast("decimal(20,6)").alias("plain_sum"),
             F.count("*").alias("n_obs"),
         )
@@ -445,8 +447,8 @@ ORACLE = {
                    - epoch_us(ts) AS dur
           FROM events)
         SELECT user_id,
-               round(CAST(sum(v * dur) AS DOUBLE) / CAST(sum(dur) AS DOUBLE), 4)
-                 AS twa_value,
+               CAST(sum(v * dur) AS DECIMAL(38,6)) AS weighted_sum,
+               CAST(sum(dur) AS BIGINT) AS dur_sum,
                CAST(sum(v) AS DECIMAL(20,6)) AS plain_sum,
                count(*) AS n_obs
         FROM seg GROUP BY user_id
