@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.numerics import stable_round
 
 
 def _doc_key(col):
@@ -100,7 +101,9 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "len_bucket")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            # stable_round throughout this module: these are int/int or
+            # ln-based quotients — the repr-tie rounding hazard (numerics.py)
+            stable_round(F.avg("n_tokens"), 4).alias("avg_tokens"),
         )
     )
 
@@ -331,8 +334,8 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(bg, "doc_id").select(
         "doc_id",
         "n_tokens",
-        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
-        F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
+        stable_round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        stable_round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
             "top_bigram_frac"
         ),
     )
@@ -400,7 +403,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             "tf",
             "df",
-            F.round(
+            stable_round(
                 F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
             ).alias("tfidf"),
         )
@@ -427,7 +430,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_chars"),
         F.count("*").cast("long").alias("n_distinct_chars"),
-        F.round(
+        stable_round(
             F.log(F.sum("c").cast("double"))
             - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
             4,
@@ -468,7 +471,7 @@ def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
+            stable_round(
                 -F.avg(F.log(F.col("n_bg").cast("double") / F.col("n_c1"))), 4
             ).alias("nll_score"),
         )
@@ -510,7 +513,7 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
         )
         .groupBy(F.col("label").cast("long").alias("label"), (F.col("pos0") + 1).cast("long").alias("pos"))
-        .agg(F.round(F.avg("v"), 6).alias("avg_v"), F.count("*").cast("long").alias("n_vecs"))
+        .agg(stable_round(F.avg("v"), 6).alias("avg_v"), F.count("*").cast("long").alias("n_vecs"))
     )
 
 
@@ -569,9 +572,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = term_score(BM25_TERMS[0])
     for t in BM25_TERMS[1:]:
         score = score + term_score(t)
+    # filter on the UNROUNDED score (sign is cross-engine robust); rounding
+    # only the emitted column avoids keep/drop flips at the 0.00005 boundary
     return (
-        j.select("doc_id", F.round(score, 4).alias("bm25"))
-        .filter(F.col("bm25") > 0)
+        j.select("doc_id", stable_round(score, 4).alias("bm25"), score.alias("_raw"))
+        .filter(F.col("_raw") > 0)
+        .drop("_raw")
     )
 
 
@@ -607,7 +613,7 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
             n_oov.cast("long").alias("n_oov"),
-            F.round(n_oov / F.count("*"), 4).alias("oov_rate"),
+            stable_round(n_oov / F.count("*"), 4).alias("oov_rate"),
         )
     )
 
@@ -847,7 +853,8 @@ ORACLE = {
     "q_token_histogram": """
         WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents)
         SELECT lang, least(n_tokens // 10, 20) AS len_bucket,
-               count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+               count(*) AS n_docs,
+               floor(avg(n_tokens) * 1e4 + 0.5) / 1e4 AS avg_tokens
         FROM t GROUP BY lang, least(n_tokens // 10, 20)
     """,
     "q_quality_filter": """
@@ -925,9 +932,9 @@ ORACLE["q_bm25"] = f"""
       SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
              {', '.join(f"sum(CASE WHEN tf_{t} > 0 THEN 1.0 ELSE 0.0 END) AS df_{t}" for t in BM25_TERMS)}
       FROM base)
-    SELECT doc_id, round({_BM25_SCORE}, 4) AS bm25
+    SELECT doc_id, floor(({_BM25_SCORE}) * 1e4 + 0.5) / 1e4 AS bm25
     FROM base CROSS JOIN stats
-    WHERE round({_BM25_SCORE}, 4) > 0
+    WHERE ({_BM25_SCORE}) > 0
 """
 
 ORACLE["q_vocab_oov"] = f"""
@@ -944,7 +951,7 @@ ORACLE["q_vocab_oov"] = f"""
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(n_oov AS BIGINT)    AS n_oov,
-           round(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_rate
+           floor(CAST(n_oov AS DOUBLE) / n_tokens * 1e4 + 0.5) / 1e4 AS oov_rate
     FROM per
 """
 
@@ -979,8 +986,8 @@ ORACLE["q_repetition_stats"] = """
                    CAST(sum(c) AS BIGINT) AS n_bigrams
             FROM bc GROUP BY doc_id)
     SELECT b.doc_id, b.n_tokens,
-           round(CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS distinct_ratio,
-           round(CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams, 6) AS top_bigram_frac
+           floor(CAST(b.n_distinct AS DOUBLE) / b.n_tokens * 1e6 + 0.5) / 1e6 AS distinct_ratio,
+           floor(CAST(a.top_bigram_count AS DOUBLE) / a.n_bigrams * 1e6 + 0.5) / 1e6 AS top_bigram_frac
     FROM base b JOIN agg a USING (doc_id)
 """
 
@@ -1001,7 +1008,7 @@ ORACLE["q_stratified_sample"] = f"""
 ORACLE["q_embed_centroid"] = """
     SELECT CAST(label AS BIGINT) AS label,
            CAST(pos AS BIGINT) AS pos,
-           round(avg(v), 6) AS avg_v,
+           floor(avg(v) * 1e6 + 0.5) / 1e6 AS avg_v,
            CAST(count(*) AS BIGINT) AS n_vecs
     FROM (
       SELECT label,
@@ -1037,7 +1044,7 @@ ORACLE["q_tfidf"] = f"""
            FROM toks GROUP BY 1),
     n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks)
     SELECT tf.doc_id, tf.token, tf.tf, df.df,
-           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+           floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1e4 + 0.5) / 1e4 AS tfidf
     FROM tf JOIN df USING (token) CROSS JOIN n
     WHERE tf.tf >= {TFIDF_MIN_TF}
 """
@@ -1051,8 +1058,9 @@ ORACLE["q_char_entropy"] = """
     SELECT doc_id,
            CAST(sum(c) AS BIGINT) AS n_chars,
            CAST(count(*) AS BIGINT) AS n_distinct_chars,
-           round(ln(CAST(sum(c) AS DOUBLE))
-                 - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 4)
+           floor((ln(CAST(sum(c) AS DOUBLE))
+                  - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE))
+                 * 1e4 + 0.5) / 1e4
              AS char_entropy
     FROM f GROUP BY doc_id
 """
@@ -1070,7 +1078,7 @@ ORACLE["q_charlm_score"] = """
              sum(n_bg) OVER (PARTITION BY substr(bg, 1, 1)) AS n_c1
       FROM model)
     SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(-avg(ln(CAST(m.n_bg AS DOUBLE) / m.n_c1)), 4) AS nll_score
+           floor(-avg(ln(CAST(m.n_bg AS DOUBLE) / m.n_c1)) * 1e4 + 0.5) / 1e4 AS nll_score
     FROM grams g JOIN model2 m USING (bg)
     GROUP BY g.doc_id
 """

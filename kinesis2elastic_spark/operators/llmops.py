@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.numerics import stable_round
 from ..functions.vectors import cosine
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +342,7 @@ def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
             F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
-            F.round(
+            stable_round(
                 F.coalesce("n_dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
             ).alias("dup_frac"),
         )
@@ -369,11 +370,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     jac = F.size(F.array_intersect("a.words", "b.words")) / F.size(F.array_union("a.words", "b.words"))
+    # filter on the UNROUNDED jaccard: int/int division is bit-identical on
+    # any IEEE engine, so the predicate cannot flip cross-engine; rounding
+    # is display-only on the emitted column (stable_round: see numerics.py)
     return pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.round(jac, 4).alias("jaccard"),
-    ).filter(F.col("jaccard") >= 0.3)
+        stable_round(jac, 4).alias("jaccard"),
+        jac.alias("_jac_raw"),
+    ).filter(F.col("_jac_raw") >= 0.3).drop("_jac_raw")
 
 
 def q_setsim_join(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
@@ -440,8 +445,9 @@ def q_setsim_join(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> D
     return (
         cand.join(wa, "doc_a")
         .join(wb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= j)
+        .select("doc_a", "doc_b", stable_round(jac, 4).alias("jaccard"), jac.alias("_jac_raw"))
+        .filter(F.col("_jac_raw") >= j)
+        .drop("_jac_raw")
     )
 
 
@@ -686,7 +692,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int 
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("sim", F.round("sim_raw", 4))
+        scored.withColumn("sim", stable_round(F.col("sim_raw"), 4))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
@@ -1096,7 +1102,7 @@ def random_projection_detail(spark: SparkSession, sf_dir: str, r_dim: int = JL_T
     return pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(dist(F.col("a.orig"), F.col("b.orig")), 4).alias("d_orig"),
+        stable_round(dist(F.col("a.orig"), F.col("b.orig")), 4).alias("d_orig"),
         F.round(dist(F.col("a.proj"), F.col("b.proj")), 4).alias("d_proj"),
         F.round(
             dist(F.col("a.proj"), F.col("b.proj"))
@@ -1320,14 +1326,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_wlen = (F.length(F.col("text")) - (n_words - 1)) / n_words
     stop = F.size(F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of"))).cast("long")
     stop_ratio = stop / n_words
-    score = F.round(
+    score = stable_round(
         F.least(F.lit(100.0), n_words / 2 + mean_wlen * 5 + stop_ratio * 20), 4
     )
     return d.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        stable_round(mean_wlen, 4).alias("mean_word_len"),
+        stable_round(stop_ratio, 4).alias("stopword_ratio"),
         score.alias("quality_score"),
     )
 
@@ -1338,8 +1344,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(F.split("text", " ")).cast("long")
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(n_words), 4).alias("avg_words"),
+        stable_round(F.avg("n_chars"), 4).alias("avg_chars"),
+        stable_round(F.avg(n_words), 4).alias("avg_words"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -1481,8 +1487,8 @@ ORACLE = {
                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
                coalesce(per.n_dup_spans, 0)  AS n_dup_spans,
                coalesce(per.n_dup_tokens, 0) AS n_dup_tokens,
-               round(CAST(coalesce(per.n_dup_tokens, 0) AS DOUBLE)
-                     / len(string_split(d.text, ' ')), 4) AS dup_frac
+               floor(CAST(coalesce(per.n_dup_tokens, 0) AS DOUBLE)
+                     / len(string_split(d.text, ' ')) * 1e4 + 0.5) / 1e4 AS dup_frac
         FROM documents d LEFT JOIN per USING (doc_id)
     """,
     # Brute-force all-pairs recomputation: the prefix filter is exact (no
@@ -1494,11 +1500,11 @@ ORACLE = {
           SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
           FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
+               floor(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.words, b.words))) * 1e4 + 0.5) / 1e4 AS jaccard
         FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-        WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.words, b.words))), 4) >= 0.8
+        WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.words, b.words))) >= 0.8
     """,
     "q_ngram_jaccard": """
         WITH toks AS (
@@ -1506,20 +1512,20 @@ ORACLE = {
                  list_distinct(string_split(text, ' ')) AS words
           FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
+               floor(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.words, b.words))) * 1e4 + 0.5) / 1e4 AS jaccard
         FROM toks a JOIN toks b
           ON a.lang = b.lang AND a.source = b.source
          AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        WHERE round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.words, b.words))), 4) >= 0.3
+        WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.words, b.words))) >= 0.3
     """,
     "q_cosine_topk": """
         WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 5),
         scored AS (
           SELECT q.query_id, c.vec_id AS neighbor_id,
-                 round(list_cosine_similarity(q.qvec, c.vec), 4) AS sim
+                 floor(list_cosine_similarity(q.qvec, c.vec) * 1e4 + 0.5) / 1e4 AS sim
           FROM emb c CROSS JOIN q
           WHERE c.vec_id <> q.query_id),
         ranked AS (
@@ -1559,15 +1565,15 @@ ORACLE = {
                    / len(string_split(text, ' ')) AS stop_ratio
           FROM documents)
         SELECT doc_id, n_words,
-               round(mean_wlen, 4)   AS mean_word_len,
-               round(stop_ratio, 4)  AS stopword_ratio,
-               round(least(100.0, n_words / 2 + mean_wlen * 5 + stop_ratio * 20), 4) AS quality_score
+               floor(mean_wlen * 1e4 + 0.5) / 1e4   AS mean_word_len,
+               floor(stop_ratio * 1e4 + 0.5) / 1e4  AS stopword_ratio,
+               floor(least(100.0, n_words / 2 + mean_wlen * 5 + stop_ratio * 20) * 1e4 + 0.5) / 1e4 AS quality_score
         FROM s
     """,
     "q_text_stats": """
         SELECT lang, source, count(*) AS n_docs,
-               round(avg(n_chars), 4) AS avg_chars,
-               round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+               floor(avg(n_chars) * 1e4 + 0.5) / 1e4 AS avg_chars,
+               floor(avg(len(string_split(text, ' '))) * 1e4 + 0.5) / 1e4 AS avg_words,
                min(n_chars) AS min_chars,
                max(n_chars) AS max_chars
         FROM documents GROUP BY lang, source
@@ -1606,7 +1612,7 @@ ORACLE = {
                  CAST(unnest(eb) AS DOUBLE) AS y
           FROM pairs)
         SELECT vec_a, vec_b,
-               round(sqrt(sum((x - y) * (x - y))), 4) AS d_orig,
+               floor(sqrt(sum((x - y) * (x - y))) * 1e4 + 0.5) / 1e4 AS d_orig,
                TRUE AS jl_ok
         FROM terms GROUP BY vec_a, vec_b
     """,

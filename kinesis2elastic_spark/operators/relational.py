@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import dim, load
+from ..functions.numerics import sql_stable_round, stable_round
 
 
 # --------------------------------------------------------------------------
@@ -72,9 +73,11 @@ def q_pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # stable_round, not F.round: avgs are int/cents-over-count
+            # quotients — repr-tie hazard across engines (see numerics.py)
+            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -552,9 +555,9 @@ ORACLE = {
                round(sum(l_extendedprice), 2)                                   AS sum_base_price,
                round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-               round(avg(l_quantity), 4)                                        AS avg_qty,
-               round(avg(l_extendedprice), 4)                                   AS avg_price,
-               round(avg(l_discount), 4)                                        AS avg_disc,
+               floor(avg(l_quantity) * 1e4 + 0.5) / 1e4                         AS avg_qty,
+               floor(avg(l_extendedprice) * 1e4 + 0.5) / 1e4                    AS avg_price,
+               floor(avg(l_discount) * 1e4 + 0.5) / 1e4                         AS avg_disc,
                count(*)                                                         AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_views
+from ..functions.numerics import stable_round
 
 
 def q_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -23,8 +24,9 @@ def q_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # int/int quotients ((rank-1)/(n-1), n_le/n) — repr-tie hazard
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        stable_round(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
@@ -421,8 +423,8 @@ ORACLE = {
     "q_ntile_dist": """
         SELECT event_id,
                ntile(4) OVER w AS quartile,
-               round(percent_rank() OVER w, 6) AS pct_rank,
-               round(cume_dist() OVER w, 6)    AS cume
+               floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+               floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6    AS cume
         FROM events WINDOW w AS (ORDER BY value, event_id)
     """,
     "q_window_firstlast": """

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.numerics import stable_round
 
 FUNNEL_STEPS = ("view", "click", "purchase")
 
@@ -115,7 +116,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+        stable_round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
     )
 
 
@@ -168,8 +169,8 @@ ORACLE = {
           FROM seq WHERE next_type IS NOT NULL
           GROUP BY event_type, next_type)
         SELECT event_type, next_type, n,
-               round(CAST(n AS DOUBLE)
-                     / sum(n) OVER (PARTITION BY event_type), 6) AS p
+               floor(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY event_type) * 1e6 + 0.5) / 1e6 AS p
         FROM pairs
     """,
 }

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.numerics import stable_round
 
 PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
 
@@ -48,7 +49,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         (F.col("n_rows") - F.col("n_non_null")).cast("long").alias("n_nulls"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
-        F.round((F.col("n_rows") - F.col("n_non_null")) / F.col("n_rows"), 6).alias(
+        stable_round((F.col("n_rows") - F.col("n_non_null")) / F.col("n_rows"), 6).alias(
             "null_frac"
         ),
     )
@@ -198,13 +199,13 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation differences between engines."""
     e = load(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+        stable_round(F.expr("percentile(value, 0.5)"), 6).alias("med")
     )
     mad = (
         e.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
+            stable_round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
             F.first("med").alias("med"),
         )
     )
@@ -326,7 +327,7 @@ _PROFILE_UNION = "\nUNION ALL\n".join(
                CAST(count(*) AS BIGINT) AS n_rows,
                CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
                CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-               round(CAST(count(*) - count({c}) AS DOUBLE) / count(*), 6) AS null_frac
+               floor(CAST(count(*) - count({c}) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS null_frac
         FROM orders"""
     for c in PROFILE_COLS
 )
@@ -376,11 +377,11 @@ ORACLE = {
     """,
     "q_outlier_mad": """
         WITH med AS (
-          SELECT event_type, round(median(value), 6) AS med
+          SELECT event_type, floor(median(value) * 1e6 + 0.5) / 1e6 AS med
           FROM events GROUP BY event_type),
         mad AS (
           SELECT e.event_type,
-                 round(median(abs(e.value - m.med)), 6) AS mad,
+                 floor(median(abs(e.value - m.med)) * 1e6 + 0.5) / 1e6 AS mad,
                  any_value(m.med) AS med
           FROM events e JOIN med m USING (event_type)
           GROUP BY e.event_type)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.numerics import stable_round
 
 
 def asof_join(
@@ -177,7 +178,7 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.round(F.avg("value"), 4).alias("v_obs"))
+    ).agg(stable_round(F.avg("value"), 4).alias("v_obs"))
     grid = (
         hourly.groupBy("user_id")
         .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
@@ -407,7 +408,8 @@ ORACLE = {
     """,
     "q_gapfill_locf": """
         WITH hourly AS (
-          SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v_obs
+          SELECT user_id, date_trunc('hour', ts) AS h,
+                 floor(avg(value) * 1e4 + 0.5) / 1e4 AS v_obs
           FROM events GROUP BY user_id, date_trunc('hour', ts)),
         span AS (
           SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id),

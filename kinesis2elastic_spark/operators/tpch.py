@@ -55,7 +55,7 @@ SQL_Q4 = """
 # whole query is one parquet scan with three pushed predicates and a
 # single global sum.  No adaptation needed.
 SQL_Q6 = """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT floor((sum(l_extendedprice * l_discount)) * 1e2 + 0.5) / 1e2 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -78,7 +78,7 @@ SQL_Q7 = """
       WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           floor((sum(volume)) * 1e2 + 0.5) / 1e2 AS revenue
     FROM shipping
     GROUP BY supp_nation, cust_nation, l_year
 """
@@ -103,8 +103,8 @@ SQL_Q8 = """
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate <  TIMESTAMP '1998-01-01')
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / nullif(sum(volume), 0), 4) AS mkt_share
+           floor((sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                 / nullif(sum(volume), 0)) * 1e4 + 0.5) / 1e4 AS mkt_share
     FROM all_nations
     GROUP BY o_year
 """
@@ -115,8 +115,8 @@ SQL_Q8 = """
 # cannot flip on a last-ulp cross-engine float difference.
 SQL_Q10 = """
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           round(c_acctbal, 2) AS acctbal, n_name, c_mktsegment
+           floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
+           floor((c_acctbal) * 1e2 + 0.5) / 1e2 AS acctbal, n_name, c_mktsegment
     FROM customer JOIN orders  ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN nation  ON c_nationkey = n_nationkey
@@ -161,10 +161,10 @@ SQL_Q13 = """
 
 # Q14 (promotion effect): conditional revenue share over one month.
 SQL_Q14 = """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+    SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
                                   ELSE 0 END)
-                 / nullif(sum(l_extendedprice * (1 - l_discount)), 0), 4)
+                 / nullif(sum(l_extendedprice * (1 - l_discount)), 0)) * 1e4 + 0.5) / 1e4
              AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -179,7 +179,7 @@ SQL_Q14 = """
 SQL_Q15 = """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -194,7 +194,7 @@ SQL_Q15 = """
 # part) plans as an aggregate over lineitem joined back on partkey — one
 # extra shuffle, never a per-row subquery.
 SQL_Q17 = """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT floor((sum(l_extendedprice) / 7.0) * 1e2 + 0.5) / 1e2 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
       AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -222,7 +222,7 @@ SQL_Q22 = """
                           AND o_orderdate >= TIMESTAMP '1999-01-01'))
     SELECT c_nationkey AS cntrycode,
            count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           floor((sum(c_acctbal)) * 1e2 + 0.5) / 1e2 AS totacctbal
     FROM eligible
     GROUP BY c_nationkey
 """
@@ -250,7 +250,7 @@ _PARTSUPP_CTE = """
 # s_name) tie-break so the LIMIT boundary is engine-stable.
 SQL_Q2 = f"""
     WITH {_PARTSUPP_CTE}
-    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name
+    SELECT floor((s_acctbal) * 1e2 + 0.5) / 1e2 AS s_acctbal, s_name, n_name, p_partkey, p_name
     FROM part JOIN partsupp ON p_partkey = ps_partkey
               JOIN supplier ON s_suppkey = ps_suppkey
               JOIN nation   ON s_nationkey = n_nationkey
@@ -278,10 +278,10 @@ SQL_Q2 = f"""
 SQL_Q9 = """
     -- Final cent-rounding happens in INTEGER space: sum_i/100.0 carries
     -- exact .5 halves (x10^-4 sums have legal half-cents), which both
-    -- engines round away from zero identically — whereas round(x, 2) of
-    -- the double quotient diverges on those ties (Spark rounds the
-    -- shortest decimal repr, DuckDB the raw binary value).  1e2/1e4 (not
-    -- 100.0): Spark types decimal-form literals as DECIMAL.
+    -- engines round away from zero identically — whereas rounding the
+    -- double quotient diverges on those ties (Spark rounds the shortest
+    -- decimal repr, DuckDB the raw binary value).  1e2/1e4 (not 100.0):
+    -- Spark types decimal-form literals as DECIMAL.
     SELECT nation, o_year,
            CAST(round(sum(amount_i) / 1e2) AS BIGINT) / 1e2 AS sum_profit
     FROM (
@@ -343,7 +343,7 @@ SQL_Q16 = """
 # disjunction kept.  Shape kept: join with a three-way OR residual that
 # Catalyst pushes as a partition-prunable disjunction of ranges.
 SQL_Q19 = """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
            AND l_quantity BETWEEN 1 AND 11)
