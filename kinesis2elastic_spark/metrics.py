@@ -37,6 +37,10 @@ class MetricsRegistry:
         self._lock = threading.Lock()
         self._counters: dict[tuple[str, tuple], float] = {}
         self._help: dict[str, str] = {}
+        # metric kind per name: inc() registers "counter", set() "gauge" —
+        # the TYPE line must match the write semantics or scrapers
+        # mis-handle resets/rates
+        self._kind: dict[str, str] = {}
 
     def describe(self, name: str, help_text: str) -> None:
         with self._lock:
@@ -45,17 +49,30 @@ class MetricsRegistry:
     def inc(self, name: str, labels: dict | None = None, amount: float = 1) -> None:
         key = (name, tuple(sorted((labels or {}).items())))
         with self._lock:
+            self._kind.setdefault(name, "counter")
             self._counters[key] = self._counters.get(key, 0) + amount
 
     def set(self, name: str, value: float, labels: dict | None = None) -> None:
         key = (name, tuple(sorted((labels or {}).items())))
         with self._lock:
+            self._kind[name] = "gauge"
             self._counters[key] = value
 
     def value(self, name: str, labels: dict | None = None) -> float:
         key = (name, tuple(sorted((labels or {}).items())))
         with self._lock:
             return self._counters.get(key, 0)
+
+    @staticmethod
+    def _escape_label(v) -> str:
+        """Label-value escaping per exposition format 0.0.4: backslash,
+        double-quote and newline must be escaped or the scrape corrupts."""
+        return (
+            str(v)
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+        )
 
     def render(self) -> str:
         """Prometheus text exposition format (version 0.0.4)."""
@@ -67,9 +84,12 @@ class MetricsRegistry:
                     seen_help.add(name)
                     if name in self._help:
                         lines.append(f"# HELP {name} {self._help[name]}")
-                    lines.append(f"# TYPE {name} counter")
+                    kind = self._kind.get(name, "counter")
+                    lines.append(f"# TYPE {name} {kind}")
                 if labels:
-                    lbl = ",".join(f'{k}="{v}"' for k, v in labels)
+                    lbl = ",".join(
+                        f'{k}="{self._escape_label(v)}"' for k, v in labels
+                    )
                     lines.append(f"{name}{{{lbl}}} {val:g}")
                 else:
                     lines.append(f"{name} {val:g}")

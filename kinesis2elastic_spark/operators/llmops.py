@@ -381,28 +381,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("_jac_raw") >= 0.3).drop("_jac_raw")
 
 
-def q_setsim_join(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
-    """EXACT set-similarity self-join via prefix filtering (PPJoin-style)
-    — the deterministic complement to MinHash-LSH: every pair with
-    word-set Jaccard ≥ ``threshold`` is found, zero false negatives, no
-    hash-family recall loss, and the whole output is oracle-checkable
-    against a brute-force all-pairs recomputation.
+# Per-token candidate guard for the set-similarity join (mirrors
+# ``max_bucket_size`` in minhash_candidate_pairs): a prefix token shared
+# by c docs contributes O(c²) candidate pairs, so one hot token inside a
+# giant near-duplicate cluster can dominate the whole join.  Tokens whose
+# prefix-occurrence count exceeds the cap are withheld from candidate
+# generation and surfaced through ``setsim_hot_tokens`` with the exact
+# number of pair-probes they would have cost.  The default is far above
+# any df in the testdata, so the shipped query stays EXACT (driver row
+# unaffected); a 100 TB deployment sets it to its verify budget and reads
+# the overflow accounting.  Pairs whose ONLY shared prefix token is
+# capped would be missed — for near-dup clusters the prefixes are nearly
+# identical, so survivors still meet on their rarest uncapped token.
+SETSIM_MAX_TOKEN_GROUP = 50_000
 
-    Scale shape (why this survives 100 TB where all-pairs dies):
-    - each doc's distinct tokens are ordered GLOBALLY by rarity
-      ((document-frequency, token) — a total order needs no dense rank,
-      so there is NO single-partition row_number window);
-    - only the first |d| − ⌈j·|d|⌉ + 1 tokens (the rarest — smallest
-      candidate lists) are exploded as join keys: two sets with Jaccard
-      ≥ j MUST share a token inside both prefixes, so the equi-join on
-      prefix tokens is a complete candidate generator;
-    - a size filter (⌈j·|a|⌉ ≤ |b|, symmetric) prunes before dedup; the
-      exact Jaccard verify touches only surviving candidate pairs with
-      re-attached token arrays.
-    The shuffles carry (token_df, token) pairs and (doc_id, n) candidate
-    rows — never documents."""
-    d = _docs_parallel(spark, sf_dir)
-    toks = d.select(
+
+def _setsim_parts(
+    docs: DataFrame,
+    threshold: float,
+    max_token_group: int | None = SETSIM_MAX_TOKEN_GROUP,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(candidate pairs, hot-token accounting, token arrays) for the
+    PPJoin-style exact set-similarity join over ``docs`` (doc_id, text)
+    — factored out so tests can drive the guard with adversarial
+    corpora."""
+    toks = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
     )
     tok = toks.select("doc_id", F.explode("words").alias("token"))
@@ -426,19 +429,111 @@ def q_setsim_join(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> D
             f"slice(rare_first, 1, size(rare_first) - CAST(ceil({j} * size(rare_first)) AS INT) + 1)"
         ).alias("prefix"),
     )
-    pre = sized.select("doc_id", "n", F.explode("prefix").alias("token"))
-    a, b = pre.alias("a"), pre.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n") >= F.ceil(F.lit(j) * F.col("a.n")))
-            & (F.col("a.n") >= F.ceil(F.lit(j) * F.col("b.n"))),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    # 1-based position of each prefix token in the doc's rarity order —
+    # feeds the PPJoin positional filter below
+    pre = sized.select(
+        "doc_id", "n", F.posexplode("prefix").alias("pos0", "token")
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "token")
+    counts = pre.groupBy("token").agg(F.count("*").alias("n_prefix_docs"))
+    hot = counts.filter(
+        F.lit(max_token_group is not None)
+        & (F.col("n_prefix_docs") > F.lit(max_token_group or 0))
+    ).select(
+        "token",
+        "n_prefix_docs",
+        (F.col("n_prefix_docs") * (F.col("n_prefix_docs") - 1) / 2)
+        .cast("long")
+        .alias("skipped_pair_probes"),
     )
+    if max_token_group is not None:
+        # hot-token set is tiny by construction (tokens above the cap) —
+        # broadcast anti-join keeps the exclusion shuffle-free
+        pre = pre.join(F.broadcast(hot.select("token")), "token", "left_anti")
+    a, b = pre.alias("a"), pre.alias("b")
+    # PPJoin positional filter (EXACT): evaluated at the pair's FIRST
+    # shared prefix token (min pos on both sides — the rarity order is
+    # global, so the occurrence minimizing a.pos minimizes b.pos too, and
+    # no earlier shared token can exist outside either prefix).  Overlap
+    # upper bound 1 + min(|a|−pa, |b|−pb) must reach the Jaccard-≥j
+    # overlap floor α = ⌈j/(1+j)·(|a|+|b|)⌉, else the pair is pruned
+    # before the expensive array verify.
+    occ = a.join(
+        b,
+        (F.col("a.token") == F.col("b.token"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.n") >= F.ceil(F.lit(j) * F.col("a.n")))
+        & (F.col("a.n") >= F.ceil(F.lit(j) * F.col("b.n"))),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    alpha = F.ceil(F.lit(j) / (1 + j) * (F.col("na") + F.col("nb")))
+    cand = (
+        occ.groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("pa").alias("pa"),
+            F.min("pb").alias("pb"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(
+            1 + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+            >= alpha
+        )
+        .select("doc_a", "doc_b")
+    )
+    return cand, hot, toks
+
+
+def setsim_hot_tokens(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_token_group: int | None = SETSIM_MAX_TOKEN_GROUP,
+) -> DataFrame:
+    """Overflow accounting for the q_setsim_join candidate cap: one row
+    per prefix token withheld from candidate generation (token, number of
+    docs carrying it in their prefix, exact pair-probes skipped)."""
+    _, hot, _ = _setsim_parts(
+        _docs_parallel(spark, sf_dir), threshold, max_token_group
+    )
+    return hot
+
+
+def q_setsim_join(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (PPJoin-style)
+    — the deterministic complement to MinHash-LSH: every pair with
+    word-set Jaccard ≥ ``threshold`` is found, zero false negatives, no
+    hash-family recall loss, and the whole output is oracle-checkable
+    against a brute-force all-pairs recomputation.
+
+    Scale shape (why this survives 100 TB where all-pairs dies):
+    - each doc's distinct tokens are ordered GLOBALLY by rarity
+      ((document-frequency, token) — a total order needs no dense rank,
+      so there is NO single-partition row_number window);
+    - only the first |d| − ⌈j·|d|⌉ + 1 tokens (the rarest — smallest
+      candidate lists) are exploded as join keys: two sets with Jaccard
+      ≥ j MUST share a token inside both prefixes, so the equi-join on
+      prefix tokens is a complete candidate generator;
+    - a size filter (⌈j·|a|⌉ ≤ |b|, symmetric) prunes at join time, and
+      the PPJoin POSITIONAL filter (see ``_setsim_parts``) prunes pairs
+      whose first shared prefix token sits too deep for the overlap
+      floor — both before the exact Jaccard verify touches re-attached
+      token arrays;
+    - a per-token candidate cap with overflow accounting
+      (``SETSIM_MAX_TOKEN_GROUP``, ``setsim_hot_tokens``) bounds the
+      quadratic blowup of one hot prefix token shared by a giant
+      near-duplicate cluster, mirroring ``max_bucket_size`` on the
+      minhash path; the default never triggers on the testdata so the
+      shipped output stays exact.
+    The shuffles carry (token_df, token) pairs and (doc_id, n, pos)
+    candidate rows — never documents."""
+    j = float(threshold)
+    cand, _, toks = _setsim_parts(_docs_parallel(spark, sf_dir), threshold)
     wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
     wb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
     jac = F.size(F.array_intersect("wa", "wb")) / F.size(F.array_union("wa", "wb"))
@@ -891,7 +986,7 @@ def q_ann_pq(
     """B34 scale path, product-quantization flavor (rows-only): PQ-ADC
     approximate nearest neighbors — THE memory-reduction path at 100 TB,
     where raw float embeddings don't fit the serving tier (64 float32
-    dims → 8 four-bit codes here, a 64× compression).
+    dims → 16 four-bit codes = 8 bytes here, a 32× compression).
 
     Train: per-subspace Lloyd codebooks on a bounded driver-side sample
     (deterministic evenly-spaced init, fixed iterations — production

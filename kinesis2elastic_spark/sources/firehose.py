@@ -107,6 +107,13 @@ class FirehoseReceiver:
                     )
                     self._respond(200, {"message": "pong"})
                 elif self.path == "/metrics":  # A32 (main.go:215-217)
+                    # the scrape itself is observed too — the reference's
+                    # gin middleware records every request, not just the
+                    # ingestion endpoints
+                    receiver.registry.inc(
+                        "k2e_http_requests_total",
+                        {"path": "/metrics", "status": "200"},
+                    )
                     body = receiver.registry.render().encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/plain; version=0.0.4")
@@ -114,6 +121,10 @@ class FirehoseReceiver:
                     self.end_headers()
                     self.wfile.write(body)
                 else:
+                    receiver.registry.inc(
+                        "k2e_http_requests_total",
+                        {"path": self.path, "status": "404"},
+                    )
                     self._respond(404, {"errorMessage": "not found"})
 
             def do_POST(self):
@@ -122,6 +133,10 @@ class FirehoseReceiver:
                 # A33: request-scoped structured logger (main.go:151-197)
                 log = receiver.logger.bind(requestId=req_id) if receiver.logger else None
                 if self.path != "/firehose":
+                    receiver.registry.inc(
+                        "k2e_http_requests_total",
+                        {"path": self.path, "status": "404"},
+                    )
                     self._respond(404, {"requestId": req_id, "timestamp": now_ms,
                                         "errorMessage": "not found"})
                     return

@@ -138,6 +138,36 @@ def test_metrics_endpoint_scrapeable(receiver):
     assert 'k2e_records_spooled_total 1' in body
 
 
+def test_metrics_counts_404_and_scrapes(receiver):
+    """Every request is observed (like the reference's gin middleware):
+    404s and the /metrics scrape itself appear in the counter."""
+    try:
+        urllib.request.urlopen(receiver.url + "/nope", timeout=10)
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    with urllib.request.urlopen(receiver.url + "/metrics", timeout=10):
+        pass
+    with urllib.request.urlopen(receiver.url + "/metrics", timeout=10) as resp:
+        body = resp.read().decode()
+    assert 'k2e_http_requests_total{path="/nope",status="404"} 1' in body
+    # the scrape increments before rendering, so the second scrape shows 2
+    assert 'k2e_http_requests_total{path="/metrics",status="200"} 2' in body
+
+
+def test_registry_label_escaping_and_gauge_type():
+    """Exposition-format hardening: label values with quotes, backslashes
+    and newlines are escaped; set() metrics render as gauge."""
+    from kinesis2elastic_spark.metrics import MetricsRegistry
+
+    reg = MetricsRegistry()
+    reg.inc("k2e_test_total", {"path": 'a"b\\c\nd'})
+    reg.set("k2e_test_level", 3.5)
+    body = reg.render()
+    assert 'k2e_test_total{path="a\\"b\\\\c\\nd"} 1' in body
+    assert "# TYPE k2e_test_level gauge" in body
+    assert "# TYPE k2e_test_total counter" in body
+
+
 def test_listener_publishes_to_registry():
     """CollectingListener + MetricsRegistry: per-batch doc counters land on
     the same scrape surface the receiver serves."""

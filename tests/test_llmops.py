@@ -1,5 +1,7 @@
 """LLM-data operator tests: planted near-duplicates must be found."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -288,7 +290,60 @@ def test_setsim_prefix_filter_is_exact(spark, sf_dir):
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
             j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
-            if round(j, 4) >= 0.8:
-                want[(a, b)] = round(j, 4)
+            # unrounded threshold — matches the engine's raw-jaccard filter
+            if j >= 0.8:
+                want[(a, b)] = math.floor(j * 1e4 + 0.5) / 1e4
     assert set(got) == set(want)
     assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+
+def test_setsim_hot_token_guard(spark):
+    """Adversarial hot-token corpus (one globally-rare token shared by a
+    large near-duplicate-free cluster): with a candidate cap the hot
+    token is withheld and its quadratic pair-probe cost is accounted
+    exactly, while a genuinely similar pair is still found through its
+    other (uncapped) prefix tokens."""
+    pool = [f"bg{i:02d}" for i in range(30)]
+    rows = []
+    # 200 background docs over the filler pool → pool tokens get df≈130,
+    # far above the cluster size, so the hot token sorts rare-first into
+    # every cluster prefix
+    for d in range(200):
+        words = [pool[(d * 7 + k * 3) % 30] for k in range(20)]
+        rows.append((d, " ".join(dict.fromkeys(words))))
+    # 40-doc cluster: hot token + distinct filler picks (pairwise jaccard
+    # far below threshold) → without the cap, the hot token alone creates
+    # 40·39/2 = 780 candidate probes
+    n_cluster = 40
+    for c in range(n_cluster):
+        words = ["hottoken"] + [pool[(c + k * 11) % 30] for k in range(18)]
+        rows.append((1000 + c, " ".join(dict.fromkeys(words))))
+    # planted true near-dup pair: 9 shared unique tokens + 1 differing
+    # (jaccard 9/11 ≈ 0.818) — unique tokens have df=2, the rarest of
+    # all, so the pair meets in its prefixes without the hot token
+    shared = [f"uniq{i}" for i in range(9)]
+    rows.append((2000, " ".join(shared + ["onlya"])))
+    rows.append((2001, " ".join(shared + ["onlyb"])))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    cap = 10
+    cand, hot, _ = llmops._setsim_parts(docs, 0.8, max_token_group=cap)
+    hot_rows = {r.token: r for r in hot.collect()}
+    assert "hottoken" in hot_rows
+    assert hot_rows["hottoken"].n_prefix_docs == n_cluster
+    assert hot_rows["hottoken"].skipped_pair_probes == n_cluster * (n_cluster - 1) // 2
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    # no candidate pair should meet on the capped token alone...
+    assert all(not (1000 <= a < 1040 and 1000 <= b < 1040) for a, b in pairs)
+    # ...but the planted near-dup still surfaces through uncapped tokens
+    assert (2000, 2001) in pairs
+    # and with the cap disabled the hot cluster's quadratic candidates
+    # appear (the cost the guard exists to bound) — size-filter-surviving
+    # cluster pairs all share the hot prefix token
+    cand_nocap, hot_nocap, _ = llmops._setsim_parts(docs, 0.8, max_token_group=None)
+    assert hot_nocap.count() == 0
+    nocap_pairs = {(r.doc_a, r.doc_b) for r in cand_nocap.collect()}
+    cluster_pairs = {
+        (a, b) for a, b in nocap_pairs if 1000 <= a < 1040 and 1000 <= b < 1040
+    }
+    assert len(cluster_pairs) > 100  # quadratic blowup without the guard
