@@ -127,6 +127,34 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # CONTROL: the fixed per-query floor at this scale — a single-partition
+    # 5-row scan through the identical noop-write path.  Everything in it
+    # (driver round-trip, stage scheduling, one task launch) is constant
+    # overhead that amortizes away at 100x data, so per-query
+    # spark/duckdb ratios should be read net of this floor.
+    def _control(spark_, dir_):
+        return spark_.read.parquet(os.path.join(dir_, "region.parquet")).coalesce(1)
+
+    _control(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+    floor = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _control(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        floor = min(floor, time.time() - t0)
+
+    # q_hll_merge decomposition: the headline form carries an exact-distinct
+    # self-verification twin (the oracle contract); this times the
+    # production sketch-only path so sketch cost and check cost are
+    # separate numbers.
+    from kinesis2elastic_spark.operators.relational import hll_merge_sketch_only
+
+    hll_merge_sketch_only(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    hll_sketch_only = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        hll_merge_sketch_only(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        hll_sketch_only = min(hll_sketch_only, time.time() - t0)
+
     # DuckDB side: same parquet, same SQL the correctness gate trusts.
     import duckdb
 
@@ -169,6 +197,12 @@ def main() -> None:
         "duckdb": duck,
         "ratio_spark_over_duckdb": ratio,
         "ratio_median": median,
+        # fixed per-query overhead at this scale (1-task scan through the
+        # same noop-write path): per-query ratios vs DuckDB should be read
+        # net of this constant — it amortizes away at cluster scale while
+        # DuckDB's per-row cost does not
+        "control_floor_sec": round(floor, 3),
+        "hll_merge_sketch_only_sec": round(hll_sketch_only, 3),
     }
     print(json.dumps(out))
 

@@ -155,6 +155,25 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_out.unionByName(glob)
 
 
+def hll_merge_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of q_hll_merge: sketch build + union only, no
+    exact-distinct verification twin.  q_hll_merge deliberately recomputes
+    exact distincts in-query so the oracle can verify the sketch — that
+    twin doubles the work and dominated its bench time (round-3 verdict
+    flagged the 28.7× ratio).  bench.py times this form alongside it so
+    the sketch cost and the self-check cost are reported separately."""
+    li = load(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    per_out = per.select(
+        F.col("l_returnflag").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est"),
+    )
+    glob = per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")).select(
+        F.lit("ALL").alias("scope"), "est"
+    )
+    return per_out.unionByName(glob)
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6: ROLLUP grouping sets; Spark's Expand operator replicates rows per
     grouping set before one hash aggregate (map-side partials still apply)."""
