@@ -76,6 +76,7 @@ def envelope_source(
     source_format: str = "json",
     path: str | None = None,
     options: dict | None = None,
+    payload_expr: str | None = None,
 ) -> DataFrame:
     """A1 source seam (main.go:248-365): one factory for every envelope
     transport, returning the same envelope-schema DataFrame so the rest of
@@ -92,10 +93,19 @@ def envelope_source(
       ``subscribe``, ...); the binary ``value`` column is parsed the same
       way.
 
+    ``payload_expr`` (connector branch only): SQL expression evaluated
+    over the RAW connector stream to derive the payload column before
+    normalization — for connectors that wrap the envelope (e.g. Kinesis
+    KPL-aggregated records needing a slice/unpack) and for driving the
+    seam from payload-less synthetic sources (``rate``) in tests and
+    soak runs.
+
     No connector jar ships here (none is available in this sandbox); the
-    seam is the contract: ``.format(fmt).options(**opts).load()`` +
-    ``normalize_connector_payload``.  Tested with the built-in ``text``
-    source driving the identical generic branch."""
+    seam is the contract: ``.format(fmt).options(**opts).load()`` [+
+    ``payload_expr``] + ``normalize_connector_payload``.  Tested with the
+    built-in ``text`` source (opaque ``value`` column, the Kafka shape)
+    and the built-in ``rate`` source (non-file, unbounded — the Kinesis
+    cadence shape) driving the identical generic branch."""
     options = dict(options or {})
     if source_format == "json":
         if path is None:
@@ -105,6 +115,8 @@ def envelope_source(
     if path is not None:
         options.setdefault("path", path)
     df = spark.readStream.format(source_format).options(**options).load()
+    if payload_expr is not None:
+        df = df.selectExpr(f"({payload_expr}) AS data")
     return normalize_connector_payload(df)
 
 

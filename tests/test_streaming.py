@@ -3,6 +3,7 @@ memory sink; batch-equivalence and late-data behavior."""
 
 import json
 import shutil
+import time
 import uuid
 
 import pytest
@@ -146,6 +147,52 @@ def test_envelope_source_seam_generic_connector(spark, sf_dir, tmp_path_factory)
     out = _table(spark, name)
     assert out.count() == 20
     assert out.filter(F.col("requestId").isNull()).count() == 0
+
+
+def test_envelope_source_seam_rate_source(spark):
+    """A1 adapter seam with a NON-FILE unbounded source: the built-in
+    ``rate`` source (the Kinesis-cadence stand-in — micro-batches arrive
+    on a clock, not from files) drives the same generic connector branch.
+    ``payload_expr`` synthesizes one envelope per rate tick; the seam
+    must deliver parsed envelope rows with reference semantics (requestId
+    + epoch-ms timestamp + records[].data) preserved."""
+    payload = (
+        "to_json(named_struct("
+        "'requestId', concat('rate-', CAST(value AS STRING)), "
+        "'timestamp', 1700000000000 + value, "
+        "'records', array(named_struct('data', 'aGVsbG8='))))"
+    )
+    stream = sw.envelope_source(
+        spark,
+        "rate",
+        options={"rowsPerSecond": "50", "numPartitions": "1"},
+        payload_expr=payload,
+    )
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "requestId",
+        "timestamp",
+        "records",
+    ]
+    name = f"seamr_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and _table(spark, name).count() == 0:
+            time.sleep(0.3)
+        out = _table(spark, name).collect()
+    finally:
+        q.stop()
+    assert len(out) > 0
+    r = out[0]
+    assert r.requestId.startswith("rate-")
+    assert r.timestamp >= 1700000000000
+    assert r.records[0].data == "aGVsbG8="
 
 
 def test_envelope_source_default_json_matches_file_stream(spark, sf_dir, tmp_path_factory):
