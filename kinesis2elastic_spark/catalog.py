@@ -40,7 +40,38 @@ BROADCAST_DIMS = {"region", "nation", "supplier"}
 # (spark.sql.legacy.parquet.nanosAsLong) and convert ns -> us ourselves.
 # Integer DIV (not /) keeps exactness — epoch-nanos exceed double's 53-bit
 # mantissa, so a float division would corrupt the low microseconds.
-NANO_TS_COLS = {"events": ("ts",)}
+#
+# The column set is detected from the parquet FOOTER (pyarrow schema read —
+# metadata only, no data scan), not hardcoded: the driver testdata has
+# changed timestamp encodings between rounds before (round-2 postmortem),
+# and a new ns-encoded column in any table would otherwise surface as a
+# bigint and crash every chrono function downstream.
+_NANO_COLS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _nano_ts_cols(path: str) -> tuple[str, ...]:
+    """Column names stored as timestamp[ns] per the parquet footer."""
+    if path not in _NANO_COLS_CACHE:
+        try:
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+
+            target = path
+            if os.path.isdir(path):  # multi-file dataset: footer of any part
+                parts = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+                if parts:
+                    target = parts[0]
+            schema = pq.read_schema(target)
+            cols = tuple(
+                f.name
+                for f in schema
+                if str(f.type).startswith("timestamp[ns")
+            )
+        except Exception:
+            cols = ()
+        _NANO_COLS_CACHE[path] = cols
+    return _NANO_COLS_CACHE[path]
 
 
 def normalize_timestamps(df: DataFrame) -> DataFrame:
@@ -64,10 +95,11 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (lazy; pushdown-friendly)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in NANO_TS_COLS.get(name, ()):
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nano_ts_cols(path):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
     return normalize_timestamps(df)
 
 

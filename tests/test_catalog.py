@@ -64,3 +64,59 @@ def test_real_testdata_events_ts_is_timestamp(spark, sf_dir):
     assert dict(df.dtypes)["ts"] == "timestamp"
     # The analysis-time crash from round 2 must not reproduce.
     df.select(F.unix_micros("ts")).limit(1).collect()
+
+
+@pytest.mark.parametrize(
+    "ts_type",
+    [pa.timestamp("ns"), pa.timestamp("ns", tz="UTC")],
+    ids=["ns-ntz", "ns-utc"],
+)
+def test_load_detects_ns_columns_in_any_table(spark, tmp_path, ts_type):
+    """The ns-column set comes from the parquet footer, not a hardcoded
+    per-table list: an orders table switching o_orderdate to timestamp[ns]
+    (the encoding drift that red-gated round 2 for events) must load as a
+    proper TIMESTAMP with exact values."""
+    sf_dir = str(tmp_path / "nsdrift")
+    os.makedirs(sf_dir, exist_ok=True)
+    dt = [
+        datetime.datetime(2024, 3, 1, 0, 0, 0),
+        datetime.datetime(2024, 3, 2, 6, 30, 15, 250000),
+    ]
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array(dt, ts_type),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "orders.parquet"))
+
+    df = load(spark, sf_dir, "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    got = [
+        r["us"]
+        for r in df.select(F.unix_micros("o_orderdate").alias("us"))
+        .orderBy("us")
+        .collect()
+    ]
+    assert got == [1709251200000000, 1709361015250000]
+
+
+def test_load_ns_detection_on_multifile_dataset(spark, tmp_path):
+    """Directory-shaped parquet datasets (multiple part files) get footer
+    detection from a part file."""
+    sf_dir = str(tmp_path / "multipart")
+    ds_dir = os.path.join(sf_dir, "events.parquet")
+    os.makedirs(ds_dir, exist_ok=True)
+    for i in range(2):
+        table = pa.table(
+            {
+                "event_id": pa.array([i], pa.int64()),
+                "ts": pa.array(
+                    [datetime.datetime(2024, 1, 1, i, 0, 0)], pa.timestamp("ns")
+                ),
+            }
+        )
+        pq.write_table(table, os.path.join(ds_dir, f"part-{i}.parquet"))
+    df = load(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == 2
