@@ -806,7 +806,133 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ROUNDS = 6
+_BPE_SEP = "\x1f"  # unit separator: wraps every symbol as SEP+sym+SEP
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS) -> DataFrame:
+    """B84: distributed BPE-merge training — the tokenizer-induction step
+    of an LLM data pipeline.  Classic byte-pair encoding over the corpus:
+    start from characters, repeatedly merge the corpus-wide most frequent
+    adjacent symbol pair (ties: count desc, then pair lexicographic), and
+    emit the merge table (round, left_sym, right_sym, merged, pair_count)
+    — the exact artifact a BPE tokenizer ships.
+
+    Spark-first scale shape (how industrial BPE trainers work):
+    - ONE corpus-wide pass builds the word-frequency table (map-side
+      combinable count; the explode carries bare tokens).  Every
+      subsequent round runs on the VOCABULARY (unique words + counts),
+      which is sublinear in corpus size — at 100 TB the vocab is
+      millions of rows, not the corpus.
+    - per round: adjacent-pair explode over vocab symbol lists, one
+      partial-agg count keyed by pair, and a top-1 collect (ONE row — a
+      bounded driver action); the winning merge is applied map-side via
+      a string replace, no shuffle.
+    - lineage is truncated each round (localCheckpoint) so round k costs
+      O(vocab), not O(k * vocab).
+
+    Cross-engine determinism: symbols live in a wrapped string form
+    ``SEP a SEP SEP b SEP ...`` so the merge is a plain ``replace`` of
+    ``SEP a SEP SEP b SEP`` -> ``SEP ab SEP`` — boundary-safe (a symbol
+    can never match inside a longer symbol) and greedily left-to-right
+    with identical non-overlap semantics in Spark and DuckDB (probed:
+    'aaaa' -> [aa, aa] on both).  The oracle unrolls the same rounds as
+    chained CTEs; every output column is an exact string/int — no floats
+    anywhere in the hash."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = words.select(
+        F.regexp_replace("word", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}").alias("s"),
+        "c",
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rnd in range(1, n_rounds + 1):
+        with_syms = vocab.withColumn(
+            "syms",
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), _BPE_SEP + _BPE_SEP),
+        )
+        # size >= 2 guard: Spark's sequence(1, 0) is DESCENDING (not empty
+        # like DuckDB's range), so single-symbol words must not reach it
+        pairs = (
+            with_syms.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .select("p.l", "p.r", "c")
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("c").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((rnd, l, r, l + r, cnt))
+        old = f"{_BPE_SEP}{l}{_BPE_SEP}{_BPE_SEP}{r}{_BPE_SEP}"
+        new = f"{_BPE_SEP}{l}{r}{_BPE_SEP}"
+        vocab = vocab.withColumn(
+            "s", F.replace(F.col("s"), F.lit(old), F.lit(new))
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "round bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
+    """The identical computation unrolled as chained DuckDB CTEs."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    parts = [
+        f"""WITH wf AS (
+          SELECT word, count(*) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' GROUP BY word),
+        w0 AS MATERIALIZED (
+          SELECT regexp_replace(word, '(.)', {sep}||'\\1'||{sep}, 'g') AS s, c
+          FROM wf)"""
+    ]
+    for k in range(1, n_rounds + 1):
+        prev = f"w{k - 1}"
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+          SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+          FROM (SELECT string_split(substr(s, 2, length(s) - 2), {sep2}) AS syms, c
+                FROM {prev}),
+               unnest(range(1, len(syms))) AS t(i)
+          GROUP BY 1, 2),
+        m{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+        w{k} AS MATERIALIZED (
+          SELECT replace(s,
+                         {sep}||(SELECT l FROM m{k})||{sep2}||(SELECT r FROM m{k})||{sep},
+                         {sep}||(SELECT l FROM m{k})||(SELECT r FROM m{k})||{sep}) AS s, c
+          FROM {prev})"""
+        )
+    unions = "\n        UNION ALL\n".join(
+        f"        SELECT CAST({k} AS BIGINT) AS round, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, cnt AS pair_count FROM m{k}"
+        for k in range(1, n_rounds + 1)
+    )
+    return ",\n".join(parts) + "\n" + unions
+
+
 QUERIES = {
+    "q_bpe_train": q_bpe_train,
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
     "q_token_histogram": q_token_histogram,
@@ -1119,5 +1245,7 @@ ORACLE["q_seq_pack"] = """
            TRUE AS efficiency_ok
     FROM documents GROUP BY lang
 """
+
+ORACLE["q_bpe_train"] = _bpe_oracle_sql()
 
 ROWS_ONLY: set[str] = set()

@@ -343,3 +343,48 @@ def test_inverted_index_caps_postings(spark, sf_dir):
         assert len(ids) <= 20
         assert ids == sorted(ids)
         assert r.df >= len(ids) and r.df >= 5
+
+
+def test_bpe_train_hand_computed(spark, tmp_path):
+    """BPE merge training on a corpus small enough to verify by hand:
+    greedy left-to-right merge application and the (count desc, pair asc)
+    tie-break must match the classic algorithm exactly."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "cd cd")],
+        "doc_id bigint, text string",
+    )
+    sf = str(tmp_path / "bpe")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    rows = [tuple(r) for r in corpus.q_bpe_train(spark, sf, n_rounds=3).collect()]
+    # round 1: (a,b) appears 2x in each 'abab' (weight 2) + 1x in 'ab' = 5;
+    #          (b,a) = 2; (c,d) = 2 -> winner (a,b,5)
+    # round 2 after merge: 'abab'->[ab,ab] so (ab,ab)=2; (c,d)=2 ->
+    #          tie on count, lexicographic pair order picks (ab,ab)
+    # round 3: only (c,d)=2 remains
+    assert rows == [
+        (1, "a", "b", "ab", 5),
+        (2, "ab", "ab", "abab", 2),
+        (3, "c", "d", "cd", 2),
+    ]
+
+
+def test_bpe_train_matches_duckdb_unrolled(spark, tmp_path):
+    """The unrolled-CTE oracle computes the identical merge table on the
+    same corpus (the cross-engine contract the driver gate checks)."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "hello hello help"), (2, "world word ward"), (3, "held helm")],
+        "doc_id bigint, text string",
+    )
+    sf = str(tmp_path / "bpe2")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    got = sorted(tuple(r) for r in corpus.q_bpe_train(spark, sf, n_rounds=4).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(con.execute(corpus._bpe_oracle_sql(4)).fetchall())
+    assert got == want
