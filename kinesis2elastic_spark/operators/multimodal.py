@@ -122,6 +122,68 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+FRAME_STRIDE = 10  # sample every Nth frame
+FRAME_FPS = 24  # timestamp base for the synthetic videos
+
+
+def q_frame_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    every_n: int = FRAME_STRIDE,
+    fps: int = FRAME_FPS,
+) -> DataFrame:
+    """Per-frame video sampling — the cardinality-CHANGING mapInPandas
+    shape (one media row in, one row per sampled frame out) that actual
+    frame extraction needs, complementing the 1:1 feature extractor and
+    the JVM-side frame-count planning (``sample_frames``).
+
+    Each video payload is 'opened' once in Python and emits one row per
+    sampled frame index: (doc_id, frame_index, ts_ms, frame_digest).  The
+    decode itself is the documented stub (no video codec in this
+    container): the frame digest is a deterministic fold of
+    (payload md5, frame index), so the Spark-side plumbing — binary
+    payloads through Arrow batches, per-row fan-out in Python, exact
+    timestamps in integer milliseconds — is real and oracle-checkable
+    end to end (DuckDB recomputes every column closed-form).
+
+    Scale notes: payloads reach Python once per media row (never
+    shuffled — the fan-out happens inside the worker); output carries
+    ids + digests only.  For multi-MB frames the emitted payload slice
+    would stream back per batch with
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` lowered; timestamps
+    use integer DIV so engines can't disagree on float rounding."""
+    media = synth_media(spark, sf_dir).filter(F.col("media_type") == "video/mp4")
+    src = media.select("doc_id", "payload", F.col("meta.n_frames").alias("n_frames"))
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[int] = []
+            idxs: list[int] = []
+            ts: list[int] = []
+            digs: list[str] = []
+            for did, payload, n_frames in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                base = hashlib.md5(bytes(payload)).hexdigest()
+                for i in range(0, int(n_frames), every_n):
+                    doc_ids.append(int(did))
+                    idxs.append(i)
+                    ts.append(i * 1000 // fps)
+                    digs.append(hashlib.md5(f"{base}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int64"),
+                    "ts_ms": pd.Series(ts, dtype="int64"),
+                    "frame_digest": pd.Series(digs, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(
+        _sample, "doc_id bigint, frame_index bigint, ts_ms bigint, frame_digest string"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal plumbing, oracle-checked (est_ok pattern):
     synth media → mapInPandas feature extraction → resize planning →
@@ -207,6 +269,7 @@ QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_plan": q_multimodal_plan,
     "q_media_dedup": q_media_dedup,
+    "q_frame_sample": q_frame_sample,
 }
 ORACLE: dict[str, str] = {
     "q_multimodal_plan": """
@@ -264,6 +327,24 @@ ORACLE["q_multimodal_features"] = f"""
            CASE WHEN media_type = 'video/mp4'
                 THEN (n_frames - 1) // 10 + 1 ELSE 0 END AS n_sampled_frames
     FROM r
+"""
+
+# q_frame_sample: the stub "decode" derives every emitted column
+# deterministically from (payload md5, frame index), so DuckDB recomputes
+# the full per-frame row set closed-form — the plumbing is Python
+# mapInPandas, the contract is exact.
+ORACLE["q_frame_sample"] = f"""
+    WITH v AS (
+      SELECT doc_id, text, n_chars % 120 + 1 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2),
+    f AS (
+      SELECT doc_id, text, unnest(range(0, n_frames, {FRAME_STRIDE})) AS i
+      FROM v)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_index,
+           CAST(i * 1000 // {FRAME_FPS} AS BIGINT) AS ts_ms,
+           md5(md5(text) || ':' || CAST(i AS VARCHAR)) AS frame_digest
+    FROM f
 """
 
 ROWS_ONLY: set[str] = set()
