@@ -806,6 +806,85 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 1024  # counters per row; collision mass/row ~ N/width
+
+
+def q_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token counting, self-verifying (est_ok pattern) —
+    the mergeable APPROXIMATE counterpart to exact heavy hitters (B81)
+    and the count-side sibling of the HLL distinct sketch (B65): a fixed
+    ``CMS_DEPTH x CMS_WIDTH`` counter matrix supports frequency point
+    queries over any token universe in O(1) memory, and partial matrices
+    from partitions/days merge by plain addition — the property that lets
+    100 TB token-frequency monitoring roll up without re-touching data.
+
+    Build: one explode of ``CMS_DEPTH`` (row, bucket) cells per token
+    occurrence → map-side-combinable sum keyed by (row, bucket): the
+    shuffle carries at most depth x width = 4096 counter cells per
+    partition regardless of vocabulary.  Probe: the exact heavy-hitter
+    tokens (B81 logic) join the 4096-row counter table on their bucket
+    cells; estimate = min over rows.
+
+    Verification: ``est >= freq`` is a STRUCTURAL CMS guarantee (every
+    counter the token hashes to counts at least its own occurrences —
+    deterministically true, not probabilistic), and the emitted flag
+    ``within_bound_ok`` checks est <= freq + depth·N/width (generous vs
+    the expected N/width collision mass per row).  The estimate itself
+    uses engine-local hashing (xxhash64), so the oracle recomputes the
+    exact frequencies and expects TRUE flags — same contract as
+    q_hll_merge."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+
+    def cells(tok_col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(F.xxhash64(tok_col, F.lit(i)), F.lit(CMS_WIDTH)).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(CMS_DEPTH)
+            ]
+        )
+
+    cms = (
+        toks.select(F.explode(cells(F.col("token"))).alias("c"))
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
+    total = toks.agg(F.count("*").cast("long").alias("n_total"))
+    probe = exact.select(
+        "token", "freq", F.explode(cells(F.col("token"))).alias("c")
+    ).select("token", "freq", "c.row", "c.bucket")
+    est = (
+        probe.join(cms, ["row", "bucket"])
+        .groupBy("token", "freq")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+    bound = F.col("freq") + F.lit(CMS_DEPTH) * F.col("n_total") / F.lit(CMS_WIDTH)
+    return (
+        est.join(F.broadcast(total))
+        .select(
+            "token",
+            "freq",
+            "n_total",
+            (F.col("est") >= F.col("freq")).alias("est_ge_freq_ok"),
+            (F.col("est") <= bound).alias("within_bound_ok"),
+        )
+    )
+
+
 BPE_ROUNDS = 6
 _BPE_SEP = "\x1f"  # unit separator: wraps every symbol as SEP+sym+SEP
 
@@ -933,6 +1012,7 @@ def _bpe_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
 
 QUERIES = {
     "q_bpe_train": q_bpe_train,
+    "q_cms_check": q_cms_check,
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
     "q_token_histogram": q_token_histogram,
@@ -1247,5 +1327,19 @@ ORACLE["q_seq_pack"] = """
 """
 
 ORACLE["q_bpe_train"] = _bpe_oracle_sql()
+
+ORACLE["q_cms_check"] = f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    t AS (SELECT token FROM toks WHERE token <> ''),
+    exact AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM t GROUP BY token ORDER BY freq DESC, token LIMIT 20),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+    SELECT token, freq, n_total,
+           TRUE AS est_ge_freq_ok,
+           TRUE AS within_bound_ok
+    FROM exact CROSS JOIN total
+"""
 
 ROWS_ONLY: set[str] = set()
