@@ -155,6 +155,26 @@ def main() -> None:
         hll_merge_sketch_only(spark, sf_dir).write.mode("overwrite").format("noop").save()
         hll_sketch_only = min(hll_sketch_only, time.time() - t0)
 
+    # r4: the three headline names that became invariant reductions carry
+    # an exact-ground-truth verification twin inside the registered query;
+    # time the PRODUCTION detail forms separately (same decomposition as
+    # hll sketch-only) so operator cost and check cost stay distinct.
+    from kinesis2elastic_spark.operators import llmops as _llmops
+
+    detail_only: dict[str, float] = {}
+    for dname, dfn in (
+        ("q_minhash_near_dup", _llmops.minhash_near_dup_detail),
+        ("q_dedup_clusters", _llmops.dedup_clusters_detail),
+        ("q_ann_pq", _llmops.ann_pq_detail),
+    ):
+        dfn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            dfn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        detail_only[dname] = round(best, 3)
+
     # DuckDB side: same parquet, same SQL the correctness gate trusts.
     import duckdb
 
@@ -168,9 +188,15 @@ def main() -> None:
         )
     duck: dict[str, float] = {}
     ratio: dict[str, float] = {}
+    # r4: these oracles are brute-force QUADRATIC verification twins of
+    # sub-quadratic Spark operators (invariant reductions) — timing DuckDB's
+    # O(n²) join against Spark's prefix-filtered/banded path would inflate
+    # the ratio in Spark's favor without measuring comparable work, so they
+    # are excluded from the DuckDB baseline (Spark timings still recorded).
+    duck_skip = {"q_minhash_near_dup", "q_dedup_clusters"}
     for name in HEADLINE:
         sql = oracles.get(name)
-        if not sql:
+        if not sql or name in duck_skip:
             continue
         try:
             con.execute(sql).fetchall()  # warm (catalog/IO) pass
@@ -214,6 +240,9 @@ def main() -> None:
         "control_floor_sec": round(floor, 3),
         "ratio_median_net_of_floor": net_median,
         "hll_merge_sketch_only_sec": round(hll_sketch_only, 3),
+        # production-operator timings for the r4 invariant-reduction
+        # queries (the headline entries include their verification twins)
+        "detail_only_sec": detail_only,
     }
     print(json.dumps(out))
 

@@ -226,7 +226,7 @@ def minhash_candidate_pairs(
     ).localCheckpoint(eager=True)
 
 
-def q_minhash_near_dup(
+def minhash_near_dup_detail(
     spark: SparkSession,
     sf_dir: str,
     num_hashes: int = 32,
@@ -234,7 +234,9 @@ def q_minhash_near_dup(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 10_000,
 ) -> DataFrame:
-    """B33: MinHash + LSH banding near-dup pairs (rows-only).
+    """B33: MinHash + LSH banding near-dup pairs (detail form — the
+    production operator; its pair set depends on the hash family, so the
+    oracle-checkable contract is the ``q_minhash_near_dup`` reduction).
 
     Pipeline: shingle → 32 minhashes → 8 bands x 4 rows → bucket join on
     (band_id, band_hash) id-only → candidate pairs → re-attach shingles to
@@ -266,6 +268,82 @@ def q_minhash_near_dup(
         paired.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def exact_set_pairs(sets: DataFrame, num: int, den: int) -> DataFrame:
+    """ALL (doc_a, doc_b) pairs with set-Jaccard ≥ num/den — EXACT, via the
+    same PPJoin prefix-filtered machinery as q_setsim_join (never
+    all-pairs), over any prebuilt (doc_id, words) set table.
+
+    Numerics: the candidate thresholds inside ``_setsim_parts_from_sets``
+    are float and go through ``ceil(j·n)`` — a float j carrying +2⁻⁵² of
+    representation error can ceil one too HIGH and over-prune an exact
+    boundary pair (j=0.9, n=10: 0.9·10 could land above 9).  Candidate
+    generation therefore runs at j−1e-9 (looser filters are always safe:
+    prefix/size pruning only needs to keep every qualifying pair), and the
+    final verify is pure INTEGER arithmetic (den·|∩| ≥ num·|∪|), which no
+    engine can disagree on."""
+    j = num / den - 1e-9
+    cand, _, toks = _setsim_parts_from_sets(sets, j, max_token_group=None)
+    wa = toks.select(F.col("doc_id").alias("doc_a"), F.col("words").alias("wa"))
+    wb = toks.select(F.col("doc_id").alias("doc_b"), F.col("words").alias("wb"))
+    inter = F.size(F.array_intersect("wa", "wb"))
+    uni = F.size(F.array_union("wa", "wb"))
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .filter(inter * den >= uni * num)
+        .select("doc_a", "doc_b")
+    )
+
+
+# Recall floor asserted by the q_minhash_near_dup reduction on pairs with
+# exact shingle-Jaccard ≥ 9/10: with 8 bands × 4 rows the per-pair miss
+# probability at j=0.9 is (1−0.9⁴)⁸ ≈ 2·10⁻⁴, so a 9/10 aggregate floor
+# has ~3 orders of magnitude of slack on any data snapshot (measured
+# recall at sf0.01 and sf0.1: 1.0).
+MINHASH_HI_NUM, MINHASH_HI_DEN = 9, 10
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 contract query, self-verifying (est_ok pattern): the MinHash
+    pair set depends on the hash family (engine-local), but a working
+    banding scheme has a hard testable property — essentially every pair
+    with exact shingle-Jaccard ≥ 0.9 must be caught (per-pair miss
+    probability ≈ 2·10⁻⁴ at 8×4 banding).  The reduction recomputes the
+    ground-truth ≥ 9/10 pair set EXACTLY via the prefix-filtered set-
+    similarity join (``exact_set_pairs`` — the deterministic complement,
+    itself driver-verified as q_setsim_join) and asserts ≥ 90% of it was
+    caught; the oracle recomputes n_docs and the exact pair count with a
+    brute-force quadratic join and pins the flag TRUE.  A broken hash
+    family, banding split, or verify filter collapses the caught set and
+    trips the flag → hash mismatch on FALSE."""
+    caught = (
+        minhash_near_dup_detail(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    d = _docs_parallel(spark, sf_dir)
+    sets = d.select("doc_id", _shingles(F.col("text")).alias("words"))
+    hi = exact_set_pairs(sets, MINHASH_HI_NUM, MINHASH_HI_DEN).localCheckpoint(
+        eager=True
+    )
+    caught_hi = hi.join(caught, ["doc_a", "doc_b"], "left_semi")
+    n_docs = d.agg(F.count("*").cast("long").alias("n_docs"))
+    n_hi = hi.agg(F.count("*").cast("long").alias("n_exact_hi_pairs"))
+    n_caught = caught_hi.agg(F.count("*").alias("_nc"))
+    return (
+        n_docs.crossJoin(n_hi)
+        .crossJoin(n_caught)
+        .select(
+            "n_docs",
+            "n_exact_hi_pairs",
+            (
+                (F.col("n_exact_hi_pairs") == 0)
+                | (F.col("_nc") * 10 >= F.col("n_exact_hi_pairs") * 9)
+            ).alias("recall_hi_ok"),
+        )
     )
 
 
@@ -408,6 +486,18 @@ def _setsim_parts(
     toks = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("words")
     )
+    return _setsim_parts_from_sets(toks, threshold, max_token_group)
+
+
+def _setsim_parts_from_sets(
+    toks: DataFrame,
+    threshold: float,
+    max_token_group: int | None = SETSIM_MAX_TOKEN_GROUP,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``_setsim_parts`` over a prebuilt (doc_id, words array<string>) set
+    table — the same exact prefix-filtered join works for ANY set family
+    (word sets for q_setsim_join, k-word shingles for the minhash recall
+    ground truth), so the set construction is the caller's choice."""
     tok = toks.select("doc_id", F.explode("words").alias("token"))
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
     ordered = (
@@ -589,11 +679,14 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("simhash", _simhash(F.col(text_col)))
 
 
-def q_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup pairs (rows-only): 64-bit signatures, candidate
-    generation by exact match on any of four 16-bit chunks (a doc pair
-    within hamming distance 3 must share a chunk), verify with bit_count
-    of the XOR.  Chunk-bucket join keys keep the shuffle tiny at scale."""
+def simhash_near_dup_detail(spark: SparkSession, sf_dir: str, max_hamming: int = 8) -> DataFrame:
+    """SimHash near-dup pairs (detail form — the production operator; its
+    pair set depends on the signature bits, so the oracle-checkable
+    contract is the ``q_simhash_near_dup`` reduction): 64-bit signatures,
+    candidate generation by exact match on any of four 16-bit chunks (a
+    doc pair within hamming distance 3 must share a chunk), verify with
+    bit_count of the XOR.  Chunk-bucket join keys keep the shuffle tiny
+    at scale."""
     d = simhash64(_docs_parallel(spark, sf_dir)).select("doc_id", "simhash")
     chunks = d.select(
         "doc_id",
@@ -626,6 +719,55 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str, max_hamming: int = 8) -
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 contract query, self-verifying (est_ok pattern): the SimHash
+    pair set is signature-dependent (engine-local), but two documents with
+    the SAME token multiset get identical majority votes, hence identical
+    64-bit signatures, hence hamming 0 — and a hamming-0 pair shares all
+    four 16-bit chunks, so the chunk-bucket candidate join CANNOT miss it.
+    The reduction counts identical-token-profile pairs exactly (canonical
+    profile = space-joined sorted token list; group membership is multiset
+    equality under any consistent sort order, so both engines agree) and
+    asserts every one appears in the SimHash output with hamming = 0 — a
+    deterministic guarantee, not a probabilistic floor.  A broken token
+    hash, vote kernel, or chunk join trips the flag → hash mismatch."""
+    pairs = simhash_near_dup_detail(spark, sf_dir).localCheckpoint(eager=True)
+    d = _docs_parallel(spark, sf_dir)
+    prof = d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.sort_array(F.split("text", " ")), " ").cast("binary")
+        ).alias("pkey"),
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    pp = (
+        a.join(
+            b,
+            (F.col("a.pkey") == F.col("b.pkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .localCheckpoint(eager=True)
+    )
+    missing = pp.join(
+        pairs.filter(F.col("hamming") == 0).select("doc_a", "doc_b"),
+        ["doc_a", "doc_b"],
+        "left_anti",
+    )
+    n_docs = d.agg(F.count("*").cast("long").alias("n_docs"))
+    n_pp = pp.agg(F.count("*").cast("long").alias("n_profile_pairs"))
+    n_miss = missing.agg(F.count("*").alias("_nm"))
+    return (
+        n_docs.crossJoin(n_pp)
+        .crossJoin(n_miss)
+        .select(
+            "n_docs",
+            "n_profile_pairs",
+            (F.col("_nm") == 0).alias("zero_hamming_caught_ok"),
+        )
+    )
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iters: int = 20) -> DataFrame:
@@ -701,19 +843,96 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → duplicate clusters (rows-only: iterative).  Output:
-    one row per clustered doc with its cluster id (min doc_id in the
-    component) plus the cluster size — the 'keep one per cluster' dedup
-    decision at corpus scale."""
+def dedup_clusters_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters (detail form — iterative;
+    cluster membership follows the LSH pair set, so the oracle-checkable
+    contract is the ``q_dedup_clusters`` reduction).  Output: one row per
+    clustered doc with its cluster id (min doc_id in the component) plus
+    the cluster size — the 'keep one per cluster' dedup decision at
+    corpus scale."""
     # materialize the verified pairs once: CC symmetrizes/iterates over the
     # edge list, which would otherwise re-run the whole LSH+verify pipeline
-    pairs = q_minhash_near_dup(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = minhash_near_dup_detail(spark, sf_dir).localCheckpoint(eager=True)
     comp = connected_components(pairs)
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (
         comp.join(sizes, "cluster_id")
         .select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33/B67 contract query, self-verifying (est_ok pattern): cluster
+    contents are engine-local (they follow the MinHash pair set), but
+    exact-duplicate TEXT groups are a deterministic subgraph — identical
+    texts have identical shingle sets, identical signatures in every
+    band, exact Jaccard 1 ≥ the verify threshold, so each identical-text
+    group is fully edge-connected and MUST land in one cluster.  The
+    reduction counts exact-dup groups/docs (oracle: GROUP BY md5(text))
+    and asserts (a) every exact-dup doc was clustered, (b) no exact-dup
+    group was split across clusters, (c) the cluster assignment is a
+    partition (each clustered doc appears exactly once).  A broken edge
+    list, label propagation, or convergence check trips a flag."""
+    comp = dedup_clusters_detail(spark, sf_dir).localCheckpoint(eager=True)
+    d = load(spark, sf_dir, "documents")
+    joined = d.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("thash")
+    ).join(comp.select("doc_id", "cluster_id"), "doc_id", "left")
+    groups = (
+        joined.groupBy("thash")
+        .agg(
+            F.count("*").alias("g"),
+            F.countDistinct("cluster_id").alias("ncl"),
+            F.sum(F.col("cluster_id").isNull().cast("int")).alias("nnull"),
+        )
+        .filter(F.col("g") >= 2)
+    )
+    grp = groups.agg(
+        F.count("*").cast("long").alias("n_exact_dup_groups"),
+        F.coalesce(F.sum("g"), F.lit(0)).cast("long").alias("n_exact_dup_docs"),
+        F.coalesce(F.max((F.col("ncl") > 1).cast("int")), F.lit(0)).alias("_split"),
+        F.coalesce(F.max((F.col("nnull") > 0).cast("int")), F.lit(0)).alias("_uncl"),
+    )
+    part = comp.agg(
+        (F.count("*") == F.countDistinct("doc_id")).alias("partition_ok")
+    )
+    # second, non-vacuous leg (the corpus may carry no byte-identical dups
+    # at small SF): pairs with exact shingle-Jaccard ≥ 9/10 are caught by
+    # the banding with per-pair miss probability ≈ 2·10⁻⁴ (see
+    # MINHASH_HI_NUM), and a caught pair's endpoints share a component by
+    # construction — so ≥ 90% of the exact hi pairs must be co-clustered.
+    sets = _docs_parallel(spark, sf_dir).select(
+        "doc_id", _shingles(F.col("text")).alias("words")
+    )
+    hi = exact_set_pairs(sets, MINHASH_HI_NUM, MINHASH_HI_DEN).localCheckpoint(
+        eager=True
+    )
+    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
+    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
+    hi_cc = (
+        hi.join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .agg(
+            F.count("*").alias("_nhi"),
+            F.coalesce(
+                F.sum((F.col("ca") == F.col("cb")).cast("int")), F.lit(0)
+            ).alias("_ncc"),
+        )
+        .select(
+            F.col("_nhi").cast("long").alias("n_exact_hi_pairs"),
+            (
+                (F.col("_nhi") == 0) | (F.col("_ncc") * 10 >= F.col("_nhi") * 9)
+            ).alias("hi_pairs_coclustered_ok"),
+        )
+    )
+    return grp.crossJoin(part).crossJoin(hi_cc).select(
+        "n_exact_dup_groups",
+        "n_exact_dup_docs",
+        "n_exact_hi_pairs",
+        (F.col("_uncl") == 0).alias("exact_dups_clustered_ok"),
+        (F.col("_split") == 0).alias("exact_groups_cohesive_ok"),
+        "hi_pairs_coclustered_ok",
+        "partition_ok",
     )
 
 
@@ -794,7 +1013,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int 
     )
 
 
-def q_ann_lsh(
+def ann_lsh_detail(
     spark: SparkSession,
     sf_dir: str,
     n_planes: int = 4,
@@ -879,7 +1098,7 @@ def q_ann_lsh(
     )
 
 
-def q_ann_ivf(
+def ann_ivf_detail(
     spark: SparkSession,
     sf_dir: str,
     n_centroids: int = 16,
@@ -973,7 +1192,7 @@ PQ_M = 16
 PQ_KSUB = 16
 
 
-def q_ann_pq(
+def ann_pq_detail(
     spark: SparkSession,
     sf_dir: str,
     m: int = PQ_M,
@@ -1088,10 +1307,12 @@ def q_ann_pq(
     )
 
 
-def q_diversity_sample(
+def diversity_sample_detail(
     spark: SparkSession, sf_dir: str, k: int = 8, target: int = 100, n_iter: int = 2
 ) -> DataFrame:
-    """Cluster-balanced diversity sampling (rows-only: k-means inside) —
+    """Cluster-balanced diversity sampling (detail form — k-means cluster
+    populations are engine-local, so the oracle-checkable contract is the
+    ``q_diversity_sample`` reduction) —
     the D4/SemDeDup-style corpus diversification step: instead of
     sampling uniformly (which mirrors the corpus's mode collapse), each
     k-means cluster gets an equal quota, so dense boilerplate regions
@@ -1121,6 +1342,46 @@ def q_diversity_sample(
             "n_kept",
             F.round(F.col("n_kept") / F.col("n_in_cluster"), 4).alias("keep_rate"),
         )
+    )
+
+
+def q_diversity_sample(
+    spark: SparkSession, sf_dir: str, k: int = 8, target: int = 100
+) -> DataFrame:
+    """Contract query for cluster-balanced diversity sampling,
+    self-verifying (est_ok pattern): cluster populations are engine-local,
+    but the sampler has exact arithmetic structure — every cluster keeps
+    exactly min(quota, population) members (``quota_ok``), there are at
+    most k nonempty clusters (``cluster_count_ok``), and the total sample
+    size is bracketed by min(quota, ⌈n/k⌉) ≤ Σkept ≤ min(n, k·quota)
+    (the largest cluster holds ≥ ⌈n/k⌉ vectors by pigeonhole).  The
+    oracle recomputes n_vecs exactly and pins the flags TRUE; a broken
+    ranking window or quota predicate trips one."""
+    det = diversity_sample_detail(spark, sf_dir, k=k, target=target)
+    quota = -(-target // k)
+    agg = det.agg(
+        F.sum("n_in_cluster").cast("long").alias("n_vecs"),
+        F.count("*").alias("_ncl"),
+        F.sum("n_kept").alias("_tot"),
+        F.bool_and(
+            F.col("n_kept") == F.least(F.lit(quota), F.col("n_in_cluster"))
+        ).alias("quota_ok"),
+    )
+    return agg.select(
+        "n_vecs",
+        F.lit(k).cast("long").alias("k"),
+        F.lit(quota).cast("long").alias("quota"),
+        "quota_ok",
+        (F.col("_ncl") <= k).alias("cluster_count_ok"),
+        (
+            (F.col("_tot") <= F.least(F.col("n_vecs"), F.lit(k * quota)))
+            & (
+                F.col("_tot")
+                >= F.least(
+                    F.lit(quota), F.ceil(F.col("n_vecs") / F.lit(k)).cast("long")
+                )
+            )
+        ).alias("sample_size_bracket_ok"),
     )
 
 
@@ -1289,14 +1550,17 @@ def kmeans_iterate(
     return assigned, history
 
 
-def q_semantic_dedup(
+def semantic_dedup_detail(
     spark: SparkSession,
     sf_dir: str,
     k: int = 8,
     n_iter: int = 2,
     threshold: float = 0.45,
 ) -> DataFrame:
-    """SemDeDup-style semantic deduplication (rows-only): k-means
+    """SemDeDup-style semantic deduplication (detail form — the production
+    operator; cluster-bucketed pair sets are engine-local, so the
+    oracle-checkable contract is the ``q_semantic_dedup`` reduction):
+    k-means
     clusters act as LEARNED candidate buckets; exact cosine similarity
     runs only within a cluster, and pairs above ``threshold`` are
     near-duplicates (threshold matches q_cosine_near_dup — the synthetic
@@ -1324,13 +1588,88 @@ def q_semantic_dedup(
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .withColumn("sim", F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4))
-        .filter(F.col("sim") >= threshold)
+        .withColumn("_sim_raw", cosine(F.col("a.vec"), F.col("b.vec")))
+        # filter on the UNROUNDED cosine (rounding is display-only): a pair
+        # at 0.44996 must NOT slip in via round-to-0.45, or the reduction's
+        # subset-of-exact-pairs invariant breaks at the boundary
+        .filter(F.col("_sim_raw") >= threshold)
         .select(
             F.col("a.cluster").cast("long").alias("cluster"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            "sim",
+            F.round(F.col("_sim_raw"), 4).alias("sim"),
+        )
+    )
+
+
+def exact_cosine_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """Ground-truth (vec_a, vec_b) pairs with cosine ≥ threshold —
+    VERIFICATION TWIN ONLY: a quadratic self-join over the (small by
+    construction) embedding probe table, used by the q_semantic_dedup /
+    q_cosine_near_dup reductions to check the bucketed operators' recall.
+    The production paths are the bucketed details; at 100 TB the twin
+    runs on a sampled probe set, never the corpus.  Cosine is computed
+    with the same in-order JVM ``aggregate`` sum as everywhere else, so
+    it is bit-comparable with DuckDB's in-order list functions."""
+    side = emb.select("vec_id", "vec")
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cosine(F.col("a.vec"), F.col("b.vec")) >= threshold)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+
+
+# Aggregate recall floor asserted by the q_semantic_dedup reduction on
+# exact cosine-≥-threshold pairs: k-means buckets only catch pairs that
+# land in the same cluster, so recall < 1 BY DESIGN (SemDeDup trades
+# recall for never running all-pairs).  Floor set from measurement
+# (see docstring) at half the observed minimum.
+SEMANTIC_DEDUP_RECALL_FLOOR_PCT = 25
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B67 contract query, self-verifying (est_ok pattern): the
+    cluster-bucketed pair set is engine-local, but a working SemDeDup
+    pass has testable structure — (1) every detected pair genuinely
+    clears the cosine threshold (precision 1 by construction: the
+    in-cluster verify is exact), so the detected set is a SUBSET of the
+    exact ≥-threshold pair set, and (2) it catches at least the floor
+    fraction of it (identical/near-identical vectors land in the same
+    cluster).  The reduction recomputes the exact pair set on the probe
+    table (``exact_cosine_pairs``), emits its EXACT count (the oracle
+    recomputes it quadratically in SQL), and asserts subset + recall
+    floor + the k-means partition invariant."""
+    det = (
+        semantic_dedup_detail(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    exact = exact_cosine_pairs(emb, 0.45).localCheckpoint(eager=True)
+    caught = exact.join(det, ["vec_a", "vec_b"], "left_semi")
+    false_pos = det.join(exact, ["vec_a", "vec_b"], "left_anti")
+    n_vecs = emb.agg(F.count("*").cast("long").alias("n_vecs"))
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+    n_caught = caught.agg(F.count("*").alias("_nc"))
+    n_fp = false_pos.agg(F.count("*").alias("_nfp"))
+    return (
+        n_vecs.crossJoin(n_exact)
+        .crossJoin(n_caught)
+        .crossJoin(n_fp)
+        .select(
+            "n_vecs",
+            "n_exact_pairs",
+            (F.col("_nfp") == 0).alias("subset_ok"),
+            (
+                (F.col("n_exact_pairs") == 0)
+                | (
+                    F.col("_nc") * 100
+                    >= F.col("n_exact_pairs") * SEMANTIC_DEDUP_RECALL_FLOOR_PCT
+                )
+            ).alias("recall_floor_ok"),
         )
     )
 
@@ -1472,7 +1811,7 @@ def ann_recall_detail(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: 
     )
     qids = spark.range(n_queries).select(F.col("id").alias("query_id"))
     out = []
-    for method, fn in (("lsh", q_ann_lsh), ("ivf", q_ann_ivf), ("pq", q_ann_pq)):
+    for method, fn in (("lsh", ann_lsh_detail), ("ivf", ann_ivf_detail), ("pq", ann_pq_detail)):
         ann = (
             fn(spark, sf_dir, k=k, n_queries=n_queries)
             .select("query_id", "neighbor_id")
@@ -1510,6 +1849,121 @@ def q_ann_recall(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int =
     return ann_recall_detail(spark, sf_dir, k=k, n_queries=n_queries).select(
         "method", "n_queries", "recall_ok"
     )
+
+
+def ann_leg_check(
+    spark: SparkSession,
+    sf_dir: str,
+    method: str,
+    k: int = 10,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Per-leg oracle-checkable reduction shared by q_ann_lsh / q_ann_ivf /
+    q_ann_pq: one row per query with the EXACT top-k envelope (best and
+    k-th brute-force sims — real hashed values the oracle recomputes) plus
+    three structural flags of a working ANN index:
+
+    - ``ann_sims_bounded_ok``: the ANN list ranks a SUBSET of the corpus,
+      and rounding is monotone, so its sim at every rank j is ≤ the exact
+      sim at rank j — a deterministic order-statistics bound, not a
+      probabilistic one.  An inflated/buggy similarity kernel breaks it.
+    - ``returned_k_ok``: each query returned exactly k neighbors (the
+      candidate union on this corpus is always ≥ k).
+    - ``recall_floor_ok``: aggregate recall@k vs exact ≥ the same measured
+      floor the driver-green q_ann_recall asserts (ANN_RECALL_FLOORS).
+    """
+    fn = {"lsh": ann_lsh_detail, "ivf": ann_ivf_detail, "pq": ann_pq_detail}[method]
+    exact = q_cosine_topk(spark, sf_dir, k=k, n_queries=n_queries).localCheckpoint(
+        eager=True
+    )
+    ann = fn(spark, sf_dir, k=k, n_queries=n_queries).localCheckpoint(eager=True)
+    # TRUE cosine of every returned neighbor (k·n_queries pairs — tiny),
+    # re-ranked: the leg's own scoring column is approximate for PQ (ADC
+    # distances are NOT bounded by exact sims), but the j-th largest TRUE
+    # sim among any k-subset of the corpus is ≤ the exact j-th sim — a
+    # subset order-statistics bound independent of the leg's ordering.
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    true_scored = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("ann_sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 4))
+    )
+    w_true = W.partitionBy("query_id").orderBy(
+        F.col("ann_sim").desc(), F.col("neighbor_id")
+    )
+    ann_ranked = true_scored.withColumn(
+        "rank", F.row_number().over(w_true).cast("long")
+    ).select("query_id", "rank", "ann_sim")
+    per_rank = exact.select(
+        "query_id", "rank", F.col("sim").alias("exact_sim")
+    ).join(ann_ranked, ["query_id", "rank"], "left")
+    per_query = per_rank.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("k_exact"),
+        F.max("exact_sim").alias("exact_best_sim"),
+        F.min("exact_sim").alias("exact_kth_sim"),
+        # one-grid-step tolerance: the raw order-statistics bound
+        # ann_raw_j ≤ exact_raw_j is exact, but the two sides are rounded
+        # from computation paths differing by ~1e-15 (JVM in-order cosine
+        # vs numpy matmul), so a boundary value can land one 1e-4 rounding
+        # step apart — 1.5e-4 is the provably-safe comparison
+        F.bool_and(
+            F.coalesce(
+                F.col("ann_sim") <= F.col("exact_sim") + 1.5e-4, F.lit(True)
+            )
+        ).alias("ann_sims_bounded_ok"),
+    )
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("_hits")
+    )
+    nret = (
+        ann.groupBy("query_id")
+        .agg(F.count("*").alias("_nr"))
+        .agg(F.bool_and(F.col("_nr") == k).alias("returned_k_ok"))
+    )
+    floor = ANN_RECALL_FLOORS[method]
+    flags = hits.crossJoin(nret).select(
+        (F.col("_hits") >= F.lit(floor) * k * n_queries).alias("recall_floor_ok"),
+        "returned_k_ok",
+    )
+    return per_query.crossJoin(F.broadcast(flags)).select(
+        "query_id",
+        "k_exact",
+        "exact_best_sim",
+        "exact_kth_sim",
+        "ann_sims_bounded_ok",
+        "returned_k_ok",
+        "recall_floor_ok",
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 contract query for the hyperplane-LSH ANN leg — see
+    ``ann_leg_check`` (exact top-k envelope + bounded/returned-k/recall
+    flags); ``ann_lsh_detail`` is the production operator."""
+    return ann_leg_check(spark, sf_dir, "lsh")
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 contract query for the IVF ANN leg — see ``ann_leg_check``;
+    ``ann_ivf_detail`` is the production operator."""
+    return ann_leg_check(spark, sf_dir, "ivf")
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 contract query for the PQ-ADC ANN leg — see ``ann_leg_check``;
+    ``ann_pq_detail`` is the production operator."""
+    return ann_leg_check(spark, sf_dir, "pq")
 
 
 QUERIES = {
@@ -1713,13 +2167,107 @@ ORACLE = {
     """,
 }
 
-ROWS_ONLY = {
-    "q_semantic_dedup",
-    "q_diversity_sample",
-    "q_minhash_near_dup",
-    "q_simhash_near_dup",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_ann_pq",
-    "q_dedup_clusters",
-}
+# r4: the former rows-only set is EMPTY — every detection/ANN leg now ships
+# as an oracle-backed invariant reduction (the pair/neighbor detail forms
+# remain as *_detail library functions, pytest-covered).
+ROWS_ONLY: set[str] = set()
+
+
+# Shared CTE: exact brute-force top-k per query over the embedding table —
+# identical to the q_cosine_topk oracle; reused by the three ANN-leg
+# reductions for the per-query exact-envelope columns.
+_ANN_EXACT_TOPK_CTE = """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             floor(list_cosine_similarity(q.qvec, c.vec) * 1e4 + 0.5) / 1e4 AS sim
+      FROM emb c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored)
+"""
+
+_ANN_LEG_ORACLE = (
+    _ANN_EXACT_TOPK_CTE
+    + """
+    SELECT query_id, CAST(count(*) AS BIGINT) AS k_exact,
+           max(sim) AS exact_best_sim, min(sim) AS exact_kth_sim,
+           TRUE AS ann_sims_bounded_ok, TRUE AS returned_k_ok,
+           TRUE AS recall_floor_ok
+    FROM ranked WHERE rank <= 10 GROUP BY query_id
+"""
+)
+
+ORACLE["q_minhash_near_dup"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                  ELSE [array_to_string(words, ' ')] END AS sh
+           FROM w),
+    hi AS (SELECT 1 AS x FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 10
+                 >= len(list_distinct(list_concat(a.sh, b.sh))) * 9)
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           CAST((SELECT count(*) FROM hi) AS BIGINT) AS n_exact_hi_pairs,
+           TRUE AS recall_hi_ok
+"""
+
+ORACLE["q_simhash_near_dup"] = """
+    WITH g AS (SELECT count(*) AS c FROM documents
+               GROUP BY array_to_string(list_sort(string_split(text, ' ')), ' ')
+               HAVING count(*) >= 2)
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           CAST(coalesce((SELECT sum(c * (c - 1) // 2) FROM g), 0) AS BIGINT)
+             AS n_profile_pairs,
+           TRUE AS zero_hamming_caught_ok
+"""
+
+ORACLE["q_dedup_clusters"] = """
+    WITH g AS (SELECT count(*) AS c FROM documents
+               GROUP BY md5(text) HAVING count(*) >= 2),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                  ELSE [array_to_string(words, ' ')] END AS sh
+           FROM w),
+    hi AS (SELECT 1 AS x FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 10
+                 >= len(list_distinct(list_concat(a.sh, b.sh))) * 9)
+    SELECT CAST(coalesce((SELECT count(*) FROM g), 0) AS BIGINT)
+             AS n_exact_dup_groups,
+           CAST(coalesce((SELECT sum(c) FROM g), 0) AS BIGINT)
+             AS n_exact_dup_docs,
+           CAST((SELECT count(*) FROM hi) AS BIGINT) AS n_exact_hi_pairs,
+           TRUE AS exact_dups_clustered_ok,
+           TRUE AS exact_groups_cohesive_ok,
+           TRUE AS hi_pairs_coclustered_ok,
+           TRUE AS partition_ok
+"""
+
+ORACLE["q_semantic_dedup"] = """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    p AS (SELECT 1 AS x FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45)
+    SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_exact_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_floor_ok
+"""
+
+ORACLE["q_diversity_sample"] = """
+    SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+           CAST(8 AS BIGINT) AS k, CAST(13 AS BIGINT) AS quota,
+           TRUE AS quota_ok, TRUE AS cluster_count_ok,
+           TRUE AS sample_size_bracket_ok
+"""
+
+ORACLE["q_ann_lsh"] = _ANN_LEG_ORACLE
+ORACLE["q_ann_ivf"] = _ANN_LEG_ORACLE
+ORACLE["q_ann_pq"] = _ANN_LEG_ORACLE

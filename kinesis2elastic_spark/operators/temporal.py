@@ -88,15 +88,29 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "cust", "last_orderkey", "day_total")
 
 
-def q_cosine_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.45) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (rows-only): LSH-bucket
-    candidate generation (multi-table hyperplane signatures) then exact
-    cosine verification at ``threshold`` — the embedding-space counterpart
-    of MinHash text dedup.  A real corpus would use ~0.95; the synthetic
-    embeddings' max pairwise cosine is 0.51, so the default returns the
-    genuine tail of the similarity distribution instead of zero rows."""
+def cosine_near_dup_detail(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_planes: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (detail form — the pair set
+    follows the hash family, so the oracle-checkable contract is the
+    ``q_cosine_near_dup`` reduction): LSH-bucket candidate generation
+    (multi-table hyperplane signatures) then exact cosine verification at
+    ``threshold`` — the embedding-space counterpart of MinHash text
+    dedup.  A real corpus would use ~0.95; the synthetic embeddings' max
+    pairwise cosine is 0.51, so the default returns the genuine tail of
+    the similarity distribution instead of zero rows.
+
+    Table/plane budget: at θ = acos(0.45) ≈ 63°, one 4-plane table
+    matches a qualifying pair with p ≈ (1−θ/π)⁴ ≈ 0.18; 16 independent
+    tables lift the per-pair catch rate to 1−(1−p)¹⁶ ≈ 0.96, which is
+    what lets the reduction assert a 1/2 aggregate recall floor with
+    real margin.  The previous 6-plane × 6-table budget measured only
+    ≈ 0.4 on the synthetic tail."""
     from ..functions.vectors import cosine
-    from .llmops import q_ann_lsh  # noqa: F401  (same bucketing approach)
 
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.col("embedding").cast("array<double>")
@@ -105,7 +119,7 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.45)
     def plane_component(seed: int):
         return lambda d: (F.xxhash64(d, F.lit(seed)) % 2) * 2 - 1
 
-    def bucket_sig(vec, table: int, n_planes: int = 6):
+    def bucket_sig(vec, table: int):
         bits = []
         for p in range(n_planes):
             proj = F.aggregate(
@@ -125,7 +139,6 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.45)
             out = out + b
         return out
 
-    n_tables = 6
     sig = emb.select(
         "vec_id",
         "vec",
@@ -155,9 +168,57 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str, threshold: float = 0.45)
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return (
-        pairs.withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
-        .filter(F.col("sim") >= threshold)
-        .select("vec_a", "vec_b", "sim")
+        pairs.withColumn("_sim_raw", cosine(F.col("va"), F.col("vb")))
+        # unrounded filter (rounding is display-only): the q_cosine_near_dup
+        # reduction asserts the detected set is a SUBSET of the exact
+        # ≥-threshold pairs, which a round-up at 0.44996 would break
+        .filter(F.col("_sim_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round(F.col("_sim_raw"), 4).alias("sim"))
+    )
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for embedding-cosine near-dup, self-verifying
+    (est_ok pattern): the LSH pair set is engine-local, but (1) the
+    exact-cosine verify makes the detected set a SUBSET of the true
+    ≥-threshold pair set (precision 1 by construction), and (2) the
+    16-table hyperplane family catches each qualifying pair with
+    probability ≈ 0.96, so an aggregate 1/2 recall floor has wide margin
+    on any data snapshot.  The reduction recomputes the exact pair set
+    quadratically over the probe table (verification twin — see
+    ``exact_cosine_pairs``), emits its EXACT count for the oracle, and
+    asserts subset + recall floor; a broken signature or verify kernel
+    trips a flag → hash mismatch."""
+    from .llmops import exact_cosine_pairs
+
+    det = (
+        cosine_near_dup_detail(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    exact = exact_cosine_pairs(emb, 0.45).localCheckpoint(eager=True)
+    caught = exact.join(det, ["vec_a", "vec_b"], "left_semi")
+    false_pos = det.join(exact, ["vec_a", "vec_b"], "left_anti")
+    n_vecs = emb.agg(F.count("*").cast("long").alias("n_vecs"))
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact_pairs"))
+    n_caught = caught.agg(F.count("*").alias("_nc"))
+    n_fp = false_pos.agg(F.count("*").alias("_nfp"))
+    return (
+        n_vecs.crossJoin(n_exact)
+        .crossJoin(n_caught)
+        .crossJoin(n_fp)
+        .select(
+            "n_vecs",
+            "n_exact_pairs",
+            (F.col("_nfp") == 0).alias("subset_ok"),
+            (
+                (F.col("n_exact_pairs") == 0)
+                | (F.col("_nc") * 2 >= F.col("n_exact_pairs"))
+            ).alias("recall_floor_ok"),
+        )
     )
 
 
@@ -498,4 +559,16 @@ ORACLE["q_session_overlap"] = """
      AND b.s_start <= a.s_end
 """
 
-ROWS_ONLY = {"q_cosine_near_dup"}
+ORACLE["q_cosine_near_dup"] = """
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    p AS (SELECT 1 AS x FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45)
+    SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_exact_pairs,
+           TRUE AS subset_ok,
+           TRUE AS recall_floor_ok
+"""
+
+# r4: formerly {"q_cosine_near_dup"} — now an oracle-backed invariant
+# reduction (cosine_near_dup_detail keeps the pair-emitting form).
+ROWS_ONLY: set[str] = set()

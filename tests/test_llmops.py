@@ -59,7 +59,7 @@ def test_simhash_fixed_vectors(spark):
 
 
 def test_minhash_near_dup_on_corpus(spark, sf_dir):
-    pairs = llmops.q_minhash_near_dup(spark, sf_dir).collect()
+    pairs = llmops.minhash_near_dup_detail(spark, sf_dir).collect()
     assert all(p.jaccard >= 0.5 for p in pairs)
     assert all(p.doc_a < p.doc_b for p in pairs)
 
@@ -71,7 +71,7 @@ def test_ann_lsh_is_subset_quality(spark, sf_dir):
         (r.query_id, r.rank): r.neighbor_id
         for r in llmops.q_cosine_topk(spark, sf_dir).collect()
     }
-    ann = llmops.q_ann_lsh(spark, sf_dir).collect()
+    ann = llmops.ann_lsh_detail(spark, sf_dir).collect()
     assert len(ann) > 0
     brute_sims = {
         (r.query_id, r.neighbor_id): r.sim for r in llmops.q_cosine_topk(spark, sf_dir, k=10**6).collect()
@@ -93,7 +93,7 @@ def test_ann_ivf_scores_exact_and_recall(spark, sf_dir):
         (r.query_id, r.neighbor_id): r.sim
         for r in llmops.q_cosine_topk(spark, sf_dir, k=10**6).collect()
     }
-    ivf = llmops.q_ann_ivf(spark, sf_dir).collect()
+    ivf = llmops.ann_ivf_detail(spark, sf_dir).collect()
     assert ivf
     for r in ivf:
         exact = brute_sims.get((r.query_id, r.neighbor_id))
@@ -120,8 +120,8 @@ def test_connected_components_known_graphs(spark):
 
 
 def test_dedup_clusters_cover_pairs(spark, sf_dir):
-    pairs = llmops.q_minhash_near_dup(spark, sf_dir).collect()
-    clusters = {r.doc_id: r.cluster_id for r in llmops.q_dedup_clusters(spark, sf_dir).collect()}
+    pairs = llmops.minhash_near_dup_detail(spark, sf_dir).collect()
+    clusters = {r.doc_id: r.cluster_id for r in llmops.dedup_clusters_detail(spark, sf_dir).collect()}
     for p in pairs:  # every near-dup pair must land in one cluster
         assert clusters[p.doc_a] == clusters[p.doc_b]
 
@@ -174,7 +174,7 @@ def test_semantic_dedup_finds_planted_duplicate(spark, tmp_path):
     sim 1.0 under a high threshold."""
     import numpy as np
 
-    from kinesis2elastic_spark.operators.llmops import q_semantic_dedup
+    from kinesis2elastic_spark.operators.llmops import semantic_dedup_detail
 
     rng = np.random.default_rng(7)
     blob_a = rng.normal(loc=5.0, scale=0.3, size=(20, 8))
@@ -187,7 +187,7 @@ def test_semantic_dedup_finds_planted_duplicate(spark, tmp_path):
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
     df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
-    out = q_semantic_dedup(spark, str(tmp_path), k=2, n_iter=2, threshold=0.999999).collect()
+    out = semantic_dedup_detail(spark, str(tmp_path), k=2, n_iter=2, threshold=0.999999).collect()
     pairs = {(r.vec_a, r.vec_b) for r in out}
     assert (40, 41) in pairs  # the planted duplicates, co-clustered and flagged
     assert all(r.sim >= 0.9999 for r in out)
@@ -240,8 +240,8 @@ def test_diversity_sample_quota_and_determinism(spark, sf_dir):
     produce identical summaries (md5-keyspace rank, no RNG)."""
     k, target = 8, 100
     quota = -(-target // k)
-    a = {r.cluster: r for r in llmops.q_diversity_sample(spark, sf_dir, k=k, target=target).collect()}
-    b = {r.cluster: r for r in llmops.q_diversity_sample(spark, sf_dir, k=k, target=target).collect()}
+    a = {r.cluster: r for r in llmops.diversity_sample_detail(spark, sf_dir, k=k, target=target).collect()}
+    b = {r.cluster: r for r in llmops.diversity_sample_detail(spark, sf_dir, k=k, target=target).collect()}
     assert {c: (r.n_in_cluster, r.n_kept) for c, r in a.items()} == {
         c: (r.n_in_cluster, r.n_kept) for c, r in b.items()
     }
@@ -253,7 +253,7 @@ def test_pq_codes_and_recall(spark, sf_dir):
     """PQ-ADC: top-k shape per query, deterministic across runs, and the
     approximate ranking beats random (the recall floor itself is asserted
     through ann_recall_detail's pq row)."""
-    out1 = llmops.q_ann_pq(spark, sf_dir).collect()
+    out1 = llmops.ann_pq_detail(spark, sf_dir).collect()
     by_q = {}
     for r in out1:
         by_q.setdefault(r.query_id, []).append(r)
@@ -266,7 +266,7 @@ def test_pq_codes_and_recall(spark, sf_dir):
         sims = [r.approx_sim for r in sorted(rows, key=lambda x: x.rank)]
         assert sims == sorted(sims, reverse=True)
     # determinism: fixed codebook init + fixed sample → identical output
-    out2 = llmops.q_ann_pq(spark, sf_dir).collect()
+    out2 = llmops.ann_pq_detail(spark, sf_dir).collect()
     key = lambda r: (r.query_id, r.rank)
     assert sorted(out1, key=key) == sorted(out2, key=key)
 
@@ -347,3 +347,75 @@ def test_setsim_hot_token_guard(spark):
         (a, b) for a, b in nocap_pairs if 1000 <= a < 1040 and 1000 <= b < 1040
     }
     assert len(cluster_pairs) > 100  # quadratic blowup without the guard
+
+
+def test_simhash_reduction_planted_profile_dups(spark, tmp_path):
+    """r4 invariant reduction: two docs that are word-order PERMUTATIONS
+    of each other have identical token multisets -> identical SimHash
+    signatures -> the reduction must count exactly that pair and confirm
+    it was caught at hamming 0."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "zeta epsilon delta gamma beta alpha"),   # permutation of 1
+        (3, "totally different words over here now"),
+        (4, "another unrelated document body text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = llmops.q_simhash_near_dup(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 4
+    assert r.n_profile_pairs == 1
+    assert r.zero_hamming_caught_ok is True
+
+
+def test_dedup_clusters_reduction_planted_exact_dups(spark, tmp_path):
+    """r4 invariant reduction: three byte-identical docs form one exact-dup
+    group that must be fully clustered, cohesive, and counted."""
+    dup = "the same exact document text repeated verbatim here"
+    rows = [
+        (1, dup),
+        (2, dup),
+        (3, dup),
+        (4, "completely different first filler document body"),
+        (5, "completely different second filler document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    r = llmops.q_dedup_clusters(spark, str(tmp_path)).collect()[0]
+    assert r.n_exact_dup_groups == 1
+    assert r.n_exact_dup_docs == 3
+    assert r.exact_dups_clustered_ok is True
+    assert r.exact_groups_cohesive_ok is True
+    assert r.partition_ok is True
+
+
+def test_ann_leg_reductions_flags(spark, sf_dir):
+    """r4 invariant reductions for the three ANN legs: per-query exact
+    envelope rows with the subset-order-statistics bound, returned-k and
+    recall-floor flags all green on the corpus."""
+    for q in (llmops.q_ann_lsh, llmops.q_ann_ivf, llmops.q_ann_pq):
+        rows = q(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r.k_exact == 10
+            assert r.exact_best_sim >= r.exact_kth_sim
+            assert r.ann_sims_bounded_ok is True
+            assert r.returned_k_ok is True
+            assert r.recall_floor_ok is True
+
+
+def test_minhash_and_cosine_reduction_flags(spark, sf_dir):
+    """r4 invariant reductions: recall/subset flags green on the corpus."""
+    m = llmops.q_minhash_near_dup(spark, sf_dir).collect()[0]
+    assert m.recall_hi_ok is True and m.n_docs > 0
+    from kinesis2elastic_spark.operators.temporal import q_cosine_near_dup
+
+    c = q_cosine_near_dup(spark, sf_dir).collect()[0]
+    assert c.subset_ok is True and c.recall_floor_ok is True
+    s = llmops.q_semantic_dedup(spark, sf_dir).collect()[0]
+    assert s.subset_ok is True and s.recall_floor_ok is True
+    d = llmops.q_diversity_sample(spark, sf_dir).collect()[0]
+    assert d.quota_ok is True and d.cluster_count_ok is True
+    assert d.sample_size_bracket_ok is True

@@ -184,10 +184,14 @@ def main() -> None:
     # clone tier's >=0.8 OUTPUT is quadratic-in-clones by construction
     # (~300M pairs) — that measures output materialization, not the
     # operator.  Candidate growth at 0.8 is measured separately below.
+    # detail forms on purpose: the rehearsal studies the PRODUCTION
+    # operators' scaling; the q_* reductions wrap them in verification
+    # twins (exact ground-truth recomputation) that would dominate the 10x
+    # timing without saying anything about the operator.
     flagships = {
-        "q_minhash_near_dup": llmops.q_minhash_near_dup,
+        "q_minhash_near_dup": llmops.minhash_near_dup_detail,
         "q_setsim_join@0.9": lambda s, d: llmops.q_setsim_join(s, d, threshold=0.9),
-        "q_ann_pq": llmops.q_ann_pq,
+        "q_ann_pq": llmops.ann_pq_detail,
         "q_bloom_decontam": q_bloom_decontam,
     }
 
