@@ -126,6 +126,40 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(
+    docs: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH banding rows for ``docs`` — the
+    unit that gets PERSISTED as the corpus dedup index in production
+    (24 bytes/row): batch dedup self-joins it, incremental dedup
+    (``minhash_incremental_detail``) equi-joins a new batch's rows
+    against it without ever touching the historical corpus again."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes=num_hashes).select("doc_id", "minhash")
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
 def _minhash_band_candidates(
     spark: SparkSession,
     sf_dir: str,
@@ -149,32 +183,8 @@ def _minhash_band_candidates(
       construction (bounded by capped buckets) and is reused by both the
       Jaccard verify and connected-components without re-running the LSH.
     """
-    rows_per_band = num_hashes // bands
     d = _docs_parallel(spark, sf_dir)
-    sigs = minhash_signatures(d, num_hashes=num_hashes).select("doc_id", "minhash")
-
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    banded = minhash_band_rows(d, num_hashes=num_hashes, bands=bands)
 
     wb = W.partitionBy("band_id", "band_hash")
     banded = (
@@ -342,6 +352,123 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (F.col("n_exact_hi_pairs") == 0)
                 | (F.col("_nc") * 10 >= F.col("n_exact_hi_pairs") * 9)
+            ).alias("recall_hi_ok"),
+        )
+    )
+
+
+def minhash_incremental_detail(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 10_000,
+) -> DataFrame:
+    """Incremental near-dup: dedup a NEW batch against a persisted corpus
+    banding INDEX — the operating mode that matters at 100 TB, where the
+    historical corpus is never re-shingled or re-shuffled.  Here the even
+    doc_ids stand in for the indexed corpus and the odd doc_ids for the
+    arriving batch; production swaps the even-half plan for a parquet
+    read of the persisted (doc_id, band_id, band_hash) table
+    (``minhash_band_rows``).
+
+    Scale shape: ONE equi-join of the batch's band rows against the index
+    on (band_id, band_hash) — no index self-join, no corpus scan; the
+    index side carries the same hot-bucket guard as batch dedup; shingles
+    are re-attached to surviving candidates only and only the NEW batch's
+    exact-verify output ships.  Output: (doc_new, doc_old, jaccard) for
+    verified cross pairs ≥ threshold."""
+    d = _docs_parallel(spark, sf_dir)
+    old = d.filter((F.col("doc_id") % 2) == 0)
+    new = d.filter((F.col("doc_id") % 2) == 1)
+    idx = minhash_band_rows(old, num_hashes=num_hashes, bands=bands)
+    wb = W.partitionBy("band_id", "band_hash")
+    idx = (
+        idx.withColumn("_n", F.count("*").over(wb))
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+        .localCheckpoint(eager=True)  # stands in for the persisted index
+    )
+    nb = minhash_band_rows(new, num_hashes=num_hashes, bands=bands)
+    cand = (
+        nb.alias("n")
+        .join(idx.alias("o"), ["band_id", "band_hash"])
+        .select(
+            F.col("n.doc_id").alias("doc_new"), F.col("o.doc_id").alias("doc_old")
+        )
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    ids = (
+        cand.select(F.col("doc_new").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_old").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        d.join(ids, "doc_id", "left_semi")
+        .select("doc_id", _shingles(F.col("text")).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    paired = cand.join(
+        sh.select(F.col("doc_id").alias("doc_new"), F.col("sh").alias("sh_n")),
+        "doc_new",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_o")),
+        "doc_old",
+    )
+    jac = F.size(F.array_intersect("sh_n", "sh_o")) / F.size(
+        F.array_union("sh_n", "sh_o")
+    )
+    return (
+        paired.withColumn("_jac_raw", jac)
+        .filter(F.col("_jac_raw") >= jaccard_threshold)
+        .select(
+            "doc_new", "doc_old", F.round(F.col("_jac_raw"), 4).alias("jaccard")
+        )
+    )
+
+
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query for incremental MinHash dedup, self-verifying
+    (est_ok pattern): the cross-pair set is hash-family-local, but the
+    banding math is identical to batch dedup, so essentially every
+    OLD×NEW pair with exact shingle-Jaccard ≥ 9/10 must be caught
+    (per-pair miss ≈ 2·10⁻⁴ at 8×4 banding).  The reduction recomputes
+    the exact cross-parity ≥ 9/10 pair set via the prefix-filtered join,
+    emits its EXACT count plus the batch/index populations (all
+    oracle-recomputable), and asserts the ≥ 90% recall floor."""
+    caught = (
+        minhash_incremental_detail(spark, sf_dir)
+        .select(
+            F.least("doc_new", "doc_old").alias("doc_a"),
+            F.greatest("doc_new", "doc_old").alias("doc_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = _docs_parallel(spark, sf_dir)
+    sets = d.select("doc_id", _shingles(F.col("text")).alias("words"))
+    cross_hi = (
+        exact_set_pairs(sets, MINHASH_HI_NUM, MINHASH_HI_DEN)
+        .filter((F.col("doc_a") % 2) != (F.col("doc_b") % 2))
+        .localCheckpoint(eager=True)
+    )
+    caught_hi = cross_hi.join(caught, ["doc_a", "doc_b"], "left_semi")
+    pops = d.agg(
+        F.sum(((F.col("doc_id") % 2) == 1).cast("long")).alias("n_new"),
+        F.sum(((F.col("doc_id") % 2) == 0).cast("long")).alias("n_old"),
+    )
+    n_hi = cross_hi.agg(F.count("*").cast("long").alias("n_exact_cross_hi_pairs"))
+    n_caught = caught_hi.agg(F.count("*").alias("_nc"))
+    return (
+        pops.crossJoin(n_hi)
+        .crossJoin(n_caught)
+        .select(
+            "n_new",
+            "n_old",
+            "n_exact_cross_hi_pairs",
+            (
+                (F.col("n_exact_cross_hi_pairs") == 0)
+                | (F.col("_nc") * 10 >= F.col("n_exact_cross_hi_pairs") * 9)
             ).alias("recall_hi_ok"),
         )
     )
@@ -1971,6 +2098,7 @@ QUERIES = {
     "q_dedup_stats": q_dedup_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_minhash_near_dup": q_minhash_near_dup,
+    "q_minhash_incremental": q_minhash_incremental,
     "q_dedup_clusters": q_dedup_clusters,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_setsim_join": q_setsim_join,
@@ -2214,6 +2342,24 @@ ORACLE["q_minhash_near_dup"] = """
                  >= len(list_distinct(list_concat(a.sh, b.sh))) * 9)
     SELECT (SELECT count(*) FROM documents) AS n_docs,
            CAST((SELECT count(*) FROM hi) AS BIGINT) AS n_exact_hi_pairs,
+           TRUE AS recall_hi_ok
+"""
+
+ORACLE["q_minhash_incremental"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (SELECT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN list_distinct(list_transform(range(1, len(words) - 1),
+                         i -> array_to_string(list_slice(words, i, i + 2), ' ')))
+                  ELSE [array_to_string(words, ' ')] END AS sh
+           FROM w),
+    hi AS (SELECT 1 AS x FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE (a.doc_id % 2) <> (b.doc_id % 2)
+             AND len(list_intersect(a.sh, b.sh)) * 10
+                 >= len(list_distinct(list_concat(a.sh, b.sh))) * 9)
+    SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS n_new,
+           (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_old,
+           CAST((SELECT count(*) FROM hi) AS BIGINT) AS n_exact_cross_hi_pairs,
            TRUE AS recall_hi_ok
 """
 

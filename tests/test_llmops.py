@@ -419,3 +419,28 @@ def test_minhash_and_cosine_reduction_flags(spark, sf_dir):
     d = llmops.q_diversity_sample(spark, sf_dir).collect()[0]
     assert d.quota_ok is True and d.cluster_count_ok is True
     assert d.sample_size_bracket_ok is True
+
+
+def test_minhash_incremental_planted_cross_dup(spark, tmp_path):
+    """r4 incremental dedup: a new-batch doc (odd id) that near-duplicates
+    an indexed doc (even id) must surface through the index equi-join;
+    old-old and new-new duplicates must NOT appear (the index is never
+    self-joined)."""
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (2, base),                                  # indexed corpus
+        (4, "completely different historical doc " + " ".join(f"x{i}" for i in range(20))),
+        (6, base),                                  # old-old dup of 2 (must NOT pair)
+        (3, base + " extra"),                       # new batch: near-dup of 2/6
+        (5, "fresh unrelated new batch document " + " ".join(f"y{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    det = llmops.minhash_incremental_detail(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_new, r.doc_old) for r in det}
+    assert (3, 2) in pairs and (3, 6) in pairs
+    assert all(n % 2 == 1 and o % 2 == 0 for n, o in pairs)
+    r = llmops.q_minhash_incremental(spark, str(tmp_path)).collect()[0]
+    assert r.n_new == 2 and r.n_old == 3
+    assert r.n_exact_cross_hi_pairs == 2   # (2,3) and (3,6) at jaccard ~0.93
+    assert r.recall_hi_ok is True
