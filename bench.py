@@ -117,9 +117,24 @@ def main() -> None:
     # shuffle-service init for a new plan shape) — the min is the
     # steady-state cost a long-lived cluster sees, and is stable round
     # over round where a single sample can swing 2-3x.
+    # r4: three headline names became invariant REDUCTIONS in the registry
+    # (production operator + an exact-ground-truth verification twin).  The
+    # headline keeps timing the PRODUCTION detail form — the identical
+    # computation earlier rounds timed, so round-over-round numbers stay
+    # like-for-like; the twin-carrying reduction is timed separately below
+    # (reduction_query_sec) since its cost is what the correctness gate
+    # pays, not what a production run pays.
+    from kinesis2elastic_spark.operators import llmops as _llmops
+
+    production_override = {
+        "q_minhash_near_dup": _llmops.minhash_near_dup_detail,
+        "q_dedup_clusters": _llmops.dedup_clusters_detail,
+        "q_ann_pq": _llmops.ann_pq_detail,
+    }
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
+        fn = production_override.get(name) or queries[name]
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -155,25 +170,14 @@ def main() -> None:
         hll_merge_sketch_only(spark, sf_dir).write.mode("overwrite").format("noop").save()
         hll_sketch_only = min(hll_sketch_only, time.time() - t0)
 
-    # r4: the three headline names that became invariant reductions carry
-    # an exact-ground-truth verification twin inside the registered query;
-    # time the PRODUCTION detail forms separately (same decomposition as
-    # hll sketch-only) so operator cost and check cost stay distinct.
-    from kinesis2elastic_spark.operators import llmops as _llmops
-
-    detail_only: dict[str, float] = {}
-    for dname, dfn in (
-        ("q_minhash_near_dup", _llmops.minhash_near_dup_detail),
-        ("q_dedup_clusters", _llmops.dedup_clusters_detail),
-        ("q_ann_pq", _llmops.ann_pq_detail),
-    ):
-        dfn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            dfn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        detail_only[dname] = round(best, 3)
+    # The registered twin-carrying reductions, timed once for transparency
+    # (this is what tools/check_oracle.py pays per run; the headline above
+    # times the production operator).
+    reduction_query: dict[str, float] = {}
+    for rname in production_override:
+        t0 = time.time()
+        queries[rname](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        reduction_query[rname] = round(time.time() - t0, 3)
 
     # DuckDB side: same parquet, same SQL the correctness gate trusts.
     import duckdb
@@ -240,9 +244,9 @@ def main() -> None:
         "control_floor_sec": round(floor, 3),
         "ratio_median_net_of_floor": net_median,
         "hll_merge_sketch_only_sec": round(hll_sketch_only, 3),
-        # production-operator timings for the r4 invariant-reduction
-        # queries (the headline entries include their verification twins)
-        "detail_only_sec": detail_only,
+        # cost of the r4 twin-carrying reduction queries (what the
+        # correctness gate pays; headline times the production operator)
+        "reduction_query_sec": reduction_query,
     }
     print(json.dumps(out))
 
