@@ -1912,6 +1912,60 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(
+    spark: SparkSession, sf_dir: str, quality_cutoff: float = 35.0
+) -> DataFrame:
+    """Composed corpus-curation chain — the training-data counterpart of
+    the composed ingest chains (q_firehose_flatten, q_pipeline_axway):
+    language gate (marker-frequency argmax keeps 'en'-predicted docs) →
+    quality gate (blended score ≥ cutoff on the UNROUNDED value — the
+    same pure-int-derived double arithmetic on both engines, so the
+    predicate cannot flip cross-engine) → exact dedup keep-first (window
+    rank over md5(text), the digest-keyed shuffle) → per-source token
+    budget accounting.  One query, one plan: Catalyst collapses the three
+    row-level stages into a single scan + project + filter before the
+    dedup shuffle, which is the point — a curation pipeline needs no
+    intermediate materialization.
+
+    Scale shape: everything row-local until the dedup window (one shuffle
+    on the 16-byte digest) and the final per-source aggregate (map-side
+    combinable).  Identical SQL runs on the oracle end to end."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_the = F.size(F.filter(words, lambda w: w == "the")).cast("long")
+    n_a = F.size(F.filter(words, lambda w: w == "a")).cast("long")
+    n_data = F.size(
+        F.filter(words, lambda w: (w == "data") | (w == "query"))
+    ).cast("long")
+    n_words = F.size(words).cast("long")
+    mean_wlen = (F.length(F.col("text")) - (n_words - 1)) / n_words
+    stop = F.size(
+        F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of"))
+    ).cast("long")
+    quality = F.least(
+        F.lit(100.0), n_words / 2 + mean_wlen * 5 + (stop / n_words) * 20
+    )
+    staged = d.select(
+        "doc_id",
+        "source",
+        "text",
+        (n_the * 2 + n_a).alias("score_en"),
+        (n_data * 2).alias("score_tech"),
+        n_words.alias("n_words"),
+        quality.alias("q"),
+    ).filter(
+        (F.col("score_en") > F.col("score_tech"))
+        & (F.col("q") >= quality_cutoff)
+    )
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    first = staged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return first.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+        stable_round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
 # Recall floors for the self-verifying ANN check.  Measured on the
 # synthetic near-random embeddings (the hostile case for LSH/IVF/PQ): LSH
 # (4 planes x 8 tables) means 0.66-0.70 at sf0.01-0.1, IVF (16 centroids,
@@ -2117,6 +2171,7 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_text_stats": q_text_stats,
+    "q_curation_pipeline": q_curation_pipeline,
 }
 
 ORACLE = {
@@ -2343,6 +2398,33 @@ ORACLE["q_minhash_near_dup"] = """
     SELECT (SELECT count(*) FROM documents) AS n_docs,
            CAST((SELECT count(*) FROM hi) AS BIGINT) AS n_exact_hi_pairs,
            TRUE AS recall_hi_ok
+"""
+
+ORACLE["q_curation_pipeline"] = """
+    WITH s AS (
+      SELECT doc_id, source, text,
+             len(list_filter(string_split(text, ' '), w -> w = 'the')) * 2
+           + len(list_filter(string_split(text, ' '), w -> w = 'a'))        AS score_en,
+             len(list_filter(string_split(text, ' '), w -> w = 'data' OR w = 'query')) * 2 AS score_tech,
+             len(string_split(text, ' ')) AS n_words,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_wlen,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents),
+    g AS (
+      SELECT *, least(100.0, n_words / 2 + mean_wlen * 5 + stop_ratio * 20) AS q
+      FROM s
+      WHERE score_en > score_tech),
+    gated AS (SELECT * FROM g WHERE q >= 35),
+    dd AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM gated)
+    SELECT source, count(*) AS n_docs_kept,
+           CAST(sum(n_words) AS BIGINT) AS total_tokens,
+           floor(avg(q) * 1e4 + 0.5) / 1e4 AS avg_quality
+    FROM dd WHERE rn = 1 GROUP BY source
 """
 
 ORACLE["q_minhash_incremental"] = """

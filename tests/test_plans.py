@@ -284,3 +284,22 @@ def test_tpch_q20_nested_in_stacks_semi_joins(spark, sf_dir):
     plan = formatted_plan(tpch.QUERIES["q_sql_q20"](spark, sf_dir))
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_single_scan_two_shuffles(spark, sf_dir):
+    """The composed curation chain (lang gate -> quality gate -> dedup
+    keep-first -> per-source budget) must collapse into ONE documents scan
+    and exactly two exchanges: the md5-digest dedup window and the final
+    per-source aggregate.  A third exchange means an intermediate
+    materialization crept between the row-local stages."""
+    from kinesis2elastic_spark.operators.llmops import q_curation_pipeline
+
+    import re
+
+    plan = formatted_plan(q_curation_pipeline(spark, sf_dir))
+    # the detail section lists each node once as "(n) NodeName"
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(scans) == 1, plan
+    assert len(exchanges) <= 2, plan
+    assert "CartesianProduct" not in plan
