@@ -75,6 +75,8 @@ HEADLINE = [
     "q_sql_q21",
     # r3: PQ-ADC — the compressed-codes ANN scale path
     "q_ann_pq",
+    # r4: composed curation chain (lang gate -> quality -> dedup -> budget)
+    "q_curation_pipeline",
 ]
 
 

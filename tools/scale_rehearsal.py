@@ -190,6 +190,7 @@ def main() -> None:
     # timing without saying anything about the operator.
     flagships = {
         "q_minhash_near_dup": llmops.minhash_near_dup_detail,
+        "q_minhash_incremental": llmops.minhash_incremental_detail,
         "q_setsim_join@0.9": lambda s, d: llmops.q_setsim_join(s, d, threshold=0.9),
         "q_ann_pq": llmops.ann_pq_detail,
         "q_bloom_decontam": q_bloom_decontam,
