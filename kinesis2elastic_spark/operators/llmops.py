@@ -1067,16 +1067,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5) -> DataFrame:
-    """B34: brute-force cosine top-k, vectorized.
+def _brute_cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    n_queries: int,
+    label_filtered: bool,
+) -> DataFrame:
+    """Shared brute-force cosine top-k kernel (q_cosine_topk and
+    q_ann_filtered): the query vectors (small by definition) are
+    collected once and closed over into a ``mapInPandas`` kernel; every
+    Arrow batch scores ALL queries with one numpy matmul (normalized
+    rows x Q^T) and emits only its local top-(k + margin) rows per
+    query, so the shuffle into the final exact ranking carries
+    O(batches x queries x k) rows — never the full n x q score matrix.
 
-    Scale shape: the query vectors (small by definition) are collected
-    once and closed over into a ``mapInPandas`` kernel; every Arrow batch
-    scores ALL queries with one numpy matmul (normalized rows x Q^T) and
-    emits only its local top-(k + margin) rows per query, so the shuffle
-    into the final exact ranking carries O(batches x queries x k) rows —
-    never the full n x q score matrix.  This replaces a crossJoin +
-    per-element JVM fold that was ~50x slower per score.
+    ``label_filtered=True`` is PRE-filtered vector search: each query
+    only scores candidates whose ``label`` equals the query's own —
+    the filter is applied inside the kernel BEFORE top-k selection, so
+    a rare label still fills its k results (post-filtering an
+    unfiltered top-k underfills — see test_llmops).  At 100 TB the
+    same structure holds with the metadata predicate pushed to the
+    scan (partition-prune on label) instead of a kernel mask.
 
     Exactness: rounding is monotone, so a row outside a batch's raw-score
     top-(k+margin) can only reach the global top-k by *tying* (after
@@ -1092,10 +1104,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int 
     )
     # bounded driver collect: n_queries rows, by definition a small set
     qrows = sorted(
-        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec").collect(),
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "vec", "label")
+        .collect(),
         key=lambda r: r.vec_id,
     )
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qlabels = np.array([r.label for r in qrows], dtype=np.int64)
     Q = np.array([r.vec for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
@@ -1104,6 +1119,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int 
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
             M = np.array(pdf["vec"].tolist(), dtype=np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             S = Mn @ Qn.T  # (batch, n_queries)
@@ -1112,6 +1128,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int 
             for j, qid in enumerate(qids):
                 s = S[:, j]
                 mask = ids != qid
+                if label_filtered:
+                    mask &= labels == qlabels[j]
                 cand_idx = np.flatnonzero(mask)
                 if not len(cand_idx):
                     continue
@@ -1128,7 +1146,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int 
                     }
                 )
 
-    scored = emb.select("vec_id", "vec").mapInPandas(
+    scored = emb.select("vec_id", "vec", "label").mapInPandas(
         score, "query_id long, neighbor_id long, sim_raw double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -1137,6 +1155,37 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int 
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5) -> DataFrame:
+    """B34: brute-force cosine top-k, vectorized — see
+    ``_brute_cosine_topk`` for the kernel and its exactness argument."""
+    return _brute_cosine_topk(spark, sf_dir, k, n_queries, label_filtered=False)
+
+
+def q_ann_filtered(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 8
+) -> DataFrame:
+    """B34 companion: metadata-FILTERED vector search — top-k under a
+    label-equality predicate (the "filtered ANN" problem every vector
+    store faces: WHERE label = q.label AND similar).  Pre-filtering
+    inside the scoring kernel guarantees each query fills its k from
+    its own label's candidate pool; the naive alternative (post-filter
+    an unfiltered top-k) silently returns < k or wrong neighbors for
+    any label under ~k/selectivity of the corpus.  The oracle
+    recomputes the full filtered ranking relationally (equi-join on
+    label x cosine x row_number), so the entire output is exact.
+
+    The query's label rides along in the output so consumers (and the
+    oracle hash) see the predicate that produced each row."""
+    out = _brute_cosine_topk(spark, sf_dir, k, n_queries, label_filtered=True)
+    emb = load(spark, sf_dir, "embeddings")
+    qlab = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("label").cast("long").alias("label")
+    )
+    return out.join(F.broadcast(qlab), "query_id").select(
+        "query_id", "label", "neighbor_id", "sim", "rank"
     )
 
 
@@ -2159,6 +2208,7 @@ QUERIES = {
     "q_exact_substr_dedup": q_exact_substr_dedup,
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_cosine_topk": q_cosine_topk,
+    "q_ann_filtered": q_ann_filtered,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_pq": q_ann_pq,
@@ -2251,6 +2301,23 @@ ORACLE = {
          AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.words, b.words))) >= 0.3
+    """,
+    "q_ann_filtered": """
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+                     FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, vec AS qvec
+              FROM emb WHERE vec_id < 8),
+        scored AS (
+          SELECT q.query_id, CAST(q.qlabel AS BIGINT) AS label,
+                 c.vec_id AS neighbor_id,
+                 floor(list_cosine_similarity(q.qvec, c.vec) * 1e4 + 0.5) / 1e4 AS sim
+          FROM emb c JOIN q ON c.label = q.qlabel
+          WHERE c.vec_id <> q.query_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, label, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
     """,
     "q_cosine_topk": """
         WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

@@ -444,3 +444,40 @@ def test_minhash_incremental_planted_cross_dup(spark, tmp_path):
     assert r.n_new == 2 and r.n_old == 3
     assert r.n_exact_cross_hi_pairs == 2   # (2,3) and (3,6) at jaccard ~0.93
     assert r.recall_hi_ok is True
+
+
+def test_ann_filtered_prefilter_fills_k(spark, sf_dir):
+    """Filtered vector search must PRE-filter: every query returns a full
+    top-k drawn entirely from its own label, and post-filtering the
+    unfiltered top-k is strictly worse (underfills k for any label whose
+    corpus share is below k / corpus-size-of-topk)."""
+    k, nq = 10, 8
+    out = llmops.q_ann_filtered(spark, sf_dir, k=k, n_queries=nq).collect()
+    emb = llmops.load(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.filter(F.col("vec_id") < nq).collect()}
+    label_pop = {
+        r.label: r.n
+        for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    by_q = {}
+    for r in out:
+        assert r.label == labels[r.query_id]  # neighbor pool == query's label
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, lab in labels.items():
+        want = min(k, label_pop[lab] - 1)  # pool minus the query itself
+        assert len(by_q.get(qid, [])) == want
+        ranks = sorted(r.rank for r in by_q[qid])
+        assert ranks == list(range(1, want + 1))
+
+    # post-filter baseline: unfiltered top-k restricted to the label
+    # afterwards keeps <= k rows and, for every query whose label does not
+    # dominate its unfiltered neighborhood, strictly fewer than k.
+    unfiltered = llmops.q_cosine_topk(spark, sf_dir, k=k, n_queries=nq).collect()
+    all_labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    post = {}
+    for r in unfiltered:
+        if all_labels[r.neighbor_id] == labels[r.query_id]:
+            post.setdefault(r.query_id, []).append(r)
+    assert any(
+        len(post.get(q, [])) < len(by_q.get(q, [])) for q in labels
+    ), "post-filtering never underfilled — fixture labels are degenerate"
