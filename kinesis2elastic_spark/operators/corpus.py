@@ -895,7 +895,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS) ->
     start from characters, repeatedly merge the corpus-wide most frequent
     adjacent symbol pair (ties: count desc, then pair lexicographic), and
     emit the merge table (round, left_sym, right_sym, merged, pair_count)
-    — the exact artifact a BPE tokenizer ships.
+    — the exact artifact a BPE tokenizer ships.  The loop itself lives
+    in ``_bpe_fit`` so ``q_bpe_encode`` can reuse the fitted vocabulary.
 
     Spark-first scale shape (how industrial BPE trainers work):
     - ONE corpus-wide pass builds the word-frequency table (map-side
@@ -918,6 +919,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS) ->
     'aaaa' -> [aa, aa] on both).  The oracle unrolls the same rounds as
     chained CTEs; every output column is an exact string/int — no floats
     anywhere in the hash."""
+    merges, _ = _bpe_fit(spark, sf_dir, n_rounds)
+    return spark.createDataFrame(
+        merges,
+        "round bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_fit(
+    spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS
+) -> tuple[list, DataFrame]:
+    """The BPE training loop (see ``q_bpe_train`` for the full design
+    rationale).  Returns ``(merges, vocab)`` where ``merges`` is the
+    ordered merge table and ``vocab`` is the word-frequency table with
+    each word's FULLY-MERGED wrapped symbol string — i.e. the exact
+    BPE ENCODING of every distinct word, since applying the merge list
+    in training order is precisely how a BPE tokenizer encodes."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -926,6 +943,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS) ->
         .agg(F.count("*").alias("c"))
     )
     vocab = words.select(
+        "word",
         F.regexp_replace("word", "(.)", f"{_BPE_SEP}$1{_BPE_SEP}").alias("s"),
         "c",
     ).localCheckpoint(eager=True)
@@ -967,14 +985,58 @@ def q_bpe_train(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS) ->
         vocab = vocab.withColumn(
             "s", F.replace(F.col("s"), F.lit(old), F.lit(new))
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        "round bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    return merges, vocab
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS) -> DataFrame:
+    """B84 companion: BPE ENCODING — apply the trained merge table to the
+    corpus and report each document's token count under the fitted
+    tokenizer (the number every packing / budget / fertility computation
+    downstream consumes).
+
+    Spark-first scale shape: a BPE encoder never touches documents
+    token-by-token in Python.  Applying the merge list in training order
+    to the VOCABULARY's wrapped symbol strings (a chain of JVM
+    ``replace`` calls over unique words — sublinear in corpus size) IS
+    the encoding; the corpus-sized work is then one explode + equi-join
+    on ``word`` (broadcast when the vocab fits, shuffle-keyed by word
+    otherwise) and a per-doc partial-agg sum.  No Python in the hot
+    path, no per-token state.
+
+    Exactness: every output column is an exact integer —
+    ``n_init_syms`` (character symbols before any merge = chars minus
+    spaces) and ``n_bpe_tokens`` (symbols after the merges) are both
+    recomputed by the oracle through the identical unrolled merge
+    chain, so saved = n_init_syms - n_bpe_tokens is implicitly checked.
+    No floats anywhere in the hash."""
+    _, vocab = _bpe_fit(spark, sf_dir, n_rounds)
+    sep2 = _BPE_SEP + _BPE_SEP
+    encoded = vocab.select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), sep2)
+        ).cast("long").alias("n_syms"),
+    )
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(encoded, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_init_syms"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
     )
 
 
-def _bpe_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
-    """The identical computation unrolled as chained DuckDB CTEs."""
+def _bpe_chain_sql(n_rounds: int = BPE_ROUNDS) -> str:
+    """The WITH-clause body of the unrolled merge chain, shared by the
+    q_bpe_train and q_bpe_encode oracles (each appends its own final
+    SELECT).  ``word`` rides through every wk so the encode oracle can
+    join tokens back to their fully-merged form."""
     sep = "chr(31)"
     sep2 = f"{sep}||{sep}"
     parts = [
@@ -983,7 +1045,7 @@ def _bpe_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
           WHERE word <> '' GROUP BY word),
         w0 AS MATERIALIZED (
-          SELECT regexp_replace(word, '(.)', {sep}||'\\1'||{sep}, 'g') AS s, c
+          SELECT word, regexp_replace(word, '(.)', {sep}||'\\1'||{sep}, 'g') AS s, c
           FROM wf)"""
     ]
     for k in range(1, n_rounds + 1):
@@ -997,21 +1059,51 @@ def _bpe_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
           GROUP BY 1, 2),
         m{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
         w{k} AS MATERIALIZED (
-          SELECT replace(s,
+          SELECT word, replace(s,
                          {sep}||(SELECT l FROM m{k})||{sep2}||(SELECT r FROM m{k})||{sep},
                          {sep}||(SELECT l FROM m{k})||(SELECT r FROM m{k})||{sep}) AS s, c
           FROM {prev})"""
         )
+    return ",\n".join(parts)
+
+
+def _bpe_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
+    """q_bpe_train oracle: the chain + the merge-table unions."""
     unions = "\n        UNION ALL\n".join(
         f"        SELECT CAST({k} AS BIGINT) AS round, l AS left_sym, r AS right_sym,"
         f" l || r AS merged, cnt AS pair_count FROM m{k}"
         for k in range(1, n_rounds + 1)
     )
-    return ",\n".join(parts) + "\n" + unions
+    return _bpe_chain_sql(n_rounds) + "\n" + unions
+
+
+def _bpe_encode_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
+    """q_bpe_encode oracle: the chain + a per-document token-count join
+    against the final vocabulary encoding."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    return (
+        _bpe_chain_sql(n_rounds)
+        + f""",
+        enc AS (
+          SELECT word,
+                 len(string_split(substr(s, 2, length(s) - 2), {sep2})) AS n_syms
+          FROM w{n_rounds}),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        SELECT t.doc_id,
+               count(*) AS n_words,
+               CAST(sum(length(t.word)) AS BIGINT) AS n_init_syms,
+               CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_tokens
+        FROM toks t JOIN enc e USING (word)
+        WHERE t.word <> ''
+        GROUP BY t.doc_id"""
+    )
 
 
 QUERIES = {
     "q_bpe_train": q_bpe_train,
+    "q_bpe_encode": q_bpe_encode,
     "q_cms_check": q_cms_check,
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
@@ -1327,6 +1419,7 @@ ORACLE["q_seq_pack"] = """
 """
 
 ORACLE["q_bpe_train"] = _bpe_oracle_sql()
+ORACLE["q_bpe_encode"] = _bpe_encode_oracle_sql()
 
 ORACLE["q_cms_check"] = f"""
     WITH toks AS (

@@ -388,3 +388,28 @@ def test_bpe_train_matches_duckdb_unrolled(spark, tmp_path):
     )
     want = sorted(con.execute(corpus._bpe_oracle_sql(4)).fetchall())
     assert got == want
+
+
+def test_bpe_encode_hand_computed(spark, tmp_path):
+    """Encoding with the fitted merges, verified by hand on the same
+    corpus as test_bpe_train_hand_computed: after 3 rounds the merges are
+    (a,b)->ab, (ab,ab)->abab, (c,d)->cd, so 'abab'->1 token, 'ab'->1,
+    'cd'->1; and the count is monotone non-increasing in rounds."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "cd cd")],
+        "doc_id bigint, text string",
+    )
+    sf = str(tmp_path / "bpe_enc")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.doc_id: r for r in corpus.q_bpe_encode(spark, sf, n_rounds=3).collect()}
+    assert (got[1].n_words, got[1].n_init_syms, got[1].n_bpe_tokens) == (3, 10, 3)
+    assert (got[2].n_words, got[2].n_init_syms, got[2].n_bpe_tokens) == (2, 4, 2)
+
+    # zero rounds = character tokenizer; more rounds never increase tokens
+    got0 = {r.doc_id: r for r in corpus.q_bpe_encode(spark, sf, n_rounds=0).collect()}
+    got1 = {r.doc_id: r for r in corpus.q_bpe_encode(spark, sf, n_rounds=1).collect()}
+    for i in (1, 2):
+        assert got0[i].n_bpe_tokens == got0[i].n_init_syms
+        assert got1[i].n_bpe_tokens <= got0[i].n_bpe_tokens
+        assert got[i].n_bpe_tokens <= got1[i].n_bpe_tokens
