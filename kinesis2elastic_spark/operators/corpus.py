@@ -481,6 +481,59 @@ def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATUM_QUOTA = 20  # docs kept per language stratum
 
 
+N_SHARDS = 10  # q_shard_manifest / write_training_shards default
+
+
+def shard_id_col(key_col, n_shards: int = N_SHARDS):
+    """Deterministic, engine-portable shard assignment: the first two hex
+    chars of md5(key) give an int in [0, 256), taken mod ``n_shards``.
+    This is the "global shuffle" of a training-data run — shard
+    membership is decorrelated from ingestion order (adjacent doc_ids
+    scatter across shards) yet reproducible across engines and re-runs:
+    no rand(), no engine-specific hash.  Spark evaluates the hex pair
+    via conv(,16,10); the DuckDB oracle recomputes it with strpos
+    arithmetic on the same md5 hex — identical values."""
+    h = F.md5(key_col.cast("string").cast("binary"))
+    return (
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % n_shards
+    ).alias("shard_id")
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: assign every document to its shard (see
+    ``shard_id_col``) and emit the per-shard accounting a training job
+    reads before it opens a single file — doc count, whitespace-token
+    count, character count, and the id range.  The companion
+    ``layout.write_training_shards`` materializes the same assignment
+    as one sorted parquet directory per shard and must reproduce this
+    manifest exactly (asserted in test_layout).
+
+    Scale shape: the manifest is a partial-agg groupBy on a 10-value
+    key — the corpus-sized shuffle carries only (shard_id, 3 ints) after
+    map-side combine.  The writer's shuffle (repartition by shard) is
+    the one a training run requires anyway; md5 uniformity makes the
+    shards balanced without salting (the manifest is how you'd SEE skew
+    if a pathological key distribution ever produced it).  All columns
+    exact integers — nothing rounded, nothing engine-local."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            shard_id_col(F.col("doc_id")),
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling with a fixed per-stratum quota: keep exactly
     ``STRATUM_QUOTA`` documents per language, chosen by rank in the md5
@@ -1104,6 +1157,7 @@ def _bpe_encode_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
 QUERIES = {
     "q_bpe_train": q_bpe_train,
     "q_bpe_encode": q_bpe_encode,
+    "q_shard_manifest": q_shard_manifest,
     "q_cms_check": q_cms_check,
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
@@ -1420,6 +1474,22 @@ ORACLE["q_seq_pack"] = """
 
 ORACLE["q_bpe_train"] = _bpe_oracle_sql()
 ORACLE["q_bpe_encode"] = _bpe_encode_oracle_sql()
+
+ORACLE["q_shard_manifest"] = f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               % {N_SHARDS} AS shard_id
+      FROM documents)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM s GROUP BY shard_id
+"""
 
 ORACLE["q_cms_check"] = f"""
     WITH toks AS (

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _dir_bytes(path: str) -> int:
@@ -155,5 +156,36 @@ def write_partitioned_sorted(
         .sortWithinPartitions(partition_col, sort_col)
         .write.mode("overwrite")
         .partitionBy(partition_col)
+        .parquet(dst)
+    )
+
+
+def write_training_shards(
+    df: DataFrame, dst: str, key_col: str, n_shards: int | None = None
+) -> None:
+    """Materialize the deterministic training-shard layout whose
+    accounting is ``corpus.q_shard_manifest``: every row goes to shard
+    ``corpus.shard_id_col(key)`` (md5-keyspace mod — the reproducible
+    "global shuffle" of a training-data run), one hive directory per
+    shard, rows inside each shard sorted by key so the files are
+    byte-reproducible across runs.
+
+    Scale shape: ONE shuffle, keyed by shard_id — the shuffle a training
+    run needs anyway to decorrelate document order; md5 uniformity keeps
+    shards balanced without salting.  ``repartition(n, shard_id)`` makes
+    each shard the property of exactly one task (one file per shard, no
+    small-file spray); at 100 TB, n_shards comes from
+    total_bytes / target_shard_bytes and the same plan holds.  A
+    training job consumes the manifest (exact token counts per shard)
+    for deterministic data-order resume without opening files."""
+    from .corpus import N_SHARDS, shard_id_col
+
+    n = n_shards or N_SHARDS
+    (
+        df.withColumn("shard_id", shard_id_col(F.col(key_col), n))
+        .repartition(n, "shard_id")
+        .sortWithinPartitions("shard_id", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
         .parquet(dst)
     )

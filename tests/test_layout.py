@@ -95,3 +95,51 @@ def test_zorder_skips_both_columns(spark, sf_dir, tmp_path):
     assert s_value > 0.5            # ...and near-useless for the other
     assert z_user < 0.6 and z_value < 0.6   # z-order: tight on BOTH
     assert z_value < 0.75 * s_value  # and strictly better than the sort on value
+
+
+def test_training_shards_match_manifest(spark, sf_dir, tmp_path):
+    """write_training_shards must materialize EXACTLY the layout that
+    q_shard_manifest accounts for: one hive dir + one file per shard,
+    per-shard recomputed stats equal to the manifest rows, shards
+    partitioning the corpus, and key-sorted rows inside each file."""
+    from kinesis2elastic_spark.operators.corpus import N_SHARDS, q_shard_manifest
+
+    docs = load(spark, sf_dir, "documents")
+    dst = str(tmp_path / "shards")
+    layout.write_training_shards(docs, dst, key_col="doc_id")
+
+    manifest = {r.shard_id: r for r in q_shard_manifest(spark, sf_dir).collect()}
+    assert set(manifest) == set(range(N_SHARDS))
+
+    back = spark.read.parquet(dst)
+    got = {
+        r.shard_id: r
+        for r in back.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .collect()
+    }
+    assert set(got) == set(manifest)
+    for sid, m in manifest.items():
+        g = got[sid]
+        assert (g.n_docs, g.n_tokens, g.n_chars, g.min_doc_id, g.max_doc_id) == (
+            m.n_docs, m.n_tokens, m.n_chars, m.min_doc_id, m.max_doc_id
+        )
+
+    # partition property: no doc lost or duplicated across shards
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+    # layout property: one file per shard, rows inside sorted by key
+    files = layout.parquet_files(dst)
+    assert len(files) == N_SHARDS
+    import pyarrow.parquet as pq
+
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        assert ids == sorted(ids)
