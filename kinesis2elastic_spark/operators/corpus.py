@@ -940,6 +940,7 @@ def q_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_ROUNDS = 6
 _BPE_SEP = "\x1f"  # unit separator: wraps every symbol as SEP+sym+SEP
+_BPE_CHECKPOINT_EVERY = 8  # rounds between vocab re-materializations
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS) -> DataFrame:
@@ -961,8 +962,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS) ->
       partial-agg count keyed by pair, and a top-1 collect (ONE row — a
       bounded driver action); the winning merge is applied map-side via
       a string replace, no shuffle.
-    - lineage is truncated each round (localCheckpoint) so round k costs
-      O(vocab), not O(k * vocab).
+    - the base vocab is materialized ONCE (localCheckpoint); each round's
+      merge is a row-local replace expression over it, so the chain
+      recomputes for pennies and is re-truncated only every
+      ``_BPE_CHECKPOINT_EVERY`` rounds — per-round checkpointing doubled
+      the job count for no lineage benefit.
 
     Cross-engine determinism: symbols live in a wrapped string form
     ``SEP a SEP SEP b SEP ...`` so the merge is a plain ``replace`` of
@@ -1037,7 +1041,14 @@ def _bpe_fit(
         new = f"{_BPE_SEP}{l}{r}{_BPE_SEP}"
         vocab = vocab.withColumn(
             "s", F.replace(F.col("s"), F.lit(old), F.lit(new))
-        ).localCheckpoint(eager=True)
+        )
+        # re-materialize only every few rounds: each replace is a cheap
+        # row-local expression over the ONE checkpointed base vocab, so a
+        # short chain recomputes for pennies — checkpointing every round
+        # doubled the job count for no lineage benefit.  A production
+        # vocab run (thousands of merges) keeps the same cadence.
+        if rnd % _BPE_CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     return merges, vocab
 
 
