@@ -77,6 +77,11 @@ HEADLINE = [
     "q_ann_pq",
     # r4: composed curation chain (lang gate -> quality -> dedup -> budget)
     "q_curation_pipeline",
+    # r4: tokenizer encode (fit + vocab-join apply), filtered vector
+    # search, and the training-shard manifest
+    "q_bpe_encode",
+    "q_ann_filtered",
+    "q_shard_manifest",
 ]
 
 

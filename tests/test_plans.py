@@ -303,3 +303,37 @@ def test_curation_pipeline_single_scan_two_shuffles(spark, sf_dir):
     assert len(scans) == 1, plan
     assert len(exchanges) <= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_broadcasts_vocab_single_doc_exchange(spark, sf_dir):
+    """q_bpe_encode's corpus-sized work must be one scan-side explode +
+    BROADCAST join against the (checkpointed, replace-chained) vocab and
+    one partial-agg exchange on doc_id — a shuffle keyed by word would
+    move the whole exploded corpus; more than one replace Project means
+    the merge chain stopped fusing."""
+    import re
+
+    from kinesis2elastic_spark.operators.corpus import q_bpe_encode
+
+    plan = formatted_plan(q_bpe_encode(spark, sf_dir, n_rounds=3))
+    assert "BroadcastHashJoin" in plan, plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_shard_manifest_partial_agg_only(spark, sf_dir):
+    """q_shard_manifest is a 10-key accounting pass: one documents scan,
+    one exchange carrying only the combined partials (shard_id + ints),
+    no join, no window."""
+    import re
+
+    from kinesis2elastic_spark.operators.corpus import q_shard_manifest
+
+    plan = formatted_plan(q_shard_manifest(spark, sf_dir))
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(scans) == 1, plan
+    assert len(exchanges) == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan
