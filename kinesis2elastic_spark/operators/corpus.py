@@ -1052,6 +1052,40 @@ def _bpe_fit(
     return merges, vocab
 
 
+def q_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """B84 companion: tokenizer FERTILITY per language — the standard
+    tokenizer-evaluation metric (BPE tokens emitted per word; a
+    tokenizer trained on one language distribution over-segments the
+    others, and this table is how you see it).  Pure rollup of the
+    ``q_bpe_encode`` quantities to (lang): all sums exact integers; the
+    fertility ratio itself is emitted as its exact numerator/denominator
+    pair (token sum, word sum) per the repo's hash-safety recipe — the
+    oracle recomputes both through the identical merge chain."""
+    _, vocab = _bpe_fit(spark, sf_dir, n_rounds)
+    sep2 = _BPE_SEP + _BPE_SEP
+    encoded = vocab.select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), sep2)
+        ).cast("long").alias("n_syms"),
+    )
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(encoded, "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+    )
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS) -> DataFrame:
     """B84 companion: BPE ENCODING — apply the trained merge table to the
     corpus and report each document's token count under the fitted
@@ -1168,6 +1202,7 @@ def _bpe_encode_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
 QUERIES = {
     "q_bpe_train": q_bpe_train,
     "q_bpe_encode": q_bpe_encode,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_shard_manifest": q_shard_manifest,
     "q_cms_check": q_cms_check,
     "q_hash_sample": q_hash_sample,
@@ -1485,6 +1520,27 @@ ORACLE["q_seq_pack"] = """
 
 ORACLE["q_bpe_train"] = _bpe_oracle_sql()
 ORACLE["q_bpe_encode"] = _bpe_encode_oracle_sql()
+
+ORACLE["q_tokenizer_fertility"] = (
+    _bpe_chain_sql()
+    + """,
+    enc AS (
+      SELECT word,
+             len(string_split(substr(s, 2, length(s) - 2), chr(31)||chr(31))) AS n_syms
+      FROM w"""
+    + str(BPE_ROUNDS)
+    + """),
+    toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT t.lang,
+           count(*) AS n_words,
+           CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(length(t.word)) AS BIGINT) AS n_chars
+    FROM toks t JOIN enc e USING (word)
+    WHERE t.word <> ''
+    GROUP BY t.lang
+"""
+)
 
 ORACLE["q_shard_manifest"] = f"""
     WITH s AS (

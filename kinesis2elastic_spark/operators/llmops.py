@@ -1890,6 +1890,126 @@ def q_kmeans(spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3) -> D
     )
 
 
+LOGIT_STEPS = 24
+LOGIT_LR = 0.5
+LOGIT_ACC_FLOOR = 0.80
+
+
+def logit_quality_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    n_steps: int = LOGIT_STEPS,
+    lr: float = LOGIT_LR,
+) -> tuple[list, list, DataFrame]:
+    """Distributed logistic-regression training of a model-based quality
+    classifier (the fastText-style quality-gate pattern: DISTILL a rule
+    gate into a soft scorer whose threshold a curation run can then
+    tune).  Labels come from the q_quality_filter rule (kept vs
+    dropped); features are three exact SQL-derivable signals
+    (stopword ratio, mean word length, log word count), z-standardized
+    by one corpus agg pass.
+
+    Spark-first scale shape — textbook distributed batch GD:
+    - the (y, x1..x3) feature table is built in ONE scan and
+      materialized (localCheckpoint) — 4 numbers/doc, tiny next to the
+      corpus, exactly what production would cache;
+    - each step broadcasts the 4 weights as literals, computes
+      sigmoid/gradient as row-local JVM expressions, and reduces via a
+      map-side-combinable agg to FOUR doubles — the per-step collect is
+      bounded by the feature count, never the data;
+    - no Python in the hot path, no per-row UDF; T steps = T agg jobs
+      over the cached features.
+
+    Returns (weights, loss_history, features_df)."""
+    import math
+
+    d = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("double")
+    stop_ratio = (
+        F.size(
+            F.filter(
+                words, lambda w: (w == "the") | (w == "a") | (w == "of")
+            )
+        ).cast("double")
+        / n_words
+    )
+    mean_wlen = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / n_words
+    y = (~((n_words < 30) | (stop_ratio < 0.02))).cast("double")
+    raw = d.select(
+        y.alias("y"),
+        stop_ratio.alias("x1"),
+        mean_wlen.alias("x2"),
+        F.log(n_words).alias("x3"),
+    )
+    stats = raw.agg(
+        *[F.avg(c).alias(f"mu{i}") for i, c in enumerate(("x1", "x2", "x3"), 1)],
+        *[F.stddev_pop(c).alias(f"sd{i}") for i, c in enumerate(("x1", "x2", "x3"), 1)],
+    ).collect()[0]
+    feats = raw.select(
+        "y",
+        *[
+            ((F.col(c) - float(stats[f"mu{i}"])) / float(stats[f"sd{i}"])).alias(c)
+            for i, c in enumerate(("x1", "x2", "x3"), 1)
+        ],
+    ).localCheckpoint(eager=True)
+
+    w = [0.0, 0.0, 0.0, 0.0]  # bias, x1, x2, x3
+    losses = []
+    xs = (F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"))
+    for _ in range(n_steps):
+        z = sum(float(wi) * xi for wi, xi in zip(w, xs))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        eps = 1e-12
+        loss_term = -(
+            F.col("y") * F.log(F.greatest(p, F.lit(eps)))
+            + (1 - F.col("y")) * F.log(F.greatest(1 - p, F.lit(eps)))
+        )
+        err = p - F.col("y")
+        row = feats.agg(
+            F.avg(loss_term).alias("loss"),
+            *[F.avg(err * xi).alias(f"g{i}") for i, xi in enumerate(xs)],
+        ).collect()[0]
+        losses.append(float(row["loss"]))
+        w = [wi - lr * float(row[f"g{i}"]) for i, wi in enumerate(w)]
+        if any(not math.isfinite(wi) for wi in w):
+            break
+    return w, losses, feats
+
+
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B92 contract query, self-verifying (est_ok pattern, the q_kmeans
+    precedent): the trained weights are engine-local floats (gradient
+    sums depend on partition order), but the TRAINING DYNAMICS are exact
+    invariants — logistic loss under small-step batch GD on a convex
+    objective is monotone non-increasing, the distilled rule is
+    recoverable (holdout-free accuracy ≥ LOGIT_ACC_FLOOR against the
+    exact rule labels, which the oracle recomputes), and the label
+    counts are exact integers.  A broken sigmoid, gradient, or update
+    trips a flag → hash mismatch on FALSE."""
+    w, losses, feats = logit_quality_fit(spark, sf_dir)
+    import math
+
+    monotone = all(
+        losses[i + 1] <= losses[i] + 1e-9 for i in range(len(losses) - 1)
+    )
+    finite = all(math.isfinite(wi) for wi in w)
+    z = F.lit(w[0]) + sum(F.lit(w[i]) * F.col(f"x{i}") for i in (1, 2, 3))
+    pred = (z > 0).cast("double")
+    return feats.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_kept_label"),
+        F.lit(bool(monotone)).alias("loss_monotone_ok"),
+        F.lit(bool(finite)).alias("weights_finite_ok"),
+        (F.avg((pred == F.col("y")).cast("double")) >= LOGIT_ACC_FLOOR).alias(
+            "acc_floor_ok"
+        ),
+        F.lit(bool(losses[-1] < losses[0])).alias("loss_decreased_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2209,6 +2329,7 @@ QUERIES = {
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_cosine_topk": q_cosine_topk,
     "q_ann_filtered": q_ann_filtered,
+    "q_quality_logit": q_quality_logit,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_pq": q_ann_pq,
@@ -2301,6 +2422,22 @@ ORACLE = {
          AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.words, b.words))) >= 0.3
+    """,
+    "q_quality_logit": """
+        WITH s AS (
+          SELECT len(string_split(text, ' ')) AS n_words,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio
+          FROM documents)
+        SELECT count(*) AS n_docs,
+               CAST(sum(CAST(NOT (n_words < 30 OR stop_ratio < 0.02) AS INT)) AS BIGINT)
+                 AS n_kept_label,
+               true AS loss_monotone_ok,
+               true AS weights_finite_ok,
+               true AS acc_floor_ok,
+               true AS loss_decreased_ok
+        FROM s
     """,
     "q_ann_filtered": """
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec

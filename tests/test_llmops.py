@@ -481,3 +481,23 @@ def test_ann_filtered_prefilter_fills_k(spark, sf_dir):
     assert any(
         len(post.get(q, [])) < len(by_q.get(q, [])) for q in labels
     ), "post-filtering never underfilled — fixture labels are degenerate"
+
+
+def test_quality_logit_learns_planted_rule(spark, tmp_path):
+    """On a corpus where the quality rule is trivially separable (long
+    stopword-rich docs vs tiny ones), distributed GD must recover it:
+    monotone loss, finite weights, accuracy floor met, and exact label
+    counts."""
+    long_doc = ("the quick brown fox of the meadow and a friend of the river "
+                * 5).strip()
+    rows = [(i, long_doc) for i in range(1, 13)] + [
+        (i, "tiny doc") for i in range(13, 25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sf = str(tmp_path / "logit")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    r = llmops.q_quality_logit(spark, sf).collect()[0]
+    assert r.n_docs == 24 and r.n_kept_label == 12
+    assert r.loss_monotone_ok and r.weights_finite_ok
+    assert r.acc_floor_ok and r.loss_decreased_ok
