@@ -203,3 +203,75 @@ def test_table_hash_is_order_insensitive(rows, rnd):
     perm_cols = [cols[i] for i in perm]
     perm_rows = [tuple(r[i] for i in perm) for r in rows]
     assert _table_hash(perm_cols, perm_rows) == base
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training vs a pure-Python reference implementation
+# ---------------------------------------------------------------------------
+
+def _ref_bpe_merges(word_counts: dict[str, int], n_rounds: int):
+    """Reference BPE trainer: symbol lists per word, adjacent-pair counts
+    (every adjacent position, overlaps included), winner = (count desc,
+    pair lexicographic), merge applied greedily LEFT-TO-RIGHT without
+    overlap — the classic algorithm the Spark wrapped-string replace must
+    reproduce exactly."""
+    vocab = {w: [list(w), c] for w, c in word_counts.items()}
+    merges = []
+    for rnd in range(1, n_rounds + 1):
+        counts: dict[tuple, int] = {}
+        for syms, c in vocab.values():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + c
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, l + r, cnt))
+        for entry in vocab.values():
+            syms = entry[0]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[0] = out
+    return merges, {w: len(e[0]) for w, e in vocab.items()}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_train_and_encode_match_python_reference(spark, tmp_path_factory, words):
+    """Spark's wrapped-string-replace BPE (train AND encode) must equal
+    the classic per-symbol-list algorithm on arbitrary corpora —
+    including adversarial overlap cases like 'aaaa' where greedy
+    non-overlapping application is what distinguishes a correct merge
+    from a regex-style rescan."""
+    from collections import Counter
+
+    from kinesis2elastic_spark.operators import corpus
+
+    text = " ".join(words)
+    tmp = tmp_path_factory.mktemp("bpe_prop")
+    sf = str(tmp)
+    spark.createDataFrame([(1, text)], "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+
+    want_merges, want_enc = _ref_bpe_merges(Counter(words), 4)
+    got_merges = [
+        tuple(r) for r in corpus.q_bpe_train(spark, sf, n_rounds=4).collect()
+    ]
+    assert got_merges == want_merges
+
+    got = corpus.q_bpe_encode(spark, sf, n_rounds=4).collect()[0]
+    assert got.n_bpe_tokens == sum(want_enc[w] for w in words)
+    assert got.n_words == len(words)
+    assert got.n_init_syms == sum(len(w) for w in words)
