@@ -1951,7 +1951,12 @@ def logit_quality_fit(
     feats = raw.select(
         "y",
         *[
-            ((F.col(c) - float(stats[f"mu{i}"])) / float(stats[f"sd{i}"])).alias(c)
+            # sd floor guards a degenerate corpus (constant feature):
+            # the column z-scores to 0 instead of NaN-poisoning the fit
+            (
+                (F.col(c) - float(stats[f"mu{i}"]))
+                / max(float(stats[f"sd{i}"] or 0.0), 1e-12)
+            ).alias(c)
             for i, c in enumerate(("x1", "x2", "x3"), 1)
         ],
     ).localCheckpoint(eager=True)

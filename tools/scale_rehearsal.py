@@ -188,12 +188,22 @@ def main() -> None:
     # operators' scaling; the q_* reductions wrap them in verification
     # twins (exact ground-truth recomputation) that would dominate the 10x
     # timing without saying anything about the operator.
+    from kinesis2elastic_spark.operators.corpus import q_bpe_encode, q_shard_manifest
+
     flagships = {
         "q_minhash_near_dup": llmops.minhash_near_dup_detail,
         "q_minhash_incremental": llmops.minhash_incremental_detail,
         "q_setsim_join@0.9": lambda s, d: llmops.q_setsim_join(s, d, threshold=0.9),
         "q_ann_pq": llmops.ann_pq_detail,
         "q_bloom_decontam": q_bloom_decontam,
+        # r4 flagships: BPE encode shows the vocab-sublinear property (a
+        # 10x near-dup corpus grows the vocab by ~9 clone-mark tokens, so
+        # the merge chain costs the same and only the final join scales);
+        # filtered ANN is the kernel-masked brute path over 10x vectors;
+        # the shard manifest is the 10-key accounting pass.
+        "q_bpe_encode": q_bpe_encode,
+        "q_ann_filtered": llmops.q_ann_filtered,
+        "q_shard_manifest": q_shard_manifest,
     }
 
     results: dict[str, dict] = {}
