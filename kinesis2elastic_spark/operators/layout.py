@@ -177,15 +177,39 @@ def write_training_shards(
     small-file spray); at 100 TB, n_shards comes from
     total_bytes / target_shard_bytes and the same plan holds.  A
     training job consumes the manifest (exact token counts per shard)
-    for deterministic data-order resume without opening files."""
+    for deterministic data-order resume without opening files.
+
+    A ``_manifest`` parquet (per-shard row count + key range, computed
+    from the same assignment expression in the same job graph) is
+    written next to the shard dirs so a consumer schedules reads without
+    listing or opening shard files; read it back with
+    ``read_shard_manifest``."""
     from .corpus import N_SHARDS, shard_id_col
 
     n = n_shards or N_SHARDS
+    assigned = df.withColumn("shard_id", shard_id_col(F.col(key_col), n))
     (
-        df.withColumn("shard_id", shard_id_col(F.col(key_col), n))
-        .repartition(n, "shard_id")
+        assigned.repartition(n, "shard_id")
         .sortWithinPartitions("shard_id", key_col)
         .write.mode("overwrite")
         .partitionBy("shard_id")
         .parquet(dst)
     )
+    (
+        assigned.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst, "_manifest"))
+    )
+
+
+def read_shard_manifest(spark: SparkSession, dst: str) -> DataFrame:
+    """The ``_manifest`` side table of ``write_training_shards`` (the
+    underscore prefix makes parquet readers of ``dst`` skip it, like
+    ``_SUCCESS``)."""
+    return spark.read.parquet(os.path.join(dst, "_manifest"))

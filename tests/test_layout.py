@@ -135,8 +135,16 @@ def test_training_shards_match_manifest(spark, sf_dir, tmp_path):
     assert back.count() == docs.count()
     assert back.select("doc_id").distinct().count() == docs.count()
 
+    # persisted _manifest side table agrees with the in-query manifest
+    pm = {r.shard_id: r for r in layout.read_shard_manifest(spark, dst).collect()}
+    assert set(pm) == set(manifest)
+    for sid, m in manifest.items():
+        assert (pm[sid].n_rows, pm[sid].min_key, pm[sid].max_key) == (
+            m.n_docs, m.min_doc_id, m.max_doc_id
+        )
+
     # layout property: one file per shard, rows inside sorted by key
-    files = layout.parquet_files(dst)
+    files = [f for f in layout.parquet_files(dst) if "_manifest" not in f]
     assert len(files) == N_SHARDS
     import pyarrow.parquet as pq
 
