@@ -481,6 +481,64 @@ def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRATUM_QUOTA = 20  # docs kept per language stratum
 
 
+DRIFT_MIN_DF = 5   # corpus df floor: hapax tokens are noise, not drift
+DRIFT_TOP_K = 3    # drifted tokens reported per source
+
+
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift report — the corpus-mix
+    diagnostic a curation run watches (a source whose token distribution
+    lifts away from the corpus signals contamination, template spam, or a
+    scraper change).  For each source: its exact token totals plus its
+    top-``DRIFT_TOP_K`` over-represented tokens ranked by lift
+    P(token|source)/P(token) = (c_st·n)/(n_s·c_t).
+
+    Hash-safety (the r3 lesson applied to a float ranking): the lift is
+    ONE correctly-rounded IEEE division of two EXACT bigint products —
+    bit-identical on any engine (no float sums, no transcendentals in the
+    hashed columns; products stay < 2^53 here — at larger corpora rank on
+    the exact cross-multiplied integers instead).  Ties break on token.
+
+    Scale shape: two partial-agg passes over the exploded tokens (one
+    keyed by (source, token), one by token — the second derived from the
+    first by re-aggregation, so the corpus is exploded ONCE), a broadcast
+    of the per-source/corpus totals (|sources|+1 rows), and a
+    WindowGroupLimit top-k per source.  The df floor prunes the hapax
+    tail before the window."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("c_st"))
+    t = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    s = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    n = s.agg(F.sum("n_s").cast("long").alias("n"))
+    lifted = (
+        st.join(t.filter(F.col("c_t") >= DRIFT_MIN_DF), "token")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "lift",
+            (F.col("c_st") * F.col("n")).cast("double")
+            / (F.col("n_s") * F.col("c_t")).cast("double"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("lift").desc(), "token")
+    return (
+        lifted.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= DRIFT_TOP_K)
+        .select(
+            "source",
+            "n_s",
+            "rk",
+            "token",
+            F.col("c_st").cast("long").alias("c_st"),
+            F.col("c_t").cast("long").alias("c_t"),
+            "lift",
+        )
+    )
+
+
 N_SHARDS = 10  # q_shard_manifest / write_training_shards default
 
 
@@ -1204,6 +1262,7 @@ QUERIES = {
     "q_bpe_encode": q_bpe_encode,
     "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_shard_manifest": q_shard_manifest,
+    "q_source_drift": q_source_drift,
     "q_cms_check": q_cms_check,
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
@@ -1541,6 +1600,31 @@ ORACLE["q_tokenizer_fertility"] = (
     GROUP BY t.lang
 """
 )
+
+ORACLE["q_source_drift"] = f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+    st AS (
+      SELECT source, token, count(*) AS c_st
+      FROM tok WHERE token <> '' GROUP BY source, token),
+    t AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY token),
+    s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+    n AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM s),
+    lifted AS (
+      SELECT st.source, st.token, st.c_st, t.c_t, s.n_s, n.n,
+             CAST(st.c_st * n.n AS DOUBLE) / CAST(s.n_s * t.c_t AS DOUBLE) AS lift
+      FROM st
+      JOIN t ON st.token = t.token AND t.c_t >= {DRIFT_MIN_DF}
+      JOIN s ON st.source = s.source
+      CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY lift DESC, token) AS rk
+      FROM lifted)
+    SELECT source, n_s, CAST(rk AS BIGINT) AS rk, token,
+           CAST(c_st AS BIGINT) AS c_st, CAST(c_t AS BIGINT) AS c_t, lift
+    FROM ranked WHERE rk <= {DRIFT_TOP_K}
+"""
 
 ORACLE["q_shard_manifest"] = f"""
     WITH s AS (

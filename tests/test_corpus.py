@@ -413,3 +413,28 @@ def test_bpe_encode_hand_computed(spark, tmp_path):
         assert got0[i].n_bpe_tokens == got0[i].n_init_syms
         assert got1[i].n_bpe_tokens <= got0[i].n_bpe_tokens
         assert got[i].n_bpe_tokens <= got1[i].n_bpe_tokens
+
+
+def test_source_drift_finds_planted_lift(spark, tmp_path):
+    """A token exclusive to one source must surface as that source's
+    top-lift row; shared tokens must show lift ~1 and never outrank it."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = (
+        [(i, shared + " spamtoken spamtoken", "webA") for i in range(1, 7)]
+        + [(i, shared, "webB") for i in range(7, 13)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sf = str(tmp_path / "drift")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    out = corpus.q_source_drift(spark, sf).collect()
+    top = {r.source: r for r in out if r.rk == 1}
+    assert top["webA"].token == "spamtoken"
+    assert top["webA"].lift > 1.5
+    # spamtoken appears ONLY in webA, so webB's best lift is a shared
+    # token: corpus-share of shared tokens is below 1 for webB? No —
+    # webB has no exclusive tokens, so its max lift is n/(n_s sum ratio)
+    # of a shared token, all equal and > 1 (spamtoken dilutes webA).
+    assert top["webB"].token != "spamtoken"
+    for r in out:
+        assert r.c_t >= corpus.DRIFT_MIN_DF
