@@ -235,27 +235,51 @@ def main() -> None:
     net_sorted = sorted(net_ratio.values())
     net_median = net_sorted[len(net_sorted) // 2] if net_sorted else None
 
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the final JSON line from it (BENCH_r03 was recorded with
+    # parsed=null because the full per-query duckdb/ratio maps pushed the
+    # line past the buffer and truncated its head).  So: the stdout line
+    # carries the contract fields + scalar summaries and stays compact;
+    # the full decomposition goes to BENCH_DETAIL.json at the repo root.
+    detail = {
+        "duckdb": duck,
+        "ratio_spark_over_duckdb": ratio,
+        "ratio_net_of_floor": net_ratio,
+        # cost of the r4 twin-carrying reduction queries (what the
+        # correctness gate pays; headline times the production operator)
+        "reduction_query_sec": reduction_query,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
     out = {
         "metric": "sec total over headline query set (noop-write materialization)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "duckdb": duck,
-        "ratio_spark_over_duckdb": ratio,
+        # scalar summaries of the DuckDB same-SQL baseline (full per-query
+        # maps in BENCH_DETAIL.json); floor = fixed per-query overhead at
+        # this scale (1-task scan through the same noop-write path) —
+        # ratios should be read net of it, it amortizes away at cluster
+        # scale while DuckDB's per-row cost does not
+        "duckdb_total_sec": round(sum(duck.values()), 3),
+        "duckdb_n_queries": len(duck),
         "ratio_median": median,
-        # fixed per-query overhead at this scale (1-task scan through the
-        # same noop-write path): per-query ratios vs DuckDB should be read
-        # net of this constant — it amortizes away at cluster scale while
-        # DuckDB's per-row cost does not
         "control_floor_sec": round(floor, 3),
         "ratio_median_net_of_floor": net_median,
         "hll_merge_sketch_only_sec": round(hll_sketch_only, 3),
-        # cost of the r4 twin-carrying reduction queries (what the
-        # correctness gate pays; headline times the production operator)
-        "reduction_query_sec": reduction_query,
+        "detail": "BENCH_DETAIL.json",
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:  # stay inside the driver's tail buffer
+        out["queries"] = {k: v for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:30]}
+        out["queries_truncated_to_slowest"] = 30
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":
