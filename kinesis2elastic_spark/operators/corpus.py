@@ -486,7 +486,7 @@ DRIFT_TOP_K = 3    # drifted tokens reported per source
 
 
 def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source token-distribution drift report — the corpus-mix
+    """B94: per-source token-distribution drift report — the corpus-mix
     diagnostic a curation run watches (a source whose token distribution
     lifts away from the corpus signals contamination, template spam, or a
     scraper change).  For each source: its exact token totals plus its
@@ -558,7 +558,7 @@ def shard_id_col(key_col, n_shards: int = N_SHARDS):
 
 
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-shard manifest: assign every document to its shard (see
+    """B91: training-shard manifest — assign every document to its shard (see
     ``shard_id_col``) and emit the per-shard accounting a training job
     reads before it opens a single file — doc count, whitespace-token
     count, character count, and the id range.  The companion
@@ -1113,7 +1113,7 @@ def _bpe_fit(
 def q_tokenizer_fertility(
     spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS
 ) -> DataFrame:
-    """B84 companion: tokenizer FERTILITY per language — the standard
+    """B93: tokenizer FERTILITY per language — the standard
     tokenizer-evaluation metric (BPE tokens emitted per word; a
     tokenizer trained on one language distribution over-segments the
     others, and this table is how you see it).  Pure rollup of the
@@ -1145,7 +1145,7 @@ def q_tokenizer_fertility(
 
 
 def q_bpe_encode(spark: SparkSession, sf_dir: str, n_rounds: int = BPE_ROUNDS) -> DataFrame:
-    """B84 companion: BPE ENCODING — apply the trained merge table to the
+    """B89: BPE ENCODING — apply the trained merge table to the
     corpus and report each document's token count under the fitted
     tokenizer (the number every packing / budget / fertility computation
     downstream consumes).

@@ -1167,7 +1167,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int 
 def q_ann_filtered(
     spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 8
 ) -> DataFrame:
-    """B34 companion: metadata-FILTERED vector search — top-k under a
+    """B90: metadata-FILTERED vector search — top-k under a
     label-equality predicate (the "filtered ANN" problem every vector
     store faces: WHERE label = q.label AND similar).  Pre-filtering
     inside the scoring kernel guarantees each query fills its k from
