@@ -242,6 +242,7 @@ def main() -> None:
     # carries the contract fields + scalar summaries and stays compact;
     # the full decomposition goes to BENCH_DETAIL.json at the repo root.
     detail = {
+        "sf": sf,
         "duckdb": duck,
         "ratio_spark_over_duckdb": ratio,
         "ratio_net_of_floor": net_ratio,
