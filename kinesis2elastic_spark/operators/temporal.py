@@ -290,42 +290,74 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the unweighted sum and observation count ride along to
     show the bias being corrected.  One shuffle on user_id at any scale.
 
-    Numerics — every hashed column is EXACT (cross-engine lesson, round 3):
-    - double sums are summation-ORDER-dependent, so both sums are exact:
-      value snapped to DECIMAL(18,6) (order-independent addition),
-      duration in integer microseconds.
-    - the time-weighted average itself is emitted as its exact
-      numerator/denominator pair (``weighted_sum`` DECIMAL(38,6),
-      ``dur_sum`` BIGINT) rather than a rounded double quotient.  Round 3
-      proved the quotient path is NOT hash-safe: (a) Spark's round()
-      rounds the shortest-decimal repr HALF_UP while DuckDB rounds the
-      raw binary (an earlier docstring claimed the quotient "cannot tie";
-      the round-3 driver data disproved that), and (b) even the
-      DECIMAL→DOUBLE cast itself double-rounds differently once the
-      unscaled sum exceeds 2^53 (division fast paths differ).  Exact
-      integers/decimals hash identically on any engine; a consumer gets
-      the average as weighted_sum / dur_sum."""
+    Numerics — every hashed column is EXACT *integer* space (cross-engine
+    lessons, rounds 3 AND 4):
+    - round 3 proved a rounded double quotient is not hash-safe (Spark
+      rounds the shortest-decimal repr HALF_UP, DuckDB rounds raw binary).
+    - round 4 proved even ``CAST(double AS DECIMAL(18,6))`` is not
+      hash-safe ACROSS ENGINE VERSIONS: Spark casts via the shortest
+      decimal repr (``BigDecimal.valueOf``), DuckDB ≥1.1 rounds the exact
+      binary value (1.0 did not — which is why the local 1.0.0 check
+      passed while the driver row stayed red two rounds running).
+    - the only operations both engines compute bit-identically on any
+      version are IEEE-754 double arithmetic and integer arithmetic.  So
+      the value column is snapped to integer MICRO-UNITS with pure double
+      ops — ``floor(value*1e6 + 0.5)`` — and every aggregate is a sum of
+      integers (BIGINT, or integer-valued DECIMAL(38,0) where a per-row
+      product can exceed 2^63).  A consumer reads the time-weighted
+      average as weighted_sum / (dur_sum * 1e6)."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
     # integer microseconds on both engines — unix_timestamp() would
     # truncate sub-second parts that DuckDB's epoch() keeps
     dur = F.unix_micros(nxt) - F.unix_micros("ts")
-    seg = e.select(
-        "user_id",
-        F.col("value").cast("decimal(18,6)").alias("v"),
-        dur.alias("dur"),
+    # pure IEEE double mult/add then floor: bit-identical on any engine
+    v_micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    seg = e.select("user_id", v_micro.alias("v"), dur.alias("dur"))
+    # v ≤ ~5e8 micro-units, dur ≤ ~3e12 µs: the per-row product can top
+    # 2^63, so it's formed in DECIMAL(19,0)×DECIMAL(19,0) — precision 19
+    # forces int128 storage in DuckDB (18 stays int64 and overflows) and
+    # the 38-digit product is inside both engines' cap — exact integers.
+    return seg.groupBy("user_id").agg(
+        F.sum(F.col("v").cast("decimal(19,0)") * F.col("dur").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("weighted_sum"),
+        F.sum("dur").cast("bigint").alias("dur_sum"),
+        F.sum("v").cast("bigint").alias("plain_sum"),
+        F.count("*").alias("n_obs"),
     )
+
+
+def q_twa_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection diagnostic for q_time_weighted_avg (round-5 VERDICT #1):
+    the pure-BIGINT half — user_id, summed lead()-durations in integer
+    microseconds, observation count.  No value column at all, so a driver
+    red here isolates the divergence to the timestamp/window channel."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
     return (
-        seg.groupBy("user_id")
+        e.select("user_id", dur.alias("dur"))
+        .groupBy("user_id")
         .agg(
-            F.sum(F.col("v") * F.col("dur").cast("decimal(20,0)"))
-            .cast("decimal(38,6)")
-            .alias("weighted_sum"),
             F.sum("dur").cast("bigint").alias("dur_sum"),
-            F.sum("v").cast("decimal(20,6)").alias("plain_sum"),
             F.count("*").alias("n_obs"),
         )
+    )
+
+
+def q_twa_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection diagnostic for q_time_weighted_avg: the value-channel
+    half — user_id plus the micro-unit value sum only (no window, no
+    timestamps beyond grouping).  A driver red here isolates the
+    divergence to the double→integer snap of the value column."""
+    e = load(spark, sf_dir, "events")
+    v_micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
+    return (
+        e.select("user_id", v_micro.alias("v"))
+        .groupBy("user_id")
+        .agg(F.sum("v").cast("bigint").alias("plain_sum"))
     )
 
 
@@ -451,6 +483,8 @@ QUERIES = {
     "q_cosine_near_dup": q_cosine_near_dup,
     "q_gapfill_locf": q_gapfill_locf,
     "q_time_weighted_avg": q_time_weighted_avg,
+    "q_twa_durations": q_twa_durations,
+    "q_twa_values": q_twa_values,
     "q_registered_udf": q_registered_udf,
     "q_udtf_ngrams": q_udtf_ngrams,
 }
@@ -505,16 +539,33 @@ ORACLE = {
     """,
     "q_time_weighted_avg": """
         WITH seg AS (
-          SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+          SELECT user_id,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
                  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                    - epoch_us(ts) AS dur
           FROM events)
         SELECT user_id,
-               CAST(sum(v * dur) AS DECIMAL(38,6)) AS weighted_sum,
+               CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(dur AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS weighted_sum,
                CAST(sum(dur) AS BIGINT) AS dur_sum,
-               CAST(sum(v) AS DECIMAL(20,6)) AS plain_sum,
+               CAST(sum(v) AS BIGINT) AS plain_sum,
                count(*) AS n_obs
         FROM seg GROUP BY user_id
+    """,
+    "q_twa_durations": """
+        WITH seg AS (
+          SELECT user_id,
+                 epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dur
+          FROM events)
+        SELECT user_id, CAST(sum(dur) AS BIGINT) AS dur_sum, count(*) AS n_obs
+        FROM seg GROUP BY user_id
+    """,
+    "q_twa_values": """
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS plain_sum
+        FROM events GROUP BY user_id
     """,
     "q_udtf_ngrams": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS words

@@ -123,6 +123,40 @@ def test_py_reference_matches_duckdb(x, n):
     assert got == _py_stable_round(x, n)
 
 
+def test_micro_unit_snap_spark_vs_duckdb_vs_python(spark):
+    """Round-5 regression guard for the q_time_weighted_avg channel: the
+    round-4 driver proved ``CAST(double AS DECIMAL(18,6))`` diverges across
+    DuckDB *versions* (≥1.1 rounds exact binary, 1.0 rounds shortest repr —
+    Spark always shortest repr).  The replacement is pure IEEE arithmetic —
+    ``CAST(floor(x*1e6 + 0.5) AS BIGINT)`` — which must be bit-identical on
+    every engine and version.  This pushes the same adversarial tie-adjacent
+    doubles through both engines' actual evaluation paths."""
+    from pyspark.sql import functions as F
+
+    vals = _adversarial_values()
+    con = duckdb.connect()
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, x double"
+    )
+    got_spark = {
+        r["i"]: r["y"]
+        for r in sdf.select(
+            "i",
+            F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("bigint").alias("y"),
+        ).collect()
+    }
+    got_duck = dict(
+        con.execute(
+            "SELECT i, CAST(floor(x * 1000000 + 0.5) AS BIGINT) FROM "
+            f"(SELECT unnest(range({len(vals)})) AS i, unnest(?) AS x)",
+            [vals],
+        ).fetchall()
+    )
+    for i, v in enumerate(vals):
+        expect = int(math.floor(v * 1000000.0 + 0.5))
+        assert got_spark[i] == got_duck[i] == expect, (v, got_spark[i], got_duck[i])
+
+
 def test_stable_round_null_passthrough(spark):
     from pyspark.sql import functions as F
 
