@@ -119,6 +119,25 @@ def main() -> None:
             except Exception:
                 pass
 
+    # CONTROL floor, measured BEFORE and AFTER the timed window (round-5
+    # noise guard): a single-partition 5-row scan through the identical
+    # noop-write path.  Everything in it (driver round-trip, stage
+    # scheduling, one task launch) is constant overhead that amortizes
+    # away at 100x data.  The r4 bench silently absorbed ~1.3-2x
+    # concurrent-load inflation; if the floor drifts >20% across the run,
+    # the machine was not quiet and the result is flagged noisy=true.
+    def _control_floor(n_runs: int = 3) -> float:
+        ctl = spark.read.parquet(os.path.join(sf_dir, "region.parquet")).coalesce(1)
+        ctl.write.mode("overwrite").format("noop").save()  # warm
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            ctl.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        return best
+
+    floor_before = _control_floor()
+
     # min of two timed runs: single-shot timings at this scale are
     # dominated by one-off effects (page-cache first touch, GC timing,
     # shuffle-service init for a new plan shape) — the min is the
@@ -148,21 +167,6 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-
-    # CONTROL: the fixed per-query floor at this scale — a single-partition
-    # 5-row scan through the identical noop-write path.  Everything in it
-    # (driver round-trip, stage scheduling, one task launch) is constant
-    # overhead that amortizes away at 100x data, so per-query
-    # spark/duckdb ratios should be read net of this floor.
-    def _control(spark_, dir_):
-        return spark_.read.parquet(os.path.join(dir_, "region.parquet")).coalesce(1)
-
-    _control(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
-    floor = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        _control(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        floor = min(floor, time.time() - t0)
 
     # q_hll_merge decomposition: the headline form carries an exact-distinct
     # self-verification twin (the oracle contract); this times the
@@ -222,6 +226,15 @@ def main() -> None:
         if duck[name] > 0:
             ratio[name] = round(timings[name] / duck[name], 2)
 
+    # close the noise-guard window: re-measure the floor after ALL timed
+    # work (Spark + in-process DuckDB) and compare
+    floor_after = _control_floor()
+    floor = min(floor_before, floor_after)
+    floor_drift = (
+        max(floor_before, floor_after) / floor - 1.0 if floor > 0 else 0.0
+    )
+    noisy = floor_drift > 0.20
+
     ratios = sorted(ratio.values())
     median = ratios[len(ratios) // 2] if ratios else None
     # the same per-query ratios with the fixed scheduling floor removed
@@ -249,12 +262,23 @@ def main() -> None:
         # cost of the r4 twin-carrying reduction queries (what the
         # correctness gate pays; headline times the production operator)
         "reduction_query_sec": reduction_query,
+        # explicit twin-vs-production decomposition for the reduction-heavy
+        # headliners (r5 VERDICT #6): production_sec is the operator a real
+        # pipeline pays for; reduction_sec additionally recomputes the
+        # exact ground truth the oracle contract verifies against
+        "twin_decomposition": {
+            rname: {
+                "production_sec": timings[rname],
+                "reduction_sec": reduction_query[rname],
+            }
+            for rname in reduction_query
+        },
+        "control_floor_before_sec": round(floor_before, 3),
+        "control_floor_after_sec": round(floor_after, 3),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
 
     out = {
         "metric": "sec total over headline query set (noop-write materialization)",
@@ -271,15 +295,31 @@ def main() -> None:
         "duckdb_n_queries": len(duck),
         "ratio_median": median,
         "control_floor_sec": round(floor, 3),
+        "floor_drift_pct": round(floor_drift * 100, 1),
+        "noisy": noisy,
         "ratio_median_net_of_floor": net_median,
         "hll_merge_sketch_only_sec": round(hll_sketch_only, 3),
         "detail": "BENCH_DETAIL.json",
     }
+    # stay inside the driver's ~2000-char stdout tail: shrink the queries
+    # map iteratively (keeping the slowest) and finally drop it — the full
+    # map is always in BENCH_DETAIL.json
+    detail["queries_sec"] = timings
     line = json.dumps(out)
-    if len(line) > 1900:  # stay inside the driver's tail buffer
-        out["queries"] = {k: v for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:30]}
-        out["queries_truncated_to_slowest"] = 30
+    for keep in (30, 15, 8, 0):
+        if len(line) <= 1900:
+            break
+        if keep:
+            out["queries"] = dict(
+                sorted(timings.items(), key=lambda kv: -kv[1])[:keep]
+            )
+            out["queries_truncated_to_slowest"] = keep
+        else:
+            out.pop("queries", None)
+            out["queries_truncated_to_slowest"] = 0
         line = json.dumps(out)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(line)
 
 

@@ -180,14 +180,20 @@ def write_training_shards(
     for deterministic data-order resume without opening files.
 
     A ``_manifest`` parquet (per-shard row count + key range, computed
-    from the same assignment expression in the same job graph) is
-    written next to the shard dirs so a consumer schedules reads without
-    listing or opening shard files; read it back with
-    ``read_shard_manifest``."""
+    from the same materialized assignment) is written next to the shard
+    dirs so a consumer schedules reads without listing or opening shard
+    files; read it back with ``read_shard_manifest``.  The assignment is
+    localCheckpoint-ed (eager) before the two writes — they are separate
+    jobs, and without pinning, any nondeterminism upstream (sample/rand
+    rows) could make the manifest disagree with the shards actually
+    written (the streaming twin ``shard_stream_batch`` pins for the same
+    reason)."""
     from .corpus import N_SHARDS, shard_id_col
 
     n = n_shards or N_SHARDS
-    assigned = df.withColumn("shard_id", shard_id_col(F.col(key_col), n))
+    assigned = df.withColumn(
+        "shard_id", shard_id_col(F.col(key_col), n)
+    ).localCheckpoint(eager=True)
     (
         assigned.repartition(n, "shard_id")
         .sortWithinPartitions("shard_id", key_col)

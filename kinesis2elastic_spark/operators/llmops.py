@@ -1067,6 +1067,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
+# Registered-query defaults, shared by the Python functions AND the
+# f-string oracles below so the gate and the operator cannot drift
+# (r4 ADVICE: the oracle hard-coded vec_id < 8 / rank <= 10 while the
+# function exposed parameters).
+COSINE_TOPK_K = 10
+COSINE_TOPK_N_QUERIES = 5
+ANN_FILTERED_N_QUERIES = 8
+
+
 def _brute_cosine_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -1102,15 +1111,19 @@ def _brute_cosine_topk(
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.col("embedding").cast("array<double>")
     )
-    # bounded driver collect: n_queries rows, by definition a small set
-    qrows = sorted(
-        emb.filter(F.col("vec_id") < n_queries)
-        .select("vec_id", "vec", "label")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
+    # bounded driver collect: n_queries rows, by definition a small set.
+    # The filtered path needs each query's label; a NULL label has no
+    # defined candidate pool, so such query rows are dropped up front
+    # (and labels are only collected/converted at all when filtering —
+    # int64 conversion of a None would crash the unfiltered path too).
+    qdf = emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec", "label")
+    if label_filtered:
+        qdf = qdf.filter(F.col("label").isNotNull())
+    qrows = sorted(qdf.collect(), key=lambda r: r.vec_id)
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    qlabels = np.array([r.label for r in qrows], dtype=np.int64)
+    qlabels = (
+        np.array([r.label for r in qrows], dtype=np.int64) if label_filtered else None
+    )
     Q = np.array([r.vec for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
@@ -1158,14 +1171,22 @@ def _brute_cosine_topk(
     )
 
 
-def q_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5) -> DataFrame:
+def q_cosine_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = COSINE_TOPK_K,
+    n_queries: int = COSINE_TOPK_N_QUERIES,
+) -> DataFrame:
     """B34: brute-force cosine top-k, vectorized — see
     ``_brute_cosine_topk`` for the kernel and its exactness argument."""
     return _brute_cosine_topk(spark, sf_dir, k, n_queries, label_filtered=False)
 
 
 def q_ann_filtered(
-    spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = COSINE_TOPK_K,
+    n_queries: int = ANN_FILTERED_N_QUERIES,
 ) -> DataFrame:
     """B90: metadata-FILTERED vector search — top-k under a
     label-equality predicate (the "filtered ANN" problem every vector
@@ -2444,11 +2465,14 @@ ORACLE = {
                true AS loss_decreased_ok
         FROM s
     """,
-    "q_ann_filtered": """
+    # k / n_queries injected from the SAME module constants the Python
+    # functions default to — the oracle cannot drift from the operator
+    "q_ann_filtered": f"""
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
                      FROM embeddings),
         q AS (SELECT vec_id AS query_id, label AS qlabel, vec AS qvec
-              FROM emb WHERE vec_id < 8),
+              FROM emb WHERE vec_id < {ANN_FILTERED_N_QUERIES}
+                         AND label IS NOT NULL),
         scored AS (
           SELECT q.query_id, CAST(q.qlabel AS BIGINT) AS label,
                  c.vec_id AS neighbor_id,
@@ -2459,11 +2483,13 @@ ORACLE = {
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, neighbor_id) AS rank
           FROM scored)
-        SELECT query_id, label, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+        SELECT query_id, label, neighbor_id, sim, rank
+        FROM ranked WHERE rank <= {COSINE_TOPK_K}
     """,
-    "q_cosine_topk": """
+    "q_cosine_topk": f"""
         WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 5),
+        q AS (SELECT vec_id AS query_id, vec AS qvec
+              FROM emb WHERE vec_id < {COSINE_TOPK_N_QUERIES}),
         scored AS (
           SELECT q.query_id, c.vec_id AS neighbor_id,
                  floor(list_cosine_similarity(q.qvec, c.vec) * 1e4 + 0.5) / 1e4 AS sim
@@ -2473,7 +2499,8 @@ ORACLE = {
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY sim DESC, neighbor_id) AS rank
           FROM scored)
-        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 10
+        SELECT query_id, neighbor_id, sim, rank
+        FROM ranked WHERE rank <= {COSINE_TOPK_K}
     """,
     "q_token_count": """
         SELECT doc_id,
@@ -2568,9 +2595,10 @@ ROWS_ONLY: set[str] = set()
 # Shared CTE: exact brute-force top-k per query over the embedding table —
 # identical to the q_cosine_topk oracle; reused by the three ANN-leg
 # reductions for the per-query exact-envelope columns.
-_ANN_EXACT_TOPK_CTE = """
+_ANN_EXACT_TOPK_CTE = f"""
     WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-    q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb WHERE vec_id < 5),
+    q AS (SELECT vec_id AS query_id, vec AS qvec
+          FROM emb WHERE vec_id < {COSINE_TOPK_N_QUERIES}),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              floor(list_cosine_similarity(q.qvec, c.vec) * 1e4 + 0.5) / 1e4 AS sim
@@ -2584,12 +2612,12 @@ _ANN_EXACT_TOPK_CTE = """
 
 _ANN_LEG_ORACLE = (
     _ANN_EXACT_TOPK_CTE
-    + """
+    + f"""
     SELECT query_id, CAST(count(*) AS BIGINT) AS k_exact,
            max(sim) AS exact_best_sim, min(sim) AS exact_kth_sim,
            TRUE AS ann_sims_bounded_ok, TRUE AS returned_k_ok,
            TRUE AS recall_floor_ok
-    FROM ranked WHERE rank <= 10 GROUP BY query_id
+    FROM ranked WHERE rank <= {COSINE_TOPK_K} GROUP BY query_id
 """
 )
 

@@ -48,17 +48,22 @@ def shard_stream_batch(
     log its manifest partials."""
     from ..operators.corpus import N_SHARDS, shard_id_col
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     n = n_shards or N_SHARDS
     assigned = (
         batch_df.withColumn("shard_id", shard_id_col(F.col(key_col), n))
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
         .localCheckpoint(eager=True)  # one computation feeds both writes
     )
+    # partitionOverwriteMode is scoped to each write via the writer option
+    # (NOT a session conf set): a session-wide "dynamic" would silently
+    # change the overwrite semantics of every later partitioned write in
+    # the same session (e.g. layout.write_training_shards), leaving stale
+    # partitions behind on a smaller rerun.
     (
         assigned.repartition(n, "shard_id")
         .sortWithinPartitions("shard_id", key_col)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard_id", "batch_id")
         .parquet(dst)
     )
@@ -71,6 +76,7 @@ def shard_stream_batch(
         )
         .coalesce(1)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(os.path.join(dst, "_manifest_log"))
     )
