@@ -38,6 +38,7 @@ def _collect_modules():
         "skew",
         "graph",
         "multimodal",
+        "stream_equiv",
         "tpch",
     ):
         try:

@@ -60,7 +60,6 @@ def dedup_stream_batch(
     AS OF the previous batch (read BEFORE this batch's partitions are
     written), so a document never matches itself and replays see the
     identical index prefix."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     index_path = os.path.join(state_dir, "band_index")
     store_path = os.path.join(state_dir, "doc_store")
     pairs_path = os.path.join(state_dir, "pairs")
@@ -129,12 +128,25 @@ def dedup_stream_batch(
             )
             .localCheckpoint(eager=True)
         )
-        pairs.write.mode("overwrite").partitionBy("batch_id").parquet(pairs_path)
+        # dynamic overwrite scoped to each write (a session-wide conf set
+        # would silently change later partitioned overwrites' semantics)
+        (
+            pairs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_path)
+        )
 
-    bands_df.write.mode("overwrite").partitionBy("batch_id").parquet(index_path)
+    (
+        bands_df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(index_path)
+    )
     (
         b.withColumn("batch_id", F.lit(batch_id).cast("long"))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(store_path)
     )

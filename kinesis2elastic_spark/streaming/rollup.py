@@ -57,7 +57,6 @@ def _merge_touched_partitions(
     to recompute them from.  (Full multi-partition atomicity needs a
     transactional table format — Iceberg/Delta ``replaceWhere`` — in
     production.)"""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     touched = [r.bucket for r in batch_partials.select("bucket").distinct().collect()]
     if not touched:
         return
@@ -71,10 +70,12 @@ def _merge_touched_partitions(
     combined = combined_src.groupBy("bucket", "event_type").agg(*combine_exprs)
     combined = combined.localCheckpoint(eager=True)
     # one file per touched hour partition is plenty; dynamic overwrite
-    # replaces only partitions present in `combined`
+    # (scoped to this write, not the session conf) replaces only
+    # partitions present in `combined`
     (
         combined.repartition("bucket")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(state_path)
     )
