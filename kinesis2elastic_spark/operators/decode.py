@@ -29,6 +29,8 @@ identical logic; the full chain (gzip involved) is rows-only.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -318,6 +320,50 @@ def q_udf_gunzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPOOL_FIXTURE_DIR = os.path.normpath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "fixtures", "spool")
+)
+
+
+def q_spool_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B85 oracle-checked: the custom Python DataSource (A1's spool/backup
+    surface, ``sources/spool_source.py``; reference semantics
+    main.go:463-488) reads the COMMITTED fixture spool
+    (``fixtures/spool/*.jsonl``, regenerate with
+    ``tools/gen_spool_fixture.py``) via ``format("firehose_spool")`` and
+    flattens each envelope to its delivery accounting: record count and
+    total decoded payload bytes.  The oracle reads the SAME committed
+    files with DuckDB ``read_json`` — connector partition planning,
+    schema binding, and per-record base64 all under the hash gate
+    (pytest keeps covering the malformed-line and incremental-stream
+    legs, which typed read_json cannot express).
+
+    The fixture is input-complete (sf-independent): the query exercises
+    the connector, not the tables."""
+    from ..sources.spool_source import FirehoseSpoolDataSource
+
+    try:
+        spark.dataSource.register(FirehoseSpoolDataSource)
+    except Exception:
+        pass  # already registered in this session
+    env = (
+        spark.read.format("firehose_spool")
+        .option("path", _SPOOL_FIXTURE_DIR)
+        .load()
+    )
+    decoded_bytes = F.aggregate(
+        "records",
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + F.octet_length(F.unbase64(r["data"])),
+    )
+    return env.select(
+        "requestId",
+        F.timestamp_millis(F.col("timestamp")).alias("ts_utc"),
+        F.coalesce(F.size("records"), F.lit(0)).cast("long").alias("n_records"),
+        F.coalesce(decoded_bytes, F.lit(0).cast("long")).alias("decoded_bytes"),
+    )
+
+
 QUERIES = {
     "q_base64": q_base64,
     "q_json_parse": q_json_parse,
@@ -327,6 +373,7 @@ QUERIES = {
     "q_restructure": q_restructure,
     "q_firehose_flatten": q_firehose_flatten,
     "q_udf_gunzip": q_udf_gunzip,
+    "q_spool_flatten": q_spool_flatten,
 }
 
 ORACLE = {
@@ -398,5 +445,21 @@ ORACLE = {
         FROM documents
     """,
 }
+
+# Same committed fixture bytes the Spark DataSource reads — typed
+# newline-delimited read_json, per-record base64 decoded with list_transform
+ORACLE["q_spool_flatten"] = f"""
+    SELECT requestId,
+           make_timestamp("timestamp" * 1000) AS ts_utc,
+           CAST(coalesce(len(records), 0) AS BIGINT) AS n_records,
+           CAST(coalesce(list_sum(list_transform(
+                   records, r -> octet_length(from_base64(r.data)))), 0) AS BIGINT)
+             AS decoded_bytes
+    FROM read_json('{_SPOOL_FIXTURE_DIR}/*.jsonl',
+                   format='newline_delimited',
+                   columns={{'requestId': 'VARCHAR',
+                             'timestamp': 'BIGINT',
+                             'records': 'STRUCT(data VARCHAR)[]'}})
+"""
 
 ROWS_ONLY: set[str] = set()
