@@ -275,7 +275,7 @@ def minhash_near_dup_detail(
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        paired.withColumn("jaccard", F.round(jac, 4))
+        paired.withColumn("jaccard", stable_round(jac, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -423,7 +423,7 @@ def minhash_incremental_detail(
         paired.withColumn("_jac_raw", jac)
         .filter(F.col("_jac_raw") >= jaccard_threshold)
         .select(
-            "doc_new", "doc_old", F.round(F.col("_jac_raw"), 4).alias("jaccard")
+            "doc_new", "doc_old", stable_round(F.col("_jac_raw"), 4).alias("jaccard")
         )
     )
 
@@ -1286,7 +1286,7 @@ def ann_lsh_detail(
         .select("query_id", "qvec", "vec_id", "vec")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = candidates.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 4))
+    scored = candidates.withColumn("sim", stable_round(cosine(F.col("qvec"), F.col("vec")), 4))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1372,7 +1372,7 @@ def ann_ivf_detail(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qvec", "vec_id", "vec")
     )
-    scored = candidates.withColumn("sim", F.round(cosine(F.col("qvec"), F.col("vec")), 4))
+    scored = candidates.withColumn("sim", stable_round(cosine(F.col("qvec"), F.col("vec")), 4))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1537,7 +1537,7 @@ def diversity_sample_detail(
             "cluster",
             "n_in_cluster",
             "n_kept",
-            F.round(F.col("n_kept") / F.col("n_in_cluster"), 4).alias("keep_rate"),
+            stable_round(F.col("n_kept") / F.col("n_in_cluster"), 4).alias("keep_rate"),
         )
     )
 
@@ -1656,8 +1656,8 @@ def random_projection_detail(spark: SparkSession, sf_dir: str, r_dim: int = JL_T
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         stable_round(dist(F.col("a.orig"), F.col("b.orig")), 4).alias("d_orig"),
-        F.round(dist(F.col("a.proj"), F.col("b.proj")), 4).alias("d_proj"),
-        F.round(
+        stable_round(dist(F.col("a.proj"), F.col("b.proj")), 4).alias("d_proj"),
+        stable_round(
             dist(F.col("a.proj"), F.col("b.proj"))
             / F.nullif(dist(F.col("a.orig"), F.col("b.orig")), F.lit(0.0)),
             4,
@@ -1794,7 +1794,7 @@ def semantic_dedup_detail(
             F.col("a.cluster").cast("long").alias("cluster"),
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(F.col("_sim_raw"), 4).alias("sim"),
+            stable_round(F.col("_sim_raw"), 4).alias("sim"),
         )
     )
 
@@ -1884,7 +1884,7 @@ def kmeans_profile(spark: SparkSession, sf_dir: str, k: int = 8, n_iter: int = 3
         assigned.groupBy(F.col("cluster").cast("long").alias("cluster"))
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("sqdist"), 4).alias("avg_sqdist"),
+            stable_round(F.avg("sqdist"), 4).alias("avg_sqdist"),
         )
     )
 
@@ -2205,8 +2205,8 @@ def ann_recall_detail(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: 
             per_q.agg(
                 F.lit(method).alias("method"),
                 F.count("*").cast("long").alias("n_queries"),
-                F.round(F.avg("recall"), 3).alias("mean_recall"),
-                F.round(F.min("recall"), 3).alias("min_recall"),
+                stable_round(F.avg("recall"), 3).alias("mean_recall"),
+                stable_round(F.min("recall"), 3).alias("min_recall"),
                 (F.avg("recall") >= floor).alias("recall_ok"),
             )
         )

@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import stable_round
 from ..operators.llmops import _shingles, minhash_band_rows
 
 PAIRS_SCHEMA = "doc_new bigint, doc_old bigint, jaccard double, batch_id bigint"
@@ -123,7 +124,9 @@ def dedup_stream_batch(
             .select(
                 "doc_new",
                 "doc_old",
-                F.round(F.col("_jac_raw"), 4).alias("jaccard"),
+                # stable_round, in lockstep with minhash_incremental_detail:
+                # q_stream_dedup_equiv compares the two pair sets row-exact
+                stable_round(F.col("_jac_raw"), 4).alias("jaccard"),
                 F.lit(batch_id).cast("long").alias("batch_id"),
             )
             .localCheckpoint(eager=True)
