@@ -233,7 +233,10 @@ def main() -> None:
     floor_drift = (
         max(floor_before, floor_after) / floor - 1.0 if floor > 0 else 0.0
     )
-    noisy = floor_drift > 0.20
+    # noisy needs BOTH relative and absolute drift: on a quiet machine the
+    # floor is ~30 ms, where 10 ms of scheduler jitter is already 33% —
+    # only a drift that could visibly move a query timing (>50 ms) counts
+    noisy = floor_drift > 0.20 and (max(floor_before, floor_after) - floor) > 0.05
 
     ratios = sorted(ratio.values())
     median = ratios[len(ratios) // 2] if ratios else None
