@@ -484,6 +484,52 @@ def q_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 sliding-window leg, oracle-backed: ``windows.sliding_counts``
+    (10-minute windows sliding every 5 — each event lands in exactly two
+    windows) drained over two time-ordered micro-batches, complete-mode
+    foreachBatch overwrite, must equal the identical expression in batch
+    mode.  The oracle expands each event to its two covering window
+    starts (floor-to-5-min and that minus 5) and re-aggregates — the
+    overlap factor is under the hash, not just the counts."""
+    from ..streaming.windows import sliding_counts
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_stream_sliding_")
+    try:
+        src = os.path.join(work, "src")
+        _b1, b2, _tmid = _time_split_batches(ev, "ts", src)
+        out_dir = os.path.join(work, "out")
+
+        def start():
+            return (
+                sliding_counts(_events_stream(spark, src))
+                .writeStream.foreachBatch(_overwrite_sink(out_dir))
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _drain(start())
+        b2.coalesce(1).write.parquet(src + "/b2")
+        _drain(start())
+        stream_out = _read_or_empty(
+            spark, out_dir, "window_start timestamp, user_id bigint, n bigint"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    batch_twin = sliding_counts(ev)
+    sym = stream_out.exceptAll(batch_twin).unionAll(batch_twin.exceptAll(stream_out))
+    eq = sym.agg((F.count("*") == 0).alias("stream_equals_batch_ok"))
+    return stream_out.crossJoin(F.broadcast(eq)).select(
+        "window_start", "user_id", "n", "stream_equals_batch_ok"
+    )
+
+
 def q_stream_dedup_w_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B30 oracle-backed: ``dropDuplicatesWithinWatermark`` over a stream
     whose second micro-batch REPLAYS the 200 newest events (the
@@ -599,6 +645,7 @@ QUERIES = {
     "q_stream_rollup_equiv": q_stream_rollup_equiv,
     "q_stream_tumble_equiv": q_stream_tumble_equiv,
     "q_stream_session_equiv": q_stream_session_equiv,
+    "q_stream_sliding_equiv": q_stream_sliding_equiv,
     "q_stream_dedup_w_equiv": q_stream_dedup_w_equiv,
     "q_stream_stateful_equiv": q_stream_stateful_equiv,
 }
@@ -679,6 +726,21 @@ ORACLE = {
                round(sum(value), 2) AS session_value,
                TRUE AS stream_equals_batch_ok
         FROM sess GROUP BY user_id, sid
+    """,
+    # each event covers exactly two 10-min/5-min-slide windows: its
+    # floor-to-5-minutes start and that minus 5 minutes
+    "q_stream_sliding_equiv": """
+        WITH exp AS (
+          SELECT user_id,
+                 make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS w0
+          FROM events),
+        wins AS (
+          SELECT user_id, w0 AS window_start FROM exp
+          UNION ALL
+          SELECT user_id, w0 - INTERVAL 5 MINUTE AS window_start FROM exp)
+        SELECT window_start, user_id, count(*) AS n,
+               TRUE AS stream_equals_batch_ok
+        FROM wins GROUP BY window_start, user_id
     """,
     "q_stream_dedup_w_equiv": """
         SELECT event_id, event_type, TRUE AS each_event_exactly_once_ok
