@@ -99,9 +99,10 @@ def _ordered_names(mods) -> list[tuple]:
     green, checked = _driver_history()
     # Round-new queries yield to queries that have waited longer (a capped
     # driver run should clear the oldest evidence debt first).  EMPTY in
-    # round 4 on the judge's instruction: the r3 set deferred the last 12
-    # never-checked queries; with no new registrations pending, every
-    # remaining unchecked query leads the ordering this round.
+    # round 5: the only red row (q_time_weighted_avg) sits alone in tier 0
+    # and leads; the 11 r5 registrations (twa diagnostics, spool fixture,
+    # 8 streaming equivalences) are the only never-checked queries, so
+    # they follow immediately — well inside a 50-slot run.
     newest: set = set()
     tier0_by_mod: list[list[tuple]] = []
     tiers: list[list[tuple]] = [[], [], []]
