@@ -61,6 +61,18 @@ def _write_second_batch(df: DataFrame, split_col: str, src: str) -> None:
     df.filter((F.col(split_col) % 2) == 1).coalesce(1).write.parquet(src + "/b2")
 
 
+
+def frames_equal_flag(a: DataFrame, b: DataFrame, flag: str) -> DataFrame:
+    """One-row DataFrame with boolean ``flag``: True iff ``a`` and ``b``
+    hold exactly the same multiset of rows (exceptAll both ways — row
+    values, duplicates, and nothing else).  Shared by every equivalence
+    reduction so the flag semantics are tested ONCE (test_stream_equiv
+    proves it actually goes False on a divergence — a vacuously-true
+    flag would rot silently)."""
+    sym = a.exceptAll(b).unionAll(b.exceptAll(a))
+    return sym.agg((F.count("*") == 0).alias(flag))
+
+
 def q_stream_shard_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B91 streaming form, oracle-backed: documents arrive in two
     micro-batches through ``incremental_shard_stream`` (foreachBatch,
@@ -113,8 +125,7 @@ def q_stream_shard_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("doc_id").alias("max_doc_id"),
             )
         )
-        sym_diff = stream_m.exceptAll(batch_m).unionAll(batch_m.exceptAll(stream_m))
-        equiv = sym_diff.agg((F.count("*") == 0).alias("ok"))
+        equiv = frames_equal_flag(stream_m, batch_m, "ok")
         out = (
             stream_m.crossJoin(F.broadcast(equiv))
             .select(
@@ -190,10 +201,7 @@ def q_stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_pairs = minhash_incremental_detail(spark, sf_dir).localCheckpoint(
         eager=True
     )
-    sym_diff = stream_pairs.exceptAll(batch_pairs).unionAll(
-        batch_pairs.exceptAll(stream_pairs)
-    )
-    equiv = sym_diff.agg((F.count("*") == 0).alias("stream_equals_batch_ok"))
+    equiv = frames_equal_flag(stream_pairs, batch_pairs, "stream_equals_batch_ok")
 
     d = _docs_parallel(spark, sf_dir)
     sets = d.select("doc_id", _shingles(F.col("text")).alias("words"))
@@ -402,8 +410,7 @@ def q_stream_tumble_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
     batch_twin = tumbling_counts(ev)  # same code path, batch evaluation
-    sym = stream_out.exceptAll(batch_twin).unionAll(batch_twin.exceptAll(stream_out))
-    eq = sym.agg((F.count("*") == 0).alias("stream_equals_batch_ok"))
+    eq = frames_equal_flag(stream_out, batch_twin, "stream_equals_batch_ok")
     # closed-window subset: append emitted > 0 windows, every one of them
     # exactly a batch-twin row (late replay neither altered nor re-emitted)
     late = append_out.exceptAll(batch_twin).agg(
@@ -472,8 +479,7 @@ def q_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
     batch_twin = session_counts(ev)
-    sym = stream_out.exceptAll(batch_twin).unionAll(batch_twin.exceptAll(stream_out))
-    eq = sym.agg((F.count("*") == 0).alias("stream_equals_batch_ok"))
+    eq = frames_equal_flag(stream_out, batch_twin, "stream_equals_batch_ok")
     return stream_out.crossJoin(F.broadcast(eq)).select(
         "session_start",
         "session_end",
@@ -523,8 +529,7 @@ def q_stream_sliding_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
     batch_twin = sliding_counts(ev)
-    sym = stream_out.exceptAll(batch_twin).unionAll(batch_twin.exceptAll(stream_out))
-    eq = sym.agg((F.count("*") == 0).alias("stream_equals_batch_ok"))
+    eq = frames_equal_flag(stream_out, batch_twin, "stream_equals_batch_ok")
     return stream_out.crossJoin(F.broadcast(eq)).select(
         "window_start", "user_id", "n", "stream_equals_batch_ok"
     )
@@ -580,8 +585,7 @@ def q_stream_dedup_w_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
     once = ev.select("event_id", "event_type")
-    sym = stream_out.exceptAll(once).unionAll(once.exceptAll(stream_out))
-    eq = sym.agg((F.count("*") == 0).alias("each_event_exactly_once_ok"))
+    eq = frames_equal_flag(stream_out, once, "each_event_exactly_once_ok")
     return stream_out.crossJoin(F.broadcast(eq)).select(
         "event_id", "event_type", "each_event_exactly_once_ok"
     )

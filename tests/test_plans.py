@@ -337,3 +337,18 @@ def test_shard_manifest_partial_agg_only(spark, sf_dir):
     assert len(exchanges) == 1, plan
     assert "Join" not in plan and "Window" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_time_weighted_avg_single_exchange_pruned_scan(spark, sf_dir):
+    """The r5 integer-space rebuild must keep the r4 plan shape: one
+    hashpartitioning(user_id) Exchange feeds BOTH the lead() window and
+    the final aggregate (partial+final HashAggregate, no second shuffle),
+    and the scan reads only the 4 needed columns of events."""
+    from kinesis2elastic_spark.operators.temporal import q_time_weighted_avg
+
+    df = q_time_weighted_avg(spark, sf_dir)
+    plan = formatted_plan(df)
+    n_exchanges = plan.count(") Exchange")
+    assert n_exchanges == 1, f"expected exactly 1 Exchange, got {n_exchanges}:\n{plan[:4000]}"
+    rs = read_schema(df)
+    assert rs and "value" in rs[0] and "props" not in rs[0]

@@ -1,0 +1,63 @@
+"""The stream-equivalence reductions' shared machinery.
+
+The q_stream_*_equiv queries themselves run under the oracle harness
+(tools/check_oracle.py / the driver); these tests pin the two pieces a
+hash row can't see failing:
+
+- ``frames_equal_flag`` must actually go False on a divergence (extra
+  row, missing row, changed value, duplicate-multiplicity change) — if
+  the flag were vacuously true, every equivalence query would silently
+  stop testing anything;
+- ``_time_split_batches`` must partition without loss or overlap, in
+  time order (the property the windowed/stateful drains rely on to not
+  manufacture late data).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kinesis2elastic_spark.operators.stream_equiv import (
+    _time_split_batches,
+    frames_equal_flag,
+)
+
+
+def _flag(df):
+    return df.first()[0]
+
+
+def test_frames_equal_flag_true_on_identical(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y")], "k int, v string")
+    b = spark.createDataFrame([(2, "y"), (1, "x"), (2, "y")], "k int, v string")
+    assert _flag(frames_equal_flag(a, b, "ok")) is True
+
+
+def test_frames_equal_flag_false_on_divergence(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    for rows in (
+        [(1, "x")],                      # missing row
+        [(1, "x"), (2, "y"), (3, "z")],  # extra row
+        [(1, "x"), (2, "Y")],            # changed value
+        [(1, "x"), (2, "y"), (2, "y")],  # duplicate-multiplicity change
+    ):
+        b = spark.createDataFrame(rows, "k int, v string")
+        assert _flag(frames_equal_flag(a, b, "ok")) is False, rows
+
+
+def test_time_split_batches_partitions_in_time_order(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 28:02d} 12:00:00") for i in range(40)],
+        "id int, ts_s string",
+    ).select("id", F.col("ts_s").cast("timestamp").alias("ts"))
+    src = str(tmp_path / "src")
+    b1, b2, t_mid = _time_split_batches(df, "ts", src)
+    n1, n2 = b1.count(), b2.count()
+    assert n1 + n2 == 40 and n1 > 0 and n2 > 0
+    assert b1.agg(F.max("ts")).first()[0] < t_mid
+    assert b2.agg(F.min("ts")).first()[0] >= t_mid
+    # b1 is already on disk for the first drain; b2 is the caller's to write
+    assert os.path.isdir(src + "/b1") and not os.path.isdir(src + "/b2")
+    assert spark.read.parquet(src + "/b1").count() == n1
