@@ -364,6 +364,53 @@ def q_spool_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CSV_FIXTURE = os.path.normpath(
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "fixtures",
+        "csv",
+        "orders_extract.csv",
+    )
+)
+
+
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B95: CSV source surface, oracle-checked on a COMMITTED fixture
+    (``fixtures/csv/orders_extract.csv``, regenerate with
+    ``tools/gen_csv_fixture.py``) that concentrates the RFC-4180 edge
+    cases where parsers disagree: quoted delimiters, ``""`` escapes,
+    embedded newlines (→ ``multiLine``), empty fields, negative and
+    empty numerics.  Spark's default escape is backslash, so RFC-4180
+    requires ``escape='"'`` explicitly — exactly the kind of silent
+    misparse the hash gate exists to catch.  Empty-string-vs-NULL is the
+    one genuinely engine-ambiguous cell, so both sides normalize through
+    ``nullif(x, '')``.
+
+    Scale note: the CSV reader is a splittable file scan like parquet
+    minus pushdown/pruning (multiLine forces one-file-per-task); the
+    production posture is CSV at the EDGE, converted once to parquet
+    (``layout.write_partitioned_sorted``) before heavy queries.
+    Malformed-row tolerance (PERMISSIVE + ``_corrupt_record``) is
+    pytest-only — typed ``read_csv`` has no corrupt-record equivalent."""
+    df = (
+        spark.read.schema(
+            "id bigint, customer string, note string, qty bigint, price double"
+        )
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(_CSV_FIXTURE)
+    )
+    return df.select(
+        "id",
+        F.nullif(F.col("customer"), F.lit("")).alias("customer"),
+        F.nullif(F.col("note"), F.lit("")).alias("note"),
+        "qty",
+        "price",
+    )
+
+
 QUERIES = {
     "q_base64": q_base64,
     "q_json_parse": q_json_parse,
@@ -374,6 +421,7 @@ QUERIES = {
     "q_firehose_flatten": q_firehose_flatten,
     "q_udf_gunzip": q_udf_gunzip,
     "q_spool_flatten": q_spool_flatten,
+    "q_csv_source": q_csv_source,
 }
 
 ORACLE = {
@@ -460,6 +508,15 @@ ORACLE["q_spool_flatten"] = f"""
                    columns={{'requestId': 'VARCHAR',
                              'timestamp': 'BIGINT',
                              'records': 'STRUCT(data VARCHAR)[]'}})
+"""
+
+ORACLE["q_csv_source"] = f"""
+    SELECT id, nullif(customer, '') AS customer, nullif(note, '') AS note,
+           qty, price
+    FROM read_csv('{_CSV_FIXTURE}', header=true,
+                  columns={{'id': 'BIGINT', 'customer': 'VARCHAR',
+                            'note': 'VARCHAR', 'qty': 'BIGINT',
+                            'price': 'DOUBLE'}})
 """
 
 ROWS_ONLY: set[str] = set()
