@@ -136,7 +136,27 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
+    def _control_floor_shuffle(n_runs: int = 3) -> float:
+        """Two-stage control: the same 5-row scan through ONE shuffle
+        (groupBy) — isolates the per-shuffle-stage scheduling constant
+        that multi-stage queries pay once per Exchange.  Headline queries
+        at this SF run 2-5 stages, so their absolute seconds should be
+        read against k×(this floor), not the 1-stage floor."""
+        ctl = (
+            spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+            .groupBy("r_regionkey")
+            .count()
+        )
+        ctl.write.mode("overwrite").format("noop").save()  # warm
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            ctl.write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        return best
+
     floor_before = _control_floor()
+    floor_shuffle = _control_floor_shuffle()
 
     # min of two timed runs: single-shot timings at this scale are
     # dominated by one-off effects (page-cache first touch, GC timing,
@@ -298,6 +318,7 @@ def main() -> None:
         "duckdb_n_queries": len(duck),
         "ratio_median": median,
         "control_floor_sec": round(floor, 3),
+        "control_floor_shuffle_sec": round(floor_shuffle, 3),
         "floor_drift_pct": round(floor_drift * 100, 1),
         "noisy": noisy,
         "ratio_median_net_of_floor": net_median,
