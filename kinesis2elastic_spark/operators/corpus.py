@@ -1257,12 +1257,58 @@ def _bpe_encode_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
     )
 
 
+MIXTURE_ALPHA = 0.7  # temperature exponent for source reweighting
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B97: temperature-based source-mixture reweighting — the sampling-
+    weight computation behind multi-source training mixes (temperature
+    sampling in multilingual/multi-domain LMs; the fixed-alpha core of
+    DoReMi-style reweighting): per source, natural token share
+    ``p_s = tokens_s / N`` is flattened to ``w_s ∝ p_s^α`` (α=0.7), so
+    small sources are upsampled and head sources damped; ``upsample``
+    (= w/p) is the factor a sampler applies to each source's natural
+    rate.  Consumed together with q_corpus_mix (which executes a given
+    mix) and q_source_drift (which monitors the result).
+
+    Scale shape: one corpus scan → partial agg on the tiny source key;
+    the α-flatten and normalization run on |sources| rows.  Exact BIGINT
+    token/doc counts are hashed; the transcendental weight columns snap
+    through stable_round (pow/sum last-ulp engine diffs sit ~1e-16 from
+    any 1e-6 grid boundary)."""
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = src.agg(F.sum("n_tokens").cast("double").alias("n_total"))
+    s = src.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_tokens") / F.col("n_total")
+    )
+    s = s.withColumn("pa", F.pow(F.col("p"), F.lit(MIXTURE_ALPHA)))
+    z = s.agg(F.sum("pa").alias("z"))
+    return (
+        s.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            stable_round(F.col("p"), 6).alias("share"),
+            stable_round(F.col("pa") / F.col("z"), 6).alias("weight"),
+            stable_round((F.col("pa") / F.col("z")) / F.col("p"), 4).alias(
+                "upsample"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q_bpe_train": q_bpe_train,
     "q_bpe_encode": q_bpe_encode,
     "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_shard_manifest": q_shard_manifest,
     "q_source_drift": q_source_drift,
+    "q_mixture_weights": q_mixture_weights,
     "q_cms_check": q_cms_check,
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
@@ -1624,6 +1670,24 @@ ORACLE["q_source_drift"] = f"""
     SELECT source, n_s, CAST(rk AS BIGINT) AS rk, token,
            CAST(c_st AS BIGINT) AS c_st, CAST(c_t AS BIGINT) AS c_t, lift
     FROM ranked WHERE rk <= {DRIFT_TOP_K}
+"""
+
+ORACLE["q_mixture_weights"] = f"""
+    WITH t AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n_total FROM t),
+    s AS (SELECT source, n_docs, n_tokens,
+                 n_tokens / n_total AS p,
+                 pow(n_tokens / n_total, {MIXTURE_ALPHA}) AS pa
+          FROM t CROSS JOIN tot),
+    z AS (SELECT sum(pa) AS z FROM s)
+    SELECT source, n_docs, n_tokens,
+           floor(p * 1e6 + 0.5) / 1e6 AS share,
+           floor((pa / z) * 1e6 + 0.5) / 1e6 AS weight,
+           floor(((pa / z) / p) * 1e4 + 0.5) / 1e4 AS upsample
+    FROM s CROSS JOIN z
 """
 
 ORACLE["q_shard_manifest"] = f"""

@@ -1210,6 +1210,67 @@ def q_ann_filtered(
     )
 
 
+SEMDECONTAM_BENCH_MOD = 37  # vec_id % 37 == 0 -> the "benchmark" vectors
+SEMDECONTAM_TAU = 0.8  # flag threshold on max benchmark cosine
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B96: SEMANTIC benchmark decontamination — the embedding-space
+    complement of the shingle/Bloom decontam (B44/B69): a training
+    document is contaminated if its embedding is too close to ANY
+    benchmark embedding, catching paraphrased/reformatted benchmark
+    leakage that n-gram overlap misses (the modern eval-hygiene
+    standard, e.g. phi/Llama data reports).
+
+    Spark-first shape: the benchmark set is SMALL by definition, so its
+    normalized matrix rides into a ``mapInPandas`` closure (broadcast by
+    serialization) and every corpus partition computes one numpy matmul
+    — ONE scan of the corpus, zero shuffle, no join.  At 100 TB this is
+    the same plan with the matrix in an explicit broadcast variable.
+
+    Exactness: per-vector max benchmark cosine is order-independent
+    (max of the same float64 set on both engines), snapped through
+    ``stable_round`` — the q_cosine_topk discipline; the oracle
+    recomputes the full quadratic corpus×bench cosine in DuckDB (fine at
+    oracle scale; the POINT of the operator is that production never
+    materializes that product)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    bench_rows = sorted(
+        emb.filter((F.col("vec_id") % SEMDECONTAM_BENCH_MOD) == 0)
+        .select("vec_id", "vec")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    B = np.array([r.vec for r in bench_rows], dtype=np.float64)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": ids, "max_sim_raw": (Mn @ Bn.T).max(axis=1)}
+            )
+
+    corpus = emb.filter((F.col("vec_id") % SEMDECONTAM_BENCH_MOD) != 0)
+    scored = corpus.select("vec_id", "vec").mapInPandas(
+        score, "vec_id long, max_sim_raw double"
+    )
+    # the flag thresholds the ROUNDED value: both engines hash-agree on
+    # max_bench_sim, so the flag can never diverge on a last-ulp raw diff
+    return scored.select(
+        "vec_id",
+        stable_round(F.col("max_sim_raw"), 4).alias("max_bench_sim"),
+    ).withColumn("contaminated", F.col("max_bench_sim") >= SEMDECONTAM_TAU)
+
+
 def ann_lsh_detail(
     spark: SparkSession,
     sf_dir: str,
@@ -2362,6 +2423,7 @@ QUERIES = {
     "q_ann_recall": q_ann_recall,
     "q_kmeans": q_kmeans,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_semantic_decontam": q_semantic_decontam,
     "q_random_projection": q_random_projection,
     "q_diversity_sample": q_diversity_sample,
     "q_token_count": q_token_count,
@@ -2714,6 +2776,21 @@ ORACLE["q_dedup_clusters"] = """
            TRUE AS exact_groups_cohesive_ok,
            TRUE AS hi_pairs_coclustered_ok,
            TRUE AS partition_ok
+"""
+
+ORACLE["q_semantic_decontam"] = f"""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    bench AS (SELECT vec FROM emb WHERE vec_id % {SEMDECONTAM_BENCH_MOD} = 0),
+    corpus AS (SELECT vec_id, vec FROM emb
+               WHERE vec_id % {SEMDECONTAM_BENCH_MOD} <> 0),
+    scored AS (
+      SELECT c.vec_id,
+             floor(max(list_cosine_similarity(c.vec, b.vec)) * 1e4 + 0.5) / 1e4
+               AS max_bench_sim
+      FROM corpus c CROSS JOIN bench b GROUP BY c.vec_id)
+    SELECT vec_id, max_bench_sim,
+           max_bench_sim >= {SEMDECONTAM_TAU} AS contaminated
+    FROM scored
 """
 
 ORACLE["q_semantic_dedup"] = """
