@@ -157,6 +157,28 @@ def test_micro_unit_snap_spark_vs_duckdb_vs_python(spark):
         assert got_spark[i] == got_duck[i] == expect, (v, got_spark[i], got_duck[i])
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    st.one_of(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+        st.tuples(
+            st.integers(min_value=-10**9, max_value=10**9),
+            st.integers(min_value=1, max_value=10**6),
+        ).map(lambda t: t[0] / t[1]),
+    )
+)
+def test_micro_unit_snap_duckdb_matches_python(x):
+    """Hypothesis sweep of the integer micro-unit snap: DuckDB's
+    evaluation of floor(x*1e6+0.5)::BIGINT equals the identical IEEE
+    chain in Python for arbitrary doubles and int/int quotients — the
+    version-proof replacement for the double→DECIMAL cast."""
+    con = duckdb.connect()
+    (got,) = con.execute(
+        "SELECT CAST(floor(?::DOUBLE * 1000000 + 0.5) AS BIGINT)", [x]
+    ).fetchone()
+    assert got == int(math.floor(x * 1000000.0 + 0.5))
+
+
 def test_stable_round_null_passthrough(spark):
     from pyspark.sql import functions as F
 
