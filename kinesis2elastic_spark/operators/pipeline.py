@@ -26,12 +26,12 @@ the *same compiled grok regex* (grok.py emits RE2-safe patterns).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..sources.geoip import SQL_VALUES as GEOIP_SQL_VALUES
-from ..sources.geoip import geoip_enrich, ip_to_int, synthetic_geoip_dim
+from ..sources.geoip import geoip_enrich, synthetic_geoip_dim
 from .grok import (
     AXWAY_ACCESS_TEMPLATE,
     IP_OR_HOSTNAME_TEMPLATE,

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import dim, load
-from ..functions.numerics import sql_stable_round, stable_round
+from ..functions.numerics import stable_round
 
 
 # --------------------------------------------------------------------------
