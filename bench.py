@@ -82,6 +82,10 @@ HEADLINE = [
     "q_bpe_encode",
     "q_ann_filtered",
     "q_shard_manifest",
+    # r5: embedding-space benchmark decontamination (one mapInPandas
+    # matmul, zero shuffle) and temperature mixture reweighting
+    "q_semantic_decontam",
+    "q_mixture_weights",
 ]
 
 
