@@ -2155,6 +2155,45 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_N_BUCKETS = 10
+
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B98: quality-decile assignment (curriculum / data-tier bucketing):
+    every document lands in one of ``QUALITY_N_BUCKETS`` equal-population
+    tiers of the blended quality score — the assignment step behind
+    quality-ordered curricula and tier-weighted sampling (consume with
+    q_mixture_weights for per-tier budgets).
+
+    Determinism: the score is pure per-row IEEE arithmetic (int/int
+    quotients — identical doubles on any engine), so ``ntile`` ordered by
+    (raw score, doc_id) is cross-engine stable without rounding the sort
+    key; the emitted score column rounds through stable_round as usual.
+    One window shuffle over the (tiny) global ordering at this
+    cardinality; at 100 TB the same assignment is computed from the
+    approx-quantile cut points instead of a global ntile sort."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    mean_wlen = (F.length(F.col("text")) - (n_words - 1)) / n_words
+    stop = F.size(
+        F.filter(words, lambda w: (w == "the") | (w == "a") | (w == "of"))
+    ).cast("long")
+    score = F.least(
+        F.lit(100.0), n_words / 2 + mean_wlen * 5 + (stop / n_words) * 20
+    )
+    w = W.orderBy(F.col("_score_raw"), F.col("doc_id"))
+    return (
+        d.select("doc_id", score.alias("_score_raw"))
+        .withColumn("decile", F.ntile(QUALITY_N_BUCKETS).over(w).cast("long"))
+        .select(
+            "doc_id",
+            stable_round(F.col("_score_raw"), 4).alias("quality_score"),
+            "decile",
+        )
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35: corpus statistics per (lang, source)."""
     d = load(spark, sf_dir, "documents")
@@ -2424,6 +2463,7 @@ QUERIES = {
     "q_kmeans": q_kmeans,
     "q_semantic_dedup": q_semantic_dedup,
     "q_semantic_decontam": q_semantic_decontam,
+    "q_quality_buckets": q_quality_buckets,
     "q_random_projection": q_random_projection,
     "q_diversity_sample": q_diversity_sample,
     "q_token_count": q_token_count,
@@ -2776,6 +2816,24 @@ ORACLE["q_dedup_clusters"] = """
            TRUE AS exact_groups_cohesive_ok,
            TRUE AS hi_pairs_coclustered_ok,
            TRUE AS partition_ok
+"""
+
+ORACLE["q_quality_buckets"] = f"""
+    WITH s AS (
+      SELECT doc_id,
+             least(100.0,
+                   len(string_split(text, ' ')) / 2
+                 + (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                    / len(string_split(text, ' '))) * 5
+                 + (CAST(len(list_filter(string_split(text, ' '),
+                                         w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE)
+                    / len(string_split(text, ' '))) * 20) AS score_raw
+      FROM documents)
+    SELECT doc_id,
+           floor(score_raw * 1e4 + 0.5) / 1e4 AS quality_score,
+           CAST(ntile({QUALITY_N_BUCKETS}) OVER (ORDER BY score_raw, doc_id) AS BIGINT)
+             AS decile
+    FROM s
 """
 
 ORACLE["q_semantic_decontam"] = f"""
