@@ -1257,6 +1257,56 @@ def _bpe_encode_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B99: train/val split-leakage detection — a duplicate group whose
+    members land on BOTH sides of the deterministic split
+    (``q_hash_sample``'s md5-keyspace rule over the FULL corpus) leaks
+    evaluation text into training, the classic way a val loss lies.  This
+    audits the split BEFORE training: per-corpus counts of multi-member
+    duplicate groups, the groups that straddle the boundary, and the
+    total documents involved in a straddle.
+
+    The duplicate key is the canonical bag-of-words FINGERPRINT
+    (md5 of the sorted token list — ``q_doc_fingerprint``'s definition),
+    not the raw bytes: this corpus's duplicates are word permutations,
+    and a byte-exact key would make the audit vacuously clean (verified:
+    zero byte-identical pairs at sf0.01).
+
+    Scale shape: one digest groupBy (16-byte md5 keys, never documents)
+    with a conditional count per side — the q_dedup_exact shuffle plus
+    two sums; near-dup leakage is the same audit with the minhash
+    cluster id as the group key (engine-local ids, so the
+    fingerprint-level form is the oracle-checked contract)."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(_doc_key(F.col("doc_id")) < "80", "train").otherwise("val")
+    fp = F.md5(F.concat_ws(" ", F.sort_array(F.split("text", " "))))
+    g = (
+        d.select(fp.alias("text_key"), split.alias("split"))
+        .groupBy("text_key")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+            F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        )
+    )
+    multi = g.filter(F.col("n_members") >= 2)
+    straddle = multi.filter((F.col("n_train") > 0) & (F.col("n_val") > 0))
+    return (
+        multi.agg(F.count("*").alias("n_dup_groups"))
+        .crossJoin(
+            F.broadcast(
+                straddle.agg(
+                    F.count("*").alias("n_leaking_groups"),
+                    F.coalesce(F.sum("n_members"), F.lit(0))
+                    .cast("long")
+                    .alias("n_docs_in_leaks"),
+                )
+            )
+        )
+        .select("n_dup_groups", "n_leaking_groups", "n_docs_in_leaks")
+    )
+
+
 MIXTURE_ALPHA = 0.7  # temperature exponent for source reweighting
 
 
@@ -1309,6 +1359,7 @@ QUERIES = {
     "q_shard_manifest": q_shard_manifest,
     "q_source_drift": q_source_drift,
     "q_mixture_weights": q_mixture_weights,
+    "q_split_leakage": q_split_leakage,
     "q_cms_check": q_cms_check,
     "q_hash_sample": q_hash_sample,
     "q_corpus_mix": q_corpus_mix,
@@ -1670,6 +1721,25 @@ ORACLE["q_source_drift"] = f"""
     SELECT source, n_s, CAST(rk AS BIGINT) AS rk, token,
            CAST(c_st AS BIGINT) AS c_st, CAST(c_t AS BIGINT) AS c_t, lift
     FROM ranked WHERE rk <= {DRIFT_TOP_K}
+"""
+
+ORACLE["q_split_leakage"] = """
+    WITH g AS (
+      SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+               AS text_key,
+             count(*) AS n_members,
+             sum(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '80' THEN 1 ELSE 0 END)
+               AS n_train,
+             sum(CASE WHEN md5(CAST(doc_id AS VARCHAR)) >= '80' THEN 1 ELSE 0 END)
+               AS n_val
+      FROM documents
+      GROUP BY md5(array_to_string(list_sort(string_split(text, ' ')), ' '))),
+    m AS (SELECT * FROM g WHERE n_members >= 2),
+    s AS (SELECT * FROM m WHERE n_train > 0 AND n_val > 0)
+    SELECT (SELECT count(*) FROM m) AS n_dup_groups,
+           (SELECT count(*) FROM s) AS n_leaking_groups,
+           CAST(coalesce((SELECT sum(n_members) FROM s), 0) AS BIGINT)
+             AS n_docs_in_leaks
 """
 
 ORACLE["q_mixture_weights"] = f"""

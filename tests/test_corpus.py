@@ -438,3 +438,24 @@ def test_source_drift_finds_planted_lift(spark, tmp_path):
     assert top["webB"].token != "spamtoken"
     for r in out:
         assert r.c_t >= corpus.DRIFT_MIN_DF
+
+
+def test_split_leakage_detects_planted_leak(spark, tmp_path):
+    """q_split_leakage on a corpus with one permutation-duplicate pair
+    straddling the md5 split (doc 6 -> train side, doc 1 -> val side),
+    one duplicate pair on the same side, and unique filler: exactly one
+    leaking group of two docs is reported.  (The sf0.01 driver tier is
+    legitimately leak-free, so the detection path is pinned here.)"""
+    from kinesis2elastic_spark.operators.corpus import q_split_leakage
+
+    rows = [
+        (6, "alpha beta gamma delta"),       # md5('6') < '80' -> train
+        (1, "delta gamma beta alpha"),       # md5('1') >= '80' -> val  (LEAK)
+        (9, "one two three four"),           # train
+        (11, "four three two one"),          # train (dup, same side -> no leak)
+        (2, "unique text here entirely"),    # val, unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_split_leakage(spark, str(tmp_path)).first()
+    assert (out.n_dup_groups, out.n_leaking_groups, out.n_docs_in_leaks) == (2, 1, 2)
