@@ -1259,12 +1259,17 @@ def _bpe_encode_oracle_sql(n_rounds: int = BPE_ROUNDS) -> str:
 
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B99: train/val split-leakage detection — a duplicate group whose
-    members land on BOTH sides of the deterministic split
-    (``q_hash_sample``'s md5-keyspace rule over the FULL corpus) leaks
-    evaluation text into training, the classic way a val loss lies.  This
-    audits the split BEFORE training: per-corpus counts of multi-member
-    duplicate groups, the groups that straddle the boundary, and the
-    total documents involved in a straddle.
+    members land on BOTH sides of a deterministic md5-keyspace split
+    leaks evaluation text into training, the classic way a val loss
+    lies.  This audits a STANDALONE 50/50 split over the full corpus
+    (train = md5(doc_id) < LEAKAGE_SPLIT_BOUNDARY): per-corpus counts of
+    multi-member duplicate groups, the groups that straddle the
+    boundary, and the total documents involved in a straddle.  It is the
+    same audit one would run on q_hash_sample's '28'/'08' split — but
+    that split keeps only 15.6% of the corpus, under which every
+    duplicate group at the test SFs collapses to one member (verified
+    vacuous at sf0.01 AND sf0.1), so the oracle-checked contract uses
+    the full-corpus 50/50 boundary where the audit has teeth.
 
     The duplicate key is the canonical bag-of-words FINGERPRINT
     (md5 of the sorted token list — ``q_doc_fingerprint``'s definition),
@@ -1278,7 +1283,9 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id as the group key (engine-local ids, so the
     fingerprint-level form is the oracle-checked contract)."""
     d = load(spark, sf_dir, "documents")
-    split = F.when(_doc_key(F.col("doc_id")) < "80", "train").otherwise("val")
+    split = F.when(
+        _doc_key(F.col("doc_id")) < LEAKAGE_SPLIT_BOUNDARY, "train"
+    ).otherwise("val")
     fp = F.md5(F.concat_ws(" ", F.sort_array(F.split("text", " "))))
     g = (
         d.select(fp.alias("text_key"), split.alias("split"))
@@ -1307,6 +1314,12 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_split_leakage's standalone 50/50 md5-keyspace boundary — one constant
+# shared by the Spark expression and the oracle SQL (r5 ADVICE: a literal
+# duplicated across the two sides is exactly the drift the shared ANN
+# constants fixed)
+LEAKAGE_SPLIT_BOUNDARY = "80"
+
 MIXTURE_ALPHA = 0.7  # temperature exponent for source reweighting
 
 
@@ -1322,32 +1335,55 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix) and q_source_drift (which monitors the result).
 
     Scale shape: one corpus scan → partial agg on the tiny source key;
-    the α-flatten and normalization run on |sources| rows.  Exact BIGINT
-    token/doc counts are hashed; the transcendental weight columns snap
-    through stable_round (pow/sum last-ulp engine diffs sit ~1e-16 from
-    any 1e-6 grid boundary)."""
+    the α-flatten and normalization run on |sources| rows.
+
+    Hash contract (round-6, r5 ADVICE): the hashed columns are the exact
+    BIGINT counts, the pure-IEEE ``share`` quotient (int/int double
+    division — correctly rounded, no libm), and INVARIANT booleans over
+    the transcendental weights.  The raw weight/upsample values derive
+    from libm ``pow()`` plus an order-dependent double sum, which the
+    round-3/4 doctrine bans from hashed columns (last-ulp differences
+    across libms/engine versions can flip a snap boundary); instead each
+    engine verifies its OWN weights against the two properties any
+    temperature mix must satisfy — weights sum to 1, and the α-flatten
+    preserves the token-share order (rank by weight == rank by token
+    count) with upsampling monotone the other way."""
     d = load(spark, sf_dir, "documents")
     src = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
     )
-    tot = src.agg(F.sum("n_tokens").cast("double").alias("n_total"))
+    tot = src.agg(
+        F.sum("n_tokens").cast("long").alias("n_total_tokens"),
+    )
     s = src.crossJoin(F.broadcast(tot)).withColumn(
-        "p", F.col("n_tokens") / F.col("n_total")
+        "p", F.col("n_tokens") / F.col("n_total_tokens").cast("double")
     )
     s = s.withColumn("pa", F.pow(F.col("p"), F.lit(MIXTURE_ALPHA)))
     z = s.agg(F.sum("pa").alias("z"))
+    s = s.crossJoin(F.broadcast(z)).withColumn("w", F.col("pa") / F.col("z"))
+    # invariant reductions over the |sources|-row frame (tiny windows)
+    rk_w = F.row_number().over(W.orderBy(F.col("w"), F.col("source")))
+    rk_t = F.row_number().over(W.orderBy(F.col("n_tokens"), F.col("source")))
+    rk_u = F.row_number().over(
+        W.orderBy((F.col("w") / F.col("p")).desc(), F.col("source"))
+    )
+    norm = s.agg(
+        (F.abs(F.sum("w") - 1.0) < 1e-9).alias("weights_normalized_ok")
+    )
     return (
-        s.crossJoin(F.broadcast(z))
+        s.withColumn("weight_rank_ok", rk_w == rk_t)
+        .withColumn("upsample_rank_ok", rk_u == rk_t)
+        .crossJoin(F.broadcast(norm))
         .select(
             "source",
             "n_docs",
             "n_tokens",
+            "n_total_tokens",
             stable_round(F.col("p"), 6).alias("share"),
-            stable_round(F.col("pa") / F.col("z"), 6).alias("weight"),
-            stable_round((F.col("pa") / F.col("z")) / F.col("p"), 4).alias(
-                "upsample"
-            ),
+            "weight_rank_ok",
+            "upsample_rank_ok",
+            "weights_normalized_ok",
         )
     )
 
@@ -1723,14 +1759,16 @@ ORACLE["q_source_drift"] = f"""
     FROM ranked WHERE rk <= {DRIFT_TOP_K}
 """
 
-ORACLE["q_split_leakage"] = """
+ORACLE["q_split_leakage"] = f"""
     WITH g AS (
       SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
                AS text_key,
              count(*) AS n_members,
-             sum(CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '80' THEN 1 ELSE 0 END)
+             sum(CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                        < '{LEAKAGE_SPLIT_BOUNDARY}' THEN 1 ELSE 0 END)
                AS n_train,
-             sum(CASE WHEN md5(CAST(doc_id AS VARCHAR)) >= '80' THEN 1 ELSE 0 END)
+             sum(CASE WHEN md5(CAST(doc_id AS VARCHAR))
+                        >= '{LEAKAGE_SPLIT_BOUNDARY}' THEN 1 ELSE 0 END)
                AS n_val
       FROM documents
       GROUP BY md5(array_to_string(list_sort(string_split(text, ' ')), ' '))),
@@ -1747,17 +1785,26 @@ ORACLE["q_mixture_weights"] = f"""
       SELECT source, count(*) AS n_docs,
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source),
-    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n_total FROM t),
-    s AS (SELECT source, n_docs, n_tokens,
-                 n_tokens / n_total AS p,
-                 pow(n_tokens / n_total, {MIXTURE_ALPHA}) AS pa
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total_tokens FROM t),
+    s AS (SELECT source, n_docs, n_tokens, n_total_tokens,
+                 n_tokens / CAST(n_total_tokens AS DOUBLE) AS p,
+                 pow(n_tokens / CAST(n_total_tokens AS DOUBLE),
+                     {MIXTURE_ALPHA}) AS pa
           FROM t CROSS JOIN tot),
-    z AS (SELECT sum(pa) AS z FROM s)
-    SELECT source, n_docs, n_tokens,
+    z AS (SELECT sum(pa) AS z FROM s),
+    sw AS (SELECT *, pa / z AS w FROM s CROSS JOIN z),
+    r AS (SELECT *,
+                 row_number() OVER (ORDER BY w, source) AS rk_w,
+                 row_number() OVER (ORDER BY n_tokens, source) AS rk_t,
+                 row_number() OVER (ORDER BY (w / p) DESC, source) AS rk_u
+          FROM sw),
+    norm AS (SELECT abs(sum(w) - 1.0) < 1e-9 AS weights_normalized_ok FROM sw)
+    SELECT source, n_docs, n_tokens, n_total_tokens,
            floor(p * 1e6 + 0.5) / 1e6 AS share,
-           floor((pa / z) * 1e6 + 0.5) / 1e6 AS weight,
-           floor(((pa / z) / p) * 1e4 + 0.5) / 1e4 AS upsample
-    FROM s CROSS JOIN z
+           rk_w = rk_t AS weight_rank_ok,
+           rk_u = rk_t AS upsample_rank_ok,
+           weights_normalized_ok
+    FROM r CROSS JOIN norm
 """
 
 ORACLE["q_shard_manifest"] = f"""

@@ -2165,13 +2165,27 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-ordered curricula and tier-weighted sampling (consume with
     q_mixture_weights for per-tier budgets).
 
-    Determinism: the score is pure per-row IEEE arithmetic (int/int
-    quotients — identical doubles on any engine), so ``ntile`` ordered by
-    (raw score, doc_id) is cross-engine stable without rounding the sort
-    key; the emitted score column rounds through stable_round as usual.
-    One window shuffle over the (tiny) global ordering at this
-    cardinality; at 100 TB the same assignment is computed from the
-    approx-quantile cut points instead of a global ntile sort."""
+    Scale design (round-6 rewrite — the r5 version shipped a global
+    unpartitioned ``ntile`` window, a single-task sort of the whole
+    corpus): exact ntile semantics over (quantized score, doc_id) without
+    ANY data-proportional single-partition stage.
+    - The sort key is the score snapped to integer 1e-4 units
+      (``floor(score*1e4 + 0.5)`` — pure IEEE, cross-engine exact).  The
+      quantized key has BOUNDED cardinality (score ∈ [0, 100] at 1e-4
+      resolution → ≤ 1,000,001 distinct values *at any corpus size*), so
+      its histogram is small data no matter how big the corpus is.
+    - Plan: (1) groupBy(qscore) histogram — one map-combinable shuffle,
+      output ≤ 1e6 rows; (2) cumulative counts over the histogram — a
+      single-partition window over the BOUNDED histogram, not the corpus;
+      (3) per-row global rank = cum_before(qscore) + row_number within
+      the qscore tie group (window partitioned by qscore — tie groups,
+      not the corpus, and near-unique scores keep them tiny); (4) decile
+      from the rank by the standard SQL ntile split (first n%10 tiles get
+      one extra row) in pure integer arithmetic; histogram and total
+      broadcast to the assignment scan.
+    The oracle states the same contract declaratively —
+    ``ntile(10) OVER (ORDER BY qscore, doc_id)`` — so the driver hash
+    check proves the distributed rank-arithmetic plan IS ntile."""
     d = load(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_words = F.size(words).cast("long")
@@ -2182,15 +2196,38 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.least(
         F.lit(100.0), n_words / 2 + mean_wlen * 5 + (stop / n_words) * 20
     )
-    w = W.orderBy(F.col("_score_raw"), F.col("doc_id"))
-    return (
-        d.select("doc_id", score.alias("_score_raw"))
-        .withColumn("decile", F.ntile(QUALITY_N_BUCKETS).over(w).cast("long"))
-        .select(
-            "doc_id",
-            stable_round(F.col("_score_raw"), 4).alias("quality_score"),
-            "decile",
-        )
+    qscore = F.floor(score * 10000 + F.lit(0.5)).cast("long")
+    s = d.select("doc_id", qscore.alias("qscore"))
+    hist = s.groupBy("qscore").agg(F.count("*").alias("cnt"))
+    # bounded single-partition window: ≤ 1e6 histogram rows, corpus-size
+    # independent — this is the piece that replaces the global sort
+    wh = W.orderBy("qscore").rowsBetween(W.unboundedPreceding, -1)
+    hist_cum = hist.select(
+        "qscore",
+        F.coalesce(F.sum("cnt").over(wh), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    wq = W.partitionBy("qscore").orderBy("doc_id")
+    ranked = (
+        s.withColumn("rk", F.row_number().over(wq).cast("long"))
+        .join(F.broadcast(hist_cum), "qscore")
+        .crossJoin(F.broadcast(tot))
+    )
+    # pure BIGINT div/mod — exact at any rank magnitude (doubles would
+    # lose exactness above 2^53 ≈ ranks a 100-TB corpus actually reaches)
+    k = QUALITY_N_BUCKETS
+    decile = F.expr(
+        f"CASE WHEN n_total div {k} = 0 THEN cum_before + rk "
+        f"WHEN cum_before + rk <= (n_total % {k}) * (n_total div {k} + 1) "
+        f"THEN (cum_before + rk - 1) div (n_total div {k} + 1) + 1 "
+        f"ELSE (n_total % {k}) "
+        f"   + (cum_before + rk - (n_total % {k}) * (n_total div {k} + 1) - 1) "
+        f"     div (n_total div {k}) + 1 END"
+    )
+    return ranked.select(
+        "doc_id",
+        (F.col("qscore") / 10000).alias("quality_score"),
+        decile.cast("long").alias("decile"),
     )
 
 
@@ -2821,17 +2858,18 @@ ORACLE["q_dedup_clusters"] = """
 ORACLE["q_quality_buckets"] = f"""
     WITH s AS (
       SELECT doc_id,
-             least(100.0,
+             CAST(floor(least(100.0,
                    len(string_split(text, ' ')) / 2
                  + (CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
                     / len(string_split(text, ' '))) * 5
                  + (CAST(len(list_filter(string_split(text, ' '),
                                          w -> w = 'the' OR w = 'a' OR w = 'of')) AS DOUBLE)
-                    / len(string_split(text, ' '))) * 20) AS score_raw
+                    / len(string_split(text, ' '))) * 20) * 1e4 + 0.5) AS BIGINT)
+               AS qscore
       FROM documents)
     SELECT doc_id,
-           floor(score_raw * 1e4 + 0.5) / 1e4 AS quality_score,
-           CAST(ntile({QUALITY_N_BUCKETS}) OVER (ORDER BY score_raw, doc_id) AS BIGINT)
+           CAST(qscore AS DOUBLE) / 1e4 AS quality_score,
+           CAST(ntile({QUALITY_N_BUCKETS}) OVER (ORDER BY qscore, doc_id) AS BIGINT)
              AS decile
     FROM s
 """

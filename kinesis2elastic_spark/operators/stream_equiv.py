@@ -284,13 +284,18 @@ def q_stream_rollup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy(
         F.date_trunc("hour", "ts").alias("bucket"), "event_type"
     ).agg(F.countDistinct("user_id").cast("long").alias("n_users_exact"))
-    j = exact.join(est, ["bucket", "event_type"], "left")
+    # FULL outer (r5 ADVICE): a (bucket, event_type) row fabricated in the
+    # materialized streaming state must surface as an extra output row
+    # (driver rows-mismatch) with a false flag — a left join would
+    # silently drop it and the equivalence would still pass.
+    j = exact.join(est, ["bucket", "event_type"], "full_outer")
     return j.select(
         "bucket",
         "event_type",
         "n_users_exact",
         (
             F.col("n_users_est").isNotNull()
+            & F.col("n_users_exact").isNotNull()
             & (
                 F.abs(F.col("n_users_est") - F.col("n_users_exact"))
                 * 100
@@ -633,7 +638,11 @@ def q_stream_stateful_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(
                 F.max("n_events").alias("n_events"),
-                F.max("total_value").alias("total_value"),
+                # the final state is the row with the HIGHEST event count —
+                # n_events is the monotone counter, total_value is not
+                # (any negative value would make independent max() pick a
+                # non-final total; r5 ADVICE)
+                F.max_by("total_value", "n_events").alias("total_value"),
             )
             .localCheckpoint(eager=True)
         )

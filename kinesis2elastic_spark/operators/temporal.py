@@ -303,9 +303,18 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       version are IEEE-754 double arithmetic and integer arithmetic.  So
       the value column is snapped to integer MICRO-UNITS with pure double
       ops — ``floor(value*1e6 + 0.5)`` — and every aggregate is a sum of
-      integers (BIGINT, or integer-valued DECIMAL(38,0) where a per-row
-      product can exceed 2^63).  A consumer reads the time-weighted
-      average as weighted_sum / (dur_sum * 1e6)."""
+      integers.
+    - round 5 (the r5 bisection: both BIGINT half-queries green, full
+      query red) proved the DECIMAL(38,0) *output type itself* is the
+      divergence: it was the only DECIMAL-typed hashed column among all
+      registered queries, and a DECIMAL→float64 conversion anywhere in a
+      result-fetch path loses exactness above 2^53 (weighted_sum is
+      ~1e18–1e21).  The int128 sum stays INTERNAL; the hashed contract is
+      two exact BIGINTs: ``ws_hi = (ws - ws % 10^18) / 10^18`` and
+      ``ws_lo = ws % 10^18`` (``%`` truncates toward zero with the sign
+      of the dividend in both Spark and DuckDB — verified including
+      negative inputs).  A consumer reads the time-weighted average as
+      (ws_hi*1e18 + ws_lo) / (dur_sum * 1e6)."""
     e = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = F.lead("ts").over(w)
@@ -319,13 +328,24 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2^63, so it's formed in DECIMAL(19,0)×DECIMAL(19,0) — precision 19
     # forces int128 storage in DuckDB (18 stays int64 and overflows) and
     # the 38-digit product is inside both engines' cap — exact integers.
-    return seg.groupBy("user_id").agg(
+    agg = seg.groupBy("user_id").agg(
         F.sum(F.col("v").cast("decimal(19,0)") * F.col("dur").cast("decimal(19,0)"))
         .cast("decimal(38,0)")
-        .alias("weighted_sum"),
+        .alias("ws"),
         F.sum("dur").cast("bigint").alias("dur_sum"),
         F.sum("v").cast("bigint").alias("plain_sum"),
         F.count("*").alias("n_obs"),
+    )
+    # The int128 sum never leaves the plan as DECIMAL: hashed columns are
+    # the exact BIGINT pair (hi = multiple-of-1e18 part, lo = remainder).
+    lo = F.expr("ws % 1000000000000000000")
+    return agg.select(
+        "user_id",
+        ((F.col("ws") - lo) / F.lit(10**18)).cast("bigint").alias("ws_hi"),
+        lo.cast("bigint").alias("ws_lo"),
+        "dur_sum",
+        "plain_sum",
+        "n_obs",
     )
 
 
@@ -544,13 +564,20 @@ ORACLE = {
                  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                    - epoch_us(ts) AS dur
           FROM events)
+        , agg AS (
         SELECT user_id,
                CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(dur AS DECIMAL(19,0)))
-                    AS DECIMAL(38,0)) AS weighted_sum,
+                    AS DECIMAL(38,0)) AS ws,
                CAST(sum(dur) AS BIGINT) AS dur_sum,
                CAST(sum(v) AS BIGINT) AS plain_sum,
                count(*) AS n_obs
-        FROM seg GROUP BY user_id
+        FROM seg GROUP BY user_id)
+        SELECT user_id,
+               CAST((ws - (ws % 1000000000000000000))
+                    / 1000000000000000000 AS BIGINT) AS ws_hi,
+               CAST(ws % 1000000000000000000 AS BIGINT) AS ws_lo,
+               dur_sum, plain_sum, n_obs
+        FROM agg
     """,
     "q_twa_durations": """
         WITH seg AS (

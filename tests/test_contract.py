@@ -128,3 +128,191 @@ def test_asof_join_property_vs_bruteforce(spark):
             assert got[i] == want, (i, k, t, got[i], want)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Hash-safety schema contract (round-6, VERDICT r5 #2)
+# ---------------------------------------------------------------------------
+
+# Every double-typed column a registered query is ALLOWED to hash.  Each of
+# these is either snapped to integer units via pure-IEEE floor(x*s + 0.5) /
+# stable_round, or is exact int-derived IEEE arithmetic — vetted over rounds
+# 2-5.  Adding a new double column to a hashed schema REQUIRES adding it
+# here, i.e. consciously walking it through the hash-safety doctrine
+# (no raw round(), no DECIMAL, no engine-local transcendentals).
+VETTED_DOUBLE_COLUMNS = {
+    ("q_ann_filtered", "sim"),
+    ("q_ann_ivf", "exact_best_sim"),
+    ("q_ann_ivf", "exact_kth_sim"),
+    ("q_ann_lsh", "exact_best_sim"),
+    ("q_ann_lsh", "exact_kth_sim"),
+    ("q_ann_pq", "exact_best_sim"),
+    ("q_ann_pq", "exact_kth_sim"),
+    ("q_approx_quantile", "exact_med"),
+    ("q_approx_quantile", "exact_p90"),
+    ("q_asof_join", "day_total"),
+    ("q_bm25", "bm25"),
+    ("q_cdc_latest", "last_value"),
+    ("q_char_entropy", "char_entropy"),
+    ("q_charlm_score", "nll_score"),
+    ("q_cosine_topk", "sim"),
+    ("q_csv_source", "price"),
+    ("q_cube", "total"),
+    ("q_curation_pipeline", "avg_quality"),
+    ("q_embed_centroid", "avg_v"),
+    ("q_event_transitions", "p"),
+    ("q_exact_substr_dedup", "dup_frac"),
+    ("q_filter", "l_quantity"),
+    ("q_filter", "l_discount"),
+    ("q_filter", "l_tax"),
+    ("q_gapfill_locf", "v_obs"),
+    ("q_gapfill_locf", "v_locf"),
+    ("q_gapfill_locf", "v_interp"),
+    ("q_grouping_sets", "total"),
+    ("q_having", "total"),
+    ("q_hop_batch", "sum_value"),
+    ("q_join_inner", "acctbal"),
+    ("q_join_outer", "total_spent"),
+    ("q_join_range", "price_sum"),
+    ("q_join_star", "revenue"),
+    ("q_lateral_topn", "top_price"),
+    ("q_math_funcs", "price_r1"),
+    ("q_math_funcs", "disc_dev"),
+    ("q_math_funcs", "qty_sq"),
+    ("q_math_funcs", "price_ln"),
+    ("q_math_funcs", "price_sqrt"),
+    ("q_merge_upsert", "value"),
+    ("q_mixture_weights", "share"),
+    ("q_ngram_jaccard", "jaccard"),
+    ("q_ntile_dist", "pct_rank"),
+    ("q_ntile_dist", "cume"),
+    ("q_outlier_mad", "med"),
+    ("q_outlier_mad", "mad"),
+    ("q_percentiles", "med"),
+    ("q_percentiles", "p25"),
+    ("q_percentiles", "p90"),
+    ("q_pivot", "click"),
+    ("q_pivot", "view"),
+    ("q_pivot", "purchase"),
+    ("q_pivot", "signup"),
+    ("q_pivot", "error"),
+    ("q_pricing_agg", "sum_qty"),
+    ("q_pricing_agg", "sum_base_price"),
+    ("q_pricing_agg", "sum_disc_price"),
+    ("q_pricing_agg", "sum_charge"),
+    ("q_pricing_agg", "avg_qty"),
+    ("q_pricing_agg", "avg_price"),
+    ("q_pricing_agg", "avg_disc"),
+    ("q_profile_columns", "null_frac"),
+    ("q_quality_buckets", "quality_score"),
+    ("q_quality_score", "mean_word_len"),
+    ("q_quality_score", "stopword_ratio"),
+    ("q_quality_score", "quality_score"),
+    ("q_random_projection", "d_orig"),
+    ("q_repetition_stats", "distinct_ratio"),
+    ("q_repetition_stats", "top_bigram_frac"),
+    ("q_rollup", "sum_qty"),
+    ("q_scalar_subquery", "max_order"),
+    ("q_scan_project", "l_extendedprice"),
+    ("q_semantic_decontam", "max_bench_sim"),
+    ("q_sessionize", "session_value"),
+    ("q_setsim_join", "jaccard"),
+    ("q_skew_salted_agg", "sum_value"),
+    ("q_skew_salted_join", "price_sum"),
+    ("q_sort_limit", "extendedprice"),
+    ("q_source_drift", "lift"),
+    ("q_sql_q10", "revenue"),
+    ("q_sql_q10", "acctbal"),
+    ("q_sql_q11", "value"),
+    ("q_sql_q14", "promo_revenue"),
+    ("q_sql_q15", "total_revenue"),
+    ("q_sql_q17", "avg_yearly"),
+    ("q_sql_q18", "o_totalprice"),
+    ("q_sql_q18", "total_qty"),
+    ("q_sql_q19", "revenue"),
+    ("q_sql_q2", "s_acctbal"),
+    ("q_sql_q22", "totacctbal"),
+    ("q_sql_q3", "revenue"),
+    ("q_sql_q5", "revenue"),
+    ("q_sql_q6", "revenue"),
+    ("q_sql_q7", "revenue"),
+    ("q_sql_q8", "mkt_share"),
+    ("q_sql_q9", "sum_profit"),
+    ("q_stats_agg", "sd"),
+    ("q_stats_agg", "var"),
+    ("q_stats_agg", "corr_uid"),
+    ("q_stats_agg", "covar_uid"),
+    ("q_stream_session_equiv", "session_value"),
+    ("q_stream_stateful_equiv", "total_value"),
+    ("q_stream_tumble_equiv", "sum_value"),
+    ("q_text_stats", "avg_chars"),
+    ("q_text_stats", "avg_words"),
+    ("q_tfidf", "tfidf"),
+    ("q_token_histogram", "avg_tokens"),
+    ("q_topk_per_group", "totalprice"),
+    ("q_tumble_batch", "sum_value"),
+    ("q_unpivot", "val"),
+    ("q_vocab_oov", "oov_rate"),
+    ("q_window_range_interval", "trailing_7d"),
+    ("q_window_rank", "acctbal"),
+    ("q_window_running", "running_total"),
+}
+
+
+def _walk_types(dt, path=""):
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            yield from _walk_types(f.dataType, path + "." + f.name if path else f.name)
+    elif isinstance(dt, T.ArrayType):
+        yield from _walk_types(dt.elementType, path + "[]")
+    elif isinstance(dt, T.MapType):
+        yield from _walk_types(dt.keyType, path + "<k>")
+        yield from _walk_types(dt.valueType, path + "<v>")
+    else:
+        yield path, dt
+
+
+def test_no_decimal_or_unvetted_double_in_hashed_schemas(spark, sf_dir):
+    """Four rounds of q_time_weighted_avg driver-red distilled into a gate:
+    the driver hash-compares every queries() output against its DuckDB
+    oracle, and two type families are not hash-safe across engines/versions:
+
+    - DecimalType — ZERO tolerance.  A DECIMAL-typed hashed column was the
+      sole red among 183 queries in rounds 2-5 (the result-fetch path may
+      canonicalize decimals through float64, losing exactness above 2^53).
+      Ship hi/lo BIGINT pairs or VARCHAR instead (q_time_weighted_avg /
+      q_string_agg precedents).
+    - DoubleType — allowlist.  Raw round() of a quotient and double→DECIMAL
+      casts both diverge across engines; only pure-IEEE snapped values
+      (floor(x*s + 0.5), stable_round) are safe.  Every double column must
+      be explicitly vetted in VETTED_DOUBLE_COLUMNS.
+
+    Builds every registered query's DataFrame at the smallest SF and walks
+    the schema (nested types included).  Streaming-equivalence queries run
+    real writeStream drains just to expose a schema, so this test is the
+    slow one in the suite — that is the price of gating ALL 183 outputs.
+    """
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as entrymod
+
+    offenders_decimal, offenders_double = [], []
+    for name, fn in sorted(entrymod.queries().items()):
+        schema = fn(spark, sf_dir).schema
+        for col, dt in _walk_types(schema):
+            if isinstance(dt, T.DecimalType):
+                offenders_decimal.append((name, col, str(dt)))
+            elif isinstance(dt, (T.DoubleType, T.FloatType)):
+                if (name, col) not in VETTED_DOUBLE_COLUMNS:
+                    offenders_double.append((name, col))
+    assert not offenders_decimal, (
+        "DecimalType in a hashed output schema (NEVER hash-safe — see "
+        f"q_time_weighted_avg rounds 2-5): {offenders_decimal}"
+    )
+    assert not offenders_double, (
+        "un-vetted double column(s) in hashed output schemas — snap them "
+        "(floor(x*s+0.5) / stable_round) and add to VETTED_DOUBLE_COLUMNS: "
+        f"{offenders_double}"
+    )

@@ -373,3 +373,28 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
     # post-scan data Filter (inputFiles() can't show pruning — it lists the
     # relation's files before planning)
     assert df.count() == ev.filter("event_type = 'click'").count()
+
+
+def test_quality_buckets_no_global_sort(spark, sf_dir):
+    """The r6 rewrite of q_quality_buckets (VERDICT r5 #3): exact ntile
+    semantics with NO data-proportional single-partition stage.  The
+    corpus-side window must be hash-partitioned on the quantized score;
+    the only SinglePartition exchange allowed is the one over the bounded
+    (≤1e6-row) score histogram, i.e. directly above a HashAggregate; and
+    no ntile/global-sort window over the documents scan survives."""
+    from kinesis2elastic_spark.operators.llmops import q_quality_buckets
+
+    df = q_quality_buckets(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan, plan[:3000]
+    # the row_number tie-break window is partitioned (qscore in its spec)
+    assert "row_number() windowspecdefinition(qscore" in plan, plan[:3000]
+    # every SinglePartition exchange feeds off an aggregate (the bounded
+    # histogram), never raw corpus rows
+    parts = plan.split("Exchange SinglePartition")[1:]
+    assert parts, "histogram cum-count window missing"
+    for tail in parts:
+        nxt = "\n".join(tail.splitlines()[:3])
+        assert "HashAggregate" in nxt, f"SinglePartition over non-aggregated rows:\n{tail[:1500]}"
+    # histogram + total reach the assignment scan as broadcasts
+    assert "BroadcastHashJoin" in plan
