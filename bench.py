@@ -174,12 +174,19 @@ def main() -> None:
     # like-for-like; the twin-carrying reduction is timed separately below
     # (reduction_query_sec) since its cost is what the correctness gate
     # pays, not what a production run pays.
-    from kinesis2elastic_spark.operators import llmops as _llmops
+    from kinesis2elastic_spark.operators import corpus as _corpus, llmops as _llmops
 
     production_override = {
         "q_minhash_near_dup": _llmops.minhash_near_dup_detail,
         "q_dedup_clusters": _llmops.dedup_clusters_detail,
         "q_ann_pq": _llmops.ann_pq_detail,
+        # r6 (r5 VERDICT #4): the two decontam headliners decompose too —
+        # production = the recurring probe against the PREBUILT (static,
+        # amortized) benchmark artifacts; reduction = the registered query,
+        # which additionally rebuilds the bench set and (bloom) recomputes
+        # the exact-join twin the oracle verifies against
+        "q_decontam": _corpus.decontam_probe_detail,
+        "q_bloom_decontam": _corpus.bloom_decontam_probe_detail,
     }
 
     timings: dict[str, float] = {}

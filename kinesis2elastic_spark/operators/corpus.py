@@ -733,6 +733,66 @@ BLOOM_M_BITS = 1 << 22  # 4.2M bits = 512 KB bitmap
 BLOOM_K = 3  # hash functions; fp/gram ≈ (fill)³ — <1% up to ~1M bench grams
 
 
+def _bloom_pos_cols():
+    """K bit positions per gram, hashed JVM-side (xxhash64 mod m)."""
+    return [
+        F.pmod(F.xxhash64("gram", F.lit(seed)), F.lit(BLOOM_M_BITS)).alias(f"p{seed}")
+        for seed in range(BLOOM_K)
+    ]
+
+
+def _bloom_bitmap_broadcast(spark: SparkSession, bench: DataFrame):
+    """Build the 512 KB Bloom bitmap from a gram set, DISTRIBUTED: each
+    partition segment-ORs its positions into a local bitmap
+    (``mapInPandas``), the driver ORs |partitions| × 512 KB buffers —
+    never a row-per-position collect.  Returns the broadcast handle."""
+    import numpy as np
+
+    positions = bench.select(F.explode(F.array(*_bloom_pos_cols())).alias("pos"))
+    nbytes = BLOOM_M_BITS // 8
+
+    def partition_bitmap(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                p = pdf["pos"].to_numpy()
+                np.bitwise_or.at(bm, p // 8, (1 << (p % 8)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    partials = positions.mapInPandas(partition_bitmap, "bm binary").collect()
+    bitmap = np.zeros(nbytes, dtype=np.uint8)
+    for row in partials:  # |partitions| buffers of 512 KB — bounded
+        bitmap |= np.frombuffer(row.bm, dtype=np.uint8)
+    return spark.sparkContext.broadcast(bitmap)
+
+
+def _bloom_doc_flags(train_grams: DataFrame, bc) -> DataFrame:
+    """Probe side: test all K positions per gram against the broadcast
+    bitmap with vectorized numpy indexing; per-doc OR of the maybes."""
+    import numpy as np
+
+    def _probe_all(*probes: pd.Series) -> pd.Series:
+        # arity follows BLOOM_K (legacy-style pandas_udf: *args keeps the
+        # probe count and the build's pos_cols in lockstep)
+        bm = bc.value
+        out = np.ones(len(probes[0]), dtype=bool)
+        for s in probes:
+            p = s.to_numpy()
+            out &= (bm[p // 8] >> (p % 8)) & 1 == 1
+        return pd.Series(out)
+
+    bloom_maybe = F.pandas_udf(_probe_all, "boolean")
+    return (
+        train_grams.select("doc_id", *_bloom_pos_cols())
+        .withColumn("maybe", bloom_maybe(*[f"p{i}" for i in range(BLOOM_K)]))
+        .groupBy("doc_id")
+        .agg(F.max("maybe").alias("bloom_flag"))
+    )
+
+
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination — the 100 TB path for ``q_decontam``.
 
@@ -758,8 +818,6 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``no_false_negatives`` (guaranteed by construction, asserted anyway)
     and ``fp_ok`` (false-positive DOC rate among clean docs ≤ 5%).  The
     DuckDB oracle recomputes the exact counts and expects TRUE flags."""
-    import numpy as np
-
     d = load(spark, sf_dir, "documents")
     grams = d.select("doc_id", F.explode(_word_ngrams(NGRAM_N)).alias("gram"))
     # small by definition (the held-out benchmark); materialized once so the
@@ -771,49 +829,9 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    pos_cols = [
-        F.pmod(F.xxhash64("gram", F.lit(seed)), F.lit(BLOOM_M_BITS)).alias(f"p{seed}")
-        for seed in range(BLOOM_K)
-    ]
-    positions = bench.select(F.explode(F.array(*pos_cols)).alias("pos"))
-    nbytes = BLOOM_M_BITS // 8
-
-    def partition_bitmap(batches):
-        bm = np.zeros(nbytes, dtype=np.uint8)
-        any_rows = False
-        for pdf in batches:
-            if len(pdf):
-                any_rows = True
-                p = pdf["pos"].to_numpy()
-                np.bitwise_or.at(bm, p // 8, (1 << (p % 8)).astype(np.uint8))
-        if any_rows:
-            yield pd.DataFrame({"bm": [bm.tobytes()]})
-
-    partials = positions.mapInPandas(partition_bitmap, "bm binary").collect()
-    bitmap = np.zeros(nbytes, dtype=np.uint8)
-    for row in partials:  # |partitions| buffers of 512 KB — bounded
-        bitmap |= np.frombuffer(row.bm, dtype=np.uint8)
-    bc = spark.sparkContext.broadcast(bitmap)
-
-    def _probe_all(*probes: pd.Series) -> pd.Series:
-        # arity follows BLOOM_K (legacy-style pandas_udf: *args keeps the
-        # probe count and the build's pos_cols in lockstep)
-        bm = bc.value
-        out = np.ones(len(probes[0]), dtype=bool)
-        for s in probes:
-            p = s.to_numpy()
-            out &= (bm[p // 8] >> (p % 8)) & 1 == 1
-        return pd.Series(out)
-
-    bloom_maybe = F.pandas_udf(_probe_all, "boolean")
-
+    bc = _bloom_bitmap_broadcast(spark, bench)
     train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-    flagged = (
-        train.select("doc_id", *pos_cols)
-        .withColumn("maybe", bloom_maybe(*[f"p{i}" for i in range(BLOOM_K)]))
-        .groupBy("doc_id")
-        .agg(F.max("maybe").alias("bloom_flag"))
-    )
+    flagged = _bloom_doc_flags(train, bc)
     exact = (
         train.join(F.broadcast(bench), "gram")
         .select("doc_id")
@@ -832,6 +850,68 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negatives"
         ),
         (F.coalesce(n_fp / F.nullif(n_clean, F.lit(0)), F.lit(0.0)) <= 0.05).alias("fp_ok"),
+    )
+
+
+# --- bench-only production detail forms (twin decomposition) ---------------
+# In production the benchmark side is STATIC: its distinct shingle set (and
+# the Bloom bitmap derived from it) is built once and amortized across every
+# corpus batch screened against it.  The registered queries rebuild it per
+# run so the oracle contract stays self-contained; these detail forms cache
+# the benchmark artifacts per (session, sf_dir) so bench.py can time the
+# recurring production cost — the probe — separately from the one-off build
+# and (for q_bloom_decontam) the exact-verify twin.
+
+_BENCH_SHINGLES: dict = {}
+_BLOOM_BITMAPS: dict = {}
+
+
+def _bench_shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BENCH_SHINGLES:
+        d = load(spark, sf_dir, "documents")
+        grams = d.select("doc_id", F.explode(_word_ngrams(NGRAM_N)).alias("gram"))
+        _BENCH_SHINGLES[key] = (
+            grams.filter(F.col("doc_id") % BENCH_MOD == 0)
+            .select("gram")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return _BENCH_SHINGLES[key]
+
+
+def decontam_probe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path of q_decontam: broadcast-probe the corpus against a
+    PREBUILT benchmark shingle set (static in production, built once) —
+    what each screened batch actually pays: shingle explode + map-side
+    hash probe + per-doc count aggregate."""
+    bench = _bench_shingle_set(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(_word_ngrams(NGRAM_N)).alias("gram"))
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("long").alias("n_contaminated_grams"))
+    )
+
+
+def bloom_decontam_probe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path of q_bloom_decontam: vectorized bitmap probe with a
+    PREBUILT broadcast Bloom filter — no bench-set build, no exact-verify
+    twin.  Per-doc flags reduced to the summary count."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BLOOM_BITMAPS:
+        _BLOOM_BITMAPS[key] = _bloom_bitmap_broadcast(
+            spark, _bench_shingle_set(spark, sf_dir)
+        )
+    bc = _BLOOM_BITMAPS[key]
+    d = load(spark, sf_dir, "documents")
+    grams = d.select("doc_id", F.explode(_word_ngrams(NGRAM_N)).alias("gram"))
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return _bloom_doc_flags(train, bc).agg(
+        F.count("*").cast("long").alias("n_train_docs"),
+        F.sum(F.col("bloom_flag").cast("long")).cast("long").alias("n_bloom_flagged"),
     )
 
 
@@ -921,6 +1001,43 @@ CMS_DEPTH = 4  # hash rows
 CMS_WIDTH = 1024  # counters per row; collision mass/row ~ N/width
 
 
+def cms_cells(tok_col):
+    """The CMS_DEPTH (row, bucket) counter cells one token occurrence
+    increments (xxhash64 per row, JVM-side).  Shared by the batch sketch
+    (q_cms_check), the streaming maintenance (streaming/cms_stream.py),
+    and every probe — build and probe MUST hash identically."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(tok_col, F.lit(i)), F.lit(CMS_WIDTH)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+
+
+def doc_token_stream(df: DataFrame) -> DataFrame:
+    """Non-empty whitespace tokens of a documents frame (batch or
+    streaming input — pure row-local ops)."""
+    return df.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+
+
+def cms_partials(tokens: DataFrame) -> DataFrame:
+    """Counter-cell partial counts of a token frame: at most
+    CMS_DEPTH x CMS_WIDTH rows out of the map-side-combinable aggregate,
+    regardless of vocabulary or corpus size."""
+    return (
+        tokens.select(F.explode(cms_cells(F.col("token"))).alias("c"))
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch token counting, self-verifying (est_ok pattern) —
     the mergeable APPROXIMATE counterpart to exact heavy hitters (B81)
@@ -946,28 +1063,8 @@ def q_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact frequencies and expects TRUE flags — same contract as
     q_hll_merge."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
-        F.col("token") != ""
-    )
-
-    def cells(tok_col):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    F.pmod(F.xxhash64(tok_col, F.lit(i)), F.lit(CMS_WIDTH)).alias(
-                        "bucket"
-                    ),
-                )
-                for i in range(CMS_DEPTH)
-            ]
-        )
-
-    cms = (
-        toks.select(F.explode(cells(F.col("token"))).alias("c"))
-        .groupBy("c.row", "c.bucket")
-        .agg(F.count("*").alias("cnt"))
-    )
+    toks = doc_token_stream(d)
+    cms = cms_partials(toks)
     exact = (
         toks.groupBy("token")
         .agg(F.count("*").cast("long").alias("freq"))
@@ -976,7 +1073,7 @@ def q_cms_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = toks.agg(F.count("*").cast("long").alias("n_total"))
     probe = exact.select(
-        "token", "freq", F.explode(cells(F.col("token"))).alias("c")
+        "token", "freq", F.explode(cms_cells(F.col("token"))).alias("c")
     ).select("token", "freq", "c.row", "c.bucket")
     est = (
         probe.join(cms, ["row", "bucket"])

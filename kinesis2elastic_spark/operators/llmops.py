@@ -1271,6 +1271,57 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("contaminated", F.col("max_bench_sim") >= SEMDECONTAM_TAU)
 
 
+def semantic_decontam_detail(
+    spark: SparkSession, sf_dir: str, bench_sf_dir: str | None = None
+) -> DataFrame:
+    """Production path of q_semantic_decontam for the scale rehearsal: the
+    benchmark matrix comes from ``bench_sf_dir`` (the benchmark is STATIC
+    in production — fixed eval suites — so it must NOT grow with the
+    corpus being screened) and the whole ``sf_dir`` corpus streams through
+    the one-matmul ``mapInPandas`` probe.  Same plan as the registered
+    query: one corpus scan, zero shuffle, no join — the closure carries
+    only the |bench|×dim float64 matrix."""
+    import numpy as np
+
+    bench_emb = load(spark, bench_sf_dir or sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    bench_rows = sorted(
+        bench_emb.filter((F.col("vec_id") % SEMDECONTAM_BENCH_MOD) == 0)
+        .select("vec_id", "vec")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    B = np.array([r.vec for r in bench_rows], dtype=np.float64)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": ids, "max_sim_raw": (Mn @ Bn.T).max(axis=1)}
+            )
+
+    corpus = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    return (
+        corpus.select("vec_id", "vec")
+        .mapInPandas(score, "vec_id long, max_sim_raw double")
+        .select(
+            "vec_id",
+            (F.floor(F.col("max_sim_raw") * 10000 + F.lit(0.5)) / 10000).alias(
+                "max_bench_sim"
+            ),
+        )
+        .withColumn("contaminated", F.col("max_bench_sim") >= SEMDECONTAM_TAU)
+    )
+
+
 def ann_lsh_detail(
     spark: SparkSession,
     sf_dir: str,

@@ -652,6 +652,273 @@ def q_stream_stateful_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("user_id", "n_events", "total_value")
 
 
+STREAM_JOIN_WINDOW_MIN = 120  # funnel match window (click → purchase)
+
+
+def q_stream_static_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B100 oracle-backed: the stream-static enrichment join — an events
+    stream joined per micro-batch against a STATIC broadcast dimension
+    (customer → market segment), the canonical streaming-ETL lookup
+    (Spark re-plans the join each micro-batch; the static side never
+    becomes state).  Drained over two time-ordered micro-batches through
+    a real append-mode parquet sink, the enriched rows must equal the
+    batch join exactly (stateless operator ⇒ row-for-row equality).
+
+    Hashed columns are the per (segment, event_type) rollup DuckDB
+    recomputes from the raw join: exact counts, exact distinct users,
+    2-dp value sum (tie-free doctrine).
+
+    Scale shape: the dimension broadcasts (it is the small side by
+    definition); the stream side never shuffles for the join — at 100 TB
+    /day this is the same plan with the dim refreshed per batch."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    dim = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    out_schema = (
+        "event_id long, user_id long, event_type string, value double,"
+        " c_mktsegment string"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_stream_sjoin_")
+    try:
+        src = os.path.join(work, "src")
+        _b1, b2, _tmid = _time_split_batches(ev, "ts", src)
+        out_dir = os.path.join(work, "out")
+
+        def start():
+            enriched = (
+                _events_stream(spark, src)
+                .join(F.broadcast(dim), "user_id")
+                .select("event_id", "user_id", "event_type", "value", "c_mktsegment")
+            )
+            return (
+                enriched.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _drain(start())
+        b2.coalesce(1).write.parquet(src + "/b2")
+        _drain(start())
+        stream_out = _read_or_empty(spark, out_dir, out_schema).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    batch_twin = ev.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment"
+    )
+    eq = frames_equal_flag(stream_out, batch_twin, "stream_equals_batch_ok")
+    return (
+        stream_out.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(F.broadcast(eq))
+        .select(
+            "c_mktsegment",
+            "event_type",
+            "n",
+            "n_users",
+            "sum_value",
+            "stream_equals_batch_ok",
+        )
+    )
+
+
+def q_stream_stream_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B101 oracle-backed: the stream-stream event-time interval join —
+    clicks and purchases arrive as two independent streams (each with an
+    event-time watermark) and match on user within a
+    ``STREAM_JOIN_WINDOW_MIN``-minute funnel window.  Spark buffers both
+    sides in watermark-bounded state and emits a match once both rows
+    have arrived — the only join shape that works when neither side is
+    small or static.  Drained over two time-ordered micro-batches (so
+    cross-batch matches MUST come out of the join state, not a lucky
+    same-batch hash probe) through an append parquet sink; the emitted
+    pairs must equal the batch interval join row-for-row.
+
+    The watermark delay is set beyond the dataset's span: state is never
+    evicted, so stream ≡ batch EXACTLY (the late-drop semantics are
+    B29's, already gated by q_stream_tumble_equiv — this query gates the
+    join-state machinery).  Hashed columns are the raw pairs themselves:
+    ids, both event times, and the integer-seconds latency — every one
+    exact and DuckDB-recomputable."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out_schema = (
+        "user_id long, click_id long, purchase_id long,"
+        " click_ts timestamp, purchase_ts timestamp"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_stream_ssjoin_")
+    try:
+        src = os.path.join(work, "src")
+        _b1, b2, _tmid = _time_split_batches(ev, "ts", src)
+        out_dir = os.path.join(work, "out")
+
+        def pairs_of(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+            c = clicks.filter(F.col("event_type") == "click").select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            p = purchases.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            return c.join(
+                p,
+                (F.col("c_user") == F.col("p_user"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("click_ts")
+                    + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+                ),
+            ).select(
+                F.col("c_user").alias("user_id"),
+                "click_id",
+                "purchase_id",
+                "click_ts",
+                "purchase_ts",
+            )
+
+        def start():
+            # two independent file streams over the same arrivals; the
+            # over-span watermark bounds state formally without evicting
+            clicks = _events_stream(spark, src).withWatermark("ts", "366 days")
+            purchases = _events_stream(spark, src).withWatermark("ts", "366 days")
+            return (
+                pairs_of(clicks, purchases)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _drain(start())
+        b2.coalesce(1).write.parquet(src + "/b2")
+        _drain(start())
+        stream_out = _read_or_empty(spark, out_dir, out_schema).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    batch_twin = pairs_of(ev, ev)
+    eq = frames_equal_flag(stream_out, batch_twin, "stream_equals_batch_ok")
+    # pure integer division (both engines truncate nonnegative µs the same)
+    latency = F.expr(
+        "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+    )
+    return stream_out.crossJoin(F.broadcast(eq)).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        latency.cast("long").alias("latency_sec"),
+        "stream_equals_batch_ok",
+    )
+
+
+def q_stream_cms_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B102 oracle-backed: continuous count-min sketch maintenance
+    (``streaming/cms_stream.py``) — documents arrive in two micro-batches
+    (doc_id parity, so batch 2 re-touches every hot counter cell), each
+    batch's counter partials merge into the materialized 4096-row sketch
+    by plain addition.  Three checks ride out:
+
+    - ``stream_equals_batch_cms_ok``: the merged streaming counter table
+      equals the one-shot batch sketch EXACTLY (addition is associative —
+      the defining mergeability property, row-for-row);
+    - ``est_ge_freq_ok``: structural CMS guarantee (never undercounts);
+    - ``within_bound_ok``: est ≤ freq + depth·N/width collision bound.
+
+    Hashed columns are the exact top-20 token frequencies + total token
+    count DuckDB recomputes; the sketch itself is engine-local hashing
+    (xxhash64), so it ships through the flags — the q_hll_merge / B74
+    discipline applied to the count side."""
+    from ..operators.corpus import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_cells,
+        cms_partials,
+        doc_token_stream,
+    )
+    from ..streaming.cms_stream import continuous_cms_writer, read_cms
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="k2e_stream_cms_")
+    try:
+        src, state = os.path.join(work, "src"), os.path.join(work, "state")
+
+        def start():
+            return (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src + "/*")
+                .writeStream.foreachBatch(continuous_cms_writer(spark, state))
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _two_batch_source(docs, "doc_id", src)
+        _drain(start())
+        _write_second_batch(docs, "doc_id", src)
+        _drain(start())
+
+        stream_cms = read_cms(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    toks = doc_token_stream(docs)
+    batch_cms = cms_partials(toks).selectExpr("row", "bucket", "cnt")
+    eq = frames_equal_flag(stream_cms, batch_cms, "stream_equals_batch_cms_ok")
+
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
+    )
+    total = toks.agg(F.count("*").cast("long").alias("n_total"))
+    probe = exact.select(
+        "token", "freq", F.explode(cms_cells(F.col("token"))).alias("c")
+    ).select("token", "freq", "c.row", "c.bucket")
+    est = (
+        probe.join(stream_cms, ["row", "bucket"])
+        .groupBy("token", "freq")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+    bound = F.col("freq") + F.lit(CMS_DEPTH) * F.col("n_total") / F.lit(CMS_WIDTH)
+    return (
+        est.join(F.broadcast(total))
+        .crossJoin(F.broadcast(eq))
+        .select(
+            "token",
+            "freq",
+            "n_total",
+            (F.col("est") >= F.col("freq")).alias("est_ge_freq_ok"),
+            (F.col("est") <= bound).alias("within_bound_ok"),
+            "stream_equals_batch_cms_ok",
+        )
+    )
+
+
 QUERIES = {
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -661,6 +928,9 @@ QUERIES = {
     "q_stream_sliding_equiv": q_stream_sliding_equiv,
     "q_stream_dedup_w_equiv": q_stream_dedup_w_equiv,
     "q_stream_stateful_equiv": q_stream_stateful_equiv,
+    "q_stream_static_join_equiv": q_stream_static_join_equiv,
+    "q_stream_stream_join_equiv": q_stream_stream_join_equiv,
+    "q_stream_cms_equiv": q_stream_cms_equiv,
 }
 
 
@@ -763,5 +1033,43 @@ ORACLE = {
         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                round(sum(value), 2) AS total_value
         FROM events GROUP BY user_id
+    """,
+    "q_stream_static_join_equiv": """
+        SELECT c.c_mktsegment, e.event_type,
+               count(*) AS n,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               round(sum(e.value), 2) AS sum_value,
+               TRUE AS stream_equals_batch_ok
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment, e.event_type
+    """,
+    "q_stream_cms_equiv": """
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        t AS (SELECT token FROM toks WHERE token <> ''),
+        exact AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS freq
+          FROM t GROUP BY token ORDER BY freq DESC, token LIMIT 20),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+        SELECT token, freq, n_total,
+               TRUE AS est_ge_freq_ok,
+               TRUE AS within_bound_ok,
+               TRUE AS stream_equals_batch_cms_ok
+        FROM exact CROSS JOIN total
+    """,
+    "q_stream_stream_join_equiv": f"""
+        SELECT a.user_id,
+               a.event_id AS click_id,
+               b.event_id AS purchase_id,
+               a.ts AS click_ts,
+               b.ts AS purchase_ts,
+               CAST((epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS BIGINT)
+                 AS latency_sec,
+               TRUE AS stream_equals_batch_ok
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
     """,
 }

@@ -243,6 +243,7 @@ VETTED_DOUBLE_COLUMNS = {
     ("q_stats_agg", "corr_uid"),
     ("q_stats_agg", "covar_uid"),
     ("q_stream_session_equiv", "session_value"),
+    ("q_stream_static_join_equiv", "sum_value"),
     ("q_stream_stateful_equiv", "total_value"),
     ("q_stream_tumble_equiv", "sum_value"),
     ("q_text_stats", "avg_chars"),

@@ -116,3 +116,30 @@ def test_distinct_rollup_converges_and_unions(spark, sf_dir, tmp_path):
     }
     for t, est in got_total.items():
         assert abs(est - exact_total[t]) <= max(2, 0.05 * exact_total[t])
+
+
+def test_cms_merge_equals_one_shot(spark, sf_dir, tmp_path):
+    """CMS mergeability: feeding the corpus in two halves through
+    merge_cms must leave EXACTLY the counter table a one-shot batch
+    sketch computes (addition is associative), and a third merge of extra
+    rows must only increase counters."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.catalog import load
+    from kinesis2elastic_spark.operators.corpus import cms_partials, doc_token_stream
+    from kinesis2elastic_spark.streaming.cms_stream import merge_cms, read_cms
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    state = str(tmp_path / "cms")
+    for par in (0, 1):
+        half = docs.filter((F.col("doc_id") % 2) == par)
+        merge_cms(spark, state, cms_partials(doc_token_stream(half)))
+    got = {(r.row, r.bucket): r.cnt for r in read_cms(spark, state).collect()}
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_partials(doc_token_stream(docs)).collect()
+    }
+    assert got == want
+    total_before = sum(got.values())
+    merge_cms(spark, state, cms_partials(doc_token_stream(docs.limit(5))))
+    assert sum(r.cnt for r in read_cms(spark, state).collect()) > total_before

@@ -61,3 +61,55 @@ def test_time_split_batches_partitions_in_time_order(spark, tmp_path):
     # b1 is already on disk for the first drain; b2 is the caller's to write
     assert os.path.isdir(src + "/b1") and not os.path.isdir(src + "/b2")
     assert spark.read.parquet(src + "/b1").count() == n1
+
+
+def test_stream_stream_join_constructed(spark, tmp_path):
+    """Constructed funnel-join case driven through the REAL streaming
+    pipeline shape (same join expression as q_stream_stream_join_equiv,
+    evaluated batch-side — the equivalence query itself proves
+    stream==batch; this pins the SEMANTICS): a click matches a purchase
+    by the same user within the window, in-window boundary inclusive,
+    out-of-window and cross-user pairs excluded, purchase-before-click
+    excluded."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.stream_equiv import (
+        STREAM_JOIN_WINDOW_MIN,
+    )
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:30:00", 1, "purchase", 1.0),   # in window
+        (3, "2024-01-01 12:00:00", 1, "purchase", 1.0),   # exactly at bound
+        (4, "2024-01-01 12:00:01", 1, "purchase", 1.0),   # 1s past bound
+        (5, "2024-01-01 09:59:59", 1, "purchase", 1.0),   # before the click
+        (6, "2024-01-01 10:15:00", 2, "purchase", 1.0),   # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = df.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    got = sorted(
+        r.purchase_id
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts")
+                + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+            ),
+        ).collect()
+    )
+    assert got == [2, 3]

@@ -112,6 +112,26 @@ def build_docs_tier(spark, n_clones: int, out_dir: str) -> None:
     )
 
 
+def build_emb_tier(spark, n_clones: int, out_dir: str) -> None:
+    """Embeddings clone tier via one explode-fan (same shape as
+    build_docs_tier): vec_id offset per clone, vectors unchanged — the
+    matmul-scan cost depends on row count × dim, not on values.  Used for
+    the 100x embedding-side rehearsal (round-5 judge item #6)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    fan = emb.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_clones))).alias("_k")
+    )
+    out = fan.select(
+        (F.col("vec_id") + F.lit(10_000_000) * F.col("_k")).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+
+
 def parse_event_log(evdir: str) -> dict[str, dict[str, float]]:
     """Per job group, from the event log: total shuffle read/write bytes
     and AQE decisions (coalesced reads / skew splits) counted on the LAST
@@ -207,10 +227,13 @@ def main() -> None:
         if "--skip-build" not in sys.argv or not os.path.isdir(TIER100_DIR):
             t0 = time.time()
             build_docs_tier(spark, n_clones=99, out_dir=TIER100_DIR)
+            build_emb_tier(spark, n_clones=99, out_dir=TIER100_DIR)
             print(
-                f"# built 100x docs tier in {time.time() - t0:.1f}s -> {TIER100_DIR}",
+                f"# built 100x docs+emb tier in {time.time() - t0:.1f}s -> {TIER100_DIR}",
                 file=sys.stderr,
             )
+        elif not os.path.exists(os.path.join(TIER100_DIR, "embeddings.parquet")):
+            build_emb_tier(spark, n_clones=99, out_dir=TIER100_DIR)
     elif "--skip-build" not in sys.argv or not os.path.isdir(TIER_DIR):
         t0 = time.time()
         build_tier(spark)
@@ -252,14 +275,37 @@ def main() -> None:
     if tier100:
         # 100x proves the CURVE for the two similarity joins (judge item:
         # two points show a trend, three prove it); the other flagships'
-        # scaling stories are already settled by the 10x run
+        # scaling stories are already settled by the 10x run.
+        # r6 adds the embedding-side matmul-scan family (r5 judge item #6):
+        # semantic decontam against the FIXED base benchmark — the claim
+        # under test is "same plan, corpus 100x, shuffle ~0, closure fixed"
         flagships = {
             "q_minhash_incremental": llmops.minhash_incremental_detail,
             "q_setsim_join@0.9": lambda s, d: llmops.q_setsim_join(s, d, threshold=0.9),
+            "q_semantic_decontam": lambda s, d: llmops.semantic_decontam_detail(
+                s, d, bench_sf_dir=SF_DIR
+            ),
         }
         tiers = (("sf0.1", SF_DIR), ("100x", TIER100_DIR))
+        # closure size: the only driver→executor payload of the matmul scan
+        _b = llmops.load(spark, SF_DIR, "embeddings").filter(
+            (F.col("vec_id") % llmops.SEMDECONTAM_BENCH_MOD) == 0
+        )
+        _nb = _b.count()
+        _dim = len(_b.select("embedding").first()[0])
+        print(
+            f"# semantic_decontam closure: {_nb} bench vecs x {_dim} dims = "
+            f"{_nb * _dim * 8 / 1024:.1f} KiB float64 (corpus-size independent)",
+            file=sys.stderr,
+        )
     else:
         tiers = (("sf0.1", SF_DIR), ("10x", TIER_DIR))
+
+    # --only <name>[,<name>...]: run a subset of the flagships (e.g. just
+    # the r6 embedding leg without re-paying the similarity-join legs)
+    if "--only" in sys.argv:
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        flagships = {k: v for k, v in flagships.items() if k in keep}
 
     results: dict[str, dict] = {}
     for tier, d in tiers:
@@ -283,7 +329,8 @@ def main() -> None:
     # threshold (0.8) — the sub-quadratic-growth evidence: a candidate
     # count is one aggregate over the pruned join, no verify/materialize
     cands: dict[str, dict[str, int]] = {}
-    for tier, d in tiers:
+    want_cands = any(("minhash" in n or "setsim" in n) for n in flagships)
+    for tier, d in tiers if want_cands else ():
         n_docs = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
         docs_df = llmops._docs_parallel(spark, d)
         setsim_cand, _, _ = llmops._setsim_parts(docs_df, 0.8)
