@@ -86,6 +86,9 @@ HEADLINE = [
     # matmul, zero shuffle) and temperature mixture reweighting
     "q_semantic_decontam",
     "q_mixture_weights",
+    # r6: the distributed exact-ntile decile assignment (vs DuckDB's
+    # declarative global-sort ntile — like-for-like work, different plan)
+    "q_quality_buckets",
 ]
 
 

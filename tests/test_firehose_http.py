@@ -5,6 +5,7 @@ error bodies) + spool-to-stream integration + observe() metrics."""
 import base64
 import gzip
 import json
+import time
 import urllib.error
 import urllib.request
 import uuid
@@ -115,7 +116,16 @@ def test_spool_feeds_stream_with_metrics(spark, receiver):
         out = spark.sql(f"SELECT * FROM {name}")
         assert out.count() == 6  # 3 envelopes x 2 logEvents
         assert out.filter(F.col("error_message").isNotNull()).count() == 0
-        batches = [p for p in listener.progress if p["numInputRows"] > 0]
+        # listener progress events are delivered on an async bus — under
+        # a loaded suite they can trail the drain by seconds, so poll
+        # with a bounded wait instead of asserting instantly (one
+        # observed flake at full-suite load, 2026-08: empty progress)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            batches = [p for p in listener.progress if p["numInputRows"] > 0]
+            if batches:
+                break
+            time.sleep(0.5)
         assert batches and sum(p["observed"]["n_docs"] for p in batches if p["observed"]) == 6
         assert all(p["observed"]["n_errors"] == 0 for p in batches if p["observed"])
     finally:
