@@ -2209,6 +2209,49 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_N_BUCKETS = 10
 
 
+def distributed_ntile(
+    df: DataFrame, qcol: str, tiebreak: str, k: int, out_col: str = "bucket"
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY qcol, tiebreak)`` with NO
+    data-proportional single-partition stage.  Requires ``qcol`` to be a
+    bounded-cardinality integer (a quantized score/key): the histogram of
+    ``qcol`` is then small data at any row count, so global rank =
+    (cumulative count of smaller qcol values) + (row_number within the
+    qcol tie group), and the rank→tile split is the standard SQL ntile
+    rule (first n%k tiles get one extra row) in pure BIGINT arithmetic
+    (doubles would lose exactness above 2^53 — ranks a 100-TB corpus
+    actually reaches).
+
+    Plan: one map-combinable groupBy shuffle (≤ |qcol| rows out), one
+    single-partition window over the BOUNDED histogram, one window
+    partitioned by qcol over the rows (tie groups, not the table), and
+    broadcast joins carrying the histogram + total back to the scan."""
+    hist = df.groupBy(qcol).agg(F.count("*").alias("cnt"))
+    wh = W.orderBy(qcol).rowsBetween(W.unboundedPreceding, -1)
+    hist_cum = hist.select(
+        qcol,
+        F.coalesce(F.sum("cnt").over(wh), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    wq = W.partitionBy(qcol).orderBy(tiebreak)
+    ranked = (
+        df.withColumn("rk", F.row_number().over(wq).cast("long"))
+        .join(F.broadcast(hist_cum), qcol)
+        .crossJoin(F.broadcast(tot))
+    )
+    tile = F.expr(
+        f"CASE WHEN n_total div {k} = 0 THEN cum_before + rk "
+        f"WHEN cum_before + rk <= (n_total % {k}) * (n_total div {k} + 1) "
+        f"THEN (cum_before + rk - 1) div (n_total div {k} + 1) + 1 "
+        f"ELSE (n_total % {k}) "
+        f"   + (cum_before + rk - (n_total % {k}) * (n_total div {k} + 1) - 1) "
+        f"     div (n_total div {k}) + 1 END"
+    )
+    return ranked.withColumn(out_col, tile.cast("long")).drop(
+        "rk", "cum_before", "n_total"
+    )
+
+
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B98: quality-decile assignment (curriculum / data-tier bucketing):
     every document lands in one of ``QUALITY_N_BUCKETS`` equal-population
@@ -2249,36 +2292,12 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qscore = F.floor(score * 10000 + F.lit(0.5)).cast("long")
     s = d.select("doc_id", qscore.alias("qscore"))
-    hist = s.groupBy("qscore").agg(F.count("*").alias("cnt"))
-    # bounded single-partition window: ≤ 1e6 histogram rows, corpus-size
-    # independent — this is the piece that replaces the global sort
-    wh = W.orderBy("qscore").rowsBetween(W.unboundedPreceding, -1)
-    hist_cum = hist.select(
-        "qscore",
-        F.coalesce(F.sum("cnt").over(wh), F.lit(0)).cast("long").alias("cum_before"),
-    )
-    tot = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
-    wq = W.partitionBy("qscore").orderBy("doc_id")
-    ranked = (
-        s.withColumn("rk", F.row_number().over(wq).cast("long"))
-        .join(F.broadcast(hist_cum), "qscore")
-        .crossJoin(F.broadcast(tot))
-    )
-    # pure BIGINT div/mod — exact at any rank magnitude (doubles would
-    # lose exactness above 2^53 ≈ ranks a 100-TB corpus actually reaches)
-    k = QUALITY_N_BUCKETS
-    decile = F.expr(
-        f"CASE WHEN n_total div {k} = 0 THEN cum_before + rk "
-        f"WHEN cum_before + rk <= (n_total % {k}) * (n_total div {k} + 1) "
-        f"THEN (cum_before + rk - 1) div (n_total div {k} + 1) + 1 "
-        f"ELSE (n_total % {k}) "
-        f"   + (cum_before + rk - (n_total % {k}) * (n_total div {k} + 1) - 1) "
-        f"     div (n_total div {k}) + 1 END"
-    )
-    return ranked.select(
+    return distributed_ntile(
+        s, "qscore", "doc_id", QUALITY_N_BUCKETS, out_col="decile"
+    ).select(
         "doc_id",
         (F.col("qscore") / 10000).alias("quality_score"),
-        decile.cast("long").alias("decile"),
+        "decile",
     )
 
 

@@ -900,7 +900,7 @@ def q_stream_cms_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "freq", F.explode(cms_cells(F.col("token"))).alias("c")
     ).select("token", "freq", "c.row", "c.bucket")
     est = (
-        probe.join(stream_cms, ["row", "bucket"])
+        probe.join(F.broadcast(stream_cms), ["row", "bucket"])
         .groupBy("token", "freq")
         .agg(F.min("cnt").cast("long").alias("est"))
     )

@@ -275,3 +275,38 @@ def test_bpe_train_and_encode_match_python_reference(spark, tmp_path_factory, wo
     assert got.n_bpe_tokens == sum(want_enc[w] for w in words)
     assert got.n_words == len(words)
     assert got.n_init_syms == sum(len(w) for w in words)
+
+
+def test_distributed_ntile_equals_window_ntile(spark):
+    """Property: distributed_ntile (histogram + tie-rank + BIGINT rank
+    arithmetic — q_quality_buckets' scale path) must equal the
+    declarative global-window ntile on adversarial tie distributions:
+    heavy ties, all-equal keys, n < k, n % k != 0."""
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import Window as W, functions as F
+
+    from kinesis2elastic_spark.operators.llmops import distributed_ntile
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        qs=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=37),
+        k=st.sampled_from([1, 3, 10]),
+    )
+    def check(qs, k):
+        df = spark.createDataFrame(
+            [(i, q) for i, q in enumerate(qs)], "rid long, q long"
+        )
+        got = {
+            r.rid: r.bucket
+            for r in distributed_ntile(df, "q", "rid", k).collect()
+        }
+        want = {
+            r.rid: r.nt
+            for r in df.withColumn(
+                "nt",
+                F.ntile(k).over(W.orderBy("q", "rid")).cast("long"),
+            ).collect()
+        }
+        assert got == want, (qs, k, got, want)
+
+    check()
