@@ -10,6 +10,7 @@ tie-breaks).  Scale notes inline.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -392,8 +393,56 @@ def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B103: the Arrow grouped-aggregate pandas UDAF surface
+    (``@pandas_udf`` returning a scalar per group — the third custom-
+    function shape after scalar pandas UDFs (B36) and UDTFs): an EXACT
+    per-group order statistic Spark's built-ins don't offer
+    (``percentile_approx`` is approximate; ``median`` needs 3.4+ and
+    interpolates).  Lower median of the value column in integer
+    micro-units — all-BIGINT, hash-safe by construction.
+
+    The whole group's values land in one Arrow batch per group — correct
+    for bounded per-key cardinality (events-per-user here); unbounded
+    keys would use the two-pass quantile assignment (distributed_ntile's
+    histogram trick) instead.  One shuffle on user_id; the UDAF runs
+    vectorized on Arrow buffers, not Python rows.
+
+    Oracle: DuckDB's ``quantile_disc(x, 0.5)`` is exactly the lower
+    median (element at 0-index (n-1)//2 — verified on even/odd/single/
+    duplicate-heavy groups)."""
+
+    @F.pandas_udf("long")
+    def lower_median(s: pd.Series) -> int:
+        # Arrow hands the buffer over zero-copy and read-only: np.sort
+        # (copying) rather than in-place .sort()
+        import numpy as np
+
+        a = np.sort(s.to_numpy())
+        return int(a[(len(a) - 1) // 2])
+
+    # Spark refuses to mix a group-agg pandas UDF with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # companion count is a UDAF too
+    @F.pandas_udf("long")
+    def n_rows(s: pd.Series) -> int:
+        return len(s)
+
+    e = load(spark, sf_dir, "events")
+    v_micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        e.select("user_id", v_micro.alias("v"))
+        .groupBy("user_id")
+        .agg(
+            lower_median(F.col("v")).alias("median_v_micro"),
+            n_rows(F.col("v")).alias("n_obs"),
+        )
+    )
+
+
 QUERIES = {
     "q_ntile_dist": q_ntile_dist,
+    "q_udaf_median": q_udaf_median,
     "q_window_firstlast": q_window_firstlast,
     "q_window_range_interval": q_window_range_interval,
     "q_percentiles": q_percentiles,
@@ -420,6 +469,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_udaf_median": """
+        SELECT user_id,
+               quantile_disc(CAST(floor(value * 1000000 + 0.5) AS BIGINT), 0.5)
+                 AS median_v_micro,
+               count(*) AS n_obs
+        FROM events GROUP BY user_id
+    """,
     "q_ntile_dist": """
         SELECT event_id,
                ntile(4) OVER w AS quartile,
