@@ -411,8 +411,91 @@ def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOB_FIXTURE_DIR = os.path.normpath(
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "fixtures", "blobs"
+    )
+)
+
+
+def q_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B104: the ``binaryFile`` source surface — the ingest path for
+    opaque multimodal payloads (B42's data model: asset bytes as a
+    ``binary`` column + typed metadata, decode behind a Pandas UDF).
+    Reads the COMMITTED fixture blobs (``fixtures/blobs/``, regenerate
+    with ``tools/gen_blob_fixture.py``) and emits name, exact length,
+    magic sniff (the A3 content-sniff discipline applied to files), and
+    a content digest.
+
+    Cross-engine digest: Spark's ``md5`` accepts binary but DuckDB 1.0's
+    only takes VARCHAR, so both sides digest the UPPERCASE HEX of the
+    bytes (``md5(hex(content))``) — byte-identical input strings by
+    construction.
+
+    Scale shape: binaryFile is a splittable listing scan (one task per
+    file up to ``maxPartitionBytes``); payload bytes never shuffle — the
+    projection reduces to (name, length, digest) before any exchange."""
+    df = spark.read.format("binaryFile").load(_BLOB_FIXTURE_DIR + "/*.bin")
+    name = F.element_at(F.split("path", "/"), -1)
+    # magic sniff on the hex string — BLOB slicing is not portable
+    # (DuckDB 1.0 can't subscript blobs), hex prefixes are; the literal
+    # is the module-level _BLOB_MAGIC_HEX shared with the oracle SQL
+    return df.select(
+        name.alias("name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        (F.substring(F.hex("content"), 1, 16) == F.lit(_BLOB_MAGIC_HEX)).alias(
+            "magic_ok"
+        ),
+        F.md5(F.hex("content")).alias("content_md5"),
+    )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B105: the ORC format surface (Spark's second native columnar
+    format — the interchange format of the Hive/Trino world): events
+    rows are written to ORC and read back, and the per-type aggregate of
+    the roundtripped data must hash-equal DuckDB's aggregate of the
+    ORIGINAL parquet — any loss in the ORC writer/reader (timestamp
+    semantics, double payloads, nulls) breaks the hash.
+
+    Values stay exact through the doctrine: micro-unit BIGINT sums and
+    µs-precision timestamp extrema (UTC session both engines).  The
+    write targets a tempdir and the result is localCheckpoint-ed before
+    cleanup."""
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v_micro"),
+    )
+    work = tempfile.mkdtemp(prefix="k2e_orc_")
+    try:
+        path = os.path.join(work, "events_orc")
+        e.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v_micro").cast("long").alias("sum_v_micro"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+                F.countDistinct("event_id").cast("long").alias("n_ids"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "q_base64": q_base64,
+    "q_binary_source": q_binary_source,
+    "q_orc_roundtrip": q_orc_roundtrip,
     "q_json_parse": q_json_parse,
     "q_explode": q_explode,
     "q_json_fallback": q_json_fallback,
@@ -517,6 +600,27 @@ ORACLE["q_csv_source"] = f"""
                   columns={{'id': 'BIGINT', 'customer': 'VARCHAR',
                             'note': 'VARCHAR', 'qty': 'BIGINT',
                             'price': 'DOUBLE'}})
+"""
+
+_BLOB_MAGIC_HEX = b"\x89FAKEIMG".hex().upper()
+
+ORACLE["q_binary_source"] = f"""
+    SELECT list_extract(string_split(filename, '/'), -1) AS name,
+           CAST(size AS BIGINT) AS n_bytes,
+           substr(hex(content), 1, 16) = '{_BLOB_MAGIC_HEX}' AS magic_ok,
+           md5(hex(content)) AS content_md5
+    FROM read_blob('{_BLOB_FIXTURE_DIR}/*.bin')
+"""
+
+ORACLE["q_orc_roundtrip"] = """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_v_micro,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events GROUP BY event_type
 """
 
 ROWS_ONLY: set[str] = set()

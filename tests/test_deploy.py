@@ -8,7 +8,7 @@ from kinesis2elastic_spark import deploy
 
 
 def test_opensearch_options_carry_reference_envelope():
-    opts = deploy.opensearch_sink_options("os.internal:9200", "logs-axway")
+    opts = deploy.opensearch_sink_options("os.example.com:9200", "logs-axway")
     assert opts["opensearch.batch.size.bytes"] == "5000000"  # main.go:46
     assert opts["opensearch.batch.write.retry.count"] == str(deploy.RETRY_COUNT)
     assert opts["opensearch.resource"] == "logs-axway"

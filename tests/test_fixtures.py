@@ -35,3 +35,13 @@ def test_csv_fixture_matches_generator(tmp_path, monkeypatch):
     monkeypatch.setattr(gen_csv, "OUT", regen)
     gen_csv.main()
     assert open(regen, "rb").read() == open(committed, "rb").read()
+
+
+def test_blob_fixture_matches_generator(tmp_path, monkeypatch):
+    import tools.gen_blob_fixture as gen_blob
+
+    committed = os.path.normpath(gen_blob.OUT_DIR)
+    regen = str(tmp_path / "blobs")
+    monkeypatch.setattr(gen_blob, "OUT_DIR", regen)
+    gen_blob.main()
+    assert _read_tree(regen) == _read_tree(committed)
