@@ -919,6 +919,127 @@ def q_stream_cms_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_timeout_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B106 oracle-backed: the EventTimeTimeout path of
+    applyInPandasWithState (``windows.sessionize_stateful_timeout``) —
+    the one B31 surface NoTimeout running-totals never exercises.
+    Custom sessionization where a session is appended either in-stream
+    (a later event for the key arrives past the gap) or by TIMEOUT (the
+    watermark passes last + gap with no new data for the key).
+
+    Determinism of the timeout leg: the two micro-batches are
+    time-ordered (b1 = ts < t_mid), so the watermark in force while b2
+    runs is w1 = floor(max(b1.ts)/1ms) − delay_ms (Spark's
+    ms-floored bookkeeping, mirrored in exact integer arithmetic here),
+    no timeout can fire during b1 (wm = 0), and no batch runs after b2
+    (availableNow) — so the emitted set is EXACTLY: every session that
+    is not its user's last, plus each last session whose owner has no
+    b2 events and whose (last + gap) ms-floored timeout precedes w1.
+    ``timeout_emission_ok`` pins the streamed multiset to that set.
+
+    Hashed columns are ALL lag-gap sessions with exact micro-unit sums —
+    DuckDB-recomputable; the emission flag is the engine-local part."""
+    from ..streaming.windows import (
+        SESSION_GAP_US,
+        SESSION_WM_DELAY_MS,
+        sessionize_stateful_timeout,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out_schema = (
+        "user_id long, session_start timestamp, session_last timestamp,"
+        " n_events long, sum_v_micro long"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_stream_timeout_")
+    try:
+        src = os.path.join(work, "src")
+        _b1, b2, _tmid = _time_split_batches(ev, "ts", src)
+        out_dir = os.path.join(work, "out")
+
+        def start():
+            return (
+                sessionize_stateful_timeout(_events_stream(spark, src))
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _drain(start())
+        b2.coalesce(1).write.parquet(src + "/b2")
+        _drain(start())
+        stream_out = _read_or_empty(spark, out_dir, out_schema).localCheckpoint(
+            eager=True
+        )
+        b1_max_us = _b1.agg(F.max(F.unix_micros("ts"))).first()[0]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # batch twin: lag-gap sessionization over the full table, micro-units
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.lit(SESSION_GAP_US)
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                > gap_us
+            ),
+            1,
+        ).otherwise(0)
+    )
+    v_micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    sess = (
+        ev.select("user_id", "ts", "event_id", v_micro.alias("v"))
+        .withColumn("new_s", new_sess)
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("long").alias("sum_v_micro"),
+        )
+    )
+    # expected emitted set under w1 (exact ms-floored integer arithmetic)
+    w1_ms = (b1_max_us // 1000) - SESSION_WM_DELAY_MS
+    has_b2 = b2.groupBy("user_id").agg(F.count("*").alias("n_b2"))
+    last_start = F.max("session_start").over(W.partitionBy("user_id"))
+    sess_flagged = sess.withColumn("is_last", F.col("session_start") == last_start)
+    joined = sess_flagged.join(F.broadcast(has_b2), "user_id", "left")
+    timeout_fires = F.expr(
+        f"(unix_micros(session_last) + {SESSION_GAP_US}) div 1000"
+    ) < F.lit(w1_ms)
+    expected = joined.filter(
+        (~F.col("is_last"))
+        | (F.col("n_b2").isNull() & timeout_fires)
+    ).select("user_id", "session_start", "session_last", "n_events", "sum_v_micro")
+    eq = frames_equal_flag(
+        stream_out.select(
+            "user_id", "session_start", "session_last", "n_events", "sum_v_micro"
+        ),
+        expected,
+        "timeout_emission_ok",
+    )
+    return sess.crossJoin(F.broadcast(eq)).select(
+        "user_id",
+        "session_start",
+        "session_last",
+        "n_events",
+        "sum_v_micro",
+        "timeout_emission_ok",
+    )
+
+
 QUERIES = {
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,

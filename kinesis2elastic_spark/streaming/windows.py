@@ -189,6 +189,84 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+SESSION_WM_DELAY_MS = 10 * 60 * 1000  # 10-minute watermark delay
+
+
+def sessionize_stateful_timeout(events: DataFrame) -> DataFrame:
+    """B31, the TIMEOUT path: custom sessionization via
+    ``applyInPandasWithState`` + ``EventTimeTimeout`` — the API surface
+    ``running_totals_stateful`` (NoTimeout) doesn't touch.  Per user the
+    state holds the open session (start, last event, count, micro-unit
+    value sum); a session closes and is APPENDED either
+
+    - in-stream, when a later event for the key arrives more than the
+      gap after the last one (the state function closes it inline), or
+    - by TIMEOUT, when the event-time watermark passes last + gap with
+      no new data for the key (``state.hasTimedOut`` → emit + remove).
+
+    Emission is append-mode by construction: a session row is final.
+    Timestamps ride through state as integer microseconds; the value
+    snap is the same pure-IEEE ``floor(v*1e6 + 0.5)`` as the batch
+    operators, so streamed rows are bit-comparable with the batch twin.
+    Spark's watermark/timeout bookkeeping is in MILLISECONDS (floored) —
+    the equivalence query mirrors that exact integer arithmetic."""
+    out_schema = (
+        "user_id bigint, session_start timestamp, session_last timestamp,"
+        " n_events bigint, sum_v_micro bigint"
+    )
+    state_schema = "start bigint, last bigint, n bigint, sumv bigint"
+
+    def _row(key, start, last, n, sumv):
+        return {
+            "user_id": key,
+            "session_start": pd.Timestamp(start, unit="us"),
+            "session_last": pd.Timestamp(last, unit="us"),
+            "n_events": n,
+            "sum_v_micro": sumv,
+        }
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.hasTimedOut:
+            start, last, n, sumv = state.get
+            state.remove()
+            yield pd.DataFrame([_row(key[0], start, last, n, sumv)])
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = batch["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+        v_micro = np.floor(batch["value"].to_numpy() * 1e6 + 0.5).astype("int64")
+        start, last, n, sumv = state.get if state.exists else (None, 0, 0, 0)
+        closed = []
+        for t, v in zip(ts_us.tolist(), v_micro.tolist()):
+            if start is None:
+                start, last, n, sumv = t, t, 1, v
+            elif t - last > SESSION_GAP_US:
+                closed.append(_row(key[0], start, last, n, sumv))
+                start, last, n, sumv = t, t, 1, v
+            else:
+                last, n, sumv = t, n + 1, sumv + v
+        state.update((start, last, n, sumv))
+        # Spark timeout bookkeeping is ms-floored
+        state.setTimeoutTimestamp((last + SESSION_GAP_US) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        events.withWatermark("ts", f"{SESSION_WM_DELAY_MS // 60000} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def running_totals_tws(events: DataFrame) -> DataFrame:
     """B31, Spark-4 form: the same per-user running totals through
     ``transformWithStateInPandas`` — the successor API to
