@@ -60,16 +60,28 @@ def _collect_modules():
     return mods
 
 
-def _driver_history() -> tuple[frozenset, frozenset]:
-    """(hash_green, ever_checked) query names from every CORRECTNESS_r*.json
-    the driver has written so far.  Reading the files (instead of a frozen
-    literal) means each round's ordering automatically deprioritizes what
-    the previous rounds already proved — the round-2 postmortem found a
-    stale hand-maintained set starved 48 queries of any correctness row."""
+def _driver_history(
+    base: str | None = None,
+) -> tuple[frozenset, frozenset, dict]:
+    """(hash_green, ever_checked, last_green_round) from every
+    CORRECTNESS_r*.json the driver has written so far.  Reading the files
+    (instead of a frozen literal) means each round's ordering automatically
+    deprioritizes what the previous rounds already proved — the round-2
+    postmortem found a stale hand-maintained set starved 48 queries of any
+    correctness row.  ``last_green_round[name]`` is the highest round number
+    whose file recorded a hash green for ``name`` (drives the tier-3
+    stale-green rotation)."""
     green: set[str] = set()
     checked: set[str] = set()
-    base = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    if base is None:
+        base = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))):
+        stem = os.path.basename(path)
+        try:
+            rnd = int(stem.replace("CORRECTNESS_r", "").replace(".json", ""))
+        except ValueError:
+            rnd = 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -81,7 +93,8 @@ def _driver_history() -> tuple[frozenset, frozenset]:
             checked.add(name)
             if row.get("hash_match") is True:
                 green.add(name)
-    return frozenset(green), frozenset(checked)
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return frozenset(green), frozenset(checked), last_green
 
 
 def _ordered_names(mods) -> list[tuple]:
@@ -94,9 +107,15 @@ def _ordered_names(mods) -> list[tuple]:
       tier 1 — oracle-backed, never driver-checked (ROUND-ROBINED across
                modules: evidence breadth beats finishing one module's tail)
       tier 2 — rows-only, never driver-checked
-      tier 3 — everything with a green (or rows-recorded) driver row
+      tier 3 — everything with a green (or rows-recorded) driver row,
+               STALEST GREEN FIRST: sorted ascending by the round of the
+               most recent hash green (ties broken by name for a stable
+               order), so a 50-slot driver run refreshes the 50 rows that
+               have gone longest unverified and the whole registry
+               re-verifies every ~4 rounds instead of re-checking the
+               same module-order prefix forever (r6 VERDICT #4)
     """
-    green, checked = _driver_history()
+    green, checked, last_green = _driver_history()
     # Round-new queries yield to queries that have waited longer (a capped
     # driver run should clear the oldest evidence debt first).  EMPTY in
     # round 5: the only red row (q_time_weighted_avg) sits alone in tier 0
@@ -143,7 +162,10 @@ def _ordered_names(mods) -> list[tuple]:
     interleaved = _interleave([m_ for m_ in old_by_mod if m_]) + _interleave(
         [m_ for m_ in new_by_mod if m_]
     )
-    return tiers[0] + interleaved + tiers[1] + tiers[2]
+    stale_first = sorted(
+        tiers[2], key=lambda t: (last_green.get(t[0], 0), t[0])
+    )
+    return tiers[0] + interleaved + tiers[1] + stale_first
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -36,6 +36,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..catalog import load
 
@@ -927,15 +928,21 @@ def q_stream_timeout_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a later event for the key arrives past the gap) or by TIMEOUT (the
     watermark passes last + gap with no new data for the key).
 
-    Determinism of the timeout leg: the two micro-batches are
-    time-ordered (b1 = ts < t_mid), so the watermark in force while b2
-    runs is w1 = floor(max(b1.ts)/1ms) − delay_ms (Spark's
-    ms-floored bookkeeping, mirrored in exact integer arithmetic here),
-    no timeout can fire during b1 (wm = 0), and no batch runs after b2
-    (availableNow) — so the emitted set is EXACTLY: every session that
-    is not its user's last, plus each last session whose owner has no
-    b2 events and whose (last + gap) ms-floored timeout precedes w1.
-    ``timeout_emission_ok`` pins the streamed multiset to that set.
+    Determinism of the timeout leg: availableNow drains end with a
+    NO-DATA micro-batch (``noDataMicroBatches.enabled``, default true)
+    whose watermark is w2 = floor(max(all ts)/1ms) − delay_ms (Spark's
+    ms-floored bookkeeping, mirrored in exact integer arithmetic here).
+    Every non-last session is closed in-stream or by an earlier timeout,
+    and every user's final open session is evicted by that last no-data
+    batch iff its ms-floored timeout (last + gap) precedes w2 — so the
+    emitted set is EXACTLY: every session that is not its user's last,
+    plus each last session with floor((last_us + gap_us)/1000) < w2_ms.
+    (A timeout firing under the intermediate w1 cannot merge-split: any
+    later event for that key is necessarily > gap past the closed
+    session, because w1 already cleared last + gap + delay.)
+    ``timeout_emission_ok`` pins the streamed multiset to that set —
+    across the two drains it also exercises watermark/state/timeout
+    recovery from the checkpoint.
 
     Hashed columns are ALL lag-gap sessions with exact micro-unit sums —
     DuckDB-recomputable; the emission flag is the engine-local part."""
@@ -975,7 +982,6 @@ def q_stream_timeout_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_out = _read_or_empty(spark, out_dir, out_schema).localCheckpoint(
             eager=True
         )
-        b1_max_us = _b1.agg(F.max(F.unix_micros("ts"))).first()[0]
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1010,18 +1016,17 @@ def q_stream_timeout_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("long").alias("sum_v_micro"),
         )
     )
-    # expected emitted set under w1 (exact ms-floored integer arithmetic)
-    w1_ms = (b1_max_us // 1000) - SESSION_WM_DELAY_MS
-    has_b2 = b2.groupBy("user_id").agg(F.count("*").alias("n_b2"))
+    # expected emitted set under the FINAL no-data-batch watermark w2
+    # (exact ms-floored integer arithmetic mirroring Spark's bookkeeping)
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    w2_ms = (max_us // 1000) - SESSION_WM_DELAY_MS
     last_start = F.max("session_start").over(W.partitionBy("user_id"))
     sess_flagged = sess.withColumn("is_last", F.col("session_start") == last_start)
-    joined = sess_flagged.join(F.broadcast(has_b2), "user_id", "left")
     timeout_fires = F.expr(
         f"(unix_micros(session_last) + {SESSION_GAP_US}) div 1000"
-    ) < F.lit(w1_ms)
-    expected = joined.filter(
-        (~F.col("is_last"))
-        | (F.col("n_b2").isNull() & timeout_fires)
+    ) < F.lit(w2_ms)
+    expected = sess_flagged.filter(
+        (~F.col("is_last")) | timeout_fires
     ).select("user_id", "session_start", "session_last", "n_events", "sum_v_micro")
     eq = frames_equal_flag(
         stream_out.select(
@@ -1052,6 +1057,7 @@ QUERIES = {
     "q_stream_static_join_equiv": q_stream_static_join_equiv,
     "q_stream_stream_join_equiv": q_stream_stream_join_equiv,
     "q_stream_cms_equiv": q_stream_cms_equiv,
+    "q_stream_timeout_equiv": q_stream_timeout_equiv,
 }
 
 
@@ -1192,5 +1198,30 @@ ORACLE = {
          AND a.event_type = 'click' AND b.event_type = 'purchase'
          AND b.ts >= a.ts
          AND b.ts <= a.ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTE
+    """,
+    # lag-gap sessionization twin in exact micro-units; the streamed
+    # EventTimeTimeout emission set is the engine-local flag
+    "q_stream_timeout_equiv": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) AS session_last,
+               count(*) AS n_events,
+               CAST(sum(v) AS BIGINT) AS sum_v_micro,
+               TRUE AS timeout_emission_ok
+        FROM sess GROUP BY user_id, sid
     """,
 }

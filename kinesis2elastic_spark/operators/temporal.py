@@ -349,38 +349,6 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_twa_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisection diagnostic for q_time_weighted_avg (round-5 VERDICT #1):
-    the pure-BIGINT half — user_id, summed lead()-durations in integer
-    microseconds, observation count.  No value column at all, so a driver
-    red here isolates the divergence to the timestamp/window channel."""
-    e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
-    return (
-        e.select("user_id", dur.alias("dur"))
-        .groupBy("user_id")
-        .agg(
-            F.sum("dur").cast("bigint").alias("dur_sum"),
-            F.count("*").alias("n_obs"),
-        )
-    )
-
-
-def q_twa_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisection diagnostic for q_time_weighted_avg: the value-channel
-    half — user_id plus the micro-unit value sum only (no window, no
-    timestamps beyond grouping).  A driver red here isolates the
-    divergence to the double→integer snap of the value column."""
-    e = load(spark, sf_dir, "events")
-    v_micro = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("bigint")
-    return (
-        e.select("user_id", v_micro.alias("v"))
-        .groupBy("user_id")
-        .agg(F.sum("v").cast("bigint").alias("plain_sum"))
-    )
-
-
 def q_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36: the UDF registration surface — a pandas UDF registered by name
     and invoked from SQL (the oracle recomputes the same quantity
@@ -503,8 +471,6 @@ QUERIES = {
     "q_cosine_near_dup": q_cosine_near_dup,
     "q_gapfill_locf": q_gapfill_locf,
     "q_time_weighted_avg": q_time_weighted_avg,
-    "q_twa_durations": q_twa_durations,
-    "q_twa_values": q_twa_values,
     "q_registered_udf": q_registered_udf,
     "q_udtf_ngrams": q_udtf_ngrams,
 }
@@ -578,21 +544,6 @@ ORACLE = {
                CAST(ws % 1000000000000000000 AS BIGINT) AS ws_lo,
                dur_sum, plain_sum, n_obs
         FROM agg
-    """,
-    "q_twa_durations": """
-        WITH seg AS (
-          SELECT user_id,
-                 epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                   - epoch_us(ts) AS dur
-          FROM events)
-        SELECT user_id, CAST(sum(dur) AS BIGINT) AS dur_sum, count(*) AS n_obs
-        FROM seg GROUP BY user_id
-    """,
-    "q_twa_values": """
-        SELECT user_id,
-               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
-                 AS plain_sum
-        FROM events GROUP BY user_id
     """,
     "q_udtf_ngrams": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS words

@@ -317,3 +317,43 @@ def test_no_decimal_or_unvetted_double_in_hashed_schemas(spark, sf_dir):
         "(floor(x*s+0.5) / stable_round) and add to VETTED_DOUBLE_COLUMNS: "
         f"{offenders_double}"
     )
+
+
+def test_driver_history_tracks_latest_green_round(tmp_path):
+    """Synthetic CORRECTNESS files: last_green_round must be the HIGHEST
+    round with a hash green, unaffected by later non-green rows."""
+    import json
+
+    h1 = {"qa": {"hash_match": True}, "qb": {"hash_match": True}}
+    h3 = {"qb": {"hash_match": True}, "qc": {"hash_match": False}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(h1))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(h3))
+    green, checked, last_green = entrymod._driver_history(str(tmp_path))
+    assert green == {"qa", "qb"}
+    assert checked == {"qa", "qb", "qc"}
+    assert last_green == {"qa": 1, "qb": 3}
+
+
+def test_ordered_names_rotates_stalest_green_first(monkeypatch):
+    """r6 VERDICT #4: with everything green, tier 3 must order by oldest
+    most-recent-green round (name tie-break), not module order — so a
+    capped driver run refreshes the stalest evidence each round."""
+    import types
+
+    def fn(spark, sf_dir):  # pragma: no cover - never called
+        raise AssertionError
+
+    mod = types.SimpleNamespace(
+        QUERIES={"q_new": fn, "q_r1": fn, "q_r5": fn, "q_r3a": fn, "q_r3b": fn},
+        ORACLE={"q_new": "SELECT 1", "q_r1": "SELECT 1", "q_r5": "SELECT 1",
+                "q_r3a": "SELECT 1", "q_r3b": "SELECT 1"},
+    )
+    hist = (
+        frozenset({"q_r1", "q_r5", "q_r3a", "q_r3b"}),
+        frozenset({"q_r1", "q_r5", "q_r3a", "q_r3b"}),
+        {"q_r1": 1, "q_r5": 5, "q_r3a": 3, "q_r3b": 3},
+    )
+    monkeypatch.setattr(entrymod, "_driver_history", lambda base=None: hist)
+    names = [n for n, _ in entrymod._ordered_names([mod])]
+    # never-checked first, then greens stalest-first with name tie-break
+    assert names == ["q_new", "q_r1", "q_r3a", "q_r3b", "q_r5"]

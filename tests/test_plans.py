@@ -387,8 +387,11 @@ def test_quality_buckets_no_global_sort(spark, sf_dir):
     df = q_quality_buckets(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ntile" not in plan, plan[:3000]
-    # the row_number tie-break window is partitioned (qscore in its spec)
+    # the row_number tie-break window is partitioned by (qscore, sub-bucket)
+    # — the r7 recursion: even a fully saturated score (ONE tie group)
+    # spreads over ~4096 range buckets instead of one task
     assert "row_number() windowspecdefinition(qscore" in plan, plan[:3000]
+    assert "__dn_sub" in plan.split("row_number() windowspecdefinition", 1)[1][:120], plan[:3000]
     # every SinglePartition exchange feeds off an aggregate (the bounded
     # histogram), never raw corpus rows
     parts = plan.split("Exchange SinglePartition")[1:]

@@ -310,3 +310,45 @@ def test_distributed_ntile_equals_window_ntile(spark):
         assert got == want, (qs, k, got, want)
 
     check()
+
+
+def test_distributed_ntile_saturated_key_spreads_ties(spark):
+    """r6 VERDICT #2 (B98 residual): a PLANTED fully-saturated corpus —
+    every row in ONE qcol tie group, the shape a >200-word web corpus
+    produces under the capped quality score — must still (a) assign exact
+    ntile buckets and (b) spread the tie group across the range
+    sub-buckets so no single task/cell receives more than a ~1/4096
+    share (here: max cell ≤ 2·ceil(n/DNTILE_TIE_BUCKETS))."""
+    from pyspark.sql import Window as W, functions as F
+
+    from kinesis2elastic_spark.operators.llmops import (
+        DNTILE_TIE_BUCKETS,
+        distributed_ntile,
+    )
+
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") * 7 + 13).alias("rid"), F.lit(1000000).alias("q")
+    )
+    out = distributed_ntile(df, "q", "rid", 10)
+    want = df.withColumn(
+        "nt", F.ntile(10).over(W.orderBy("q", "rid")).cast("long")
+    )
+    got = {r.rid: r.bucket for r in out.collect()}
+    assert got == {r.rid: r.nt for r in want.collect()}
+    # every decile is exactly n/10 — the split really happened
+    sizes = {r.bucket: r.c for r in out.groupBy("bucket").agg(F.count("*").alias("c")).collect()}
+    assert sizes == {i: n // 10 for i in range(1, 11)}
+    # the tie-rank window ran partitioned by (q, sub-bucket): recompute the
+    # cells with the module's own bucketing and bound the largest one
+    lo, hi = df.agg(F.min("rid"), F.max("rid")).first()
+    width = max(1, -(-(hi - lo + 1) // DNTILE_TIE_BUCKETS))
+    cells = (
+        df.withColumn("sub", F.expr(f"(CAST(rid AS BIGINT) - {lo}) div {width}"))
+        .groupBy("q", "sub")
+        .agg(F.count("*").alias("c"))
+    )
+    max_cell = cells.agg(F.max("c")).first()[0]
+    n_cells = cells.count()
+    assert n_cells > DNTILE_TIE_BUCKETS / 2, n_cells
+    assert max_cell <= 2 * (-(-n // DNTILE_TIE_BUCKETS)), (max_cell, n_cells)

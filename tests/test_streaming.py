@@ -330,3 +330,63 @@ def test_transform_with_state_matches_legacy(spark, tmp_path_factory):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert got == {0: (3, 0.0 + 2 + 4), 1: (3, 1.0 + 3 + 5)}
+
+
+def test_sessionize_stateful_timeout_emission_paths(spark, tmp_path_factory):
+    """B106: both append paths of ``sessionize_stateful_timeout`` on a
+    hand-built corpus where every session's fate is known — the in-stream
+    close (a later event arrives past the gap), the EventTimeTimeout
+    eviction in the final no-data batch, and the NEGATIVE: a final open
+    session whose timeout has not passed the watermark must NOT appear
+    (a fabricated extra emission would make this set differ — the same
+    divergence `frames_equal_flag` is pinned to catch)."""
+    import os
+
+    from kinesis2elastic_spark.operators.stream_equiv import (
+        _events_stream,
+        _read_or_empty,
+    )
+    from kinesis2elastic_spark.streaming.windows import (
+        sessionize_stateful_timeout,
+    )
+
+    work = str(tmp_path_factory.mktemp("tmo"))
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        # user 1 session A: two events, closed IN-STREAM by e3's gap
+        (1, 1, "2024-01-01 00:00:00", "click", 1.5),
+        (2, 1, "2024-01-01 00:10:00", "click", 2.5),
+        # user 1 session B: opens at 02:00 — timeout 02:30 > w2 01:50 → held open
+        (3, 1, "2024-01-01 02:00:00", "click", 9.0),
+        # user 2 session C: single event, closed by TIMEOUT (00:35 < w2 01:50)
+        (4, 2, "2024-01-01 00:05:00", "view", 3.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string, value double"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    df.coalesce(1).write.parquet(src + "/b1")
+    out_dir = os.path.join(work, "out")
+    q = (
+        sessionize_stateful_timeout(_events_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out_schema = (
+        "user_id long, session_start timestamp, session_last timestamp,"
+        " n_events long, sum_v_micro long"
+    )
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_last), r.n_events, r.sum_v_micro)
+        for r in _read_or_empty(spark, out_dir, out_schema).collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2, 4000000),
+        (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1, 3250000),
+    }
