@@ -89,6 +89,12 @@ HEADLINE = [
     # r6: the distributed exact-ntile decile assignment (vs DuckDB's
     # declarative global-sort ntile — like-for-like work, different plan)
     "q_quality_buckets",
+    # r7: the three r6 execution shapes with no prior perf visibility —
+    # Arrow grouped-agg UDAF, second-native-format write+read roundtrip,
+    # binaryFile ingest (r6 VERDICT #6)
+    "q_udaf_median",
+    "q_orc_roundtrip",
+    "q_binary_source",
 ]
 
 

@@ -54,13 +54,17 @@ RETRY_COUNT = 6  # exponential backoff envelope (main.go:402-409)
 RETRY_WAIT_SECS = 10  # base wait between bulk retries
 SHUTDOWN_DRAIN_SECS = 30  # main.go:48 shutdownTimeout
 
-# Maven coordinates to pass to spark-submit --packages; verify the
-# version against the connector release notes for your Spark build.
+# Maven coordinate TEMPLATES for spark-submit --packages.  This sandbox
+# has no network, so these are transcribed from the connectors' public
+# docs, NOT resolved against Maven Central — verify groupId:artifactId
+# AND version against the connector release notes for your Spark/Scala
+# build before deploying (spark_submit_line() repeats this warning).
 PACKAGES = {
     "opensearch": "org.opensearch.client:opensearch-spark-30_2.12:1.2.0",
     "elasticsearch": "org.elasticsearch:elasticsearch-spark-30_2.12:8.13.4",
-    # AWS Labs spark-sql-kinesis-connector (format "aws-kinesis"):
-    # https://github.com/awslabs/spark-sql-kinesis-connector
+    # AWS Labs repo github.com/awslabs/spark-sql-kinesis-connector; its
+    # README's --packages line uses the longer artifactId below — if
+    # resolution fails, check the repo for the artifactId it publishes
     "kinesis": "software.amazon.kinesis:spark-streaming-sql-kinesis-connector_2.12:1.0.0",
 }
 
@@ -176,7 +180,11 @@ def kinesis_readstream(spark, stream_name: str, region: str, **kw):
 def spark_submit_line(
     dialect: str = "opensearch", with_kinesis: bool = True
 ) -> str:
-    """The --packages fragment for spark-submit, from PACKAGES."""
+    """The --packages fragment for spark-submit, from PACKAGES.
+
+    The coordinates are unresolved TEMPLATES (no network in this
+    sandbox): confirm each against Maven Central / the connector repo
+    for your Spark + Scala build before submitting."""
     pkgs = [PACKAGES[dialect]]
     if with_kinesis:
         pkgs.append(PACKAGES["kinesis"])

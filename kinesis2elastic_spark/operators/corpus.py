@@ -866,8 +866,26 @@ _BENCH_SHINGLES: dict = {}
 _BLOOM_BITMAPS: dict = {}
 
 
+def _evict_stale_cache_keys(cache: dict, keep_key: tuple) -> None:
+    """Keep only ``keep_key``: the caches pin localCheckpoint blocks /
+    broadcast bitmaps, so an unbounded dict would leak executor storage
+    in a long-lived session screening many sf_dirs (r6 ADVICE).  One
+    benchmark artifact live at a time matches the production shape — a
+    static eval suite per screening job."""
+    for k in [k for k in cache if k != keep_key]:
+        val = cache.pop(k)
+        try:
+            if hasattr(val, "unpersist"):
+                val.unpersist()
+            elif hasattr(val, "destroy"):
+                val.destroy()
+        except Exception:
+            pass  # session already stopped; nothing to release
+
+
 def _bench_shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_stale_cache_keys(_BENCH_SHINGLES, key)
     if key not in _BENCH_SHINGLES:
         d = load(spark, sf_dir, "documents")
         grams = d.select("doc_id", F.explode(_word_ngrams(NGRAM_N)).alias("gram"))
@@ -901,6 +919,7 @@ def bloom_decontam_probe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     PREBUILT broadcast Bloom filter — no bench-set build, no exact-verify
     twin.  Per-doc flags reduced to the summary count."""
     key = (spark.sparkContext.applicationId, sf_dir)
+    _evict_stale_cache_keys(_BLOOM_BITMAPS, key)
     if key not in _BLOOM_BITMAPS:
         _BLOOM_BITMAPS[key] = _bloom_bitmap_broadcast(
             spark, _bench_shingle_set(spark, sf_dir)

@@ -492,10 +492,63 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B109: the hidden ``_metadata`` file-source columns — Spark's
+    row-level provenance surface (``_metadata.file_name`` /
+    ``row_index``), what a 100-TB pipeline uses to stamp lineage ids
+    (file + offset) onto every ingested row without any shuffle: the
+    metadata struct is produced by the scan itself.
+
+    Events are written once, sorted by event_id into a single parquet
+    file (so file row position is deterministic), read back selecting
+    ``_metadata.row_index``, and checked two ways:
+    - hashed columns: per event_type, exact count + BIGINT sum of the
+      row indexes — DuckDB recomputes them as ``row_number() OVER
+      (ORDER BY event_id) - 1`` on the original table;
+    - ``lineage_ok`` (engine-local flag): EVERY row's scan-produced
+      row_index equals its event_id rank (event_id is dense, so rank =
+      event_id − min — a broadcast scalar, no global-sort window) —
+      pinned row-by-row in Spark before aggregating, so one misplaced
+      row flips the flag even if the sums happened to collide."""
+    import shutil
+    import tempfile
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type")
+    work = tempfile.mkdtemp(prefix="k2e_lineage_")
+    try:
+        path = os.path.join(work, "events_sorted")
+        e.orderBy("event_id").coalesce(1).write.mode("overwrite").parquet(path)
+        min_id = e.agg(F.min("event_id").cast("long").alias("min_id"))
+        back = spark.read.parquet(path).select(
+            "event_id",
+            "event_type",
+            F.col("_metadata.row_index").alias("ri"),
+            F.col("_metadata.file_name").alias("fn"),
+        )
+        checked = back.crossJoin(F.broadcast(min_id)).withColumn(
+            "ok", F.col("ri") == F.col("event_id") - F.col("min_id")
+        )
+        out = (
+            checked.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("ri").cast("long").alias("sum_row_index"),
+                (
+                    F.min(F.col("ok").cast("int")) == 1
+                ).alias("lineage_ok"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "q_base64": q_base64,
     "q_binary_source": q_binary_source,
     "q_orc_roundtrip": q_orc_roundtrip,
+    "q_row_lineage": q_row_lineage,
     "q_json_parse": q_json_parse,
     "q_explode": q_explode,
     "q_json_fallback": q_json_fallback,
@@ -624,3 +677,13 @@ ORACLE["q_orc_roundtrip"] = """
 """
 
 ROWS_ONLY: set[str] = set()
+
+ORACLE["q_row_lineage"] = """
+    WITH m AS (SELECT min(event_id) AS mn FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(event_id - m.mn) AS BIGINT) AS sum_row_index,
+           TRUE AS lineage_ok
+    FROM events CROSS JOIN m
+    GROUP BY event_type
+"""

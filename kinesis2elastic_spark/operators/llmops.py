@@ -1277,10 +1277,17 @@ def semantic_decontam_detail(
     """Production path of q_semantic_decontam for the scale rehearsal: the
     benchmark matrix comes from ``bench_sf_dir`` (the benchmark is STATIC
     in production — fixed eval suites — so it must NOT grow with the
-    corpus being screened) and the whole ``sf_dir`` corpus streams through
-    the one-matmul ``mapInPandas`` probe.  Same plan as the registered
+    corpus being screened) and the ``sf_dir`` corpus streams through the
+    one-matmul ``mapInPandas`` probe.  Same plan as the registered
     query: one corpus scan, zero shuffle, no join — the closure carries
-    only the |bench|×dim float64 matrix."""
+    only the |bench|×dim float64 matrix.
+
+    When ``bench_sf_dir`` is None (self-screening rehearsal), the
+    registered query's train-side filter is applied so the benchmark
+    vectors are not scored against themselves (sim 1.0 rows would skew
+    the rehearsal's row counts/timings vs q_semantic_decontam — r6
+    ADVICE); with a distinct ``bench_sf_dir`` the corpus is disjoint by
+    construction and streams through unfiltered."""
     import numpy as np
 
     bench_emb = load(spark, bench_sf_dir or sf_dir, "embeddings").withColumn(
@@ -1309,6 +1316,8 @@ def semantic_decontam_detail(
     corpus = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.col("embedding").cast("array<double>")
     )
+    if bench_sf_dir is None:
+        corpus = corpus.filter((F.col("vec_id") % SEMDECONTAM_BENCH_MOD) != 0)
     return (
         corpus.select("vec_id", "vec")
         .mapInPandas(score, "vec_id long, max_sim_raw double")

@@ -440,8 +440,78 @@ def q_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSEL_BUCKETS = 4096
+QSEL_PCTS = (25, 50, 75, 90, 99)
+
+
+def q_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B107: GLOBAL exact quantile selection with NO global sort — the
+    100-TB form of an exact order statistic over the whole table (the
+    per-group exact percentiles of q_percentiles sort within bounded
+    groups; a global ``orderBy`` would single-task the corpus).
+
+    Classic two-pass distributed selection:
+      pass 1 — snap values to integer micro-units, range-bucket them into
+      ≤``QSEL_BUCKETS`` coarse bins (width from the global min/max — a
+      3-scalar agg), and build the bin histogram: a map-combinable
+      groupBy whose output is ≤4096 rows AT ANY CORPUS SIZE, collected to
+      the driver (bounded, documented).  Walking its cumulative counts
+      locates, for each target rank, the one bin that contains it and the
+      rank's offset within that bin.
+      pass 2 — a broadcast semi-join keeps ONLY the rows of the needed
+      bins (≤ |pcts|/4096 of the data), ranks each bin with a window
+      partitioned by bin (never the table), and picks the offsets.
+
+    Target ranks use pure integer arithmetic mirrored verbatim in the
+    oracle — rank_p = 1 + (p·(n−1)) div 100, the lower (discrete)
+    quantile — so the hashed (pct, rank, v_micro, n) rows are
+    cross-engine exact.  All-BIGINT output."""
+    e = load(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    t = e.select(v.alias("v"))
+    lo, hi, n = t.agg(F.min("v"), F.max("v"), F.count("*")).first()
+    lo, hi, n = int(lo), int(hi), int(n)
+    width = max(1, -(-(hi - lo + 1) // QSEL_BUCKETS))
+    tb = t.withColumn("b", F.expr(f"(v - {lo}) div {width}"))
+    hist = sorted(
+        (r["b"], r["cnt"])
+        for r in tb.groupBy("b").agg(F.count("*").alias("cnt")).collect()
+    )  # ≤ QSEL_BUCKETS rows — bounded driver collect by construction
+    targets = {p: 1 + (p * (n - 1)) // 100 for p in QSEL_PCTS}
+    picks = []
+    cum = 0
+    for b, cnt in hist:
+        for p, r in targets.items():
+            if cum < r <= cum + cnt:
+                picks.append((int(b), int(r - cum), int(p), int(r)))
+        cum += cnt
+    wanted = spark.createDataFrame(
+        picks, "wb long, off long, pct long, rank long"
+    )
+    wb = W.partitionBy("b").orderBy("v")
+    return (
+        tb.join(
+            F.broadcast(wanted.select(F.col("wb").alias("b")).distinct()),
+            "b",
+            "left_semi",
+        )
+        .withColumn("rn", F.row_number().over(wb).cast("long"))
+        .join(
+            F.broadcast(wanted),
+            (F.col("b") == F.col("wb")) & (F.col("rn") == F.col("off")),
+        )
+        .select(
+            "pct",
+            "rank",
+            F.col("v").alias("v_micro"),
+            F.lit(n).cast("long").alias("n"),
+        )
+    )
+
+
 QUERIES = {
     "q_ntile_dist": q_ntile_dist,
+    "q_quantile_select": q_quantile_select,
     "q_udaf_median": q_udaf_median,
     "q_window_firstlast": q_window_firstlast,
     "q_window_range_interval": q_window_range_interval,
@@ -469,6 +539,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_quantile_select": """
+        WITH t AS (
+          SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),
+        nn AS (SELECT count(*) AS n FROM t),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+        p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct)
+        SELECT CAST(p.pct AS BIGINT) AS pct,
+               CAST(1 + (p.pct * (nn.n - 1)) // 100 AS BIGINT) AS rank,
+               r.v AS v_micro,
+               nn.n AS n
+        FROM p CROSS JOIN nn
+        JOIN r ON r.rn = 1 + (p.pct * (nn.n - 1)) // 100
+    """,
     "q_udaf_median": """
         SELECT user_id,
                quantile_disc(CAST(floor(value * 1000000 + 0.5) AS BIGINT), 0.5)

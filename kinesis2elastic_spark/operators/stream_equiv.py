@@ -1045,6 +1045,170 @@ def q_stream_timeout_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_rocksdb_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B108 oracle-backed: the RocksDB state-store backend — the backend
+    the 100-TB deployment actually runs (``windows.use_rocksdb_state``:
+    per-key state on local disk with bounded executor memory + changelog
+    checkpointing, vs the default HDFS-backed provider that keeps every
+    key on-heap).  Until r7 the helper existed but nothing EXERCISED the
+    provider; this drains a stateful streaming aggregate over two
+    micro-batches with RocksDB serving the state and gates both:
+
+    - hashed columns: per-event-type exact counts + micro-unit value
+      sums from the complete-mode result after the second drain — must
+      equal DuckDB's batch aggregate (state survived the cross-drain
+      checkpoint restore through the RocksDB files);
+    - ``rocksdb_state_ok`` (engine-local flag): every micro-batch's
+      state operator reported RocksDB custom metrics (the provider
+      actually served — a silent fallback to the default provider would
+      flip this, not just pass vacuously).
+
+    The provider is a session-wide conf read at query start; the prior
+    values are restored in ``finally`` so no other query inherits it."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    chg_key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+    def _get(k):
+        try:
+            return spark.conf.get(k)
+        except Exception:
+            return None
+
+    old_prov, old_chg = _get(prov_key), _get(chg_key)
+    work = tempfile.mkdtemp(prefix="k2e_stream_rocksdb_")
+    progresses = []
+    try:
+        from ..streaming.windows import use_rocksdb_state
+
+        src = os.path.join(work, "src")
+        _b1, b2, _tmid = _time_split_batches(ev, "ts", src)
+        out_dir = os.path.join(work, "out")
+        use_rocksdb_state(spark)
+
+        def start():
+            agg = (
+                _events_stream(spark, src)
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").cast("long").alias("n_events"),
+                    F.sum(
+                        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+                    )
+                    .cast("long")
+                    .alias("sum_v_micro"),
+                )
+            )
+            return (
+                agg.writeStream.foreachBatch(_overwrite_sink(out_dir))
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        for write_b2 in (False, True):
+            if write_b2:
+                b2.coalesce(1).write.parquet(src + "/b2")
+            q = start()
+            q.awaitTermination(600)
+            progresses.extend(q.recentProgress or [])
+        out_schema = "event_type string, n_events long, sum_v_micro long"
+        final = _read_or_empty(spark, out_dir, out_schema).localCheckpoint(
+            eager=True
+        )
+    finally:
+        for k, old in ((prov_key, old_prov), (chg_key, old_chg)):
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+        shutil.rmtree(work, ignore_errors=True)
+
+    data_batches = [
+        p for p in progresses if p.stateOperators and p.numInputRows > 0
+    ]
+    served = bool(data_batches) and all(
+        any("rocksdb" in m.lower() for m in (so.customMetrics or {}))
+        for p in data_batches
+        for so in p.stateOperators
+    )
+    return final.withColumn("rocksdb_state_ok", F.lit(served))
+
+
+N_BACKPRESSURE_FILES = 6
+
+
+def q_stream_backpressure_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B110 oracle-backed: source rate limiting — ``maxFilesPerTrigger``
+    under ``Trigger.AvailableNow``, the BACKFILL operating mode at
+    100 TB (replaying a month of landed files cannot be one giant
+    micro-batch; the limiter bounds per-batch input so state updates,
+    checkpoints and retries stay incremental).  Every other equivalence
+    drain feeds one file per restart; this is the one that makes a
+    SINGLE query run chop a pre-loaded backlog into many micro-batches.
+
+    ``N_BACKPRESSURE_FILES`` time-ordered files are all written BEFORE
+    the stream starts; with ``maxFilesPerTrigger=1`` the availableNow
+    drain must process them as ≥ that many data micro-batches
+    (``n_batches_ok`` — engine-local flag from the progress log; a
+    limiter silently ignored would collapse to one batch and flip it),
+    and the complete-mode aggregate accumulated ACROSS those batches
+    must equal DuckDB's one-shot batch aggregate (hashed columns:
+    per-type exact count + micro-unit sum)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="k2e_stream_bp_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        t_min, t_max = ev.agg(F.min("ts"), F.max("ts")).first()
+        step = (t_max - t_min) / N_BACKPRESSURE_FILES
+        n_nonempty = 0
+        for i in range(N_BACKPRESSURE_FILES):
+            p = ev
+            if i > 0:
+                p = p.filter(F.col("ts") >= F.lit(t_min + i * step))
+            if i < N_BACKPRESSURE_FILES - 1:
+                p = p.filter(F.col("ts") < F.lit(t_min + (i + 1) * step))
+            p = p.localCheckpoint(eager=True)
+            if p.count() > 0:
+                n_nonempty += 1
+            p.coalesce(1).write.parquet(f"{src}/b{i:02d}")
+        out_dir = os.path.join(work, "out")
+        agg = (
+            spark.readStream.schema(_EVENT_COLS)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum(F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long"))
+                .cast("long")
+                .alias("sum_v_micro"),
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(_overwrite_sink(out_dir))
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        n_data_batches = sum(
+            1 for p in (q.recentProgress or []) if p.numInputRows > 0
+        )
+        out_schema = "event_type string, n_events long, sum_v_micro long"
+        final = _read_or_empty(spark, out_dir, out_schema).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return final.withColumn(
+        "n_batches_ok", F.lit(bool(n_data_batches >= n_nonempty and n_nonempty > 1))
+    )
+
+
 QUERIES = {
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -1058,6 +1222,8 @@ QUERIES = {
     "q_stream_stream_join_equiv": q_stream_stream_join_equiv,
     "q_stream_cms_equiv": q_stream_cms_equiv,
     "q_stream_timeout_equiv": q_stream_timeout_equiv,
+    "q_stream_rocksdb_equiv": q_stream_rocksdb_equiv,
+    "q_stream_backpressure_equiv": q_stream_backpressure_equiv,
 }
 
 
@@ -1223,5 +1389,21 @@ ORACLE = {
                CAST(sum(v) AS BIGINT) AS sum_v_micro,
                TRUE AS timeout_emission_ok
         FROM sess GROUP BY user_id, sid
+    """,
+    "q_stream_rocksdb_equiv": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_v_micro,
+               TRUE AS rocksdb_state_ok
+        FROM events GROUP BY event_type
+    """,
+    "q_stream_backpressure_equiv": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_v_micro,
+               TRUE AS n_batches_ok
+        FROM events GROUP BY event_type
     """,
 }

@@ -459,3 +459,17 @@ def test_split_leakage_detects_planted_leak(spark, tmp_path):
     df.write.parquet(str(tmp_path / "documents.parquet"))
     out = q_split_leakage(spark, str(tmp_path)).first()
     assert (out.n_dup_groups, out.n_leaking_groups, out.n_docs_in_leaks) == (2, 1, 2)
+
+
+def test_bench_artifact_caches_stay_bounded(spark):
+    """r6 ADVICE: the per-(session, sf_dir) benchmark-artifact caches must
+    evict prior keys (they pin localCheckpoint blocks / broadcast
+    bitmaps) — a long-lived session screening many sf_dirs keeps exactly
+    one artifact live."""
+    from kinesis2elastic_spark.operators import corpus as c
+
+    c._bench_shingle_set(spark, "/root/testdata/sf0.001")
+    assert len(c._BENCH_SHINGLES) == 1
+    c._bench_shingle_set(spark, "/root/testdata/sf0.01")
+    assert len(c._BENCH_SHINGLES) == 1
+    assert next(iter(c._BENCH_SHINGLES))[1] == "/root/testdata/sf0.01"

@@ -352,3 +352,49 @@ def test_distributed_ntile_saturated_key_spreads_ties(spark):
     n_cells = cells.count()
     assert n_cells > DNTILE_TIE_BUCKETS / 2, n_cells
     assert max_cell <= 2 * (-(-n // DNTILE_TIE_BUCKETS)), (max_cell, n_cells)
+
+
+def test_quantile_select_matches_bruteforce(spark):
+    """B107 property: two-pass bucket selection must return exactly the
+    value at rank 1 + (p(n-1)) div 100 of the sorted micro-unit values —
+    checked against a driver-side sort on adversarial shapes (ties,
+    negatives, tiny n, values spanning many buckets)."""
+    from hypothesis import given, settings, strategies as st
+
+    from kinesis2elastic_spark.operators import relational_ext as rx
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vs=st.lists(
+            st.integers(min_value=-(10**7), max_value=10**13),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(vs):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vs)], "event_id long, v long"
+        ).selectExpr("event_id", "v / 1000000.0 as value")
+        fake_load = lambda _s, _d, _t: df  # noqa: E731
+        orig = rx.load
+        rx.load = fake_load
+        try:
+            got = {
+                (r.pct, r.rank): (r.v_micro, r.n)
+                for r in rx.q_quantile_select(spark, "ignored").collect()
+            }
+        finally:
+            rx.load = orig
+        n = len(vs)
+        # value/1e6 then floor(x*1e6+0.5) snap can differ by ±1 µ-unit from
+        # the original int for huge magnitudes — recompute the snapped set
+        snapped = sorted(
+            r.sv for r in df.selectExpr(
+                "CAST(floor(value * 1000000 + 0.5) AS LONG) AS sv"
+            ).collect()
+        )
+        for p in rx.QSEL_PCTS:
+            rank = 1 + (p * (n - 1)) // 100
+            assert got[(p, rank)] == (snapped[rank - 1], n), (vs, p)
+
+    check()
