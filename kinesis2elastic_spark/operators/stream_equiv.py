@@ -1111,7 +1111,15 @@ def q_stream_rocksdb_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             if write_b2:
                 b2.coalesce(1).write.parquet(src + "/b2")
             q = start()
-            q.awaitTermination(600)
+            # a False return means the drain timed out with the query still
+            # live — restarting on the same checkpoint would then race the
+            # first run (r7 ADVICE); fail loudly instead
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    "q_stream_rocksdb_equiv: availableNow drain did not "
+                    f"finish within 600s (restart leg={write_b2})"
+                )
             progresses.extend(q.recentProgress or [])
         out_schema = "event_type string, n_events long, sum_v_micro long"
         final = _read_or_empty(spark, out_dir, out_schema).localCheckpoint(
@@ -1162,14 +1170,25 @@ def q_stream_backpressure_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(work, "src")
         os.makedirs(src)
         t_min, t_max = ev.agg(F.min("ts"), F.max("ts")).first()
-        step = (t_max - t_min) / N_BACKPRESSURE_FILES
+        if t_max > t_min:
+            step = (t_max - t_min) / N_BACKPRESSURE_FILES
+            split_col, s_min, s_max = F.col("ts"), t_min, t_max
+        else:
+            # degenerate fixture (every event at one instant) would put all
+            # rows in file 0 and spuriously flip n_batches_ok (r7 ADVICE);
+            # fall back to chopping the backlog by event_id ranges — the
+            # file split is test scaffolding, any partition of the rows
+            # exercises the limiter equally
+            i_min, i_max = ev.agg(F.min("event_id"), F.max("event_id")).first()
+            step = max(1, (i_max - i_min)) / N_BACKPRESSURE_FILES
+            split_col, s_min, s_max = F.col("event_id"), i_min, i_max
         n_nonempty = 0
         for i in range(N_BACKPRESSURE_FILES):
             p = ev
             if i > 0:
-                p = p.filter(F.col("ts") >= F.lit(t_min + i * step))
+                p = p.filter(split_col >= F.lit(s_min + i * step))
             if i < N_BACKPRESSURE_FILES - 1:
-                p = p.filter(F.col("ts") < F.lit(t_min + (i + 1) * step))
+                p = p.filter(split_col < F.lit(s_min + (i + 1) * step))
             p = p.localCheckpoint(eager=True)
             if p.count() > 0:
                 n_nonempty += 1
@@ -1194,7 +1213,12 @@ def q_stream_backpressure_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "q_stream_backpressure_equiv: availableNow drain did not "
+                "finish within 600s"
+            )
         n_data_batches = sum(
             1 for p in (q.recentProgress or []) if p.numInputRows > 0
         )
