@@ -492,6 +492,9 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+N_LINEAGE_FILES = 4
+
+
 def q_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B109: the hidden ``_metadata`` file-source columns — Spark's
     row-level provenance surface (``_metadata.file_name`` /
@@ -499,17 +502,26 @@ def q_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (file + offset) onto every ingested row without any shuffle: the
     metadata struct is produced by the scan itself.
 
-    Events are written once, sorted by event_id into a single parquet
-    file (so file row position is deterministic), read back selecting
-    ``_metadata.row_index``, and checked two ways:
+    Events are chopped into ``N_LINEAGE_FILES`` contiguous dense
+    event_id ranges and each range written sorted as its OWN parquet
+    file — the shape a real 100-TB scan produces (row_index restarts at
+    0 per file; a single-file fixture, the r7 version, never exercises
+    that restart).  Read back selecting ``_metadata.row_index`` /
+    ``file_name`` and checked three ways (r8, VERDICT #6):
     - hashed columns: per event_type, exact count + BIGINT sum of the
-      row indexes — DuckDB recomputes them as ``row_number() OVER
-      (ORDER BY event_id) - 1`` on the original table;
+      GLOBAL position reconstructed as (per-file id-rank base + scan
+      row_index) — equal to DuckDB's ``sum(event_id - min)`` only if
+      every file's row indexes are right;
+    - ``n_files`` (hashed): distinct files contributing rows per
+      event_type — DuckDB recomputes the range assignment
+      ``((event_id - min) * N) // n`` arithmetically, so a collapsed
+      single-file write (or a dropped file) mismatches;
     - ``lineage_ok`` (engine-local flag): EVERY row's scan-produced
-      row_index equals its event_id rank (event_id is dense, so rank =
-      event_id − min — a broadcast scalar, no global-sort window) —
-      pinned row-by-row in Spark before aggregating, so one misplaced
-      row flips the flag even if the sums happened to collide."""
+      row_index equals its event_id rank WITHIN its file (per-file min
+      via a broadcast groupBy(file) join — no global-sort window; each
+      file holds a contiguous dense id slice, so rank = id − file_min)
+      — pinned row-by-row before aggregating, so one misplaced row
+      flips the flag even if the sums happened to collide."""
     import shutil
     import tempfile
 
@@ -517,22 +529,41 @@ def q_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="k2e_lineage_")
     try:
         path = os.path.join(work, "events_sorted")
-        e.orderBy("event_id").coalesce(1).write.mode("overwrite").parquet(path)
-        min_id = e.agg(F.min("event_id").cast("long").alias("min_id"))
+        # test scaffolding (not the measured operator): two bounded scalars
+        # drive the contiguous range chop; each range lands sorted in one file
+        mn, n = e.agg(F.min("event_id").cast("long"), F.count("*")).first()
+        mn, n = int(mn), int(n)
+        # one scan, one shuffle: repartition by range index puts each dense
+        # id slice in exactly one task → exactly one sorted file per slice
+        e.withColumn(
+            "fidx",
+            F.expr(f"(event_id - {mn}) * {N_LINEAGE_FILES} div {n}"),
+        ).repartition(N_LINEAGE_FILES, "fidx").sortWithinPartitions(
+            "fidx", "event_id"
+        ).write.mode("overwrite").partitionBy("fidx").parquet(path)
         back = spark.read.parquet(path).select(
             "event_id",
             "event_type",
             F.col("_metadata.row_index").alias("ri"),
-            F.col("_metadata.file_name").alias("fn"),
+            # file_path, not file_name: one task writing several partition
+            # dirs reuses its part-file NAME across dirs — only the full
+            # path is unique per physical file
+            F.col("_metadata.file_path").alias("fn"),
         )
-        checked = back.crossJoin(F.broadcast(min_id)).withColumn(
-            "ok", F.col("ri") == F.col("event_id") - F.col("min_id")
+        file_mins = back.groupBy("fn").agg(
+            F.min("event_id").cast("long").alias("file_min")
+        )
+        checked = back.join(F.broadcast(file_mins), "fn").withColumn(
+            "ok", F.col("ri") == F.col("event_id") - F.col("file_min")
         )
         out = (
             checked.groupBy("event_type")
             .agg(
                 F.count("*").alias("n"),
-                F.sum("ri").cast("long").alias("sum_row_index"),
+                F.sum(F.col("file_min") - F.lit(mn) + F.col("ri"))
+                .cast("long")
+                .alias("sum_row_index"),
+                F.countDistinct("fn").cast("long").alias("n_files"),
                 (
                     F.min(F.col("ok").cast("int")) == 1
                 ).alias("lineage_ok"),
@@ -678,11 +709,13 @@ ORACLE["q_orc_roundtrip"] = """
 
 ROWS_ONLY: set[str] = set()
 
-ORACLE["q_row_lineage"] = """
-    WITH m AS (SELECT min(event_id) AS mn FROM events)
+ORACLE["q_row_lineage"] = f"""
+    WITH m AS (SELECT min(event_id) AS mn, count(*) AS n FROM events)
     SELECT event_type,
            count(*) AS n,
            CAST(sum(event_id - m.mn) AS BIGINT) AS sum_row_index,
+           CAST(count(DISTINCT ((event_id - m.mn) * {N_LINEAGE_FILES}) // m.n)
+                AS BIGINT) AS n_files,
            TRUE AS lineage_ok
     FROM events CROSS JOIN m
     GROUP BY event_type
