@@ -1516,7 +1516,131 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 1024        # hashed n-gram feature space (DSIR's "hashed
+                           # bag of n-grams"); model size is B rows at ANY
+                           # corpus size — the whole model broadcasts
+DSIR_TARGET_LANG = "en"    # the target distribution: the trusted/reference
+                           # slice the pool is reweighted toward
+DSIR_MICRO = 1_000_000     # log-ratio quantization: integer micro-nats
+
+
+def _dsir_grams(text_col: str = "text"):
+    """Uni+bi-gram feature list from the split-on-space words of
+    ``text_col`` — the hashed n-gram featurization DSIR uses.  Bigrams
+    guard on size>=2 because Spark's sequence(1, 0) counts DOWN (yields
+    [1, 0]), unlike DuckDB's half-open range(1, 1) = []."""
+    w = f"split(`{text_col}`, ' ')"
+    return F.expr(
+        f"concat({w}, CASE WHEN size({w}) >= 2 "
+        f"THEN transform(sequence(1, size({w}) - 1), "
+        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1))) "
+        f"ELSE array() END)"
+    )
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B111: DSIR-style importance reweighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") — the
+    standard "select pretraining data to match a target distribution"
+    operator, complementing the quality gate (q_quality_filter) and
+    temperature mixing (q_mixture_weights).  Target = the
+    ``DSIR_TARGET_LANG`` slice of the corpus (the trusted reference
+    distribution); every POOL document (the rest) gets an importance
+    weight = log-likelihood ratio of its hashed uni+bi-gram features
+    under add-1-smoothed target vs pool bag-of-ngrams models:
+
+        w(d) = sum_f c_f(d) * [ ln((t_f+1)/T) - ln((r_f+1)/R) ]
+
+    with t_f/r_f the bucket counts over target/pool grams, T = sum(t_f)+B,
+    R = sum(r_f)+B.  Upweighted (w > 0) documents look like the target;
+    resampling by softmax(w) is a driver-side epilogue on this output.
+
+    Hash-safety (doctrine: no order-dependent float sums, no raw
+    transcendentals in hashed columns): the ONLY libm calls happen in the
+    BOUNDED model table — each bucket's log-ratio is quantized once to
+    integer micro-nats ``floor((ln(t_f+1) - ln(r_f+1)) * 1e6 + 0.5)``,
+    and the constant ``ln(R) - ln(T)`` once — so the per-document weight
+    ``sum(c_f * lr_micro_f) + n_grams * const_micro`` is EXACT BIGINT
+    arithmetic with no summation-order sensitivity.  The exact
+    numerator/denominator pair sums ``sum_num = sum c_f*(t_f+1)`` /
+    ``sum_den = sum c_f*(r_f+1)`` are hashed alongside, pinning the
+    feature hash, both model aggregations and the broadcast join
+    row-for-row; ``is_upweighted`` is an exact integer comparison.
+
+    Scale shape (100 TB): one explode pass over the corpus; model =
+    groupBy(bucket) with conditional partial aggs (<= B rows out of the
+    shuffle at any corpus size) then BROADCAST; scoring = map-side
+    broadcast-join + one partial-aggregable groupBy(doc_id).  No join or
+    window ever carries more than the gram stream keyed by doc_id."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("tgt"),
+        F.explode(_dsir_grams("text")).alias("gram"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 4), 16, 10)
+        .cast("long")
+        % DSIR_BUCKETS
+    ).alias("bucket")
+    b = grams.select("doc_id", "tgt", bucket)
+    model = b.groupBy("bucket").agg(
+        F.sum(F.col("tgt").cast("long")).cast("long").alias("t_f"),
+        F.sum((~F.col("tgt")).cast("long")).cast("long").alias("r_f"),
+    )
+    # const ln(R)-ln(T) folded into the model via a whole-table window —
+    # SinglePartition over the BOUNDED <=B-row model, never the corpus,
+    # and it saves a third pass over the gram stream
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    lr = model.select(
+        "bucket",
+        "t_f",
+        "r_f",
+        F.floor(
+            (F.log(F.col("t_f") + 1) - F.log(F.col("r_f") + 1))
+            * DSIR_MICRO
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr_micro"),
+        F.floor(
+            (
+                F.log(F.sum("r_f").over(wt) + DSIR_BUCKETS)
+                - F.log(F.sum("t_f").over(wt) + DSIR_BUCKETS)
+            )
+            * DSIR_MICRO
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("const_micro"),
+    )
+    doc = (
+        b.filter(~F.col("tgt"))
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.col("t_f") + 1).cast("long").alias("sum_num"),
+            F.sum(F.col("r_f") + 1).cast("long").alias("sum_den"),
+            F.sum("lr_micro").cast("long").alias("__slr"),
+            F.min("const_micro").alias("__const"),
+        )
+    )
+    return doc.withColumn(
+        "w_micro",
+        (F.col("__slr") + F.col("n_grams") * F.col("__const")).cast("long"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "sum_num",
+        "sum_den",
+        "w_micro",
+        (F.col("w_micro") > 0).alias("is_upweighted"),
+    )
+
+
 QUERIES = {
+    "q_importance_weights": q_importance_weights,
     "q_bpe_train": q_bpe_train,
     "q_bpe_encode": q_bpe_encode,
     "q_tokenizer_fertility": q_tokenizer_fertility,
@@ -1963,6 +2087,57 @@ ORACLE["q_cms_check"] = f"""
            TRUE AS est_ge_freq_ok,
            TRUE AS within_bound_ok
     FROM exact CROSS JOIN total
+"""
+
+# 4 hex chars of md5 -> 16-bit int, DuckDB-portable (strpos arithmetic on
+# the same hex digits Spark's conv(substring(md5, 1, 4), 16, 10) reads)
+_DSIR_HEX4 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(gram), {i + 1}, 1)) - 1)"
+    f" * {16 ** (3 - i)}"
+    for i in range(4)
+)
+
+ORACLE["q_importance_weights"] = f"""
+    WITH g AS (
+      SELECT doc_id, tgt, gram
+      FROM (
+        SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS tgt,
+               unnest(list_concat(ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN list_transform(range(1, len(ws)),
+                             i -> ws[i] || ' ' || ws[i + 1])
+                      ELSE [] END)) AS gram
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+              FROM documents)
+      )
+    ),
+    b AS (SELECT doc_id, tgt,
+                 ({_DSIR_HEX4}) % {DSIR_BUCKETS} AS bucket
+          FROM g),
+    m AS (SELECT bucket,
+                 sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS t_f,
+                 sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS r_f
+          FROM b GROUP BY bucket),
+    c AS (SELECT CAST(floor((ln(sum(r_f) + {DSIR_BUCKETS})
+                             - ln(sum(t_f) + {DSIR_BUCKETS}))
+                            * {DSIR_MICRO} + 0.5) AS BIGINT) AS const_micro
+          FROM m),
+    lr AS (SELECT bucket, t_f, r_f,
+                  CAST(floor((ln(t_f + 1) - ln(r_f + 1))
+                             * {DSIR_MICRO} + 0.5) AS BIGINT) AS lr_micro
+           FROM m),
+    doc AS (SELECT b.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(lr.t_f + 1) AS BIGINT) AS sum_num,
+                   CAST(sum(lr.r_f + 1) AS BIGINT) AS sum_den,
+                   CAST(sum(lr.lr_micro) AS BIGINT) AS slr
+            FROM b JOIN lr USING (bucket)
+            WHERE NOT b.tgt
+            GROUP BY b.doc_id)
+    SELECT doc_id, n_grams, sum_num, sum_den,
+           CAST(slr + n_grams * c.const_micro AS BIGINT) AS w_micro,
+           (slr + n_grams * c.const_micro) > 0 AS is_upweighted
+    FROM doc CROSS JOIN c
 """
 
 ROWS_ONLY: set[str] = set()

@@ -473,3 +473,84 @@ def test_bench_artifact_caches_stay_bounded(spark):
     c._bench_shingle_set(spark, "/root/testdata/sf0.01")
     assert len(c._BENCH_SHINGLES) == 1
     assert next(iter(c._BENCH_SHINGLES))[1] == "/root/testdata/sf0.01"
+
+
+def test_importance_weights_planted_shift(spark, tmp_path):
+    """B111 planted-shift property (r8, VERDICT r7 #4): a pool document
+    drawn from the target's vocabulary must get a strictly higher DSIR
+    weight (and the upweight flag) than one drawn from a disjoint
+    vocabulary; and every hashed column must equal an independent pure-
+    Python reimplementation (hashlib md5, exact integer micro-nats)."""
+    import hashlib
+    import math
+
+    from kinesis2elastic_spark.operators.corpus import (
+        DSIR_BUCKETS,
+        DSIR_MICRO,
+        q_importance_weights,
+    )
+
+    vocab_a = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    vocab_b = ["kappa", "sigma", "omega", "lambda", "theta"]
+
+    def sent(vocab, seed, n=12):
+        return " ".join(vocab[(seed * (i + 3) + i * i) % len(vocab)] for i in range(n))
+
+    rows = []
+    did = 0
+    for s in range(8):            # target: en, vocab A
+        rows.append((did, sent(vocab_a, s), "en", "tgt", 0)); did += 1
+    for s in range(4):            # pool, target-like: vocab A
+        rows.append((did, sent(vocab_a, s + 11), "fr", "poolA", 0)); did += 1
+    for s in range(4):            # pool, off-target: vocab B
+        rows.append((did, sent(vocab_b, s + 11), "zh", "poolB", 0)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.doc_id: r for r in q_importance_weights(spark, str(tmp_path)).collect()}
+    assert set(got) == set(range(8, 16))  # pool docs only
+
+    # independent reference: same featurization, model, quantization
+    def grams(text):
+        ws = text.split(" ")
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % DSIR_BUCKETS
+
+    t_f, r_f = {}, {}
+    for doc_id, text, lang, _, _ in rows:
+        for g in grams(text):
+            cnt = t_f if lang == "en" else r_f
+            b = bucket(g)
+            cnt[b] = cnt.get(b, 0) + 1
+    T = sum(t_f.values()) + DSIR_BUCKETS
+    R = sum(r_f.values()) + DSIR_BUCKETS
+    const = math.floor((math.log(R) - math.log(T)) * DSIR_MICRO + 0.5)
+
+    for doc_id, text, lang, _, _ in rows:
+        if lang == "en":
+            continue
+        gs = grams(text)
+        w = sum(
+            math.floor(
+                (math.log(t_f.get(bucket(g), 0) + 1)
+                 - math.log(r_f.get(bucket(g), 0) + 1)) * DSIR_MICRO + 0.5
+            )
+            for g in gs
+        ) + len(gs) * const
+        r = got[doc_id]
+        assert r.n_grams == len(gs)
+        assert r.sum_num == sum(t_f.get(bucket(g), 0) + 1 for g in gs)
+        assert r.sum_den == sum(r_f.get(bucket(g), 0) + 1 for g in gs)
+        assert r.w_micro == w, (doc_id, r.w_micro, w)
+        assert r.is_upweighted == (w > 0)
+
+    # the planted shift separates cleanly
+    w_a = [got[i].w_micro for i in range(8, 12)]
+    w_b = [got[i].w_micro for i in range(12, 16)]
+    assert min(w_a) > max(w_b)
+    assert all(got[i].is_upweighted for i in range(8, 12))
+    assert not any(got[i].is_upweighted for i in range(12, 16))
