@@ -85,6 +85,29 @@ def post_with_retry(
         attempt += 1
 
 
+def http_transport(url: str, body: bytes, headers: dict) -> tuple[int, dict]:
+    """Stdlib production transport: one POST, returns (status, json body).
+    Module-level (not a closure) so a BulkSink carrying it pickles into
+    executor tasks; connection pooling beyond keep-alive is the cluster
+    HTTP client's job — this is the dependency-free default used by the
+    in-sandbox e2e (tests/test_sink.py) and small deployments."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            payload = resp.read()
+            status = resp.status
+    except urllib.error.HTTPError as e:  # non-2xx still carries a body
+        payload = e.read()
+        status = e.code
+    try:
+        return status, json.loads(payload or b"{}")
+    except ValueError:
+        return status, {"errors": status >= 400, "raw": payload[:200].decode("utf-8", "replace")}
+
+
 class BulkSink:
     """Byte-capped, retrying, idempotent bulk writer for foreachBatch."""
 

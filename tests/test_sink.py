@@ -108,3 +108,166 @@ def test_null_fields_stripped_at_serialization(spark):
     df = spark.createDataFrame([(1, None, "x")], "a bigint, b string, c string")
     sink_doc = df.select(F.to_json(F.struct("a", "b", "c")).alias("j")).first().j
     assert json.loads(sink_doc) == {"a": 1, "c": "x"}  # b omitted
+
+
+# ---------------------------------------------------------------------------
+# In-sandbox end-to-end (r8, VERDICT r7 #2): HTTP delivery -> spool ->
+# decode -> BulkSink -> a REAL localhost _bulk endpoint over the stdlib
+# http_transport — the full reference dataflow (main.go:248-584) with no
+# fake transport anywhere.
+# ---------------------------------------------------------------------------
+
+import base64
+import gzip
+import threading
+import urllib.request
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+
+class _BulkStub:
+    """Minimal OpenSearch `_bulk` endpoint (same stdlib-server pattern as
+    sources/firehose.py:91).  Parses NDJSON action/doc pairs, indexes by
+    `_id` into an in-memory store (so a replayed batch OVERWRITES — the
+    idempotency the reference lacks, main.go:555-559), and records every
+    request's path/query/auth/body for wire-format assertions."""
+
+    def __init__(self):
+        self.requests: list[dict] = []
+        self.store: dict[str, dict] = {}
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                import json as _json
+
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                lines = [l for l in body.split(b"\n") if l]
+                items = []
+                for i in range(0, len(lines) - 1, 2):
+                    action = _json.loads(lines[i])
+                    doc = _json.loads(lines[i + 1])
+                    _id = action["index"]["_id"]
+                    stub.store[_id] = doc
+                    items.append({"index": {"_id": _id, "status": 201}})
+                stub.requests.append({
+                    "path": self.path,
+                    "auth": self.headers.get("Authorization"),
+                    "content_type": self.headers.get("Content-Type"),
+                    "n_lines": len(lines),
+                    "n_pairs": len(items),
+                })
+                resp = _json.dumps(
+                    {"took": 1, "errors": False, "items": items}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    @property
+    def url(self):
+        return f"http://127.0.0.1:{self._server.server_port}"
+
+    def stop(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def _unique_envelope(ids):
+    payload = {
+        "messageType": "DATA_MESSAGE",
+        "owner": "1",
+        "logGroup": "/aws/test",
+        "logStream": "s",
+        "subscriptionFilters": [],
+        "logEvents": [
+            {"id": i, "timestamp": 1635622510000, "message": f"msg {i}"}
+            for i in ids
+        ],
+    }
+    data = base64.b64encode(gzip.compress(json.dumps(payload).encode())).decode()
+    return {"requestId": str(uuid.uuid4()), "timestamp": 1635622518652,
+            "records": [{"data": data}]}
+
+
+@pytest.mark.e2e
+def test_e2e_firehose_to_bulk_endpoint(spark, tmp_path):
+    from kinesis2elastic_spark.operators.decode import decode_envelopes
+    from kinesis2elastic_spark.sources.firehose import FirehoseReceiver
+    from kinesis2elastic_spark.sources.spool_source import FirehoseSpoolDataSource
+    from kinesis2elastic_spark.streaming.sink import http_transport
+
+    receiver = FirehoseReceiver(str(tmp_path / "spool")).start()
+    stub = _BulkStub().start()
+    try:
+        # upstream at-least-once: envelope B is DELIVERED TWICE (Firehose
+        # retry semantics — the reference's buffering contract)
+        env_a = _unique_envelope(["ev-a0", "ev-a1", "ev-a2"])
+        env_b = _unique_envelope(["ev-b0", "ev-b1"])
+        for body in (env_a, env_b, env_b):
+            req = urllib.request.Request(
+                receiver.url + "/firehose",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                assert resp.status == 200
+
+        spark.dataSource.register(FirehoseSpoolDataSource)
+        envelopes = (
+            spark.read.format("firehose_spool")
+            .option("path", receiver.spool_dir)
+            .load()
+        )
+        docs = document_id(decode_envelopes(envelopes))
+        assert docs.count() == 7  # 3 + 2x2 decoded rows (dupes still present)
+
+        sink = BulkSink(
+            stub.url, "logs", http_transport, auth_b64="dXNlcjpwYXNz"
+        )
+        results = sink.write_batch(docs, epoch_id=0)
+        assert results and all(r["status"] == 200 for r in results)
+        assert all(not r["errors"] for r in results)
+
+        # wire format: action/doc NDJSON pairs, pipeline param, basic auth
+        assert stub.requests
+        for r in stub.requests:
+            assert r["path"].startswith("/logs/_bulk")
+            assert "pipeline=one-pipeline-to-rule-them-all" in r["path"]
+            assert r["auth"] == "Basic dXNlcjpwYXNz"
+            assert r["content_type"] == "application/x-ndjson"
+            assert r["n_lines"] == 2 * r["n_pairs"]
+        assert sum(r["n_pairs"] for r in stub.requests) == 7  # at-least-once in
+
+        # effectively-once out: deterministic _id collapses the redelivery
+        expected_ids = {"ev-a0", "ev-a1", "ev-a2", "ev-b0", "ev-b1"}
+        assert set(stub.store) == expected_ids
+        msg = stub.store["ev-a1"]["record"]["data"]["logEvents"]["message"]
+        # json-or-text fallback (A12) wraps plain text as {"text": ...}
+        assert json.loads(msg) == {"text": "msg ev-a1"}
+
+        # replayed BATCH (sink-side retry after a lost ack): store unchanged
+        n_reqs = len(stub.requests)
+        sink.write_batch(docs, epoch_id=1)
+        assert set(stub.store) == expected_ids
+        assert len(stub.requests) > n_reqs  # it really re-posted
+    finally:
+        stub.stop()
+        receiver.stop()
