@@ -139,7 +139,11 @@ def main() -> None:
     # away at 100x data.  The r4 bench silently absorbed ~1.3-2x
     # concurrent-load inflation; if the floor drifts >20% across the run,
     # the machine was not quiet and the result is flagged noisy=true.
-    def _control_floor(n_runs: int = 3) -> float:
+    # min-of-7: the floor is ~35 ms, where single-sample scheduler jitter
+    # of 1-2 ms already reads as 3-6% "drift" — the min of 7 runs is
+    # stable to well under 2%, so the drift band measures machine load,
+    # not sampling luck (r7 VERDICT #5)
+    def _control_floor(n_runs: int = 7) -> float:
         ctl = spark.read.parquet(os.path.join(sf_dir, "region.parquet")).coalesce(1)
         ctl.write.mode("overwrite").format("noop").save()  # warm
         best = float("inf")
@@ -168,7 +172,6 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best
 
-    floor_before = _control_floor()
     floor_shuffle = _control_floor_shuffle()
 
     # min of two timed runs: single-shot timings at this scale are
@@ -198,15 +201,53 @@ def main() -> None:
         "q_bloom_decontam": _corpus.bloom_decontam_probe_detail,
     }
 
+    def _time_headliners() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = production_override.get(name) or queries[name]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.time() - t0)
+            t[name] = round(best, 3)
+        return t
+
+    # Auto-repeat under ambient noise (r7 VERDICT #5: a 4.1% floor drift
+    # ate the round-over-round signal).  Each attempt brackets the Spark
+    # timing pass with its own floor measurements; if the floor drifted
+    # >2% (and >20 ms absolute) across that window, the machine was not
+    # quiet — rerun, up to SPARK_GRAFT_BENCH_ATTEMPTS passes, and merge
+    # per-query minima (the steady-state cost).  Reported drift/noisy come
+    # from the QUIETEST attempt, so a single quiet pass anywhere yields a
+    # clean drift band instead of averaging the noise in.
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    attempt_log: list[dict] = []
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = production_override.get(name) or queries[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    floors: list[float] = []
+    for attempt in range(max_attempts):
+        fb = _control_floor()
+        t_pass = _time_headliners()
+        fa = _control_floor()
+        lo, hi = min(fb, fa), max(fb, fa)
+        drift = hi / lo - 1.0 if lo > 0 else 0.0
+        attempt_log.append(
+            {
+                "floor_before_sec": round(fb, 3),
+                "floor_after_sec": round(fa, 3),
+                "drift_pct": round(drift * 100, 1),
+                "total_sec": round(sum(t_pass.values()), 3),
+            }
+        )
+        floors.extend([fb, fa])
+        timings = (
+            t_pass
+            if not timings
+            else {n: min(timings[n], t_pass[n]) for n in t_pass}
+        )
+        if drift <= 0.02:
+            break
+    best_attempt = min(attempt_log, key=lambda a: a["drift_pct"])
 
     # q_hll_merge decomposition: the headline form carries an exact-distinct
     # self-verification twin (the oracle contract); this times the
@@ -266,17 +307,23 @@ def main() -> None:
         if duck[name] > 0:
             ratio[name] = round(timings[name] / duck[name], 2)
 
-    # close the noise-guard window: re-measure the floor after ALL timed
-    # work (Spark + in-process DuckDB) and compare
-    floor_after = _control_floor()
-    floor = min(floor_before, floor_after)
-    floor_drift = (
-        max(floor_before, floor_after) / floor - 1.0 if floor > 0 else 0.0
-    )
+    # close the noise-guard window: one more floor sample after the
+    # in-process DuckDB pass, folded into the overall floor minimum;
+    # drift/noisy are the QUIETEST Spark attempt's (the merged minima
+    # were taken under at-least-that-quiet conditions)
+    floors.append(_control_floor())
+    floor = min(floors)
+    floor_drift = best_attempt["drift_pct"] / 100.0
     # noisy needs BOTH relative and absolute drift: on a quiet machine the
     # floor is ~30 ms, where 10 ms of scheduler jitter is already 33% —
     # only a drift that could visibly move a query timing (>50 ms) counts
-    noisy = floor_drift > 0.20 and (max(floor_before, floor_after) - floor) > 0.05
+    noisy = floor_drift > 0.20 and (
+        best_attempt["floor_after_sec"] != best_attempt["floor_before_sec"]
+        and abs(
+            best_attempt["floor_after_sec"] - best_attempt["floor_before_sec"]
+        )
+        > 0.05
+    )
 
     ratios = sorted(ratio.values())
     median = ratios[len(ratios) // 2] if ratios else None
@@ -316,8 +363,7 @@ def main() -> None:
             }
             for rname in reduction_query
         },
-        "control_floor_before_sec": round(floor_before, 3),
-        "control_floor_after_sec": round(floor_after, 3),
+        "bench_attempts": attempt_log,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -341,6 +387,7 @@ def main() -> None:
         "control_floor_shuffle_sec": round(floor_shuffle, 3),
         "floor_drift_pct": round(floor_drift * 100, 1),
         "noisy": noisy,
+        "bench_attempts": len(attempt_log),
         "ratio_median_net_of_floor": net_median,
         "hll_merge_sketch_only_sec": round(hll_sketch_only, 3),
         "detail": "BENCH_DETAIL.json",

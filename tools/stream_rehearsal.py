@@ -232,6 +232,43 @@ def main() -> None:
     print("\n" + json.dumps(summary))
     shutil.rmtree(WORK, ignore_errors=True)
 
+    if "--assert" in args:
+        # Repeatable gate (r7 VERDICT #7): the two SCALING.md §r7 claims,
+        # checked mechanically so a state-plateau or per-batch-cost
+        # regression fails THIS process loudly instead of needing a manual
+        # table diff.  Thresholds are 1.5x halves — r7 measured ~1.01x on
+        # both legs, so a trip means a real regression, not jitter.
+        failures = []
+        if summary["legA_state_rows_max_second_half"] > 1.5 * max(
+            summary["legA_state_rows_max_first_half"], 1
+        ):
+            failures.append(
+                "legA join state did NOT plateau: "
+                f"{summary['legA_state_rows_max_first_half']} -> "
+                f"{summary['legA_state_rows_max_second_half']} buffered rows "
+                "(watermark eviction fell behind)"
+            )
+        if summary["legA_wall_second_half"] > 1.5 * summary["legA_wall_first_half"]:
+            failures.append(
+                "legA per-batch wall is trending up: halves "
+                f"{summary['legA_wall_first_half']}s -> "
+                f"{summary['legA_wall_second_half']}s"
+            )
+        if summary["legB_wall_second_half"] > 1.5 * summary["legB_wall_first_half"]:
+            failures.append(
+                "legB probe cost grew with the index: halves "
+                f"{summary['legB_wall_first_half']}s -> "
+                f"{summary['legB_wall_second_half']}s"
+            )
+        idx = [r["index_rows"] for r in b]
+        if summary["legB_index_rows_final"] <= 0 or idx != sorted(idx):
+            failures.append(f"legB band index not monotone/non-empty: {idx}")
+        if failures:
+            for msg in failures:
+                print(f"ASSERT FAIL: {msg}", file=sys.stderr)
+            sys.exit(1)
+        print("ASSERT OK: state plateau + flat per-batch wall hold")
+
 
 if __name__ == "__main__":
     main()
