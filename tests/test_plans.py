@@ -376,28 +376,54 @@ def test_partitioned_layout_prunes_partitions(spark, sf_dir, tmp_path):
 
 
 def test_quality_buckets_no_global_sort(spark, sf_dir):
-    """The r6 rewrite of q_quality_buckets (VERDICT r5 #3): exact ntile
-    semantics with NO data-proportional single-partition stage.  The
-    corpus-side window must be hash-partitioned on the quantized score;
-    the only SinglePartition exchange allowed is the one over the bounded
-    (≤1e6-row) score histogram, i.e. directly above a HashAggregate; and
-    no ntile/global-sort window over the documents scan survives."""
-    from kinesis2elastic_spark.operators.llmops import q_quality_buckets
+    """The r6/r7/r8 evolution of q_quality_buckets (VERDICT r5 #3, r6 #2,
+    r7 #3): exact ntile semantics with NO data-proportional
+    single-partition stage, and the tie-break recursion GATED on the
+    footer row count.  Both gate branches are pinned here:
 
+    - fast path (n <= threshold, this fixture): plain hash-partitioned
+      row_number window on the quantized score — the cheapest exact
+      plan, NO sub-bucket machinery in it;
+    - recursion path (forced via tie_threshold=0): the row window is
+      partitioned by (qscore, sub-bucket), so a fully saturated score
+      (ONE tie group) spreads over ~4096 range buckets instead of one
+      task.
+
+    In both: no ntile/global-sort over the documents scan, and the only
+    SinglePartition exchange sits above a HashAggregate (the bounded
+    histogram), never raw corpus rows."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.llmops import (
+        distributed_ntile,
+        q_quality_buckets,
+    )
+
+    def _checks(plan):
+        assert "ntile" not in plan, plan[:3000]
+        assert "row_number() windowspecdefinition(qscore" in plan, plan[:3000]
+        for tail in plan.split("Exchange SinglePartition")[1:]:
+            nxt = "\n".join(tail.splitlines()[:3])
+            assert "HashAggregate" in nxt, (
+                f"SinglePartition over non-aggregated rows:\n{tail[:1500]}"
+            )
+        assert "BroadcastHashJoin" in plan
+
+    # fast path: the sf0.001 corpus is under the tie threshold
     df = q_quality_buckets(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ntile" not in plan, plan[:3000]
-    # the row_number tie-break window is partitioned by (qscore, sub-bucket)
-    # — the r7 recursion: even a fully saturated score (ONE tie group)
-    # spreads over ~4096 range buckets instead of one task
-    assert "row_number() windowspecdefinition(qscore" in plan, plan[:3000]
-    assert "__dn_sub" in plan.split("row_number() windowspecdefinition", 1)[1][:120], plan[:3000]
-    # every SinglePartition exchange feeds off an aggregate (the bounded
-    # histogram), never raw corpus rows
-    parts = plan.split("Exchange SinglePartition")[1:]
-    assert parts, "histogram cum-count window missing"
-    for tail in parts:
-        nxt = "\n".join(tail.splitlines()[:3])
-        assert "HashAggregate" in nxt, f"SinglePartition over non-aggregated rows:\n{tail[:1500]}"
-    # histogram + total reach the assignment scan as broadcasts
-    assert "BroadcastHashJoin" in plan
+    _checks(plan)
+    assert "__dn_sub" not in plan, plan[:3000]  # no recursion machinery
+
+    # recursion path, forced: sub-bucketed window spec
+    from kinesis2elastic_spark.catalog import load
+
+    s = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") % 100).cast("long").alias("qscore")
+    )
+    df2 = distributed_ntile(s, "qscore", "doc_id", 10, tie_threshold=0)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    _checks(plan2)
+    assert "__dn_sub" in plan2.split(
+        "row_number() windowspecdefinition", 1
+    )[1][:120], plan2[:3000]

@@ -296,10 +296,6 @@ def test_distributed_ntile_equals_window_ntile(spark):
         df = spark.createDataFrame(
             [(i, q) for i, q in enumerate(qs)], "rid long, q long"
         )
-        got = {
-            r.rid: r.bucket
-            for r in distributed_ntile(df, "q", "rid", k).collect()
-        }
         want = {
             r.rid: r.nt
             for r in df.withColumn(
@@ -307,7 +303,16 @@ def test_distributed_ntile_equals_window_ntile(spark):
                 F.ntile(k).over(W.orderBy("q", "rid")).cast("long"),
             ).collect()
         }
-        assert got == want, (qs, k, got, want)
+        # both gate branches (r8): the fast single-bucket path (default
+        # threshold) AND the range-bucket recursion (threshold=0)
+        for thr in (10_000, 0):
+            got = {
+                r.rid: r.bucket
+                for r in distributed_ntile(
+                    df, "q", "rid", k, tie_threshold=thr
+                ).collect()
+            }
+            assert got == want, (qs, k, thr, got, want)
 
     check()
 
