@@ -134,9 +134,13 @@ class _BulkStub:
     idempotency the reference lacks, main.go:555-559), and records every
     request's path/query/auth/body for wire-format assertions."""
 
-    def __init__(self):
+    def __init__(self, overload_first: int = 0):
         self.requests: list[dict] = []
         self.store: dict[str, dict] = {}
+        # pending 503s: the stub plays an overloaded cluster for the first
+        # N posts (A6 retry/backoff e2e — the reference's main.go:402-412)
+        self.overload_left = overload_first
+        self.n_overloads_served = 0
         stub = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -146,6 +150,16 @@ class _BulkStub:
             def do_POST(self):
                 import json as _json
 
+                if stub.overload_left > 0:
+                    stub.overload_left -= 1
+                    stub.n_overloads_served += 1
+                    resp = b'{"error": "throttled"}'
+                    self.send_response(503)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(resp)))
+                    self.end_headers()
+                    self.wfile.write(resp)
+                    return
                 body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
                 lines = [l for l in body.split(b"\n") if l]
                 items = []
@@ -271,3 +285,24 @@ def test_e2e_firehose_to_bulk_endpoint(spark, tmp_path):
     finally:
         stub.stop()
         receiver.stop()
+
+
+@pytest.mark.e2e
+def test_e2e_retry_on_real_overload(spark, sf_dir):
+    """A6 over a REAL wire: the stub answers 503 to the first two posts;
+    post_with_retry inside the executor-side writer must back off and
+    re-post until the store holds every document (no fake transport)."""
+    from kinesis2elastic_spark.operators.decode import build_envelopes, decode_envelopes
+    from kinesis2elastic_spark.streaming.sink import http_transport
+
+    stub = _BulkStub(overload_first=2).start()
+    try:
+        docs = document_id(decode_envelopes(build_envelopes(spark, sf_dir)).limit(20))
+        n_docs = docs.count()
+        sink = BulkSink(stub.url, "logs", http_transport, flush_bytes=10**9)
+        results = sink.write_batch(docs.coalesce(1), epoch_id=0)
+        assert results and all(r["status"] == 200 for r in results)
+        assert stub.n_overloads_served == 2  # the 503s really happened
+        assert len(stub.store) == n_docs     # and every doc still landed
+    finally:
+        stub.stop()
