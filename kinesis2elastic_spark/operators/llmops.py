@@ -2408,6 +2408,25 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntile_saturated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B98 recursion-path driver gate (r8): the r8 footer-count gate means
+    the registered q_quality_buckets exercises only the FAST ntile path at
+    driver scale (sf0.01 sits under DNTILE_TIE_THRESHOLD), so this query
+    forces the range-bucket recursion through the oracle hash check too: a
+    deliberately SATURATED key — every document in ONE qscore tie group,
+    the exact shape the r6 VERDICT flagged — with ``tie_threshold=0``.
+    The row window runs partitioned by (qscore, range-bucket) (~4096
+    cells), and the result must still hash-equal DuckDB's declarative
+    global-sort ``ntile(10) OVER (ORDER BY doc_id)`` (a constant qscore
+    makes the two order specs identical)."""
+    d = load(spark, sf_dir, "documents")
+    s = d.select("doc_id", F.lit(0).cast("long").alias("qscore"))
+    return distributed_ntile(
+        s, "qscore", "doc_id", QUALITY_N_BUCKETS, out_col="decile",
+        tie_threshold=0,
+    ).select("doc_id", "decile")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B35: corpus statistics per (lang, source)."""
     d = load(spark, sf_dir, "documents")
@@ -2678,6 +2697,7 @@ QUERIES = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_semantic_decontam": q_semantic_decontam,
     "q_quality_buckets": q_quality_buckets,
+    "q_ntile_saturated": q_ntile_saturated,
     "q_random_projection": q_random_projection,
     "q_diversity_sample": q_diversity_sample,
     "q_token_count": q_token_count,
@@ -3049,6 +3069,13 @@ ORACLE["q_quality_buckets"] = f"""
            CAST(ntile({QUALITY_N_BUCKETS}) OVER (ORDER BY qscore, doc_id) AS BIGINT)
              AS decile
     FROM s
+"""
+
+ORACLE["q_ntile_saturated"] = f"""
+    SELECT doc_id,
+           CAST(ntile({QUALITY_N_BUCKETS}) OVER (ORDER BY doc_id) AS BIGINT)
+             AS decile
+    FROM documents
 """
 
 ORACLE["q_semantic_decontam"] = f"""
