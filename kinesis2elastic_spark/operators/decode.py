@@ -492,6 +492,64 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B113: the JSONL (newline-delimited JSON) format surface — the
+    lingua franca of LLM training-corpus interchange (every public corpus
+    release and most data-loader stacks speak it).  Documents are
+    serialized with ``to_json(struct(...))`` over Spark's text sink and
+    read back with an EXPLICIT schema — ``spark.read.json`` without one
+    schema-infers with a full extra pass over 100 TB, so inference is
+    banned here by construction — and the per-(lang, source) aggregate of
+    the roundtripped rows must hash-equal DuckDB's aggregate of the
+    ORIGINAL parquet.
+
+    The checksum column pins CONTENT, not just counts: an exact BIGINT
+    sum of each text's 32-bit md5 prefix, so any loss in the JSON
+    writer/reader pair — escaping (documents embed quotes/whitespace),
+    unicode round-tripping, null vs empty-string conflation, line
+    splitting on text containing escaped newlines — flips the hash.
+    Scale shape: the sink is an embarrassingly parallel per-partition
+    write (no shuffle), the read-back scan splits on newlines exactly
+    like a production JSONL lake, and the aggregate is one
+    map-combinable groupBy with ≤ |lang×source| rows out."""
+    import shutil
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="k2e_jsonl_")
+    try:
+        path = os.path.join(work, "documents_jsonl")
+        d.select(
+            F.to_json(
+                F.struct("doc_id", "text", "lang", "source", "n_chars")
+            ).alias("value")
+        ).write.mode("overwrite").text(path)
+        back = spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        ).json(path)
+        out = (
+            back.groupBy("lang", "source")
+            .agg(
+                F.count("*").alias("n"),
+                F.countDistinct("doc_id").cast("long").alias("n_ids"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.sum(
+                    F.conv(
+                        F.substring(F.md5(F.col("text").cast("binary")), 1, 8),
+                        16,
+                        10,
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("text_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 N_LINEAGE_FILES = 4
 
 
@@ -579,6 +637,7 @@ QUERIES = {
     "q_base64": q_base64,
     "q_binary_source": q_binary_source,
     "q_orc_roundtrip": q_orc_roundtrip,
+    "q_jsonl_roundtrip": q_jsonl_roundtrip,
     "q_row_lineage": q_row_lineage,
     "q_json_parse": q_json_parse,
     "q_explode": q_explode,
@@ -705,6 +764,23 @@ ORACLE["q_orc_roundtrip"] = """
            max(ts) AS max_ts,
            CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
     FROM events GROUP BY event_type
+"""
+
+# 8 hex chars of md5 -> 32-bit int, DuckDB-portable (same digits Spark's
+# conv(substring(md5, 1, 8), 16, 10) reads; DSIR _HEX4 precedent widened)
+_MD5_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(text), {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+ORACLE["q_jsonl_roundtrip"] = f"""
+    SELECT lang, source,
+           count(*) AS n,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum({_MD5_HEX8}) AS BIGINT) AS text_checksum
+    FROM documents GROUP BY lang, source
 """
 
 ROWS_ONLY: set[str] = set()

@@ -509,8 +509,61 @@ def q_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B112: grouped ordinary-least-squares regression via EXACT integer
+    sufficient statistics — the distributed form of per-key trend fitting
+    (here: price-vs-quantity slope per supplier).  ``regr_slope`` /
+    ``corr``-style built-ins accumulate floats in shuffle order; at 100 TB
+    the per-partition partial sums arrive in nondeterministic order and
+    the quotient wobbles in the last ulp.  The scale-safe (and hash-safe)
+    shape is the textbook decomposition: OLS needs only the five sufficient
+    statistics (n, Σx, Σy, Σx², Σxy) — all exact BIGINT sums over
+    integerized units (x = quantity, y = price cents) — collected in ONE
+    map-combinable groupBy (partial agg on every executor, one ≤|suppliers|-row
+    shuffle), with the slope's numerator/denominator
+
+        slope_num = n·Σxy − Σx·Σy,   slope_den = n·Σx² − (Σx)²
+
+    derived as exact int64 products (finalizing slope = num/den is a
+    driver/consumer-side epilogue, deliberately NOT hashed — it is the one
+    libm-free quotient the doctrine keeps out of hashed schemas).
+
+    Overflow envelope (documented, loud under ANSI mode rather than
+    silently wrong): n·Σxy stays < 2⁶³ while per-supplier row count × max
+    |x·y| × mean|x·y| < 9.2e18 — with x ≤ 50 and y ≤ 1.05e7 cents that
+    holds through ~10⁵ rows per supplier (sf ≈ 1000 at TPC-H density);
+    beyond that, promote the two product columns to decimal(38,0) — the
+    five hashed sums themselves are safe far past that."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    agg = li.select(
+        "l_suppkey", x.alias("x"), y.alias("y")
+    ).groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+    )
+    num = F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    den = F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    return agg.select(
+        "l_suppkey",
+        "n",
+        "sum_x",
+        "sum_y",
+        "sum_xx",
+        "sum_xy",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num > 0).alias("slope_positive"),
+    )
+
+
 QUERIES = {
     "q_ntile_dist": q_ntile_dist,
+    "q_grouped_ols": q_grouped_ols,
     "q_quantile_select": q_quantile_select,
     "q_udaf_median": q_udaf_median,
     "q_window_firstlast": q_window_firstlast,
@@ -539,6 +592,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_grouped_ols": """
+        WITH t AS (
+          SELECT l_suppkey,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+          FROM lineitem),
+        s AS (
+          SELECT l_suppkey,
+                 count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sum_x,
+                 CAST(sum(y) AS BIGINT) AS sum_y,
+                 CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                 CAST(sum(x * y) AS BIGINT) AS sum_xy
+          FROM t GROUP BY l_suppkey)
+        SELECT l_suppkey, n, sum_x, sum_y, sum_xx, sum_xy,
+               CAST(n * sum_xy - sum_x * sum_y AS BIGINT) AS slope_num,
+               CAST(n * sum_xx - sum_x * sum_x AS BIGINT) AS slope_den,
+               (n * sum_xy - sum_x * sum_y) > 0 AS slope_positive
+        FROM s
+    """,
     "q_quantile_select": """
         WITH t AS (
           SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),

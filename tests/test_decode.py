@@ -108,3 +108,57 @@ def test_row_lineage_multi_file(spark, sf_dir):
     # events at any sf are far bigger than N files, so each type should
     # touch every file; at minimum the multi-file shape must be real
     assert max(r.n_files for r in rows) == N_LINEAGE_FILES, rows
+
+
+def test_jsonl_roundtrip_adversarial_content(spark):
+    """B113: the JSONL writer/reader pair must round-trip hostile text —
+    embedded quotes, backslashes, real newlines/tabs (escaped in JSON,
+    so one logical row stays one physical line), unicode, and the empty
+    string — byte-for-byte.  Checked by comparing the operator's
+    checksummed aggregate against the same aggregate computed directly
+    on the in-memory original (no JSONL hop)."""
+    from kinesis2elastic_spark.operators import decode as dc
+    from pyspark.sql import functions as F
+
+    texts = [
+        'he said "hi" \\ and left',
+        "line one\nline two\ttabbed",
+        "emoji \U0001f600 and accents éèê",
+        "",
+        "trailing backslash \\",
+        '{"looks": "like json"}',
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s%d" % (i % 2), len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = dc.load
+    dc.load = lambda _s, _d, _t: df
+    try:
+        got = {
+            (r.lang, r.source): (r.n, r.n_ids, r.sum_chars, r.text_checksum)
+            for r in dc.q_jsonl_roundtrip(spark, "ignored").collect()
+        }
+    finally:
+        dc.load = orig
+    want = {
+        (r.lang, r.source): (r.n, r.n_ids, r.sum_chars, r.text_checksum)
+        for r in df.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").cast("long").alias("n_ids"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(
+                F.conv(
+                    F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("text_checksum"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the physical file must hold exactly one line per logical row
+    # (an unescaped newline would split a row and shift every count)
+    assert sum(v[0] for v in got.values()) == len(texts)

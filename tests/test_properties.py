@@ -403,3 +403,40 @@ def test_quantile_select_matches_bruteforce(spark):
             assert got[(p, rank)] == (snapped[rank - 1], n), (vs, p)
 
     check()
+
+
+def test_grouped_ols_exact_planted_slope(spark):
+    """B112 property: the sufficient-statistic decomposition recovers a
+    PLANTED slope exactly.  Points per group lie on y = a + b*x plus a
+    residual pattern that sums to zero against x (sum(r)=0, sum(r*x)=0),
+    so OLS slope_num/slope_den must equal b exactly as a fraction of
+    BIGINTs — no float tolerance anywhere."""
+    from kinesis2elastic_spark.operators import relational_ext as rx
+
+    rows = []
+    planted = {1: (700, 3), 2: (-50, -7), 3: (123456, 0)}
+    for g, (a, b) in planted.items():
+        # x = 1..8; residual pattern orthogonal to both 1 and x:
+        # sum(r) = 0 and sum(r*x) = d*(1-2-3+4+5-6-7+8) = 0
+        d = 30
+        resid = [d, -d, -d, d, d, -d, -d, d]
+        for i, x in enumerate(range(1, 9)):
+            rows.append((g, float(x), (a + b * x + resid[i]) / 100.0))
+    df = spark.createDataFrame(
+        rows, "l_suppkey long, l_quantity double, l_extendedprice double"
+    )
+    orig = rx.load
+    rx.load = lambda _s, _d, _t: df
+    try:
+        out = {r.l_suppkey: r for r in rx.q_grouped_ols(spark, "x").collect()}
+    finally:
+        rx.load = orig
+    # residual orthogonality makes the planted b the exact OLS solution
+    for g, (a, b) in planted.items():
+        r = out[g]
+        xs = list(range(1, 9))
+        assert r.n == 8 and r.sum_x == sum(xs) and r.sum_xx == sum(x * x for x in xs)
+        assert r.slope_den == r.n * r.sum_xx - r.sum_x * r.sum_x > 0
+        # exact fraction equality: num/den == b  <=>  num == b*den
+        assert r.slope_num == b * r.slope_den, (g, r)
+        assert r.slope_positive == (b > 0)
