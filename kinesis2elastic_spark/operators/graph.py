@@ -190,8 +190,105 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REACH_MAX_HOPS = 4
+REACH_SEED_MOD = 7  # seeds = suppliers with s_suppkey % 7 == 3: non-empty
+REACH_SEED_REM = 3  # and ~1/7 of suppliers at EVERY scale factor
+
+
+def bfs_reachability(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Bounded-depth BFS over a (src, dst) edge list — the engine-level
+    equivalent of SQL's recursive CTE (``WITH RECURSIVE``), which Spark
+    SQL does not ship.  Input ``seeds`` is a one-column (node) frame;
+    output is (node, dist) with dist = exact minimum hop count ≤
+    ``max_hops`` — all-BIGINT, hash-safe by construction (no floats
+    anywhere in the fixpoint).
+
+    Semi-naive evaluation (the Datalog fixpoint discipline): each round
+    expands ONLY the previous round's delta (the frontier), never the
+    whole visited set — so per-round work is proportional to the new
+    fringe, not to everything found so far.  Scale shape:
+    - edges are hash-partitioned on the join key once and
+      ``localCheckpoint``-pinned; every round's expansion join reuses
+      that partitioning without re-shuffling the (large) edge list;
+    - the frontier and visited sets are two narrow columns; the
+      dedup-vs-visited anti-join shuffles only node ids, and AQE
+      broadcasts the frontier side when it is small;
+    - lineage is truncated every round (``localCheckpoint``) — without
+      it round k re-derives rounds 1..k-1;
+    - the only driver action per round is an emptiness probe
+      (``head(1)``) for early exit — never the node set itself.
+    """
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").distinct()
+    n_edges = edges.count()
+    parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 1))
+    edges = edges.repartition(parts, "src").localCheckpoint(eager=True)
+    visited = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .repartition(parts, "node")
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .repartition(parts, "node")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.head(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def q_graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B114: graph reachability with exact hop distances — the recursive-
+    CTE surface (``WITH RECURSIVE`` transitive closure) re-expressed as a
+    semi-naive BFS fixpoint, the shape that actually distributes: SQL
+    recursion is inherently sequential-by-round, and each round here is
+    one co-partitioned join + one anti-join, both width-``parts`` jobs.
+
+    Seeds: a deterministic 1/7th of suppliers (s_suppkey % 7 == 3 —
+    non-empty at every scale factor, unlike a nation filter); graph: the
+    bipartite customer↔supplier trade graph (same derivation as
+    q_pagerank, so the two oracles pin the same edge list).  Output: one
+    row per BFS level — dist, node count, and an exact md5-prefix node
+    checksum (the cross-engine set fingerprint: any node placed at the
+    wrong level flips BOTH its levels' checksums).
+
+    Oracle: DuckDB ``WITH RECURSIVE`` computes the same closure; its
+    recursive UNION dedups (node, dist) pairs and the outer min(dist)
+    group-by reduces them to BFS distances — exact integers end to end.
+    """
+    supplier = load(spark, sf_dir, "supplier")
+    seeds = supplier.filter(
+        F.col("s_suppkey") % REACH_SEED_MOD == REACH_SEED_REM
+    ).select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    reach = bfs_reachability(_trade_edges(spark, sf_dir), seeds, REACH_MAX_HOPS)
+    node_hash = F.conv(
+        F.substring(F.md5(F.col("node").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        reach.groupBy("dist")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(node_hash).cast("long").alias("node_checksum"),
+            F.min("node").alias("first_node"),
+            F.max("node").alias("last_node"),
+        )
+    )
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
+    "q_graph_reach": q_graph_reach,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -209,5 +306,40 @@ ORACLE: dict[str, str] = {
                TRUE AS hub_outranks_ok
     """,
 }
+
+# 8 hex chars of md5 -> 32-bit int, DuckDB-portable (same digits Spark's
+# conv(substring(md5, 1, 8), 16, 10) reads; decode._MD5_HEX8 precedent)
+_NODE_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(node), {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+ORACLE["q_graph_reach"] = f"""
+    WITH RECURSIVE
+    trade AS (
+      SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM trade
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM trade),
+    seeds AS (
+      SELECT DISTINCT 's' || s_suppkey AS node
+      FROM supplier WHERE s_suppkey % {REACH_SEED_MOD} = {REACH_SEED_REM}),
+    reach(node, dist) AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+      UNION
+      SELECT e.dst AS node, r.dist + 1 AS dist
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.dist < {REACH_MAX_HOPS}),
+    best AS (SELECT node, min(dist) AS dist FROM reach GROUP BY node)
+    SELECT dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum({_NODE_HEX8}) AS BIGINT) AS node_checksum,
+           min(node) AS first_node,
+           max(node) AS last_node
+    FROM best GROUP BY dist
+"""
 
 ROWS_ONLY: set[str] = set()

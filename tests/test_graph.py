@@ -48,3 +48,72 @@ def test_q_pagerank_self_check_flags(spark, sf_dir):
     r = row[0]
     assert r.n_nodes > 0
     assert r.mass_conserved_ok and r.teleport_floor_ok and r.hub_outranks_ok
+
+
+def _py_bfs(edges, seeds, max_hops):
+    """Pure-Python BFS reference: exact min hop distance <= max_hops."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = hop
+                    nxt.add(m)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_bfs_reachability_matches_python_bfs(spark):
+    """Diamond + chain + disconnected island: min-dist semantics, depth
+    cutoff, and unreachable exclusion all match a pure-Python BFS."""
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),  # diamond: d at 2
+        ("d", "e"), ("e", "f"), ("f", "g"),               # chain past cutoff
+        ("x", "y"),                                       # island, unreachable
+        ("b", "a"),                                       # back-edge: no revisit
+    ]
+    seeds = ["a"]
+    for max_hops in (1, 3, 6):
+        got = {
+            r.node: r.dist
+            for r in graph.bfs_reachability(
+                spark.createDataFrame(edges, "src string, dst string"),
+                spark.createDataFrame([(s,) for s in seeds], "node string"),
+                max_hops,
+            ).collect()
+        }
+        assert got == _py_bfs(edges, seeds, max_hops), max_hops
+
+
+def test_bfs_seed_overlap_and_multi_seed(spark):
+    """A node reachable from two seeds keeps dist 0 if it IS a seed; the
+    closest seed wins otherwise."""
+    edges = [("s1", "m"), ("m", "s2"), ("s2", "t")]
+    got = {
+        r.node: r.dist
+        for r in graph.bfs_reachability(
+            spark.createDataFrame(edges, "src string, dst string"),
+            spark.createDataFrame([("s1",), ("s2",)], "node string"),
+            4,
+        ).collect()
+    }
+    assert got == {"s1": 0, "s2": 0, "m": 1, "t": 1}
+
+
+def test_q_graph_reach_levels(spark, sf_dir):
+    """Contract query: level 0 = exactly the seed suppliers; bipartite
+    alternation (even levels are suppliers, odd are customers)."""
+    rows = graph.q_graph_reach(spark, sf_dir).collect()
+    by_dist = {r.dist: r for r in rows}
+    assert 0 in by_dist and by_dist[0].first_node.startswith("s")
+    for r in rows:
+        prefix = "s" if r.dist % 2 == 0 else "c"
+        assert r.first_node.startswith(prefix) and r.last_node.startswith(prefix)
+        assert r.n_nodes > 0
