@@ -612,6 +612,42 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_K = 200
+WSAMPLE_SCALE = 1 << 20  # fixed-point precision of the priority key
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B115: deterministic weighted sampling WITHOUT replacement — the
+    fixed-precision integer variant of Efraimidis–Spirakis priority
+    sampling (take the k smallest u_i/w_i, u_i uniform), with the md5
+    keyspace standing in for the RNG exactly as q_hash_sample does.
+    Heavier documents are proportionally likelier to win, yet the sample
+    is reproducible across runs, engines, and derived tables — the
+    property a corpus-mixing pipeline needs when "sample 200 docs
+    weighted by length" must mean the SAME 200 docs on every cluster.
+
+    Hash-safety: the textbook key is u^(1/w) or -ln(u)/w — libm calls
+    whose last ulp is engine-local.  Here u is the exact 32-bit integer
+    read off md5(doc_id), and the key is floor(u·2^20 / w): one exact
+    BIGINT multiply-divide (u·2^20 < 2^52, no overflow), mirrored
+    verbatim in the oracle.  Ties (coarse keys collide) break on doc_id,
+    so the selected SET is a pure function of the table.
+
+    Scale shape: key computation is a map-only projection on pruned
+    columns; selection is orderBy(key).limit(k) — Spark plans
+    TakeOrderedAndProject (per-partition top-k heap + driver merge of
+    k·n_partitions rows), never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    u = F.conv(F.substring(_doc_key(F.col("doc_id")), 1, 8), 16, 10).cast("long")
+    w = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
+    return (
+        d.select("doc_id", "lang", w.alias("w"), u.alias("u"))
+        .withColumn("prio_key", F.expr(f"(u * {WSAMPLE_SCALE}) div w"))
+        .orderBy("prio_key", "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid (mean pooling), emitted long-form as
     (label, dim pos, avg) rows so the result is engine-comparable without
@@ -1662,6 +1698,7 @@ QUERIES = {
     "q_split_leakage": q_split_leakage,
     "q_cms_check": q_cms_check,
     "q_hash_sample": q_hash_sample,
+    "q_weighted_sample": q_weighted_sample,
     "q_corpus_mix": q_corpus_mix,
     "q_token_histogram": q_token_histogram,
     "q_quality_filter": q_quality_filter,
@@ -1689,6 +1726,25 @@ ORACLE = {
         SELECT doc_id, lang, source, split_key,
                CASE WHEN split_key < '08' THEN 'val' ELSE 'train' END AS split
         FROM k WHERE split_key < '28'
+    """,
+    # fixed-point Efraimidis-Spirakis: u = first 8 md5 hex digits of the
+    # doc key as a 32-bit int (strpos arithmetic = Spark's conv(..,16,10)),
+    # key = floor(u*2^20/w) exact BIGINT — selection ties break on doc_id
+    "q_weighted_sample": """
+        WITH k AS (
+          SELECT doc_id, lang,
+                 GREATEST(n_chars, 1) AS w,
+                 """
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + """ AS u
+          FROM documents)
+        SELECT doc_id, lang, CAST(w AS BIGINT) AS w, CAST(u AS BIGINT) AS u,
+               CAST((u * 1048576) // w AS BIGINT) AS prio_key
+        FROM k ORDER BY prio_key, doc_id LIMIT 200
     """,
     "q_corpus_mix": """
         WITH fp AS (

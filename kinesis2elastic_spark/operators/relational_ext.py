@@ -468,7 +468,17 @@ def q_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine exact.  All-BIGINT output."""
     e = load(spark, sf_dir, "events")
     v = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
-    t = e.select(v.alias("v"))
+    return global_quantile_select(e.select(v.alias("v")), QSEL_PCTS)
+
+
+def global_quantile_select(t: DataFrame, pcts) -> DataFrame:
+    """Two-pass exact global order statistics over a one-column ('v',
+    BIGINT) frame → (pct, rank, v_micro, n) rows, rank_p = 1 +
+    (p·(n−1)) div 100 (lower discrete quantile).  Shared kernel of
+    q_quantile_select (B107) and q_winsorize (B116) — see the former's
+    docstring for the algorithm and its bounded-collect/eager-scan
+    contract (pass 1 runs two driver actions at call time)."""
+    spark = t.sparkSession
     lo, hi, n = t.agg(F.min("v"), F.max("v"), F.count("*")).first()
     lo, hi, n = int(lo), int(hi), int(n)
     width = max(1, -(-(hi - lo + 1) // QSEL_BUCKETS))
@@ -477,7 +487,7 @@ def q_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["b"], r["cnt"])
         for r in tb.groupBy("b").agg(F.count("*").alias("cnt")).collect()
     )  # ≤ QSEL_BUCKETS rows — bounded driver collect by construction
-    targets = {p: 1 + (p * (n - 1)) // 100 for p in QSEL_PCTS}
+    targets = {p: 1 + (p * (n - 1)) // 100 for p in pcts}
     picks = []
     cum = 0
     for b, cnt in hist:
@@ -506,6 +516,47 @@ def q_quantile_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("v_micro"),
             F.lit(n).cast("long").alias("n"),
         )
+    )
+
+
+WINSOR_PCTS = (1, 99)
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B116: exact global winsorization — clamp a value column at its
+    exact global p01/p99 order statistics, the robust-scaling step a
+    quality-score or reward-model feature pipeline runs before
+    normalization (outliers saturate instead of dominating the moments).
+
+    Composition of two scale-safe kernels: the cut values come from
+    ``global_quantile_select`` (two-pass bucketed selection, NO global
+    sort — a global ``orderBy`` of the corpus is the thing this operator
+    exists to avoid), collected as exactly 2 bounded rows; the clamp is
+    then a map-only ``least(greatest(v, lo), hi)`` with literal cuts
+    folded into codegen, followed by one map-combinable groupBy.  At 100
+    TB: pass 1 = one 3-scalar agg + one ≤4096-row histogram, pass 2 = a
+    semi-join touching ≤2/4096 of the rows, pass 3 = the clamp scan —
+    three total scans, each embarrassingly parallel.
+
+    All-BIGINT by doctrine: values are exact price cents, the clamped
+    sum and clamp counters are exact integer sums; per-returnflag rows
+    carry the cut values so a shifted quantile flips every row."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    t = li.select("l_returnflag", cents.alias("v"))
+    cuts = {
+        int(r["pct"]): int(r["v_micro"])
+        for r in global_quantile_select(t.select("v"), WINSOR_PCTS).collect()
+    }  # exactly len(WINSOR_PCTS) rows — bounded by construction
+    lo_cut, hi_cut = cuts[WINSOR_PCTS[0]], cuts[WINSOR_PCTS[1]]
+    clamped = F.least(F.greatest(F.col("v"), F.lit(lo_cut)), F.lit(hi_cut))
+    return t.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("v") < lo_cut).cast("long")).alias("n_clamped_lo"),
+        F.sum((F.col("v") > hi_cut).cast("long")).alias("n_clamped_hi"),
+        F.sum(clamped).cast("long").alias("sum_wins_cents"),
+        F.lit(lo_cut).cast("long").alias("lo_cut"),
+        F.lit(hi_cut).cast("long").alias("hi_cut"),
     )
 
 
@@ -565,6 +616,7 @@ QUERIES = {
     "q_ntile_dist": q_ntile_dist,
     "q_grouped_ols": q_grouped_ols,
     "q_quantile_select": q_quantile_select,
+    "q_winsorize": q_winsorize,
     "q_udaf_median": q_udaf_median,
     "q_window_firstlast": q_window_firstlast,
     "q_window_range_interval": q_window_range_interval,
@@ -624,6 +676,26 @@ ORACLE = {
                nn.n AS n
         FROM p CROSS JOIN nn
         JOIN r ON r.rn = 1 + (p.pct * (nn.n - 1)) // 100
+    """,
+    "q_winsorize": """
+        WITH t AS (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+          FROM lineitem),
+        nn AS (SELECT count(*) AS n FROM t),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+        cuts AS (
+          SELECT (SELECT v FROM r, nn WHERE rn = 1 + (1  * (nn.n - 1)) // 100) AS lo,
+                 (SELECT v FROM r, nn WHERE rn = 1 + (99 * (nn.n - 1)) // 100) AS hi)
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (v < lo) AS BIGINT) AS n_clamped_lo,
+               CAST(count(*) FILTER (v > hi) AS BIGINT) AS n_clamped_hi,
+               CAST(sum(LEAST(GREATEST(v, lo), hi)) AS BIGINT) AS sum_wins_cents,
+               CAST(lo AS BIGINT) AS lo_cut,
+               CAST(hi AS BIGINT) AS hi_cut
+        FROM t CROSS JOIN cuts
+        GROUP BY l_returnflag, lo, hi
     """,
     "q_udaf_median": """
         SELECT user_id,

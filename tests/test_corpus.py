@@ -554,3 +554,38 @@ def test_importance_weights_planted_shift(spark, tmp_path):
     assert min(w_a) > max(w_b)
     assert all(got[i].is_upweighted for i in range(8, 12))
     assert not any(got[i].is_upweighted for i in range(12, 16))
+
+
+def test_weighted_sample_matches_python_replication(spark, sf_dir):
+    """The selected set is a pure function of the table: replicate the
+    fixed-point priority key (u = 32-bit md5 prefix, key = u*2^20 // w)
+    in pure Python over the raw parquet and demand set equality."""
+    import hashlib
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    expected = sorted(
+        (
+            (int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) << 20)
+            // max(r.n_chars, 1),
+            r.doc_id,
+        )
+        for r in rows
+    )[: corpus.WSAMPLE_K]
+    got = corpus.q_weighted_sample(spark, sf_dir).collect()
+    assert len(got) == min(corpus.WSAMPLE_K, len(rows))
+    assert {(r.prio_key, r.doc_id) for r in got} == set(expected)
+
+
+def test_weighted_sample_weight_monotone(spark, sf_dir):
+    """Priority semantics: for the same u, a heavier doc gets a smaller
+    key (more likely selected) — and selected docs skew heavier than the
+    corpus average (u is uniform, so weight must carry the selection)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_avg = d.agg(F.avg("n_chars")).first()[0]
+    sample = corpus.q_weighted_sample(spark, sf_dir)
+    sample_avg = sample.agg(F.avg("w")).first()[0]
+    assert sample_avg > corpus_avg

@@ -440,3 +440,36 @@ def test_grouped_ols_exact_planted_slope(spark):
         # exact fraction equality: num/den == b  <=>  num == b*den
         assert r.slope_num == b * r.slope_den, (g, r)
         assert r.slope_positive == (b > 0)
+
+
+def test_winsorize_planted_outliers(spark):
+    """B116 property: clamp bounds are the exact global p01/p99 order
+    statistics and the clamped sum/counters match a pure-Python
+    winsorization — planted heavy outliers on both tails."""
+    from kinesis2elastic_spark.operators import relational_ext as rx
+
+    # 200 cents-values: 2 extreme lows, 2 extreme highs, bulk in middle
+    vals = [-(10**9), -(10**8)] + list(range(1000, 1196)) + [10**8, 10**9]
+    flags = ["A" if i % 3 else "B" for i in range(len(vals))]
+    df = spark.createDataFrame(
+        [(f, v / 100.0) for f, v in zip(flags, vals)],
+        "l_returnflag string, l_extendedprice double",
+    )
+    orig = rx.load
+    rx.load = lambda _s, _d, _t: df
+    try:
+        out = {r.l_returnflag: r for r in rx.q_winsorize(spark, "x").collect()}
+    finally:
+        rx.load = orig
+    n = len(vals)
+    s = sorted(vals)
+    lo = s[(1 * (n - 1)) // 100]
+    hi = s[(99 * (n - 1)) // 100]
+    for flag in ("A", "B"):
+        mine = [v for f, v in zip(flags, vals) if f == flag]
+        r = out[flag]
+        assert (r.lo_cut, r.hi_cut) == (lo, hi)
+        assert r.n == len(mine)
+        assert r.n_clamped_lo == sum(1 for v in mine if v < lo)
+        assert r.n_clamped_hi == sum(1 for v in mine if v > hi)
+        assert r.sum_wins_cents == sum(min(max(v, lo), hi) for v in mine)
