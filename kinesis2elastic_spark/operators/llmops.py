@@ -2157,6 +2157,62 @@ def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B117: EXACT ranking-quality evaluation (ROC AUC) of a scorer
+    against binary labels — the eval every quality-classifier pipeline
+    (B92's logit, a reward model, a fastText filter) runs before its
+    threshold is trusted.  Scorer here: n_chars ranking "is the document
+    English"; the value is the exact arithmetic, not the toy model.
+
+    AUC is computed as the tie-corrected Mann–Whitney U statistic in
+    pure integer arithmetic — the float path (sort, cume_dist, trapezoid)
+    accumulates in partition order and is engine-local in its last ulp.
+    Shape: one map-combinable groupBy collapses the corpus to per-SCORE
+    tie groups (pos, neg counts); a window ordered by score runs over
+    those DISTINCT-score rows only — bounded by the score DOMAIN, not
+    the corpus (an unbounded continuous score is quantized to micro-units
+    first, which defines its domain; the single-partition window is over
+    |domain| rows, never |corpus|).  Each tie group of size m starting
+    after cumulative count c contributes pos·(2c + m + 1) to twice the
+    average-rank sum of positives — integers throughout.
+
+        2U = Σ pos_s·(2c_s + m_s + 1) − n_pos·(n_pos + 1)
+        AUC = 2U / (2·n_pos·n_neg)   (finalizing quotient NOT hashed)
+
+    Overflow envelope (grouped-OLS precedent, loud under ANSI): the rank
+    sum is ≤ n_pos·2n < 2⁶³ through n ≈ 3e9 rows; past that promote the
+    contribution column to decimal(38,0) — counts themselves are safe."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        F.col("n_chars").cast("long").alias("s"),
+    )
+    g = t.groupBy("s").agg(
+        F.sum("y").alias("pos"),
+        (F.count("*") - F.sum("y")).alias("neg"),
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    c = g.withColumn(
+        "cb", F.coalesce(F.sum(F.col("pos") + F.col("neg")).over(w), F.lit(0))
+    )
+    a = c.agg(
+        F.sum("pos").alias("np"),
+        F.sum("neg").alias("nn"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cb") + F.col("pos") + F.col("neg") + 1)
+        ).alias("trs"),
+    )
+    u2 = F.col("trs") - F.col("np") * (F.col("np") + 1)
+    return a.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.col("trs").cast("long").alias("twice_rank_sum"),
+        u2.cast("long").alias("u_num2"),
+        (2 * F.col("np") * F.col("nn")).cast("long").alias("auc_den2"),
+        (u2 > F.col("np") * F.col("nn")).alias("auc_above_half"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2689,6 +2745,7 @@ QUERIES = {
     "q_cosine_topk": q_cosine_topk,
     "q_ann_filtered": q_ann_filtered,
     "q_quality_logit": q_quality_logit,
+    "q_auc_exact": q_auc_exact,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_pq": q_ann_pq,
@@ -2784,6 +2841,27 @@ ORACLE = {
          AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.words, b.words))) >= 0.3
+    """,
+    "q_auc_exact": """
+        WITH t AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, n_chars AS s
+          FROM documents),
+        g AS (SELECT s, sum(y) AS pos, count(*) - sum(y) AS neg
+              FROM t GROUP BY s),
+        c AS (SELECT s, pos, neg,
+                     coalesce(sum(pos + neg) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              FROM g),
+        a AS (SELECT sum(pos) AS np, sum(neg) AS nn,
+                     sum(pos * (2 * cb + pos + neg + 1)) AS trs
+              FROM c)
+        SELECT CAST(np AS BIGINT) AS n_pos,
+               CAST(nn AS BIGINT) AS n_neg,
+               CAST(trs AS BIGINT) AS twice_rank_sum,
+               CAST(trs - np * (np + 1) AS BIGINT) AS u_num2,
+               CAST(2 * np * nn AS BIGINT) AS auc_den2,
+               (trs - np * (np + 1)) > np * nn AS auc_above_half
+        FROM a
     """,
     "q_quality_logit": """
         WITH s AS (

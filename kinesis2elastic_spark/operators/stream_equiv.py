@@ -1233,6 +1233,128 @@ def q_stream_backpressure_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPLAY_FAULT_BATCH = 1  # fail the first attempt of the SECOND data batch
+
+
+def q_stream_replay_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B118 oracle-backed: failure replay + idempotent sink — the
+    exactly-once contract under a mid-stream SINK crash, which is how
+    exactly-once actually breaks in production (B108 rehearses the clean
+    stop/restart; this rehearses the dirty one).  Structured Streaming's
+    guarantee is at-least-once delivery to foreachBatch + deterministic
+    batch ids; end-to-end exactly-once is only real if the sink is
+    idempotent per batch id — the same contract the reference's
+    deterministic-``_id`` bulk sink relies on (main.go:555-559, replayed
+    Firehose batches dedup in OpenSearch).
+
+    Sequence: a 4-file backlog drains with ``maxFilesPerTrigger=1``; the
+    foreachBatch sink THROWS on its first attempt at batch
+    ``REPLAY_FAULT_BATCH`` (transient-fault marker on the driver), which
+    fails the whole query AFTER the offset WAL pinned that batch's
+    input.  A second query on the SAME checkpoint must replay exactly
+    that batch (same id, same files) into the now-healthy sink.
+
+    Hashed columns: the complete-mode per-type aggregate after recovery
+    must equal DuckDB's one-shot batch aggregate — lost state, skipped
+    input, or double-counted replay all flip it.  Engine-local flags:
+    ``fault_injected_ok`` (the crash really happened and really killed
+    query 1) and ``batch_replayed_ok`` (the faulted batch id was
+    attempted ≥ 2×, proving recovery re-delivered it rather than
+    skipping ahead)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="k2e_stream_replay_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        i_min, i_max = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        step = max(1, (int(i_max) - int(i_min) + 1) // 4)
+        for i in range(4):
+            p = ev.filter(F.col("event_id") >= F.lit(int(i_min) + i * step))
+            if i < 3:
+                p = p.filter(F.col("event_id") < F.lit(int(i_min) + (i + 1) * step))
+            p.coalesce(1).write.parquet(f"{src}/b{i:02d}")
+        out_dir = os.path.join(work, "out")
+        marker = os.path.join(work, "fault_fired")
+        attempts_dir = os.path.join(work, "attempts")
+        os.makedirs(attempts_dir)
+
+        def faulty_sink(bdf: DataFrame, bid: int) -> None:
+            # driver-side foreachBatch: sequential invocations, no races
+            n_prior = len(os.listdir(attempts_dir))
+            with open(os.path.join(attempts_dir, f"b{bid}_a{n_prior}"), "w"):
+                pass
+            if bid == REPLAY_FAULT_BATCH and not os.path.exists(marker):
+                with open(marker, "w"):
+                    pass
+                raise RuntimeError("injected-replay-fault")
+            bdf.write.mode("overwrite").parquet(out_dir)
+
+        def start():
+            agg = (
+                spark.readStream.schema(_EVENT_COLS)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src + "/*")
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").cast("long").alias("n_events"),
+                    F.sum(
+                        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+                    )
+                    .cast("long")
+                    .alias("sum_v_micro"),
+                    F.min("event_id").cast("long").alias("min_id"),
+                    F.max("event_id").cast("long").alias("max_id"),
+                )
+            )
+            return (
+                agg.writeStream.foreachBatch(faulty_sink)
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q1 = start()
+        crashed = False
+        try:
+            if not q1.awaitTermination(600):
+                q1.stop()
+                raise TimeoutError(
+                    "q_stream_replay_equiv: faulted drain neither failed "
+                    "nor finished within 600s"
+                )
+        except Exception as e:  # noqa: BLE001 - StreamingQueryException expected
+            if "injected-replay-fault" not in str(e):
+                raise
+            crashed = True
+        q2 = start()
+        if not q2.awaitTermination(600):
+            q2.stop()
+            raise TimeoutError(
+                "q_stream_replay_equiv: recovery drain did not finish "
+                "within 600s"
+            )
+        fault_attempts = [
+            f
+            for f in os.listdir(attempts_dir)
+            if f.startswith(f"b{REPLAY_FAULT_BATCH}_")
+        ]
+        fault_ok = crashed and os.path.exists(marker)
+        replay_ok = len(fault_attempts) >= 2
+        out_schema = (
+            "event_type string, n_events long, sum_v_micro long, "
+            "min_id long, max_id long"
+        )
+        final = _read_or_empty(spark, out_dir, out_schema).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return final.withColumn("fault_injected_ok", F.lit(bool(fault_ok))).withColumn(
+        "batch_replayed_ok", F.lit(bool(replay_ok))
+    )
+
+
 QUERIES = {
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -1248,6 +1370,7 @@ QUERIES = {
     "q_stream_timeout_equiv": q_stream_timeout_equiv,
     "q_stream_rocksdb_equiv": q_stream_rocksdb_equiv,
     "q_stream_backpressure_equiv": q_stream_backpressure_equiv,
+    "q_stream_replay_equiv": q_stream_replay_equiv,
 }
 
 
@@ -1428,6 +1551,17 @@ ORACLE = {
                CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
                  AS sum_v_micro,
                TRUE AS n_batches_ok
+        FROM events GROUP BY event_type
+    """,
+    "q_stream_replay_equiv": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_v_micro,
+               CAST(min(event_id) AS BIGINT) AS min_id,
+               CAST(max(event_id) AS BIGINT) AS max_id,
+               TRUE AS fault_injected_ok,
+               TRUE AS batch_replayed_ok
         FROM events GROUP BY event_type
     """,
 }

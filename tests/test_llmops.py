@@ -501,3 +501,51 @@ def test_quality_logit_learns_planted_rule(spark, tmp_path):
     assert r.n_docs == 24 and r.n_kept_label == 12
     assert r.loss_monotone_ok and r.weights_finite_ok
     assert r.acc_floor_ok and r.loss_decreased_ok
+
+
+def _auc_python(pairs):
+    """Pure-Python tie-corrected AUC via average ranks: pairs = (y, s)."""
+    s_sorted = sorted(pairs, key=lambda p: p[1])
+    ranks, i = {}, 0
+    n = len(s_sorted)
+    idx = 0
+    rank_of = [0.0] * n
+    while idx < n:
+        j = idx
+        while j < n and s_sorted[j][1] == s_sorted[idx][1]:
+            j += 1
+        avg = (idx + 1 + j) / 2.0  # average of ranks idx+1 .. j
+        for k in range(idx, j):
+            rank_of[k] = avg
+        idx = j
+    n_pos = sum(1 for y, _ in pairs if y)
+    n_neg = len(pairs) - n_pos
+    rank_sum = sum(r for (y, _), r in zip(s_sorted, rank_of) if y)
+    return (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def test_auc_exact_planted(spark):
+    """B117: perfect separation -> AUC 1, inverted -> 0, heavy ties ->
+    exact agreement with a pure-Python average-rank AUC."""
+    cases = {
+        "perfect": [(1, 100 + i) for i in range(5)] + [(0, i) for i in range(5)],
+        "inverted": [(0, 100 + i) for i in range(5)] + [(1, i) for i in range(5)],
+        "ties": [(1, 10), (1, 10), (0, 10), (0, 5), (1, 5), (0, 20), (1, 3), (0, 3)],
+    }
+    orig = llmops.load
+    try:
+        for name, pairs in cases.items():
+            df = spark.createDataFrame(
+                [("en" if y else "de", s) for y, s in pairs],
+                "lang string, n_chars long",
+            )
+            llmops.load = lambda _s, _d, _t, _df=df: _df
+            r = llmops.q_auc_exact(spark, "x").collect()[0]
+            got = r.u_num2 / r.auc_den2
+            assert got == _auc_python(pairs), name
+            if name == "perfect":
+                assert r.u_num2 == r.auc_den2 and r.auc_above_half
+            if name == "inverted":
+                assert r.u_num2 == 0 and not r.auc_above_half
+    finally:
+        llmops.load = orig

@@ -113,3 +113,28 @@ def test_stream_stream_join_constructed(spark, tmp_path):
         ).collect()
     )
     assert got == [2, 3]
+
+
+def test_stream_replay_fault_and_recovery(spark, sf_dir):
+    """B118 end-to-end at sf0.001: the injected sink crash must really
+    kill the first drain, the recovery drain must re-attempt the SAME
+    batch id, and the recovered complete-mode aggregate must cover every
+    event exactly once (totals equal the batch aggregate)."""
+    from kinesis2elastic_spark.catalog import load
+    from kinesis2elastic_spark.operators.stream_equiv import q_stream_replay_equiv
+
+    out = q_stream_replay_equiv(spark, sf_dir).collect()
+    assert out and all(r.fault_injected_ok and r.batch_replayed_ok for r in out)
+    ev = load(spark, sf_dir, "events")
+    want = {
+        r.event_type: (r.n, r.mn, r.mx)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("mn"),
+            F.max("event_id").alias("mx"),
+        )
+        .collect()
+    }
+    got = {r.event_type: (r.n_events, r.min_id, r.max_id) for r in out}
+    assert got == want
