@@ -120,10 +120,74 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQPAT_WINDOW_DAYS = 7
+SEQPAT_START, SEQPAT_END, SEQPAT_NOT = "view", "purchase", "error"
+
+
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B119: sequence-pattern matching WITH NEGATION — the
+    MATCH_RECOGNIZE shape (`A ... B within T, no C between`) that plain
+    funnels (B62) cannot express: a conversion only counts if no error
+    event interrupted it.  Pattern here: first `view` per user, first
+    `purchase` strictly after it within SEQPAT_WINDOW_DAYS, matched only
+    if NO `error` falls strictly between the two.
+
+    The naive engine shape is per-user ordered-history row matching (a
+    window over every event); this stays in the funnel discipline —
+    three conditional-min/count aggregations, each map-side combinable
+    and keyed by user_id, joined on narrow (user, scalar-ts) frames.
+    The negation is an exact intervening-event COUNT (not an anti-join),
+    so the output also reports HOW interrupted the cohort is.  At 100 TB
+    every shuffle carries one row per user, never event history.
+
+    Hash-safe: timestamps and counts only — no floats anywhere."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == SEQPAT_START)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == SEQPAT_END)
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (
+                F.col("ts")
+                <= F.col("t_view") + F.expr(f"INTERVAL {SEQPAT_WINDOW_DAYS} DAYS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    x = (
+        e.filter(F.col("event_type") == SEQPAT_NOT)
+        .join(v, "user_id")
+        .join(p, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") < F.col("t_purchase")))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_x"))
+    )
+    return (
+        v.join(p, "user_id", "left")
+        .join(x, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_purchase",
+            F.coalesce(F.col("n_x"), F.lit(0)).cast("long").alias("n_excluded"),
+            (
+                F.col("t_purchase").isNotNull() & (F.coalesce(F.col("n_x"), F.lit(0)) == 0)
+            ).alias("matched"),
+        )
+    )
+
+
 QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_retention_cohorts": q_retention_cohorts,
     "q_event_transitions": q_event_transitions,
+    "q_seq_pattern": q_seq_pattern,
 }
 
 ORACLE = {
@@ -157,6 +221,27 @@ ORACLE = {
                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
         FROM act a JOIN first f USING (user_id)
         GROUP BY 1, 2
+    """,
+    "q_seq_pattern": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL 7 DAY
+          GROUP BY e.user_id),
+        x AS (
+          SELECT e.user_id, count(*) AS n_x
+          FROM events e JOIN v USING (user_id) JOIN p USING (user_id)
+          WHERE e.event_type = 'error'
+            AND e.ts > v.t_view AND e.ts < p.t_purchase
+          GROUP BY e.user_id)
+        SELECT v.user_id, v.t_view, p.t_purchase,
+               CAST(coalesce(x.n_x, 0) AS BIGINT) AS n_excluded,
+               (p.t_purchase IS NOT NULL AND coalesce(x.n_x, 0) = 0) AS matched
+        FROM v LEFT JOIN p USING (user_id) LEFT JOIN x USING (user_id)
     """,
     "q_event_transitions": """
         WITH seq AS (

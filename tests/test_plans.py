@@ -427,3 +427,46 @@ def test_quality_buckets_no_global_sort(spark, sf_dir):
     assert "__dn_sub" in plan2.split(
         "row_number() windowspecdefinition", 1
     )[1][:120], plan2[:3000]
+
+
+def test_weighted_sample_is_topk_not_global_sort(spark, sf_dir):
+    """B115: selection must plan TakeOrderedAndProject (per-partition
+    top-k heap), never a rangepartitioned global sort of the corpus."""
+    from kinesis2elastic_spark.operators import corpus as c
+
+    assert_plan(
+        c.q_weighted_sample(spark, sf_dir),
+        contains=("TakeOrderedAndProject",),
+        absent=("rangepartitioning",),
+    )
+
+
+def test_winsorize_no_global_sort(spark, sf_dir):
+    """B116: the clamp+agg plan is scan → partial agg → one hash
+    exchange; the quantile pass must not leave a global sort behind."""
+    from kinesis2elastic_spark.operators import relational_ext as rx
+
+    assert_plan(
+        rx.q_winsorize(spark, sf_dir),
+        contains=("HashAggregate",),
+        absent=("rangepartitioning", "CartesianProduct"),
+    )
+
+
+def test_auc_window_runs_on_score_groups_not_corpus(spark, sf_dir):
+    """B117: the single-partition rank window must consume the per-score
+    GROUPED relation — the corpus collapses through a hashpartitioning
+    exchange on the score BEFORE the SinglePartition exchange, so the
+    window's input is |score domain| rows, never |corpus|."""
+    from kinesis2elastic_spark.operators import llmops as lo
+
+    plan = formatted_plan(lo.q_auc_exact(spark, sf_dir))
+    assert "hashpartitioning(s#" in plan  # corpus collapses per score first
+    single = plan.find("Arguments: SinglePartition")
+    assert single != -1
+    # the SinglePartition exchange's input row set is the GROUPED one:
+    # its Input line (printed just above the Arguments line) carries the
+    # per-score pos/neg aggregates, not raw corpus columns
+    input_line = plan[:single].rsplit("Input", 1)[1]
+    assert "pos#" in input_line and "neg#" in input_line
+    assert "lang#" not in input_line and "n_chars#" not in input_line

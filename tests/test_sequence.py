@@ -54,3 +54,33 @@ def test_transitions_are_row_stochastic(spark, sf_dir):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert n_pairs == n_events - n_users  # each user contributes len-1 pairs
+
+
+def test_seq_pattern_negation_and_window(spark, tmp_path):
+    """B119 semantics: u1 clean view->purchase (matched). u2 has an error
+    BETWEEN view and purchase (not matched, n_excluded=1). u3 purchases
+    outside the 7-day window (no t_purchase). u4's error falls AFTER the
+    purchase — negation only covers the open interval (matched). u5's
+    error is before the view (matched)."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-02 00:00:00", 1, "purchase", 0.0, "{}"),
+        (3, "2024-01-01 00:00:00", 2, "view", 0.0, "{}"),
+        (4, "2024-01-01 12:00:00", 2, "error", 0.0, "{}"),
+        (5, "2024-01-02 00:00:00", 2, "purchase", 0.0, "{}"),
+        (6, "2024-01-01 00:00:00", 3, "view", 0.0, "{}"),
+        (7, "2024-01-09 00:00:00", 3, "purchase", 0.0, "{}"),
+        (8, "2024-01-01 00:00:00", 4, "view", 0.0, "{}"),
+        (9, "2024-01-02 00:00:00", 4, "purchase", 0.0, "{}"),
+        (10, "2024-01-03 00:00:00", 4, "error", 0.0, "{}"),
+        (11, "2023-12-25 00:00:00", 5, "error", 0.0, "{}"),
+        (12, "2024-01-01 00:00:00", 5, "view", 0.0, "{}"),
+        (13, "2024-01-02 00:00:00", 5, "purchase", 0.0, "{}"),
+    ]
+    _events(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {r.user_id: r for r in sequence.q_seq_pattern(spark, str(tmp_path)).collect()}
+    assert out[1].matched and out[1].n_excluded == 0
+    assert not out[2].matched and out[2].n_excluded == 1
+    assert out[3].t_purchase is None and not out[3].matched
+    assert out[4].matched and out[4].n_excluded == 0
+    assert out[5].matched
