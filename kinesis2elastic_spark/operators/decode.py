@@ -550,6 +550,76 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B120: schema evolution on read (``mergeSchema``) — what a
+    long-lived 100-TB parquet table looks like after a column is added
+    mid-life: old files lack the column, new files carry it, and ONE
+    scan must read both vintages with the union schema (old rows null).
+
+    Fixture: documents split by ``doc_id % 2`` into an old-vintage file
+    set (doc_id, lang, n_chars) and a new-vintage set that adds a
+    derived ``quality_tag`` column; both land in one table directory.
+    Read back two ways and cross-checked:
+    - ``mergeSchema=true`` (footer-union inference — correct but pays a
+      footer read per file, so production pins the schema instead);
+    - the EXPLICIT union schema (the 100-TB path: no footer pass; parquet
+      fills missing columns with null by name).
+    ``paths_agree_ok`` flags the two scans agreeing row-for-row (via
+    exact per-lang aggregate comparison); hashed columns are the
+    per-lang counts of old/new-vintage rows and tagged rows, which the
+    oracle recomputes from the original parquet with the same %2 rule —
+    a reader that drops the evolved column, misaligns by position, or
+    nulls the wrong vintage flips them."""
+    import shutil
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="k2e_schevo_")
+    try:
+        table = os.path.join(work, "table")
+        old = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+        new = d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.when(F.col("n_chars") > 500, "long").otherwise("short").alias(
+                "quality_tag"
+            ),
+        )
+        old.write.parquet(os.path.join(table, "vintage=old"))
+        new.write.parquet(os.path.join(table, "vintage=new"))
+        union_schema = "doc_id long, lang string, n_chars long, quality_tag string"
+
+        def agg(df):
+            return df.groupBy("lang").agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_old_vintage"),
+                F.sum(F.col("quality_tag").isNotNull().cast("long")).alias(
+                    "n_tagged"
+                ),
+                F.sum((F.col("quality_tag") == "long").cast("long")).alias(
+                    "n_tag_long"
+                ),
+            )
+
+        merged = agg(
+            spark.read.option("mergeSchema", "true")
+            .option("recursiveFileLookup", "true")
+            .parquet(table)
+        ).localCheckpoint(eager=True)
+        pinned = agg(
+            spark.read.schema(union_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(table)
+        ).localCheckpoint(eager=True)
+        agree = (
+            merged.exceptAll(pinned).isEmpty() and pinned.exceptAll(merged).isEmpty()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return merged.withColumn("paths_agree_ok", F.lit(bool(agree)))
+
+
 N_LINEAGE_FILES = 4
 
 
@@ -638,6 +708,7 @@ QUERIES = {
     "q_binary_source": q_binary_source,
     "q_orc_roundtrip": q_orc_roundtrip,
     "q_jsonl_roundtrip": q_jsonl_roundtrip,
+    "q_schema_evolution": q_schema_evolution,
     "q_row_lineage": q_row_lineage,
     "q_json_parse": q_json_parse,
     "q_explode": q_explode,
@@ -781,6 +852,17 @@ ORACLE["q_jsonl_roundtrip"] = f"""
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(sum({_MD5_HEX8}) AS BIGINT) AS text_checksum
     FROM documents GROUP BY lang, source
+"""
+
+ORACLE["q_schema_evolution"] = """
+    SELECT lang,
+           count(*) AS n,
+           CAST(count(*) FILTER (doc_id % 2 = 0) AS BIGINT) AS n_old_vintage,
+           CAST(count(*) FILTER (doc_id % 2 = 1) AS BIGINT) AS n_tagged,
+           CAST(count(*) FILTER (doc_id % 2 = 1 AND n_chars > 500) AS BIGINT)
+             AS n_tag_long,
+           TRUE AS paths_agree_ok
+    FROM documents GROUP BY lang
 """
 
 ROWS_ONLY: set[str] = set()

@@ -162,3 +162,28 @@ def test_jsonl_roundtrip_adversarial_content(spark):
     # the physical file must hold exactly one line per logical row
     # (an unescaped newline would split a row and shift every count)
     assert sum(v[0] for v in got.values()) == len(texts)
+
+
+def test_schema_evolution_null_fill_and_path_agreement(spark, sf_dir):
+    """B120: old-vintage rows surface the evolved column as NULL in both
+    read paths (mergeSchema and explicit union schema), counts line up
+    with the %2 split, and the cross-path agreement flag holds."""
+    from kinesis2elastic_spark.operators.decode import q_schema_evolution
+
+    out = q_schema_evolution(spark, sf_dir).collect()
+    assert out and all(r.paths_agree_ok for r in out)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = {
+        r.lang: (r.n, r.old)
+        for r in d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("old"),
+        )
+        .collect()
+    }
+    for r in out:
+        n, old = per_lang[r.lang]
+        assert r.n == n and r.n_old_vintage == old
+        # every tagged row is new-vintage: tagged + old == total
+        assert r.n_tagged + r.n_old_vintage == r.n
