@@ -648,6 +648,38 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPP_NUM, TOPP_DEN = 9, 10  # keep until 90% of per-source mass is covered
+
+
+def q_top_p_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B121: mass-based per-group selection (the "nucleus / top-p" shape):
+    per source, keep the heaviest documents until they cover ≥ 90% of
+    that source's total character mass — how a mixing pipeline trims the
+    long tail ("the shortest docs contributing the last 10% of source X
+    are noise") when a fixed top-K (B15) is the wrong unit because
+    sources differ by orders of magnitude in size.
+
+    Exact integer predicate — a row is kept iff the mass STRICTLY BEFORE
+    it is < 90% of the total (so the row crossing the threshold is the
+    last one kept):  (cum − w)·DEN < total·NUM, all BIGINTs, no float
+    ratio anywhere.  One shuffle keyed by source; the window carries
+    (id, weight) pairs only.  Unlike top-K, WindowGroupLimit cannot
+    pre-prune (the cutoff is data-dependent) — the per-group sort is the
+    irreducible cost, and it sorts ids+weights, never documents."""
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("w"), "doc_id")
+    t = (
+        d.select("source", "doc_id", F.col("n_chars").cast("long").alias("w"))
+        .withColumn(
+            "cum", F.sum("w").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long")
+        )
+        .withColumn("total", F.sum("w").over(W.partitionBy("source")).cast("long"))
+    )
+    return t.filter(
+        (F.col("cum") - F.col("w")) * TOPP_DEN < F.col("total") * TOPP_NUM
+    ).select("source", "doc_id", "w", "cum", "total")
+
+
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid (mean pooling), emitted long-form as
     (label, dim pos, avg) rows so the result is engine-comparable without
@@ -1699,6 +1731,7 @@ QUERIES = {
     "q_cms_check": q_cms_check,
     "q_hash_sample": q_hash_sample,
     "q_weighted_sample": q_weighted_sample,
+    "q_top_p_mass": q_top_p_mass,
     "q_corpus_mix": q_corpus_mix,
     "q_token_histogram": q_token_histogram,
     "q_quality_filter": q_quality_filter,
@@ -1745,6 +1778,19 @@ ORACLE = {
         SELECT doc_id, lang, CAST(w AS BIGINT) AS w, CAST(u AS BIGINT) AS u,
                CAST((u * 1048576) // w AS BIGINT) AS prio_key
         FROM k ORDER BY prio_key, doc_id LIMIT 200
+    """,
+    "q_top_p_mass": """
+        WITH t AS (
+          SELECT source, doc_id, n_chars AS w,
+                 sum(n_chars) OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum,
+                 sum(n_chars) OVER (PARTITION BY source) AS total
+          FROM documents)
+        SELECT source, doc_id, CAST(w AS BIGINT) AS w,
+               CAST(cum AS BIGINT) AS cum, CAST(total AS BIGINT) AS total
+        FROM t WHERE (cum - w) * 10 < total * 9
     """,
     "q_corpus_mix": """
         WITH fp AS (

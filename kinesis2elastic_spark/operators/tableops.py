@@ -311,6 +311,118 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TDIFF_BUCKETS = 64
+
+
+def table_diff(src: DataFrame, dst: DataFrame, key: str, fingerprint) -> DataFrame:
+    """B122 kernel: Merkle-style reconciliation of two table versions —
+    how a 100-TB replication/backfill is audited WITHOUT shipping either
+    table: each side collapses to ``TDIFF_BUCKETS`` (bucket, count,
+    checksum) rows (one scan, map-combinable agg, 64-row shuffle); only
+    buckets whose summaries disagree are drilled row-by-row (a semi-join
+    on the differing bucket ids prunes both scans to ~d/64ths of the
+    data for d differing buckets).
+
+    ``fingerprint`` is a Column: an exact BIGINT content hash of the row
+    (md5-prefix doctrine).  Output: one row per differing KEY — present
+    flags per side and content equality; identical tables → empty."""
+    b = lambda c: (  # noqa: E731
+        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % TDIFF_BUCKETS
+    )
+
+    def summarize(df):
+        return df.groupBy(b(F.col(key)).alias("bucket")).agg(
+            F.count("*").alias("n"), F.sum(fingerprint).alias("chk")
+        )
+
+    diff_buckets = (
+        summarize(src)
+        .withColumnRenamed("n", "n_s")
+        .withColumnRenamed("chk", "c_s")
+        .join(
+            summarize(dst)
+            .withColumnRenamed("n", "n_d")
+            .withColumnRenamed("chk", "c_d"),
+            "bucket",
+            "full_outer",
+        )
+        .filter(
+            # eqNullSafe: a bucket present on one side only must DIFFER,
+            # not null out of the predicate
+            ~(
+                F.col("n_s").eqNullSafe(F.col("n_d"))
+                & F.col("c_s").eqNullSafe(F.col("c_d"))
+            )
+        )
+        .select("bucket")
+    )
+    drill = F.broadcast(diff_buckets)  # ≤ TDIFF_BUCKETS rows by construction
+    s = (
+        src.withColumn("bucket", b(F.col(key)))
+        .join(drill, "bucket", "left_semi")
+        .select(F.col(key), fingerprint.alias("fp_s"))
+    )
+    d = (
+        dst.withColumn("bucket", b(F.col(key)))
+        .join(drill, "bucket", "left_semi")
+        .select(F.col(key), fingerprint.alias("fp_d"))
+    )
+    return (
+        s.join(d, key, "full_outer")
+        .withColumn("in_src", F.col("fp_s").isNotNull())
+        .withColumn("in_dst", F.col("fp_d").isNotNull())
+        .withColumn(
+            "content_equal",
+            F.coalesce(F.col("fp_s") == F.col("fp_d"), F.lit(False)),
+        )
+        .filter(~F.col("content_equal"))
+        .select(key, "in_src", "in_dst", "content_equal")
+    )
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B122 contract query: reconcile documents against a replica with
+    three planted divergences, each derived deterministically from the
+    data so the oracle can reproduce them — the min-doc_id row DROPPED,
+    the max-doc_id row's text MUTATED (suffix append), and one row
+    INSERTED past the max id.  The diff must surface exactly those three
+    keys with the right present/equal flags: a false positive (checksum
+    collision handling, bucket misroute) or a false negative (missed
+    bucket, lossy drill) flips the hash."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    replica = (
+        d.filter(F.col("doc_id") != lo)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == hi, F.concat(F.col("text"), F.lit("X"))).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            d.sparkSession.createDataFrame(
+                [(int(hi) + 1, "inserted", 8)], "doc_id long, text string, n_chars long"
+            )
+        )
+    )
+    fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("doc_id"), F.col("text"), F.col("n_chars")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return table_diff(d, replica, "doc_id", fp)
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
     "q_cdc_latest": q_cdc_latest,
@@ -320,6 +432,7 @@ QUERIES = {
     "q_scd2_history": q_scd2_history,
     "q_scd2_pointintime": q_scd2_pointintime,
     "q_merge_upsert": q_merge_upsert,
+    "q_table_diff": q_table_diff,
 }
 
 _PROFILE_UNION = "\nUNION ALL\n".join(
@@ -426,6 +539,17 @@ ORACLE = {
                CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS edit_dist
         FROM probes p JOIN customer c ON right(c.c_name, 4) = p.blk
         WHERE levenshtein(p.probe_name, c.c_name) <= 2
+    """,
+    # the three planted divergences, derived the same way: min doc_id
+    # dropped from the replica, max doc_id content-mutated, max+1 inserted
+    "q_table_diff": """
+        WITH m AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents)
+        SELECT lo AS doc_id, TRUE AS in_src, FALSE AS in_dst,
+               FALSE AS content_equal FROM m
+        UNION ALL
+        SELECT hi, TRUE, TRUE, FALSE FROM m
+        UNION ALL
+        SELECT hi + 1, FALSE, TRUE, FALSE FROM m
     """,
 }
 

@@ -589,3 +589,26 @@ def test_weighted_sample_weight_monotone(spark, sf_dir):
     sample = corpus.q_weighted_sample(spark, sf_dir)
     sample_avg = sample.agg(F.avg("w")).first()[0]
     assert sample_avg > corpus_avg
+
+
+def test_top_p_mass_planted_cutoff(spark, tmp_path):
+    """B121 boundary semantics: keep rows while the mass strictly before
+    them is < 90% of the source total; the row crossing 90% is kept, the
+    rest drop — including the exactly-at-90% edge."""
+    rows = [
+        # source a: weights 50/30/15/5 (total 100): keep 50,30,15; drop 5
+        (1, "x", "en", "a", 50),
+        (2, "x", "en", "a", 30),
+        (3, "x", "en", "a", 15),
+        (4, "x", "en", "a", 5),
+        # source b: weights 9/1 (total 10): keep 9; the 1 starts at
+        # exactly 90% prior mass -> dropped (strict <)
+        (5, "x", "en", "b", 9),
+        (6, "x", "en", "b", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = corpus.q_top_p_mass(spark, str(tmp_path))
+    kept = {(r.source, r.doc_id) for r in out.collect()}
+    assert kept == {("a", 1), ("a", 2), ("a", 3), ("b", 5)}

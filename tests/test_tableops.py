@@ -128,3 +128,29 @@ def test_merge_upsert_action_matrix(spark, sf_dir):
     # error-state rows can only appear via 'keep' (target untouched):
     # update/insert take the source state, and error sources are deletes
     assert all(r.action == "keep" for r in rows if r.state == "error")
+
+
+def test_table_diff_kernel(spark):
+    """B122: identical tables diff empty; a mutation surfaces ONLY the
+    mutated key even when its bucket holds equal neighbors; one-sided
+    keys carry the right present flags."""
+    from kinesis2elastic_spark.operators.tableops import table_diff
+
+    rows = [(i, f"t{i}") for i in range(1, 41)]
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")  # noqa: E731
+    fp = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    # identical -> empty
+    assert table_diff(mk(rows), mk(rows), "doc_id", fp).count() == 0
+    # mutate key 7, drop key 13, insert key 99
+    replica = [(i, "MUT" if i == 7 else t) for i, t in rows if i != 13] + [(99, "new")]
+    got = {
+        r.doc_id: (r.in_src, r.in_dst)
+        for r in table_diff(mk(rows), mk(replica), "doc_id", fp).collect()
+    }
+    assert got == {7: (True, True), 13: (True, False), 99: (False, True)}
