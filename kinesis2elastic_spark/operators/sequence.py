@@ -183,11 +183,59 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATHS_TOP_K = 25
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B124: session path mining — the frequency table of ordered
+    within-session event-type journeys ("view>click>purchase"), the
+    product-analytics staple behind sankey/flow views and the sequence
+    vocabulary for next-event models.  Sessions use B25's exact rule
+    (30-min gap, (ts, event_id) order) so the two operators agree on
+    session identity.
+
+    Path construction stays in one window pass + one groupBy: the
+    session's events collect as (ts, event_id, type) structs under a
+    map-combinable ``collect_list``, are ``array_sort``ed (lexicographic
+    struct order = the session's event order — deterministic, shuffle-
+    order-proof), and join into the path string JVM-side.  Per-session
+    state is bounded by session length (minutes of one user's activity),
+    never by history.  Output: top-``PATHS_TOP_K`` paths by frequency —
+    TakeOrderedAndProject, no global sort."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = e.withColumn("session_id", F.sum(new_session).over(wrun).cast("long"))
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(F.transform("evs", lambda s: s["event_type"]), ">").alias(
+                "path"
+            ),
+            F.size("evs").cast("long").alias("path_len"),
+        )
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATHS_TOP_K)
+    )
+
+
 QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_retention_cohorts": q_retention_cohorts,
     "q_event_transitions": q_event_transitions,
     "q_seq_pattern": q_seq_pattern,
+    "q_session_paths": q_session_paths,
 }
 
 ORACLE = {
@@ -221,6 +269,29 @@ ORACLE = {
                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
         FROM act a JOIN first f USING (user_id)
         GROUP BY 1, 2
+    """,
+    "q_session_paths": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessioned AS (
+          SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+          FROM flagged
+        ), paths AS (
+          SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                 CAST(count(*) AS BIGINT) AS path_len
+          FROM sessioned GROUP BY user_id, session_id)
+        SELECT path, path_len, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path, path_len
+        ORDER BY n_sessions DESC, path LIMIT 25
     """,
     "q_seq_pattern": """
         WITH v AS (

@@ -311,6 +311,50 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B123: field-level survivorship merge (the MDM "golden record"):
+    B47's CDC latest-state is ROW-level (the newest row wins wholesale);
+    real change feeds carry sparse updates, so each FIELD must
+    independently survive from the latest row where it was non-null —
+    a later row with a null field must NOT erase an earlier value.
+
+    Feed derivation (deterministic, oracle-reproducible): events as
+    sparse per-user updates — status fields only on view/click/signup
+    rows, monetary value only on purchase rows, error timestamp only on
+    error rows.  Per field the survivor is ``max(struct(ts, event_id,
+    field))`` over the rows where the field is non-null: ONE map-side
+    combinable aggregate for ALL fields in a single shuffle keyed by
+    user_id (no per-field window passes, no history self-joins —
+    (ts, event_id) is unique so the lexicographic max IS the latest).
+
+    Hash-safe: status strings, micro-unit BIGINT value, timestamps."""
+    e = load(spark, sf_dir, "events")
+    f_status = F.when(
+        F.col("event_type").isin("view", "click", "signup"), F.col("event_type")
+    )
+    f_value = F.when(
+        F.col("event_type") == "purchase",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    f_err = F.when(F.col("event_type") == "error", F.col("ts"))
+
+    def survive(field, name):
+        picked = F.max(
+            F.when(field.isNotNull(), F.struct("ts", "event_id", field.alias("v")))
+        )
+        return picked.getField("v").alias(name)
+
+    return (
+        e.groupBy("user_id")
+        .agg(
+            survive(f_status, "last_status"),
+            survive(f_value, "last_value_micro"),
+            survive(f_err, "last_error_ts"),
+            F.count("*").cast("long").alias("n_updates"),
+        )
+    )
+
+
 TDIFF_BUCKETS = 64
 
 
@@ -433,6 +477,7 @@ QUERIES = {
     "q_scd2_pointintime": q_scd2_pointintime,
     "q_merge_upsert": q_merge_upsert,
     "q_table_diff": q_table_diff,
+    "q_survivorship": q_survivorship,
 }
 
 _PROFILE_UNION = "\nUNION ALL\n".join(
@@ -550,6 +595,32 @@ ORACLE = {
         SELECT hi, TRUE, TRUE, FALSE FROM m
         UNION ALL
         SELECT hi + 1, FALSE, TRUE, FALSE FROM m
+    """,
+    # per-field latest-non-null survivor via max over a (ts, eid, v)
+    # struct restricted to non-null rows — same lexicographic pick as
+    # Spark ((ts, event_id) unique, so the max IS the latest)
+    "q_survivorship": """
+        WITH r AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN event_type IN ('view','click','signup')
+                      THEN event_type END AS f_status,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                      END AS f_value,
+                 CASE WHEN event_type = 'error' THEN ts END AS f_err
+          FROM events)
+        SELECT user_id,
+               (max(CASE WHEN f_status IS NOT NULL
+                    THEN {'ts': ts, 'eid': event_id, 'v': f_status} END)).v
+                 AS last_status,
+               (max(CASE WHEN f_value IS NOT NULL
+                    THEN {'ts': ts, 'eid': event_id, 'v': f_value} END)).v
+                 AS last_value_micro,
+               (max(CASE WHEN f_err IS NOT NULL
+                    THEN {'ts': ts, 'eid': event_id, 'v': f_err} END)).v
+                 AS last_error_ts,
+               CAST(count(*) AS BIGINT) AS n_updates
+        FROM r GROUP BY user_id
     """,
 }
 

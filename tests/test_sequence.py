@@ -84,3 +84,21 @@ def test_seq_pattern_negation_and_window(spark, tmp_path):
     assert out[3].t_purchase is None and not out[3].matched
     assert out[4].matched and out[4].n_excluded == 0
     assert out[5].matched
+
+
+def test_session_paths_order_and_gap(spark, tmp_path):
+    """B124: events inside a session join in (ts, event_id) order; a
+    >30-min gap splits the journey into two paths."""
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 00:05:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 00:10:00", 1, "purchase", 0.0, "{}"),
+        # same user, 2h later: new session with a single view
+        (4, "2024-01-01 02:30:00", 1, "view", 0.0, "{}"),
+        # tie on ts: event_id breaks order (click id 5 < view id 6)
+        (5, "2024-01-02 00:00:00", 2, "click", 0.0, "{}"),
+        (6, "2024-01-02 00:00:00", 2, "view", 0.0, "{}"),
+    ]
+    _events(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.path: r.n_sessions for r in sequence.q_session_paths(spark, str(tmp_path)).collect()}
+    assert got == {"view>click>purchase": 1, "view": 1, "click>view": 1}

@@ -154,3 +154,30 @@ def test_table_diff_kernel(spark):
         for r in table_diff(mk(rows), mk(replica), "doc_id", fp).collect()
     }
     assert got == {7: (True, True), 13: (True, False), 99: (False, True)}
+
+
+def test_survivorship_null_does_not_erase(spark, tmp_path):
+    """B123 semantics: a LATER row whose field is null must not erase an
+    earlier non-null value; each field survives independently."""
+    rows = [
+        # user 1: purchase (value) at t1, then view (status) at t2 —
+        # golden record keeps BOTH: value from t1, status from t2
+        (1, "2024-01-01 00:00:00", 1, "purchase", 12.5, "{}"),
+        (2, "2024-01-02 00:00:00", 1, "view", 0.0, "{}"),
+        # user 2: status view t1 then click t2 -> click survives
+        (3, "2024-01-01 00:00:00", 2, "view", 0.0, "{}"),
+        (4, "2024-01-02 00:00:00", 2, "click", 0.0, "{}"),
+        # user 3: errors only -> status/value null, error ts = latest
+        (5, "2024-01-01 00:00:00", 3, "error", 0.0, "{}"),
+        (6, "2024-01-03 00:00:00", 3, "error", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r.user_id: r for r in tableops.q_survivorship(spark, str(tmp_path)).collect()}
+    assert out[1].last_status == "view" and out[1].last_value_micro == 12500000
+    assert out[2].last_status == "click" and out[2].last_value_micro is None
+    assert out[3].last_status is None and str(out[3].last_error_ts).startswith("2024-01-03")
