@@ -1355,6 +1355,169 @@ def q_stream_replay_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTER_JOIN_WM_DELAY = "1 day"
+OUTER_JOIN_SENTINEL_DAYS = 400  # pushes the final watermark past every click
+
+
+def q_stream_outer_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B125 oracle-backed: stream-stream LEFT OUTER interval join — the
+    semantically hardest streaming join shape: matched pairs emit like
+    B101's inner join, but an UNMATCHED left row may only emit (with
+    null right columns) once the watermark proves no match can still
+    arrive — i.e. when the right-side state for its interval is evicted.
+    A funnel pipeline needs exactly this ("clicks that never converted")
+    and cannot get it from the inner join plus a batch anti-join without
+    a second full pass.
+
+    Emission mechanics under test: real (finite) watermark delay, state
+    eviction, and the null-flush on the drain-final no-data micro-batch
+    (``noDataMicroBatches.enabled``, the B106 mechanism).  Two
+    construction subtleties, both empirically pinned (r8):
+    - the watermark sentinel must be PER SIDE: Catalyst pushes the
+      event-type filter BELOW the EventTimeWatermark node, so each
+      side's watermark bookkeeping only sees its own type — a neutral
+      'noop' sentinel advances NEITHER watermark (measured: the final
+      watermark tracked max(click ts), stranding the last day of
+      unmatched clicks).  Instead one 'click' (user −1) and one
+      'purchase' (user −2) sentinel ``OUTER_JOIN_SENTINEL_DAYS`` past
+      the span drag both watermarks; neither can join (negative
+      user ids) and neither EMITS — each sentinel's own eviction
+      horizon sits past the final watermark, which the batch-twin
+      equality also proves;
+    - the sentinels ride INSIDE the second file group: a third file
+      group added between availableNow runs is not reliably discovered
+      once the plan holds two file sources (each stream-stream join
+      side is its own source; measured desync on the 2nd restart), so
+      the flush rides the trailing no-data batch of drain 2 instead of
+      a third drain.
+    A join that loses state across the checkpointed restart, never
+    evicts, or evicts without emitting the null row diverges from the
+    batch twin.
+
+    Hashed columns: the full outer-join row set (ids, both timestamps,
+    matched flag) vs DuckDB's LEFT JOIN with the same interval — exact
+    values only."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out_schema = (
+        "user_id long, click_id long, click_ts timestamp,"
+        " purchase_id long, purchase_ts timestamp"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_stream_oj_")
+    try:
+        src = os.path.join(work, "src")
+        _b1, b2, _tmid = _time_split_batches(ev, "ts", src)
+        t_max = ev.agg(F.max("ts")).first()[0]
+        out_dir = os.path.join(work, "out")
+
+        def start():
+            clicks = (
+                _events_stream(spark, src)
+                .withWatermark("ts", OUTER_JOIN_WM_DELAY)
+                .filter(F.col("event_type") == "click")
+                .select(
+                    F.col("user_id").alias("c_user"),
+                    F.col("event_id").alias("click_id"),
+                    F.col("ts").alias("click_ts"),
+                )
+            )
+            purchases = (
+                _events_stream(spark, src)
+                .withWatermark("ts", OUTER_JOIN_WM_DELAY)
+                .filter(F.col("event_type") == "purchase")
+                .select(
+                    F.col("user_id").alias("p_user"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("purchase_ts"),
+                )
+            )
+            joined = clicks.join(
+                purchases,
+                (F.col("c_user") == F.col("p_user"))
+                & (F.col("purchase_ts") >= F.col("click_ts"))
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("click_ts")
+                    + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+                ),
+                "leftOuter",
+            ).select(
+                F.col("c_user").alias("user_id"),
+                "click_id",
+                "click_ts",
+                "purchase_id",
+                "purchase_ts",
+            )
+            return (
+                joined.writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        sentinels = spark.createDataFrame(
+            [(10**12, -1, "click", 0.0), (10**12 + 1, -2, "purchase", 0.0)],
+            "event_id long, user_id long, event_type string, value double",
+        ).select(
+            "event_id",
+            "user_id",
+            (
+                F.lit(t_max)
+                + F.expr(f"INTERVAL {OUTER_JOIN_SENTINEL_DAYS} DAYS")
+            ).alias("ts"),
+            "event_type",
+            "value",
+        )
+        _drain(start())
+        b2.unionByName(sentinels).coalesce(1).write.parquet(src + "/b2")
+        _drain(start())
+        stream_out = _read_or_empty(spark, out_dir, out_schema).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_twin = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
+    eq = frames_equal_flag(stream_out, batch_twin, "stream_equals_batch_ok")
+    return stream_out.crossJoin(F.broadcast(eq)).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        F.col("purchase_id").isNotNull().alias("matched"),
+        "stream_equals_batch_ok",
+    )
+
+
 QUERIES = {
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -1371,6 +1534,7 @@ QUERIES = {
     "q_stream_rocksdb_equiv": q_stream_rocksdb_equiv,
     "q_stream_backpressure_equiv": q_stream_backpressure_equiv,
     "q_stream_replay_equiv": q_stream_replay_equiv,
+    "q_stream_outer_join_equiv": q_stream_outer_join_equiv,
 }
 
 
@@ -1563,5 +1727,21 @@ ORACLE = {
                TRUE AS fault_injected_ok,
                TRUE AS batch_replayed_ok
         FROM events GROUP BY event_type
+    """,
+    "q_stream_outer_join_equiv": """
+        WITH c AS (
+          SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+        p AS (
+          SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase')
+        SELECT c.c_user AS user_id, c.click_id, c.click_ts,
+               p.purchase_id, p.purchase_ts,
+               p.purchase_id IS NOT NULL AS matched,
+               TRUE AS stream_equals_batch_ok
+        FROM c LEFT JOIN p
+          ON c.c_user = p.p_user
+         AND p.purchase_ts >= c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 120 MINUTES
     """,
 }

@@ -311,6 +311,77 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATVIEW_CUTOFF = "1997-01-01"
+
+
+def q_matview_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B126: incremental materialized-view maintenance — the operation
+    that makes a 100-TB aggregate table affordable: when a delta batch
+    lands, the MV is updated by aggregating ONLY the delta and merging
+    it into the existing MV state (one delta scan + an |MV|-sized merge),
+    never by re-aggregating the base.
+
+    Fixture: orders split at a deterministic date cutoff into base and
+    delta; the MV (per status × order-month: count, exact cents sum,
+    min/max order key) is built from the base, the delta is aggregated
+    separately, and the two MERGE through a full-outer combine —
+    count/sum add, min/max fold, a group present on one side passes
+    through.  The hashed merged MV must equal the oracle's one-shot
+    aggregate over ALL orders: any non-commutative merge rule, dropped
+    one-sided group, or null-poisoned fold flips it.
+
+    Deliberately restricted to DELTA-MERGEABLE aggregates (count/sum/
+    min/max — the algebraic class): avg ships as sum+count, distincts
+    need sketch state (B65's mergeable HLL is that path)."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    t = o.select(
+        "o_orderstatus",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        cents.alias("cents"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+
+    def mv(df):
+        return df.groupBy("o_orderstatus", "month").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+
+    base = mv(t.filter(F.col("o_orderdate") < MATVIEW_CUTOFF))
+    delta = mv(t.filter(F.col("o_orderdate") >= MATVIEW_CUTOFF))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, ["o_orderstatus", "month"], "full_outer").select(
+        "o_orderstatus",
+        "month",
+        (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0)))
+        .cast("long")
+        .alias("n"),
+        (
+            F.coalesce(F.col("b.sum_cents"), F.lit(0))
+            + F.coalesce(F.col("d.sum_cents"), F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_cents"),
+        F.least(
+            F.coalesce(F.col("b.min_key"), F.col("d.min_key")),
+            F.coalesce(F.col("d.min_key"), F.col("b.min_key")),
+        )
+        .cast("long")
+        .alias("min_key"),
+        F.greatest(
+            F.coalesce(F.col("b.max_key"), F.col("d.max_key")),
+            F.coalesce(F.col("d.max_key"), F.col("b.max_key")),
+        )
+        .cast("long")
+        .alias("max_key"),
+    )
+    return merged
+
+
 def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B123: field-level survivorship merge (the MDM "golden record"):
     B47's CDC latest-state is ROW-level (the newest row wins wholesale);
@@ -478,6 +549,7 @@ QUERIES = {
     "q_merge_upsert": q_merge_upsert,
     "q_table_diff": q_table_diff,
     "q_survivorship": q_survivorship,
+    "q_matview_delta": q_matview_delta,
 }
 
 _PROFILE_UNION = "\nUNION ALL\n".join(
@@ -621,6 +693,18 @@ ORACLE = {
                  AS last_error_ts,
                CAST(count(*) AS BIGINT) AS n_updates
         FROM r GROUP BY user_id
+    """,
+    # one-shot aggregate over ALL orders — the merged base+delta MV must
+    # equal this exactly
+    "q_matview_delta": """
+        SELECT o_orderstatus,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM orders GROUP BY o_orderstatus, month
     """,
 }
 

@@ -181,3 +181,32 @@ def test_survivorship_null_does_not_erase(spark, tmp_path):
     assert out[1].last_status == "view" and out[1].last_value_micro == 12500000
     assert out[2].last_status == "click" and out[2].last_value_micro is None
     assert out[3].last_status is None and str(out[3].last_error_ts).startswith("2024-01-03")
+
+
+def test_matview_delta_merge_equals_recompute(spark, tmp_path):
+    """B126: merged base+delta MV == one-shot recompute, including
+    groups present on only one side of the cutoff."""
+    rows = [
+        # (orderkey, custkey, status, totalprice, orderdate)
+        (1, 1, "F", 10.00, "1996-05-01"),   # base-only group (F, 1996-05)
+        (2, 1, "F", 20.00, "1996-05-20"),
+        (3, 1, "O", 5.00, "1996-12-31"),    # base side of (O, 1996-12)
+        (4, 1, "O", 7.00, "1997-01-01"),    # delta-only group (O, 1997-01)
+        (5, 1, "P", 9.00, "1998-03-03"),    # delta-only group (P, 1998-03)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        (r.o_orderstatus, str(r.month)): (r.n, r.sum_cents, r.min_key, r.max_key)
+        for r in tableops.q_matview_delta(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("F", "1996-05-01"): (2, 3000, 1, 2),
+        ("O", "1996-12-01"): (1, 500, 3, 3),
+        ("O", "1997-01-01"): (1, 700, 4, 4),
+        ("P", "1998-03-01"): (1, 900, 5, 5),
+    }
