@@ -98,6 +98,12 @@ HEADLINE = [
     # r8: DSIR importance reweighting (hashed-ngram model build +
     # broadcast-scored pool — the new r8 shape)
     "q_importance_weights",
+    # r8 session 2: the iterative BFS fixpoint (recursive-CTE surface —
+    # the one execution shape where the per-round job floor compounds;
+    # DuckDB's recursive CTE is the like-for-like twin) and the integer
+    # rank-statistic shape (exact AUC: groupBy collapse + domain window)
+    "q_graph_reach",
+    "q_auc_exact",
 ]
 
 

