@@ -230,12 +230,51 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_SPLIT_HEX = "8"  # md5(user) first hex < '8' → variant A (50/50)
+
+
+def q_ab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B128: deterministic experiment assignment + exact metric
+    sufficient statistics — the A/B-testing readout.  Assignment hashes
+    the UNIT (user), never the event, so every event of a user lands in
+    the same variant, assignment is reproducible across engines and
+    reruns (the q_hash_sample md5-keyspace discipline), and no
+    assignment table needs storing or joining at 100 TB — the variant
+    is a pure function computed in the scan.
+
+    Per (variant, event_type): the exact sufficient statistics a
+    difference-of-means test needs — n, Σx, Σx² over the CENTI-unit
+    metric (micro-units would push Σx² past int64 at sf0.1 already;
+    centi keeps the squared sum exact through ~3×10⁹ rows per cell with
+    this metric's ≤10⁴ range — grouped-OLS overflow-envelope discipline,
+    decimal(38) escape past that), plus distinct units via countDistinct
+    (one shuffle keyed (variant, type, user)).  Welch's t itself divides
+    and square-roots — libm, engine-local — so by doctrine it stays a
+    consumer epilogue of these exact BIGINTs."""
+    e = load(spark, sf_dir, "events")
+    variant = F.when(
+        F.md5(F.col("user_id").cast("string").cast("binary")) < AB_SPLIT_HEX, "A"
+    ).otherwise("B")
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        e.select(variant.alias("variant"), "event_type", v.alias("v"), "user_id")
+        .groupBy("variant", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("sum_vv"),
+            F.countDistinct("user_id").cast("long").alias("n_units"),
+        )
+    )
+
+
 QUERIES = {
     "q_event_funnel": q_event_funnel,
     "q_retention_cohorts": q_retention_cohorts,
     "q_event_transitions": q_event_transitions,
     "q_seq_pattern": q_seq_pattern,
     "q_session_paths": q_session_paths,
+    "q_ab_stats": q_ab_stats,
 }
 
 ORACLE = {
@@ -269,6 +308,21 @@ ORACLE = {
                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
         FROM act a JOIN first f USING (user_id)
         GROUP BY 1, 2
+    """,
+    "q_ab_stats": """
+        WITH t AS (
+          SELECT CASE WHEN md5(CAST(user_id AS VARCHAR)) < '8'
+                      THEN 'A' ELSE 'B' END AS variant,
+                 event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+                 user_id
+          FROM events)
+        SELECT variant, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v * v) AS BIGINT) AS sum_vv,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_units
+        FROM t GROUP BY variant, event_type
     """,
     "q_session_paths": """
         WITH flagged AS (

@@ -439,8 +439,13 @@ def table_diff(src: DataFrame, dst: DataFrame, key: str, fingerprint) -> DataFra
     data for d differing buckets).
 
     ``fingerprint`` is a Column: an exact BIGINT content hash of the row
-    (md5-prefix doctrine).  Output: one row per differing KEY — present
-    flags per side and content equality; identical tables → empty."""
+    (md5-prefix doctrine).  Detection is probabilistic in the adversarial
+    sense only: a bucket whose count matches AND whose fingerprint SUM
+    collides (~2⁻³² per mutated bucket for the 32-bit prefix) would be
+    missed — widen the prefix to 12–16 hex chars when auditing against a
+    malicious writer rather than bit rot/replication loss.  Output: one
+    row per differing KEY — present flags per side and content equality;
+    identical tables → empty."""
     b = lambda c: (  # noqa: E731
         F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
         .cast("long")

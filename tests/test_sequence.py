@@ -102,3 +102,32 @@ def test_session_paths_order_and_gap(spark, tmp_path):
     _events(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
     got = {r.path: r.n_sessions for r in sequence.q_session_paths(spark, str(tmp_path)).collect()}
     assert got == {"view>click>purchase": 1, "view": 1, "click>view": 1}
+
+
+def test_ab_stats_unit_consistency(spark, sf_dir):
+    """B128: assignment is per-UNIT — the same user never appears in
+    both variants (across all event types), and per-cell sufficient
+    stats match a pure-Python recomputation."""
+    import hashlib
+
+    from kinesis2elastic_spark.catalog import load
+
+    out = sequence.q_ab_stats(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "value").collect()
+    py = {}
+    units = {}
+    for r in ev:
+        var = "A" if hashlib.md5(str(r.user_id).encode()).hexdigest() < "8" else "B"
+        v = int(r.value * 100 + 0.5)
+        key = (var, r.event_type)
+        n, s, ss = py.get(key, (0, 0, 0))
+        py[key] = (n + 1, s + v, ss + v * v)
+        units.setdefault(key, set()).add(r.user_id)
+    got = {(r.variant, r.event_type): (r.n, r.sum_v, r.sum_vv) for r in out}
+    assert got == py
+    for r in out:
+        assert r.n_units == len(units[(r.variant, r.event_type)])
+    # unit-consistency: no user in both variants
+    a_users = set().union(*(u for k, u in units.items() if k[0] == "A"))
+    b_users = set().union(*(u for k, u in units.items() if k[0] == "B"))
+    assert not (a_users & b_users)
