@@ -243,7 +243,11 @@ def bfs_reachability(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataF
         )
         if not nxt.head(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # no checkpoint on the union: visited is a union of frames that
+        # are each ALREADY pinned (seeds + every round's nxt), so its
+        # lineage stays depth-1 regardless of round count — one fewer
+        # eager job per round than checkpointing the union itself
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
