@@ -550,6 +550,37 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B129: the Spark 4 VARIANT semi-structured surface — ``parse_json``
+    into the binary Variant encoding + typed ``variant_get`` extraction,
+    the engine-native path that replaces string-JSON ``get_json_object``
+    probing (B22's shape) for open-schema columns: Variant parses once
+    into a shredded binary form and every subsequent field access is a
+    binary walk, not a re-parse — the difference between O(fields) and
+    O(fields × accesses) string scans on a 100-TB props column.
+
+    The extraction (`$.k` as long), a missing-path probe
+    (``try_variant_get`` of `$.absent` must be null, not an error), and
+    the variant-null check all feed one map-combinable per-type
+    aggregate whose exact counts/sums must hash-equal DuckDB's plain
+    JSON reading of the same column — proving the binary round-trip is
+    lossless for the typed access."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    absent = F.try_variant_get(v, "$.absent", "string")
+    return (
+        e.select("event_type", k.alias("k"), absent.alias("a"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count("k").cast("long").alias("n_k_present"),
+            F.sum(F.col("a").isNull().cast("long")).alias("n_absent_null"),
+        )
+    )
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B120: schema evolution on read (``mergeSchema``) — what a
     long-lived 100-TB parquet table looks like after a column is added
@@ -709,6 +740,7 @@ QUERIES = {
     "q_orc_roundtrip": q_orc_roundtrip,
     "q_jsonl_roundtrip": q_jsonl_roundtrip,
     "q_schema_evolution": q_schema_evolution,
+    "q_variant_json": q_variant_json,
     "q_row_lineage": q_row_lineage,
     "q_json_parse": q_json_parse,
     "q_explode": q_explode,
@@ -852,6 +884,15 @@ ORACLE["q_jsonl_roundtrip"] = f"""
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(sum({_MD5_HEX8}) AS BIGINT) AS text_checksum
     FROM documents GROUP BY lang, source
+"""
+
+ORACLE["q_variant_json"] = """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(props->>'$.k') AS BIGINT) AS n_k_present,
+           CAST(count(*) AS BIGINT) AS n_absent_null
+    FROM events GROUP BY event_type
 """
 
 ORACLE["q_schema_evolution"] = """

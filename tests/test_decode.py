@@ -187,3 +187,26 @@ def test_schema_evolution_null_fill_and_path_agreement(spark, sf_dir):
         assert r.n == n and r.n_old_vintage == old
         # every tagged row is new-vintage: tagged + old == total
         assert r.n_tagged + r.n_old_vintage == r.n
+
+
+def test_variant_typed_extraction_adversarial(spark, tmp_path):
+    """B129: Variant typed access — int extraction, missing path via
+    try_variant_get (null, not error), nested object and unicode string
+    round-trip through the binary encoding."""
+    from kinesis2elastic_spark.operators.decode import q_variant_json
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0, '{"k": 5}'),
+        (2, "2024-01-01 00:00:01", 1, "click", 0.0, '{"k": -3, "extra": {"deep": "véry"}}'),
+        (3, "2024-01-01 00:00:02", 1, "view", 0.0, '{"other": 1}'),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r.event_type: r for r in q_variant_json(spark, str(tmp_path)).collect()}
+    assert out["click"].sum_k == 2 and out["click"].n_k_present == 2
+    assert out["view"].sum_k is None and out["view"].n_k_present == 0
+    assert out["click"].n_absent_null == 2 and out["view"].n_absent_null == 1
