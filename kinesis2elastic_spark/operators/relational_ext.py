@@ -519,6 +519,44 @@ def global_quantile_select(t: DataFrame, pcts) -> DataFrame:
     )
 
 
+def q_hof_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B130: the higher-order-function array surface — ``transform`` /
+    ``filter`` / ``aggregate`` / ``exists`` lambdas running INSIDE
+    whole-stage codegen, the UDF-free way to compute over array columns
+    (the r8 perf postmortem showed a Python UDF here costs 10-100×, and
+    that even JVM lambdas must bind the array to a column FIRST — no CSE
+    inside transform(), so inlining split() per element is O(words²)).
+
+    Per document: long-word count (filter+size), total word chars
+    (aggregate with a 0L seed — the fold), and a containment probe
+    (exists) — reduced per lang to exact integer sums that must
+    hash-equal DuckDB's list-lambda twins (list_filter /
+    list_transform+list_sum / len(list_filter) > 0)."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    t = d.select("lang", words.alias("ws"))  # bind once: no CSE in lambdas
+    n_long = F.size(F.filter(F.col("ws"), lambda w: F.length(w) > 4))
+    total_chars = F.aggregate(
+        F.col("ws"), F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    has_spark = F.exists(F.col("ws"), lambda w: w == "spark")
+    return (
+        t.select(
+            "lang",
+            n_long.cast("long").alias("n_long"),
+            total_chars.alias("chars"),
+            has_spark.cast("long").alias("has"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_long").cast("long").alias("sum_long_words"),
+            F.sum("chars").cast("long").alias("sum_word_chars"),
+            F.sum("has").cast("long").alias("n_has_spark"),
+        )
+    )
+
+
 def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B127: EXACT distinct counting via bitmap rollup — the dense-id
     trick OLAP engines use where B65's HLL is approximate and a raw
@@ -652,6 +690,7 @@ QUERIES = {
     "q_quantile_select": q_quantile_select,
     "q_winsorize": q_winsorize,
     "q_bitmap_distinct": q_bitmap_distinct,
+    "q_hof_arrays": q_hof_arrays,
     "q_udaf_median": q_udaf_median,
     "q_window_firstlast": q_window_firstlast,
     "q_window_range_interval": q_window_range_interval,
@@ -711,6 +750,21 @@ ORACLE = {
                nn.n AS n
         FROM p CROSS JOIN nn
         JOIN r ON r.rn = 1 + (p.pct * (nn.n - 1)) // 100
+    """,
+    # list-lambda twins of the Spark HOFs; split on single spaces matches
+    # Spark's split(text, ' ') exactly (no regex, no empty-trim surprises
+    # — the fixture text is single-space separated)
+    "q_hof_arrays": """
+        WITH t AS (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(list_filter(ws, w -> length(w) > 4))) AS BIGINT)
+                 AS sum_long_words,
+               CAST(sum(list_sum(list_transform(ws, w -> length(w)))) AS BIGINT)
+                 AS sum_word_chars,
+               CAST(sum(CASE WHEN len(list_filter(ws, w -> w = 'spark')) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_has_spark
+        FROM t GROUP BY lang
     """,
     # same bitmap construction: per-(type, id div 63) word OR, popcount sum
     # (63-bit words — the sign bit is a DuckDB shift overflow error).
