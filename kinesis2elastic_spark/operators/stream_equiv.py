@@ -1518,6 +1518,104 @@ def q_stream_outer_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_update_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B131 oracle-backed: UPDATE output mode — the third and last output
+    mode (complete: B108/B110, append: every windowed/join drain).  In
+    update mode each micro-batch emits ONLY the aggregate rows that
+    changed in that batch — the mode a keyed sink (OpenSearch upsert by
+    ``_id``, the reference's own write shape) consumes, paying
+    O(changed keys) per batch instead of O(all keys) like complete mode.
+
+    The drain logs every emission with its batch id (foreachBatch
+    append); the FINAL STATE is reconstructed exactly as a keyed sink
+    would hold it — per key, the emission from the highest batch id —
+    and must hash-equal DuckDB's one-shot aggregate.  Engine-local
+    flags: ``incremental_ok`` (keys present in both time-split batches
+    were emitted MORE than once — a complete-mode impostor also passes
+    the final-state check, but emits every key every batch, while a
+    broken incremental emits once; this pins true update semantics) and
+    ``changed_only_ok`` (batch 2's emission count covers only keys that
+    actually changed).  Two drains over the time-split fixture also
+    exercise update-mode state recovery from the checkpoint."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="k2e_stream_upd_")
+    try:
+        src = os.path.join(work, "src")
+        b1, b2, _tmid = _time_split_batches(ev, "ts", src)
+        out_dir = os.path.join(work, "out")
+
+        def log_sink(bdf: DataFrame, bid: int) -> None:
+            (
+                bdf.withColumn("batch_id", F.lit(int(bid)).cast("long"))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        def start():
+            agg = (
+                _events_stream(spark, src)
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").cast("long").alias("n_events"),
+                    F.sum(
+                        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+                    )
+                    .cast("long")
+                    .alias("sum_v_micro"),
+                )
+            )
+            return (
+                agg.writeStream.foreachBatch(log_sink)
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(work, "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _drain(start())
+        b2.coalesce(1).write.parquet(src + "/b2")
+        _drain(start())
+        log_schema = (
+            "event_type string, n_events long, sum_v_micro long, batch_id long"
+        )
+        log = _read_or_empty(spark, out_dir, log_schema).localCheckpoint(eager=True)
+        # keys in both fixture batches must have been emitted >= twice
+        both = (
+            b1.select("event_type")
+            .distinct()
+            .join(b2.select("event_type").distinct(), "event_type", "left_semi")
+        )
+        emit_counts = log.groupBy("event_type").agg(F.count("*").alias("n_emits"))
+        incremental_ok = (
+            both.join(emit_counts, "event_type")
+            .agg(F.min("n_emits").alias("m"))
+            .first()
+            .m
+            or 0
+        ) >= 2
+        # batch-2 emissions cover exactly the keys present in b2
+        b2_keys = {r.event_type for r in b2.select("event_type").distinct().collect()}
+        late_emits = {
+            r.event_type
+            for r in log.filter(F.col("batch_id") > 0)
+            .select("event_type")
+            .distinct()
+            .collect()
+        }
+        changed_only_ok = late_emits == b2_keys
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    wlast = W.partitionBy("event_type").orderBy(F.desc("batch_id"))
+    final = (
+        log.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_events", "sum_v_micro")
+    )
+    return final.withColumn("incremental_ok", F.lit(bool(incremental_ok))).withColumn(
+        "changed_only_ok", F.lit(bool(changed_only_ok))
+    )
+
+
 QUERIES = {
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -1535,6 +1633,7 @@ QUERIES = {
     "q_stream_backpressure_equiv": q_stream_backpressure_equiv,
     "q_stream_replay_equiv": q_stream_replay_equiv,
     "q_stream_outer_join_equiv": q_stream_outer_join_equiv,
+    "q_stream_update_equiv": q_stream_update_equiv,
 }
 
 
@@ -1743,5 +1842,14 @@ ORACLE = {
           ON c.c_user = p.p_user
          AND p.purchase_ts >= c.click_ts
          AND p.purchase_ts <= c.click_ts + INTERVAL 120 MINUTES
+    """,
+    "q_stream_update_equiv": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_v_micro,
+               TRUE AS incremental_ok,
+               TRUE AS changed_only_ok
+        FROM events GROUP BY event_type
     """,
 }
