@@ -470,3 +470,36 @@ def test_auc_window_runs_on_score_groups_not_corpus(spark, sf_dir):
     input_line = plan[:single].rsplit("Input", 1)[1]
     assert "pos#" in input_line and "neg#" in input_line
     assert "lang#" not in input_line and "n_chars#" not in input_line
+
+
+def test_survivorship_single_shuffle_all_fields(spark, sf_dir):
+    """B123: all per-field survivors reduce in ONE user-keyed exchange —
+    a per-field window/join formulation would multiply shuffles."""
+    from kinesis2elastic_spark.operators import tableops as tb
+
+    plan = formatted_plan(tb.q_survivorship(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(user_id#" in plan
+
+
+def test_top_p_windows_share_one_shuffle(spark, sf_dir):
+    """B121: the running-mass window and the group-total window share the
+    same source-keyed exchange (same partition key) — and nothing plans
+    a global sort."""
+    from kinesis2elastic_spark.operators import corpus as c
+
+    plan = formatted_plan(c.q_top_p_mass(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(source#" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_matview_merge_is_copartitioned(spark, sf_dir):
+    """B126: base and delta aggregate through their two partial-agg
+    exchanges on the SAME keys; the full-outer merge reuses that
+    partitioning (no third exchange, no broadcast of a growing MV)."""
+    from kinesis2elastic_spark.operators import tableops as tb
+
+    plan = formatted_plan(tb.q_matview_delta(spark, sf_dir))
+    assert plan.count("+- Exchange") == 2
+    assert "CartesianProduct" not in plan and "rangepartitioning" not in plan
