@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.hashing import md5_hex_sql, md5_prefix_long
 from ..functions.numerics import stable_round
 
 
@@ -638,7 +639,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition top-k heap + driver merge of
     k·n_partitions rows), never a global sort."""
     d = load(spark, sf_dir, "documents")
-    u = F.conv(F.substring(_doc_key(F.col("doc_id")), 1, 8), 16, 10).cast("long")
+    u = md5_prefix_long(F.col("doc_id"))
     w = F.greatest(F.col("n_chars").cast("long"), F.lit(1))
     return (
         d.select("doc_id", "lang", w.alias("w"), u.alias("u"))
@@ -1768,11 +1769,7 @@ ORACLE = {
           SELECT doc_id, lang,
                  GREATEST(n_chars, 1) AS w,
                  """
-    + " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    )
+    + md5_hex_sql("CAST(doc_id AS VARCHAR)")
     + """ AS u
           FROM documents)
         SELECT doc_id, lang, CAST(w AS BIGINT) AS w, CAST(u AS BIGINT) AS u,
@@ -2203,13 +2200,7 @@ ORACLE["q_cms_check"] = f"""
     FROM exact CROSS JOIN total
 """
 
-# 4 hex chars of md5 -> 16-bit int, DuckDB-portable (strpos arithmetic on
-# the same hex digits Spark's conv(substring(md5, 1, 4), 16, 10) reads)
-_DSIR_HEX4 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5(gram), {i + 1}, 1)) - 1)"
-    f" * {16 ** (3 - i)}"
-    for i in range(4)
-)
+_DSIR_HEX4 = md5_hex_sql("gram", 4)
 
 ORACLE["q_importance_weights"] = f"""
     WITH g AS (

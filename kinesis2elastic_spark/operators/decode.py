@@ -869,13 +869,9 @@ ORACLE["q_orc_roundtrip"] = """
     FROM events GROUP BY event_type
 """
 
-# 8 hex chars of md5 -> 32-bit int, DuckDB-portable (same digits Spark's
-# conv(substring(md5, 1, 8), 16, 10) reads; DSIR _HEX4 precedent widened)
-_MD5_HEX8 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5(text), {i + 1}, 1)) - 1)"
-    f" * {16 ** (7 - i)}"
-    for i in range(8)
-)
+from ..functions.hashing import md5_hex_sql as _md5_hex_sql
+
+_MD5_HEX8 = _md5_hex_sql("text")
 
 ORACLE["q_jsonl_roundtrip"] = f"""
     SELECT lang, source,

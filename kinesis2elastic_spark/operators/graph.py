@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.hashing import md5_hex_sql, md5_prefix_long
 
 PR_DAMPING = 0.85
 PR_MAX_ITER = 20
@@ -276,9 +277,7 @@ def q_graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey") % REACH_SEED_MOD == REACH_SEED_REM
     ).select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
     reach = bfs_reachability(_trade_edges(spark, sf_dir), seeds, REACH_MAX_HOPS)
-    node_hash = F.conv(
-        F.substring(F.md5(F.col("node").cast("binary")), 1, 8), 16, 10
-    ).cast("long")
+    node_hash = md5_prefix_long(F.col("node"))
     return (
         reach.groupBy("dist")
         .agg(
@@ -311,13 +310,7 @@ ORACLE: dict[str, str] = {
     """,
 }
 
-# 8 hex chars of md5 -> 32-bit int, DuckDB-portable (same digits Spark's
-# conv(substring(md5, 1, 8), 16, 10) reads; decode._MD5_HEX8 precedent)
-_NODE_HEX8 = " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5(node), {i + 1}, 1)) - 1)"
-    f" * {16 ** (7 - i)}"
-    for i in range(8)
-)
+_NODE_HEX8 = md5_hex_sql("node")
 
 ORACLE["q_graph_reach"] = f"""
     WITH RECURSIVE

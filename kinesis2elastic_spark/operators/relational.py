@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import dim, load
+from ..functions.sessions import session_cte_sql, with_session_ids
 from ..functions.numerics import stable_round
 
 
@@ -474,11 +475,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch equivalent of streaming session windows (B28).  Two window passes
     over the same (user_id, ts) ordering share one shuffle+sort."""
     e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
-    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    sessions = e.withColumn("session_id", F.sum(new_session).over(wrun).cast("long"))
+    sessions = with_session_ids(e)
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -755,19 +752,8 @@ ORACLE = {
                regexp_replace(c_name, '0+', '0', 'g')                 AS name_squeezed
         FROM customer
     """,
-    "q_sessionize": """
-        WITH flagged AS (
-          SELECT user_id, ts, event_id, value,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
-                      THEN 1 ELSE 0 END AS new_session
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), sessioned AS (
-          SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-          FROM flagged
-        )
+    "q_sessionize": f"""
+        WITH {session_cte_sql("user_id, ts, event_id, value")}
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                count(*) AS n_events,
                min(ts) AS session_start,

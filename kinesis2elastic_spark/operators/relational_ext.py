@@ -578,7 +578,9 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits keeps both engines in signed-BIGINT range with identical
     values."""
     e = load(spark, sf_dir, "events")
-    word = (F.col("user_id") / 63).cast("long")  # ids nonneg: trunc = floor
+    # integer div, NOT `/`: float division round-trips through DOUBLE and
+    # mis-words ids above 2^53 (real 64-bit ids reach ~1.5e18)
+    word = F.expr("user_id div 63")
     bit = F.col("user_id") % 63
     bitmap = (
         e.select("event_type", word.alias("w"), bit.alias("b"))

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.sessions import session_cte_sql, with_session_ids
 from ..functions.numerics import stable_round
 
 FUNNEL_STEPS = ("view", "click", "purchase")
@@ -203,11 +204,7 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     never by history.  Output: top-``PATHS_TOP_K`` paths by frequency —
     TakeOrderedAndProject, no global sort."""
     e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
-    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    sessions = e.withColumn("session_id", F.sum(new_session).over(wrun).cast("long"))
+    sessions = with_session_ids(e)
     paths = (
         sessions.groupBy("user_id", "session_id")
         .agg(
@@ -324,22 +321,8 @@ ORACLE = {
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_units
         FROM t GROUP BY variant, event_type
     """,
-    "q_session_paths": """
-        WITH flagged AS (
-          SELECT user_id, ts, event_id, event_type,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                           > 30 * 60 * 1000000
-                      THEN 1 ELSE 0 END AS new_session
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), sessioned AS (
-          SELECT *, sum(new_session) OVER (PARTITION BY user_id
-                      ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_id
-          FROM flagged
-        ), paths AS (
+    "q_session_paths": f"""
+        WITH {session_cte_sql("user_id, ts, event_id, event_type")}, paths AS (
           SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
                  CAST(count(*) AS BIGINT) AS path_len
           FROM sessioned GROUP BY user_id, session_id)

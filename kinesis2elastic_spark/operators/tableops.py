@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.hashing import md5_prefix_long
 from ..functions.numerics import stable_round
 
 PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
@@ -311,7 +312,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MATVIEW_CUTOFF = "1997-01-01"
+MATVIEW_CUTOFF = "1997-01-15"  # MID-month: the cutoff month's groups get
+# rows on BOTH sides, so the merge's add/fold arithmetic is actually
+# exercised (a month-aligned cutoff makes every group one-sided and turns
+# the merge into dead code the oracle can't catch breaking)
 
 
 def q_matview_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,11 +450,7 @@ def table_diff(src: DataFrame, dst: DataFrame, key: str, fingerprint) -> DataFra
     malicious writer rather than bit rot/replication loss.  Output: one
     row per differing KEY — present flags per side and content equality;
     identical tables → empty."""
-    b = lambda c: (  # noqa: E731
-        F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        % TDIFF_BUCKETS
-    )
+    b = lambda c: md5_prefix_long(c) % TDIFF_BUCKETS  # noqa: E731
 
     def summarize(df):
         return df.groupBy(b(F.col(key)).alias("bucket")).agg(
@@ -527,19 +527,9 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    fp = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws("|", F.col("doc_id"), F.col("text"), F.col("n_chars")).cast(
-                    "binary"
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    fp = md5_prefix_long(
+        F.concat_ws("|", F.col("doc_id"), F.col("text"), F.col("n_chars"))
+    )
     return table_diff(d, replica, "doc_id", fp)
 
 

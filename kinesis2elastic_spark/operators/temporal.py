@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.sessions import session_cte_sql, with_session_ids
 from ..functions.numerics import stable_round
 
 
@@ -424,12 +425,8 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     check.)"""
     cell_us = 15 * 60 * 1_000_000
     e = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
-    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     iv = (
-        e.withColumn("session_id", F.sum(new_session).over(wrun).cast("long"))
+        with_session_ids(e)
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
     )
@@ -560,20 +557,8 @@ ORACLE = {
     """,
 }
 
-ORACLE["q_session_overlap"] = """
-    WITH flagged AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sessioned AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS session_id
-      FROM flagged
-    ), iv AS (
+ORACLE["q_session_overlap"] = f"""
+    WITH {session_cte_sql("user_id, ts, event_id")}, iv AS (
       SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
              min(ts) AS s_start, max(ts) AS s_end
       FROM sessioned GROUP BY user_id, session_id

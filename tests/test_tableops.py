@@ -190,8 +190,9 @@ def test_matview_delta_merge_equals_recompute(spark, tmp_path):
         # (orderkey, custkey, status, totalprice, orderdate)
         (1, 1, "F", 10.00, "1996-05-01"),   # base-only group (F, 1996-05)
         (2, 1, "F", 20.00, "1996-05-20"),
-        (3, 1, "O", 5.00, "1996-12-31"),    # base side of (O, 1996-12)
-        (4, 1, "O", 7.00, "1997-01-01"),    # delta-only group (O, 1997-01)
+        (3, 1, "O", 5.00, "1997-01-02"),    # BASE side of (O, 1997-01)
+        (4, 1, "O", 7.00, "1997-01-20"),    # DELTA side of the same group:
+        (6, 1, "O", 2.00, "1997-01-16"),    # the two-sided merge add/fold
         (5, 1, "P", 9.00, "1998-03-03"),    # delta-only group (P, 1998-03)
     ]
     df = spark.createDataFrame(
@@ -206,7 +207,6 @@ def test_matview_delta_merge_equals_recompute(spark, tmp_path):
     }
     assert got == {
         ("F", "1996-05-01"): (2, 3000, 1, 2),
-        ("O", "1996-12-01"): (1, 500, 3, 3),
-        ("O", "1997-01-01"): (1, 700, 4, 4),
+        ("O", "1997-01-01"): (3, 1400, 3, 6),  # merged across the cutoff
         ("P", "1998-03-01"): (1, 900, 5, 5),
     }
