@@ -496,3 +496,76 @@ def test_bitmap_distinct_matches_exact(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_md5_helpers_cross_engine_equal(spark):
+    """The shared md5-prefix pair (functions/hashing.py) must agree
+    between Spark and DuckDB on adversarial strings (unicode, quotes,
+    empty, long) and widths 4/8/15."""
+    import duckdb
+
+    from kinesis2elastic_spark.functions import hashing as H
+    from pyspark.sql import functions as F
+
+    vals = ["", "a", "hello world", 'q"uo\'te', "véry üni ☃", "x" * 500, "123"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    con = duckdb.connect()
+    for n in (4, 8, 15):
+        got = {
+            r.s: r.h
+            for r in df.select("s", H.md5_prefix_long(F.col("s"), n).alias("h")).collect()
+        }
+        for v in vals:
+            # the generator repeats the inner expression once per hex digit
+            want = con.execute(
+                "SELECT " + H.md5_hex_sql("?", n), [v] * n
+            ).fetchone()[0]
+            assert got[v] == want, (v, n)
+
+
+def test_bfs_random_graphs_match_python(spark):
+    """Hypothesis: BFS min-distances equal the pure-Python reference on
+    arbitrary random digraphs (cycles, self-loops, multi-edges, islands)."""
+    from hypothesis import given, settings, strategies as st
+
+    from kinesis2elastic_spark.operators import graph
+    from tests.test_graph import _py_bfs
+
+    node = st.integers(min_value=0, max_value=11).map(str)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        edges=st.lists(st.tuples(node, node), min_size=1, max_size=25),
+        seeds=st.sets(node, min_size=1, max_size=3),
+        hops=st.integers(min_value=1, max_value=5),
+    )
+    def check(edges, seeds, hops):
+        got = {
+            r.node: r.dist
+            for r in graph.bfs_reachability(
+                spark.createDataFrame(edges, "src string, dst string"),
+                spark.createDataFrame([(s,) for s in seeds], "node string"),
+                hops,
+            ).collect()
+        }
+        assert got == _py_bfs(edges, sorted(seeds), hops)
+
+    check()
+
+
+def test_winsorize_degenerate_all_equal(spark):
+    """All-identical values: lo == hi == the value, nothing clamps."""
+    from kinesis2elastic_spark.operators import relational_ext as rx
+
+    df = spark.createDataFrame(
+        [("A", 5.00)] * 7, "l_returnflag string, l_extendedprice double"
+    )
+    orig = rx.load
+    rx.load = lambda _s, _d, _t: df
+    try:
+        r = rx.q_winsorize(spark, "x").collect()[0]
+    finally:
+        rx.load = orig
+    assert (r.lo_cut, r.hi_cut) == (500, 500)
+    assert r.n_clamped_lo == 0 and r.n_clamped_hi == 0
+    assert r.sum_wins_cents == 3500
