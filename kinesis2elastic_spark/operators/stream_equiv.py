@@ -1371,28 +1371,24 @@ def q_stream_outer_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Emission mechanics under test: real (finite) watermark delay, state
     eviction, and the null-flush on the drain-final no-data micro-batch
-    (``noDataMicroBatches.enabled``, the B106 mechanism).  Two
-    construction subtleties, both empirically pinned (r8):
-    - the watermark sentinel must be PER SIDE: Catalyst pushes the
-      event-type filter BELOW the EventTimeWatermark node, so each
-      side's watermark bookkeeping only sees its own type — a neutral
-      'noop' sentinel advances NEITHER watermark (measured: the final
-      watermark tracked max(click ts), stranding the last day of
-      unmatched clicks).  Instead one 'click' (user −1) and one
-      'purchase' (user −2) sentinel ``OUTER_JOIN_SENTINEL_DAYS`` past
-      the span drag both watermarks; neither can join (negative
-      user ids) and neither EMITS — each sentinel's own eviction
-      horizon sits past the final watermark, which the batch-twin
-      equality also proves;
-    - the sentinels ride INSIDE the second file group: a third file
-      group added between availableNow runs is not reliably discovered
-      once the plan holds two file sources (each stream-stream join
-      side is its own source; measured desync on the 2nd restart), so
-      the flush rides the trailing no-data batch of drain 2 instead of
-      a third drain.
-    A join that loses state across the checkpointed restart, never
-    evicts, or evicts without emitting the null row diverges from the
-    batch twin.
+    (``noDataMicroBatches.enabled``, the B106 mechanism).  The one
+    construction subtlety, empirically pinned (r8): the watermark
+    sentinel must be PER SIDE — Catalyst pushes the event-type filter
+    BELOW the EventTimeWatermark node, so each side's watermark
+    bookkeeping only sees its own type, and a neutral 'noop' sentinel
+    advances NEITHER watermark (measured: the final watermark tracked
+    max(click ts), stranding the last day of unmatched clicks; the
+    post-pushdown ``numInputRows`` of 0 for the sentinel file initially
+    masqueraded as a file-discovery bug — SCALING.md r8 pitfalls).  One
+    'click' (user −1) and one 'purchase' (user −2) sentinel
+    ``OUTER_JOIN_SENTINEL_DAYS`` past the span drag both watermarks;
+    neither can join (negative user ids) and neither EMITS — each
+    sentinel's own eviction horizon sits past the final watermark, which
+    the batch-twin equality also proves.  The sentinels ride inside the
+    second file group (one fewer drain; a typed-sentinel third drain
+    works identically).  A join that loses state across the checkpointed
+    restart, never evicts, or evicts without emitting the null row
+    diverges from the batch twin.
 
     Hashed columns: the full outer-join row set (ids, both timestamps,
     matched flag) vs DuckDB's LEFT JOIN with the same interval — exact
