@@ -1092,7 +1092,9 @@ def _brute_cosine_topk(
     O(batches x queries x k) rows — never the full n x q score matrix.
 
     ``label_filtered=True`` is PRE-filtered vector search: each query
-    only scores candidates whose ``label`` equals the query's own —
+    only scores candidates whose ``label`` equals the query's own;
+    ``label_filtered="differ"`` inverts the predicate (hard-negative
+    mining, q_hard_negatives) —
     the filter is applied inside the kernel BEFORE top-k selection, so
     a rare label still fills its k results (post-filtering an
     unfiltered top-k underfills — see test_llmops).  At 100 TB the
@@ -1141,7 +1143,9 @@ def _brute_cosine_topk(
             for j, qid in enumerate(qids):
                 s = S[:, j]
                 mask = ids != qid
-                if label_filtered:
+                if label_filtered == "differ":
+                    mask &= labels != qlabels[j]
+                elif label_filtered:
                     mask &= labels == qlabels[j]
                 cand_idx = np.flatnonzero(mask)
                 if not len(cand_idx):
@@ -1207,6 +1211,40 @@ def q_ann_filtered(
     )
     return out.join(F.broadcast(qlab), "query_id").select(
         "query_id", "label", "neighbor_id", "sim", "rank"
+    )
+
+
+HARD_NEG_K = 5
+HARD_NEG_N_QUERIES = 8
+
+
+def q_hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = HARD_NEG_K,
+    n_queries: int = HARD_NEG_N_QUERIES,
+) -> DataFrame:
+    """B132: hard-negative mining — for each anchor vector, the most
+    similar vectors of a DIFFERENT label: the contrastive-training prep
+    (triplet/InfoNCE batches want negatives that are hard, i.e. nearest
+    in embedding space while wrong by label; random negatives are too
+    easy and stall the loss).  The inverse of B90's filtered search —
+    same pre-filter-inside-the-kernel discipline with the predicate
+    flipped (label != anchor's), so a rare-label anchor still fills its
+    k hard negatives from the full other-label pool.
+
+    Exactness and scale shape are B34's kernel (one numpy matmul per
+    Arrow batch, O(batches x queries x k) shuffle, stable-rounded score +
+    id tie-break); the anchor's label rides along so consumers (and the
+    oracle hash) see which boundary each negative crosses."""
+    out = _brute_cosine_topk(spark, sf_dir, k, n_queries, label_filtered="differ")
+    emb = load(spark, sf_dir, "embeddings")
+    qlab = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("anchor_label"),
+    )
+    return out.join(F.broadcast(qlab), "query_id").select(
+        "query_id", "anchor_label", "neighbor_id", "sim", "rank"
     )
 
 
@@ -2744,6 +2782,7 @@ QUERIES = {
     "q_simhash_near_dup": q_simhash_near_dup,
     "q_cosine_topk": q_cosine_topk,
     "q_ann_filtered": q_ann_filtered,
+    "q_hard_negatives": q_hard_negatives,
     "q_quality_logit": q_quality_logit,
     "q_auc_exact": q_auc_exact,
     "q_ann_lsh": q_ann_lsh,
@@ -2899,6 +2938,25 @@ ORACLE = {
           FROM scored)
         SELECT query_id, label, neighbor_id, sim, rank
         FROM ranked WHERE rank <= {COSINE_TOPK_K}
+    """,
+    "q_hard_negatives": f"""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+                     FROM embeddings),
+        q AS (SELECT vec_id AS query_id, label AS qlabel, vec AS qvec
+              FROM emb WHERE vec_id < {HARD_NEG_N_QUERIES}
+                         AND label IS NOT NULL),
+        scored AS (
+          SELECT q.query_id, CAST(q.qlabel AS BIGINT) AS anchor_label,
+                 c.vec_id AS neighbor_id,
+                 floor(list_cosine_similarity(q.qvec, c.vec) * 1e4 + 0.5) / 1e4 AS sim
+          FROM emb c JOIN q ON c.label <> q.qlabel
+          WHERE c.vec_id <> q.query_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, anchor_label, neighbor_id, sim, rank
+        FROM ranked WHERE rank <= {HARD_NEG_K}
     """,
     "q_cosine_topk": f"""
         WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),

@@ -549,3 +549,17 @@ def test_auc_exact_planted(spark):
                 assert r.u_num2 == 0 and not r.auc_above_half
     finally:
         llmops.load = orig
+
+
+def test_hard_negatives_cross_label_only(spark, sf_dir):
+    """B132: every mined negative's label differs from its anchor's, and
+    each anchor fills k (the other-label pool is large at any sf)."""
+    out = llmops.q_hard_negatives(spark, sf_dir).collect()
+    emb = {r.vec_id: r.label for r in llmops.load(spark, sf_dir, "embeddings").select("vec_id", "label").collect()}
+    assert out
+    by_q = {}
+    for r in out:
+        assert emb[r.neighbor_id] != r.anchor_label, (r.query_id, r.neighbor_id)
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, llmops.HARD_NEG_K + 1)), q
