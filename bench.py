@@ -328,11 +328,16 @@ def main() -> None:
     floors.append(_control_floor())
     floor = min(floors)
     floor_drift = _pair_drift()
-    if floor_drift == float("inf"):
+    # fewer than two full passes (SPARK_GRAFT_BENCH_ATTEMPTS=1, or the
+    # retry budget expired mid-first-pass): the agreement band never ran,
+    # so the result is UNVALIDATED — flag noisy rather than silently
+    # reporting drift 0% (r8 ADVICE)
+    unvalidated = floor_drift == float("inf")
+    if unvalidated:
         floor_drift = 0.0
     # >10% disagreement between the two CLOSEST full passes = genuinely
-    # loaded machine
-    noisy = floor_drift > 0.10
+    # loaded machine; a single-pass run is noisy by definition (no band)
+    noisy = unvalidated or floor_drift > 0.10
 
     ratios = sorted(ratio.values())
     median = ratios[len(ratios) // 2] if ratios else None
@@ -394,7 +399,9 @@ def main() -> None:
         "ratio_median": median,
         "control_floor_sec": round(floor, 3),
         "control_floor_shuffle_sec": round(floor_shuffle, 3),
-        "floor_drift_pct": round(floor_drift * 100, 1),
+        "floor_drift_pct": (
+            None if unvalidated else round(floor_drift * 100, 1)
+        ),
         "noisy": noisy,
         "bench_attempts": len(attempt_log),
         "ratio_median_net_of_floor": net_median,

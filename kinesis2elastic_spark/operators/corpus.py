@@ -1669,31 +1669,29 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tgt").cast("long")).cast("long").alias("t_f"),
         F.sum((~F.col("tgt")).cast("long")).cast("long").alias("r_f"),
     )
-    # const ln(R)-ln(T) folded into the model via a whole-table window —
-    # SinglePartition over the BOUNDED <=B-row model, never the corpus,
-    # and it saves a third pass over the gram stream
-    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    lr = model.select(
-        "bucket",
-        "t_f",
-        "r_f",
-        F.floor(
-            (F.log(F.col("t_f") + 1) - F.log(F.col("r_f") + 1))
-            * DSIR_MICRO
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("lr_micro"),
-        F.floor(
-            (
-                F.log(F.sum("r_f").over(wt) + DSIR_BUCKETS)
-                - F.log(F.sum("t_f").over(wt) + DSIR_BUCKETS)
-            )
-            * DSIR_MICRO
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("const_micro"),
+    # The quantized log-ratio table is computed ONCE, driver-side, through
+    # DuckDB's ln over the BOUNDED <=B-row model (a <=1024-row collect —
+    # same class as the centroid/histogram collects).  Math.log and
+    # DuckDB's ln are each only 1-ulp-accurate; routing the only libm
+    # calls through the SAME library the correctness oracle runs means a
+    # floor(x*1e6 + 0.5) quantization boundary can never split the two
+    # engines (r8 ADVICE: last-ulp disagreement flips lr_micro by 1).
+    # At 100 TB this is unchanged: the model fit still shuffles down to
+    # <=B rows, and 1024 driver-side logs are free.
+    import duckdb
+
+    mpdf = model.toPandas()
+    lr_pdf = duckdb.query(
+        f"""SELECT bucket, t_f, r_f,
+               CAST(floor((ln(t_f + 1) - ln(r_f + 1))
+                          * {DSIR_MICRO} + 0.5) AS BIGINT) AS lr_micro,
+               CAST(floor((ln((SELECT sum(r_f) FROM mpdf) + {DSIR_BUCKETS})
+                           - ln((SELECT sum(t_f) FROM mpdf) + {DSIR_BUCKETS}))
+                          * {DSIR_MICRO} + 0.5) AS BIGINT) AS const_micro
+            FROM mpdf"""
+    ).to_df()
+    lr = spark.createDataFrame(
+        lr_pdf, "bucket long, t_f long, r_f long, lr_micro long, const_micro long"
     )
     doc = (
         b.filter(~F.col("tgt"))

@@ -236,12 +236,23 @@ def bfs_reachability(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataF
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
+            # ONE exchange per round: repartition to the pinned hash(node)
+            # layout first, then dedup and anti-join both run on it with
+            # no further shuffle (r8 VERDICT: distinct's own exchange
+            # folded into the anti-join side).  The shuffle carries raw
+            # fan-in duplicates, but they are bare 8-byte ids — cheaper
+            # than a second full exchange at every scale.
+            .repartition(parts, "node")
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("long"))
-            .repartition(parts, "node")
-            .localCheckpoint(eager=True)
         )
+        # lineage truncation every OTHER round (the q_pagerank discipline
+        # above): one eager checkpoint job per two rounds halves the fixed
+        # per-round job overhead; an un-pinned round's lineage is depth-1
+        # over pinned inputs, so nothing re-derives more than one join
+        if hop % 2 == 0 or hop == max_hops:
+            nxt = nxt.localCheckpoint(eager=True)
         if not nxt.head(1):
             break
         # no checkpoint on the union: visited is a union of frames that

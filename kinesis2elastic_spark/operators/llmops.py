@@ -1144,7 +1144,12 @@ def _brute_cosine_topk(
                 s = S[:, j]
                 mask = ids != qid
                 if label_filtered == "differ":
-                    mask &= labels != qlabels[j]
+                    # SQL `c.label <> q.qlabel` is NULL (excluded) for a
+                    # NULL candidate label; numpy `NaN != x` is True, so a
+                    # not-null mask keeps the kernel on SQL semantics.
+                    mask &= pd.notna(pdf["label"]).to_numpy() & (
+                        labels != qlabels[j]
+                    )
                 elif label_filtered:
                     mask &= labels == qlabels[j]
                 cand_idx = np.flatnonzero(mask)
@@ -2356,9 +2361,13 @@ def distributed_ntile(
     - ``n > tie_threshold`` (every real corpus): the tie-break
       RECURSION (r7, closing the r6 saturation caveat): each row gets a
       range bucket ``(tiebreak - min) div width`` with at most
-      ``DNTILE_TIE_BUCKETS`` values (bounds from one NARROW eager
-      min/max scan of the tiebreak column only -- documented
-      partial-eager construction, the q_quantile_select convention), a
+      ``DNTILE_TIE_BUCKETS`` values.  The min/max bounds ride the
+      histogram aggregate that the plan already pays for (per-group
+      min/max piggybacked on the groupBy(qcol) shuffle, reduced over the
+      bounded histogram, broadcast back as a 1-row cross join) -- no
+      eager driver-side scan at plan-construction time, and ReuseExchange
+      dedupes the shared histogram shuffle (r8 ADVICE: the former
+      ``df.agg(min, max).first()`` was an extra full pass per call), a
       bounded sub-histogram of (qcol, bucket) counts is cumulated per
       group, and row_number runs per (qcol, bucket) cell -- a fully
       saturated key (e.g. a >200-word web corpus collapsing onto the
@@ -2376,12 +2385,19 @@ def distributed_ntile(
     internal = {
         "__dn_sub", "__dn_cnt", "__dn_scnt", "__dn_sub_cum",
         "__dn_rn", "__dn_rk", "__dn_cum_before", "__dn_n_total",
+        "__dn_tmin", "__dn_tmax", "__dn_lo", "__dn_hi",
     }
     clash = internal & set(df.columns)
     if clash:
         raise ValueError(f"distributed_ntile internal column clash: {clash}")
 
-    hist = df.groupBy(qcol).agg(F.count("*").cast("long").alias("__dn_cnt"))
+    # per-group tiebreak min/max piggyback on the histogram shuffle so the
+    # recursion branch's global bounds need no extra pass over the data
+    hist = df.groupBy(qcol).agg(
+        F.count("*").cast("long").alias("__dn_cnt"),
+        F.min(F.col(tiebreak).cast("long")).alias("__dn_tmin"),
+        F.max(F.col(tiebreak).cast("long")).alias("__dn_tmax"),
+    )
     wh = W.orderBy(qcol).rowsBetween(W.unboundedPreceding, -1)
     wt = W.orderBy(qcol).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
@@ -2401,17 +2417,24 @@ def distributed_ntile(
             "__dn_rk", F.row_number().over(wq).cast("long")
         ).join(F.broadcast(hist_cum), qcol)
     else:
-        bounds = df.agg(
-            F.min(F.col(tiebreak).cast("long")),
-            F.max(F.col(tiebreak).cast("long")),
-        ).first()
-        lo = int(bounds[0]) if bounds[0] is not None else 0
-        hi = int(bounds[1]) if bounds[1] is not None else 0
-        span = hi - lo + 1
-        width = max(1, -(-span // DNTILE_TIE_BUCKETS))  # ceil div
-        rows = df.withColumn(
-            "__dn_sub",
-            F.expr(f"(CAST(`{tiebreak}` AS BIGINT) - {lo}) div {width}"),
+        # global bounds = a reduction over the BOUNDED histogram (never
+        # the corpus); broadcast back as a 1-row scalar frame.  The
+        # bucket width is the same ceil-div the eager form computed.
+        bounds = hist.agg(
+            F.coalesce(F.min("__dn_tmin"), F.lit(0)).alias("__dn_lo"),
+            F.coalesce(F.max("__dn_tmax"), F.lit(0)).alias("__dn_hi"),
+        )
+        rows = (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "__dn_sub",
+                F.expr(
+                    f"(CAST(`{tiebreak}` AS BIGINT) - __dn_lo) div "
+                    f"greatest(1, (__dn_hi - __dn_lo + {DNTILE_TIE_BUCKETS}) "
+                    f"div {DNTILE_TIE_BUCKETS})"
+                ),
+            )
+            .drop("__dn_lo", "__dn_hi")
         )
         sub_hist = rows.groupBy(qcol, "__dn_sub").agg(
             F.count("*").alias("__dn_scnt")

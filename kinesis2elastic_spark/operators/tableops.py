@@ -446,8 +446,10 @@ def table_diff(src: DataFrame, dst: DataFrame, key: str, fingerprint) -> DataFra
     (md5-prefix doctrine).  Detection is probabilistic in the adversarial
     sense only: a bucket whose count matches AND whose fingerprint SUM
     collides (~2⁻³² per mutated bucket for the 32-bit prefix) would be
-    missed — widen the prefix to 12–16 hex chars when auditing against a
-    malicious writer rather than bit rot/replication loss.  Output: one
+    missed — widen the prefix to 12–15 hex chars (md5_prefix_long's
+    documented n_hex<=15 ceiling: 16 hex digits can exceed signed BIGINT)
+    when auditing against a malicious writer rather than bit
+    rot/replication loss.  Output: one
     row per differing KEY — present flags per side and content equality;
     identical tables → empty."""
     b = lambda c: md5_prefix_long(c) % TDIFF_BUCKETS  # noqa: E731

@@ -169,6 +169,7 @@ VETTED_DOUBLE_COLUMNS = {
     ("q_gapfill_locf", "v_locf"),
     ("q_gapfill_locf", "v_interp"),
     ("q_grouping_sets", "total"),
+    ("q_hard_negatives", "sim"),
     ("q_having", "total"),
     ("q_hop_batch", "sum_value"),
     ("q_join_inner", "acctbal"),

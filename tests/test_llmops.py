@@ -563,3 +563,27 @@ def test_hard_negatives_cross_label_only(spark, sf_dir):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, llmops.HARD_NEG_K + 1)), q
+
+
+def test_hard_negatives_null_label_candidates_excluded(spark):
+    """r8 ADVICE: SQL ``c.label <> q.qlabel`` is NULL (excluded) for a
+    NULL-label candidate, but numpy ``NaN != x`` is True — the kernel's
+    differ-mask must drop null-label candidates explicitly.  The planted
+    NULL-label vector is the anchor's nearest neighbor, so a regression
+    puts it at rank 1."""
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),       # same label: excluded by the predicate
+        (2, [1.0, 0.001], None),  # NULL label: nearest — must NOT appear
+        (3, [0.8, 0.6], 2),
+        (4, [0.1, 0.9], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    orig = llmops.load
+    llmops.load = lambda s, d, t: df
+    try:
+        out = llmops.q_hard_negatives(spark, "ignored", k=2, n_queries=1).collect()
+    finally:
+        llmops.load = orig
+    assert {r.neighbor_id for r in out} == {3, 4}
+    assert all(r.anchor_label == 1 for r in out)
