@@ -104,6 +104,12 @@ HEADLINE = [
     # rank-statistic shape (exact AUC: groupBy collapse + domain window)
     "q_graph_reach",
     "q_auc_exact",
+    # r9: the two heaviest r8-new shapes now tracked round-over-round
+    # (r8 VERDICT #7) — Merkle bucket-summary reconciliation (two full
+    # scans + 64-row summary shuffle) and sequence-pattern-with-negation
+    # (per-user ordered window + pattern join)
+    "q_table_diff",
+    "q_seq_pattern",
 ]
 
 

