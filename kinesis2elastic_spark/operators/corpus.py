@@ -1718,8 +1718,72 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COLLOC_TOP_V = 64       # collocation vocabulary: top-V tokens by doc freq
+COLLOC_MIN_SUPPORT = 5  # emit pairs co-occurring in >= this many docs
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B134: collocation / co-occurrence mining — the phrase-detection
+    and PMI-feature prep step (word2vec-era SGNS tables, phrase merging
+    à la Mikolov et al. 2013, topic seeding all start from document-level
+    co-occurrence counts): for every unordered pair of TOP-``V`` tokens,
+    the exact number of documents containing both.
+
+    Never all-pairs over the vocabulary or the corpus: the vocabulary is
+    capped at ``COLLOC_TOP_V`` by document frequency (ties broken by
+    token — deterministic), BROADCAST, and pairs are generated map-side
+    per document from the sorted in-doc vocab subset (<= V(V-1)/2 pairs
+    per doc by construction, one groupBy(pair) map-combinable shuffle).
+    At 100 TB the same plan holds: the vocab fit is one map-combinable
+    aggregate + a driver-free TakeOrdered of V rows, and no stage ever
+    carries more than the per-doc pair fan-out.
+
+    Hash-safety: everything is exact BIGINT counts — the PMI / LLR
+    scores a consumer ranks by are log-ratios of these sufficient
+    statistics (n_ab, df_a, df_b, n_docs), left to the consumer exactly
+    so no transcendental enters the hashed schema (the DSIR lesson)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(COLLOC_TOP_V)
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("__vt"))
+    )
+    pairs = per_doc.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__vt, (x, i) -> "
+                "transform(slice(__vt, i + 2, size(__vt)), "
+                "y -> struct(x AS tok_a, y AS tok_b))))"
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    n_docs = d.agg(F.count("*").cast("long").alias("n_docs"))
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= COLLOC_MIN_SUPPORT)
+        .join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select("tok_a", "tok_b", "n_ab", "df_a", "df_b", "n_docs")
+    )
+
+
 QUERIES = {
     "q_importance_weights": q_importance_weights,
+    "q_collocations": q_collocations,
     "q_bpe_train": q_bpe_train,
     "q_bpe_encode": q_bpe_encode,
     "q_tokenizer_fertility": q_tokenizer_fertility,
@@ -2241,6 +2305,29 @@ ORACLE["q_importance_weights"] = f"""
            CAST(slr + n_grams * c.const_micro AS BIGINT) AS w_micro,
            (slr + n_grams * c.const_micro) > 0 AS is_upweighted
     FROM doc CROSS JOIN c
+"""
+
+ORACLE["q_collocations"] = f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''),
+    vocab AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df
+      FROM toks GROUP BY tok
+      ORDER BY df DESC, tok LIMIT {COLLOC_TOP_V}),
+    t AS (SELECT doc_id, tok FROM toks JOIN vocab USING (tok)),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tok_a, tok_b, n_ab, va.df AS df_a, vb.df AS df_b, n_docs
+    FROM pairs
+    JOIN vocab va ON va.tok = pairs.tok_a
+    JOIN vocab vb ON vb.tok = pairs.tok_b
+    CROSS JOIN nd
+    WHERE n_ab >= {COLLOC_MIN_SUPPORT}
 """
 
 ROWS_ONLY: set[str] = set()

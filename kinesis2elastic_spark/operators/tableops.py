@@ -557,8 +557,59 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(d, replica, "doc_id", fp)
 
 
+COMPACT_FILE_DOCS = 50          # pseudo-file granularity of the manifest
+COMPACT_TARGET_BYTES = 200_000  # compaction bin target (bytes)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B135: compaction planning — the table-maintenance step that keeps
+    a 100 TB table readable: small files accumulate from streaming
+    commits (every micro-batch of the B91 shard writer or the B126
+    maintainer lands files), and the planner groups consecutive files
+    per partition into target-sized rewrite bins (Spark's own
+    maxPartitionBytes coalescing and every ACID format's OPTIMIZE job
+    use exactly this cumulative-size chunking rule).
+
+    Operates on the FILE MANIFEST, never the data: one row per file
+    (fixture: pseudo-files of ``COMPACT_FILE_DOCS`` docs per source,
+    bytes = exact sum of n_chars), so the per-source sequential window
+    is metadata-rate — ~10⁶ manifest rows per source at 100 TB with
+    128 MB files, a single trivial task; the data itself moves only in
+    the rewrite jobs this plan drives, each bounded by the bin target.
+
+    Deterministic greedy rule: files ordered by id within source,
+    ``bin = cumulative_bytes_before div target`` — pure BIGINT, so the
+    whole plan (bin id, bin fill, small-file flag) hashes exactly
+    cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    files = d.groupBy(
+        "source", F.expr(f"doc_id div {COMPACT_FILE_DOCS}").alias("file_id")
+    ).agg(F.sum("n_chars").cast("long").alias("file_bytes"))
+    planned = files.withColumn(
+        "bin",
+        F.expr(
+            f"coalesce(sum(file_bytes) over (partition by source order by "
+            f"file_id rows between unbounded preceding and 1 preceding), 0) "
+            f"div {COMPACT_TARGET_BYTES}"
+        ),
+    )
+    wbin = W.partitionBy("source", "bin").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return planned.select(
+        "source",
+        "file_id",
+        "file_bytes",
+        "bin",
+        F.sum("file_bytes").over(wbin).cast("long").alias("bin_bytes"),
+        F.count("*").over(wbin).cast("long").alias("bin_n_files"),
+        (F.col("file_bytes") < COMPACT_TARGET_BYTES).alias("is_small_file"),
+    )
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
+    "q_compaction_plan": q_compaction_plan,
     "q_cdc_latest": q_cdc_latest,
     "q_run_compress": q_run_compress,
     "q_outlier_mad": q_outlier_mad,
@@ -726,5 +777,26 @@ ORACLE = {
         FROM orders GROUP BY o_orderstatus, month
     """,
 }
+
+ORACLE["q_compaction_plan"] = f"""
+    WITH files AS (
+      SELECT source, doc_id // {COMPACT_FILE_DOCS} AS file_id,
+             CAST(sum(n_chars) AS BIGINT) AS file_bytes
+      FROM documents GROUP BY 1, 2),
+    planned AS (
+      SELECT source, file_id, file_bytes,
+             CAST(coalesce(sum(file_bytes) OVER (
+                    PARTITION BY source ORDER BY file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin
+      FROM files)
+    SELECT source, file_id, file_bytes, bin,
+           CAST(sum(file_bytes) OVER (PARTITION BY source, bin) AS BIGINT)
+             AS bin_bytes,
+           CAST(count(*) OVER (PARTITION BY source, bin) AS BIGINT)
+             AS bin_n_files,
+           file_bytes < {COMPACT_TARGET_BYTES} AS is_small_file
+    FROM planned
+"""
 
 ROWS_ONLY: set[str] = set()

@@ -612,3 +612,26 @@ def test_top_p_mass_planted_cutoff(spark, tmp_path):
     out = corpus.q_top_p_mass(spark, str(tmp_path))
     kept = {(r.source, r.doc_id) for r in out.collect()}
     assert kept == {("a", 1), ("a", 2), ("a", 3), ("b", 5)}
+
+
+def test_collocations_planted_counts(spark, tmp_path, monkeypatch):
+    """B134: exact unordered-pair doc-co-occurrence counts on a
+    hand-computed corpus — dup tokens count once per doc, pairs are
+    tok_a < tok_b, support-filtered, with correct doc frequencies."""
+    monkeypatch.setattr(corpus, "COLLOC_MIN_SUPPORT", 2)
+    rows = [
+        (1, "a b c", "en", "s", 5),
+        (2, "a b", "en", "s", 3),
+        (3, "a c a", "en", "s", 5),
+        (4, "b", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r.tok_a, r.tok_b): (r.n_ab, r.df_a, r.df_b, r.n_docs)
+        for r in corpus.q_collocations(spark, str(tmp_path)).collect()
+    }
+    # df: a=3 b=3 c=2; (a,b) docs {1,2}; (a,c) docs {1,3}; (b,c) doc {1}
+    # falls below support
+    assert out == {("a", "b"): (2, 3, 3, 4), ("a", "c"): (2, 3, 2, 4)}

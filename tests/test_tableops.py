@@ -210,3 +210,29 @@ def test_matview_delta_merge_equals_recompute(spark, tmp_path):
         ("O", "1997-01-01"): (3, 1400, 3, 6),  # merged across the cutoff
         ("P", "1998-03-01"): (1, 900, 5, 5),
     }
+
+
+def test_compaction_plan_greedy_rule(spark, sf_dir):
+    """B135: bin assignment equals the pure-Python greedy cumulative-size
+    rule per source, and the per-bin rollup columns are consistent."""
+    rows = tableops.q_compaction_plan(spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, fs in by_src.items():
+        fs.sort(key=lambda r: r.file_id)
+        cum = 0
+        bins = {}
+        for r in fs:
+            want_bin = cum // tableops.COMPACT_TARGET_BYTES
+            assert r.bin == want_bin, (src, r.file_id, r.bin, want_bin)
+            cum += r.file_bytes
+            agg = bins.setdefault(want_bin, [0, 0])
+            agg[0] += r.file_bytes
+            agg[1] += 1
+        for r in fs:
+            assert (r.bin_bytes, r.bin_n_files) == tuple(bins[r.bin])
+            assert r.is_small_file == (
+                r.file_bytes < tableops.COMPACT_TARGET_BYTES
+            )

@@ -127,11 +127,43 @@ def matview_tier(spark):
     return ok
 
 
+def docs_tier(spark):
+    """10x documents tier (scale_rehearsal's clone builder) for the two
+    r9 document-side operators: collocation mining and compaction
+    planning.  Wall clocks only — correctness is the oracle's job."""
+    from kinesis2elastic_spark.operators.corpus import q_collocations
+    from kinesis2elastic_spark.operators.tableops import q_compaction_plan
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale_rehearsal import build_docs_tier
+
+    tier_dir = tempfile.mkdtemp(prefix="k2e_r9docs_")
+    try:
+        build_docs_tier(spark, n_clones=9, out_dir=tier_dir)
+        for name, fn in (
+            ("collocations", q_collocations),
+            ("compaction_plan", q_compaction_plan),
+        ):
+            for tier, d in (("1x", SF_DIR), ("10x", tier_dir)):
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    n = fn(spark, d).count()
+                    best = min(best, time.time() - t0)
+                print(f"{name} {tier}: wall={best:.2f}s rows={n}")
+    finally:
+        shutil.rmtree(tier_dir, ignore_errors=True)
+
+
 def main():
     spark = get_spark("r9-tier", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ok1 = lpa_tier(spark)
-    ok2 = matview_tier(spark)
-    print(f"ALL_OK={ok1 and ok2}")
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only in (None, "lpa_mv"):
+        ok1 = lpa_tier(spark)
+        ok2 = matview_tier(spark)
+        print(f"ALL_OK={ok1 and ok2}")
+    if only in (None, "docs"):
+        docs_tier(spark)
 
 
 if __name__ == "__main__":
