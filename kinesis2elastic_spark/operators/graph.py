@@ -223,7 +223,13 @@ def bfs_reachability(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataF
     spark = edges.sparkSession
     edges = edges.select("src", "dst").distinct()
     n_edges = edges.count()
-    parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 1))
+    # loop width: 50k-rows/partition target with a floor of 8 (r9 A/B at
+    # sf0.1: widths 8/16/24 are equivalent warm, width 5 — the old 250k
+    # target's pick — costs 2-3x; a <=max_hops-round fixpoint has too
+    # few, too-short stages to amortize under-parallelism, unlike
+    # pagerank's 20-round loop which keeps its own sizing); still capped
+    # by the session so a tiny graph never over-shards a big cluster
+    parts = max(8, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
     edges = edges.repartition(parts, "src").localCheckpoint(eager=True)
     visited = (
         seeds.select("node")
@@ -247,13 +253,15 @@ def bfs_reachability(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataF
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("long"))
+            # EVERY round pins — deliberately NOT pagerank's every-other
+            # cadence: each nxt joins the accumulating visited union, so
+            # an unpinned round is re-derived by every later anti-join
+            # (and by the emptiness probe, and by the next frontier join)
+            # — measured +65% wall at sf0.1 when r9 tried the
+            # every-other discipline here.  The probe on the pinned
+            # frame is then effectively free.
+            .localCheckpoint(eager=True)
         )
-        # lineage truncation every OTHER round (the q_pagerank discipline
-        # above): one eager checkpoint job per two rounds halves the fixed
-        # per-round job overhead; an un-pinned round's lineage is depth-1
-        # over pinned inputs, so nothing re-derives more than one join
-        if hop % 2 == 0 or hop == max_hops:
-            nxt = nxt.localCheckpoint(eager=True)
         if not nxt.head(1):
             break
         # no checkpoint on the union: visited is a union of frames that
@@ -325,7 +333,9 @@ def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
     spark = edges.sparkSession
     edges = edges.select("src", "dst").distinct()
     n_edges = edges.count()
-    parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 1))
+    # 50k-rows/partition width with a floor of 8: the bfs_reachability
+    # sizing rationale (see there) applies verbatim to this loop
+    parts = max(8, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
     edges = edges.repartition(parts, "src").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
