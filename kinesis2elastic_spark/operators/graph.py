@@ -197,6 +197,17 @@ REACH_SEED_MOD = 7  # seeds = suppliers with s_suppkey % 7 == 3: non-empty
 REACH_SEED_REM = 3  # and ~1/7 of suppliers at EVERY scale factor
 
 
+def _loop_parts(spark: SparkSession, n_edges: int) -> int:
+    """Loop width for the FEW-round fixpoints (BFS, LPA): 50k
+    rows/partition with a floor of 8, capped by the session (r9 A/B at
+    sf0.1: widths 8/16/24 equivalent warm, the old 250k target's width-5
+    pick costs 2-3x — a <=4-round loop has too few, too-short stages to
+    amortize under-parallelism).  pagerank's 20-round loop deliberately
+    keeps its own 250k sizing: with 5x the rounds, per-round scheduling
+    overhead compounds and its stages amortize differently."""
+    return max(8, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+
+
 def bfs_reachability(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
     """Bounded-depth BFS over a (src, dst) edge list — the engine-level
     equivalent of SQL's recursive CTE (``WITH RECURSIVE``), which Spark
@@ -223,13 +234,7 @@ def bfs_reachability(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataF
     spark = edges.sparkSession
     edges = edges.select("src", "dst").distinct()
     n_edges = edges.count()
-    # loop width: 50k-rows/partition target with a floor of 8 (r9 A/B at
-    # sf0.1: widths 8/16/24 are equivalent warm, width 5 — the old 250k
-    # target's pick — costs 2-3x; a <=max_hops-round fixpoint has too
-    # few, too-short stages to amortize under-parallelism, unlike
-    # pagerank's 20-round loop which keeps its own sizing); still capped
-    # by the session so a tiny graph never over-shards a big cluster
-    parts = max(8, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    parts = _loop_parts(spark, n_edges)
     edges = edges.repartition(parts, "src").localCheckpoint(eager=True)
     visited = (
         seeds.select("node")
@@ -322,23 +327,30 @@ def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
     min-label ties make every round a pure function of the previous
     labeling, so two engines agree row-for-row).
 
+    General directed input is handled: labels propagate along edge
+    direction (a node's new label is the argmax over its IN-neighbors'
+    labels), the node universe is src ∪ dst, and a node with no in-edges
+    KEEPS its current label each round (the carry-forward leg) — on a
+    symmetric edge list like the trade graph the carry-forward never
+    fires and in-neighbors == neighbors.
+
     Scale shape (the BFS/pagerank kernel discipline): the edge list is
     hash-partitioned on the join key once and localCheckpoint-pinned;
     per-round work is ONE co-partitioned join (labels reach neighbors) +
     one map-combinable groupBy(node, label) count + one per-node
-    row_number window on the (node-partitioned) count frame — state is
-    two narrow columns, and lineage is truncated every other round (the
-    pagerank cadence).  No driver action inside the loop at all: rounds
-    are fixed, so there is no convergence probe to pay for."""
+    row_number window on the (node-partitioned) count frame + one
+    node-keyed carry-forward outer join — state is two narrow columns,
+    and lineage is truncated every other round (the pagerank cadence).
+    No driver action inside the loop at all: rounds are fixed, so there
+    is no convergence probe to pay for."""
     spark = edges.sparkSession
     edges = edges.select("src", "dst").distinct()
     n_edges = edges.count()
-    # 50k-rows/partition width with a floor of 8: the bfs_reachability
-    # sizing rationale (see there) applies verbatim to this loop
-    parts = max(8, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    parts = _loop_parts(spark, n_edges)
     edges = edges.repartition(parts, "src").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
         .repartition(parts, "node")
@@ -352,11 +364,17 @@ def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
             .agg(F.count("*").alias("c"))
         )
         w = W.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
-        labels = (
+        upd = (
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("node", "label")
+            .select("node", F.col("label").alias("__new"))
             .repartition(parts, "node")
+        )
+        # carry-forward: a node with no in-edges this round keeps its
+        # label (vacuous on symmetric graphs — every node with any edge
+        # has an in-edge there)
+        labels = labels.join(upd, "node", "left").select(
+            "node", F.coalesce("__new", "label").alias("label")
         )
         if i % 2 == 1 or i == rounds - 1:
             labels = labels.localCheckpoint(eager=True)

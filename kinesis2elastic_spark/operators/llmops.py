@@ -1135,6 +1135,7 @@ def _brute_cosine_topk(
                 continue
             ids = pdf["vec_id"].to_numpy()
             labels = pdf["label"].to_numpy()
+            labels_notna = pd.notna(pdf["label"]).to_numpy()
             M = np.array(pdf["vec"].tolist(), dtype=np.float64)
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             S = Mn @ Qn.T  # (batch, n_queries)
@@ -1147,9 +1148,7 @@ def _brute_cosine_topk(
                     # SQL `c.label <> q.qlabel` is NULL (excluded) for a
                     # NULL candidate label; numpy `NaN != x` is True, so a
                     # not-null mask keeps the kernel on SQL semantics.
-                    mask &= pd.notna(pdf["label"]).to_numpy() & (
-                        labels != qlabels[j]
-                    )
+                    mask &= labels_notna & (labels != qlabels[j])
                 elif label_filtered:
                     mask &= labels == qlabels[j]
                 cand_idx = np.flatnonzero(mask)

@@ -1169,19 +1169,28 @@ def q_stream_backpressure_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src = os.path.join(work, "src")
         os.makedirs(src)
-        # Chop the backlog into N POSITIONAL slices:
-        # monotonically_increasing_id is contiguous within a partition, so
-        # residues mod N cycle and >= 2 slices are non-empty for any input
-        # with >= 2 rows — no value-range math and no spurious red on the
-        # degenerate all-equal-ts / all-equal-id shapes the r7/r8 range
-        # splits tripped over (r8 ADVICE), and no eager min/max driver
-        # actions.  File assignment is test scaffolding: the complete-mode
-        # aggregate unions all slices, so ANY partition of the rows
-        # exercises the limiter equally.  One localCheckpoint pins the
-        # nondeterministic ids so all N slice filters see the same values.
-        sliced = ev.withColumn(
-            "__fidx", F.monotonically_increasing_id() % N_BACKPRESSURE_FILES
-        ).localCheckpoint(eager=True)
+        # Chop the backlog into N POSITIONAL slices — no value-range math,
+        # so no spurious red on the degenerate all-equal-ts / all-equal-id
+        # shapes the r7/r8 range splits tripped over (r8 ADVICE), and no
+        # eager min/max driver actions.  coalesce(1) first: within ONE
+        # partition monotonically_increasing_id is contiguous from 0, so
+        # residues mod N provably cycle and >= 2 slices are non-empty for
+        # any >= 2-row input (across partitions the id bases are
+        # partitionId * 2^33, whose residues can collide — e.g. two
+        # single-row partitions at indices 0 and 3 both land residue 0).
+        # Single-task is fine: this is test scaffolding writing the
+        # backlog files, and the complete-mode aggregate unions all
+        # slices, so ANY partition of the rows exercises the limiter
+        # equally.  One localCheckpoint pins the nondeterministic ids so
+        # all N slice filters see the same values.
+        sliced = (
+            ev.coalesce(1)
+            .withColumn(
+                "__fidx",
+                F.monotonically_increasing_id() % N_BACKPRESSURE_FILES,
+            )
+            .localCheckpoint(eager=True)
+        )
         n_nonempty = 0
         n_rows_total = 0
         for i in range(N_BACKPRESSURE_FILES):

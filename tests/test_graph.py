@@ -120,17 +120,26 @@ def test_q_graph_reach_levels(spark, sf_dir):
 
 
 def _py_lpa(edges, rounds):
-    """Pure-Python synchronous LPA reference: most-frequent neighbor
-    label, ties to the minimum label, all nodes updated simultaneously."""
-    adj = {}
+    """Pure-Python synchronous LPA reference matching the kernel's
+    directed semantics: a node's new label is the most frequent among
+    its IN-neighbors' labels (ties to the minimum label), all nodes
+    updated simultaneously, and a node with no in-edges keeps its
+    label."""
+    radj = {}
+    nodes = set()
     for s, d in edges:
-        adj.setdefault(s, set()).add(d)
-    labels = {n: n for n in adj}
+        nodes.update((s, d))
+        radj.setdefault(d, set()).add(s)
+    labels = {n: n for n in nodes}
     for _ in range(rounds):
         nxt = {}
-        for n, nbrs in adj.items():
+        for n in nodes:
+            ins = radj.get(n)
+            if not ins:
+                nxt[n] = labels[n]
+                continue
             counts = {}
-            for m in nbrs:
+            for m in ins:
                 lab = labels[m]
                 counts[lab] = counts.get(lab, 0) + 1
             nxt[n] = min(counts, key=lambda lab: (-counts[lab], lab))
@@ -179,3 +188,20 @@ def test_q_label_prop_partition_invariants(spark, sf_dir):
     assert len(rows) >= 2
     for r in rows:
         assert r.first_member <= r.last_member
+
+
+def test_label_propagation_directed_carry_forward(spark):
+    """General DIRECTED input (the r9 review finding): the node universe
+    is src ∪ dst, labels flow along edge direction, and a node with no
+    in-edges keeps its own label instead of vanishing from the output."""
+    und = [("a", "b"), ("b", "c")]
+    edges = spark.createDataFrame(und, "src string, dst string")
+    for rounds in (1, 2):
+        got = {
+            (r.node, r.label)
+            for r in graph.label_propagation(edges, rounds).collect()
+        }
+        assert got == set(_py_lpa(und, rounds).items()), rounds
+    # explicit round-2 expectation: a keeps 'a'; b <- a; c <- b's round-1
+    # label which was already 'a'
+    assert dict(_py_lpa(und, 2)) == {"a": "a", "b": "a", "c": "a"}
