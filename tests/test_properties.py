@@ -569,3 +569,32 @@ def test_winsorize_degenerate_all_equal(spark):
     assert (r.lo_cut, r.hi_cut) == (500, 500)
     assert r.n_clamped_lo == 0 and r.n_clamped_hi == 0
     assert r.sum_wins_cents == 3500
+
+
+def test_lpa_random_digraphs_match_python(spark):
+    """Hypothesis: synchronous LPA labels equal the pure-Python reference
+    on arbitrary random digraphs (self-loops, multi-edges, nodes without
+    in-edges, disconnected islands) for 1-3 rounds."""
+    from hypothesis import given, settings, strategies as st
+
+    from kinesis2elastic_spark.operators import graph
+    from tests.test_graph import _py_lpa
+
+    node = st.integers(min_value=0, max_value=11).map(str)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        edges=st.lists(st.tuples(node, node), min_size=1, max_size=25),
+        rounds=st.integers(min_value=1, max_value=3),
+    )
+    def check(edges, rounds):
+        got = {
+            (r.node, r.label)
+            for r in graph.label_propagation(
+                spark.createDataFrame(edges, "src string, dst string"),
+                rounds,
+            ).collect()
+        }
+        assert got == set(_py_lpa(edges, rounds).items())
+
+    check()
