@@ -1682,6 +1682,126 @@ def q_stream_matview_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_mv.crossJoin(F.broadcast(eq))
 
 
+def q_stream_quantile_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B136 oracle-backed: continuous quantile-histogram maintenance
+    (``streaming/quantile_stream.py``) — events arrive in two
+    micro-batches (event_id parity) across a checkpoint restart, each
+    batch's fixed-grid bin counts add-merged into the materialized
+    per-type histogram (the mergeable-sketch discipline of B65/B102
+    applied to ORDER STATISTICS).  The readout — per-type lower median
+    and p90, estimated as the containing bin's lower edge — is a window
+    over the BOUNDED histogram, never the data.
+
+    Everything hashed is exact BIGINT arithmetic both engines replay:
+    the grid is fixed (no data-dependent edges), ranks are B107's
+    ``1 + (p·(n−1)) div 100`` convention, the exact med/p90 the
+    estimates are checked against are rank-selected micro-values, and
+    the sketch guarantee ``est <= exact < est + bin_width`` ships as
+    per-type flags.  ``stream_equals_batch_hist_ok`` pins the merged
+    streaming counter table against the one-shot batch histogram
+    row-for-row (mergeability is the whole point).  The exact med/p90
+    twin here is the VERIFICATION leg (per-type rank windows); the
+    production path at 100 TB is the histogram itself."""
+    from ..streaming.quantile_stream import (
+        QHIST_W_MICRO,
+        continuous_qhist_writer,
+        qhist_partials,
+        read_qhist,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="k2e_stream_qh_")
+    try:
+        src, state = os.path.join(work, "src"), os.path.join(work, "state")
+
+        def start():
+            return (
+                spark.readStream.schema(
+                    "event_id long, event_type string, value double"
+                )
+                .parquet(src + "/*")
+                .writeStream.foreachBatch(continuous_qhist_writer(spark, state))
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _two_batch_source(ev, "event_id", src)
+        _drain(start())
+        _write_second_batch(ev, "event_id", src)
+        _drain(start())
+        stream_hist = read_qhist(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    batch_hist = qhist_partials(ev.select("event_type", "value"))
+    eq = frames_equal_flag(stream_hist, batch_hist, "stream_equals_batch_hist_ok")
+
+    wcum = W.partitionBy("event_type").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wall = W.partitionBy("event_type").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    c = stream_hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+    med_rank = 1 + F.expr("(n - 1) div 2")
+    p90_rank = 1 + F.expr("(90 * (n - 1)) div 100")
+    est = c.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.min(F.when(F.col("cum") >= med_rank, F.col("bin"))) * QHIST_W_MICRO)
+        .cast("long")
+        .alias("est_med_micro"),
+        (F.min(F.when(F.col("cum") >= p90_rank, F.col("bin"))) * QHIST_W_MICRO)
+        .cast("long")
+        .alias("est_p90_micro"),
+    )
+    vm = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("vm"),
+    )
+    wr = W.partitionBy("event_type").orderBy("vm")
+    r = vm.withColumn("rn", F.row_number().over(wr))
+    ex = (
+        r.join(F.broadcast(est.select("event_type", "n")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == 1 + F.expr("(n - 1) div 2"), F.col("vm"))
+            )
+            .cast("long")
+            .alias("exact_med_micro"),
+            F.min(
+                F.when(
+                    F.col("rn") == 1 + F.expr("(90 * (n - 1)) div 100"),
+                    F.col("vm"),
+                )
+            )
+            .cast("long")
+            .alias("exact_p90_micro"),
+        )
+    )
+    within = lambda e, x: (F.col(x) >= F.col(e)) & (  # noqa: E731
+        F.col(x) < F.col(e) + QHIST_W_MICRO
+    )
+    return (
+        est.join(ex, "event_type")
+        .crossJoin(F.broadcast(eq))
+        .select(
+            "event_type",
+            "n",
+            "est_med_micro",
+            "exact_med_micro",
+            "est_p90_micro",
+            "exact_p90_micro",
+            within("est_med_micro", "exact_med_micro").alias("med_within_bin_ok"),
+            within("est_p90_micro", "exact_p90_micro").alias("p90_within_bin_ok"),
+            "stream_equals_batch_hist_ok",
+        )
+    )
+
+
 QUERIES = {
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -1701,6 +1821,7 @@ QUERIES = {
     "q_stream_outer_join_equiv": q_stream_outer_join_equiv,
     "q_stream_update_equiv": q_stream_update_equiv,
     "q_stream_matview_equiv": q_stream_matview_equiv,
+    "q_stream_quantile_equiv": q_stream_quantile_equiv,
 }
 
 
@@ -1931,3 +2052,50 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
 }
+
+
+def _qhist_oracle_sql() -> str:
+    from ..streaming.quantile_stream import QHIST_BINS, QHIST_W_MICRO
+
+    return f"""
+    WITH vm AS (
+      SELECT event_type, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM events),
+    b AS (SELECT event_type,
+                 least({QHIST_BINS - 1}, greatest(0, vm // {QHIST_W_MICRO})) AS bin
+          FROM vm),
+    h AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+          FROM b GROUP BY 1, 2),
+    c AS (SELECT event_type, bin, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM h),
+    est AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN cum >= 1 + (n - 1) // 2 THEN bin END)
+                        * {QHIST_W_MICRO} AS BIGINT) AS est_med_micro,
+                   CAST(min(CASE WHEN cum >= 1 + (90 * (n - 1)) // 100 THEN bin END)
+                        * {QHIST_W_MICRO} AS BIGINT) AS est_p90_micro
+            FROM c GROUP BY 1),
+    r AS (SELECT event_type, vm,
+                 row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn
+          FROM vm),
+    ex AS (SELECT r.event_type,
+                  CAST(min(CASE WHEN rn = 1 + (e.n - 1) // 2 THEN vm END)
+                       AS BIGINT) AS exact_med_micro,
+                  CAST(min(CASE WHEN rn = 1 + (90 * (e.n - 1)) // 100 THEN vm END)
+                       AS BIGINT) AS exact_p90_micro
+           FROM r JOIN est e USING (event_type) GROUP BY 1)
+    SELECT est.event_type, n, est_med_micro, exact_med_micro,
+           est_p90_micro, exact_p90_micro,
+           exact_med_micro >= est_med_micro
+             AND exact_med_micro < est_med_micro + {QHIST_W_MICRO}
+             AS med_within_bin_ok,
+           exact_p90_micro >= est_p90_micro
+             AND exact_p90_micro < est_p90_micro + {QHIST_W_MICRO}
+             AS p90_within_bin_ok,
+           TRUE AS stream_equals_batch_hist_ok
+    FROM est JOIN ex USING (event_type)
+"""
+
+
+ORACLE["q_stream_quantile_equiv"] = _qhist_oracle_sql()

@@ -445,3 +445,40 @@ def test_matview_writer_replay_idempotent(spark, tmp_path_factory):
     # pruning holds state at <=2 versions
     versions = [d for d in os.listdir(state) if d.startswith("v")]
     assert len(versions) <= 2, versions
+
+
+def test_qhist_merge_and_bin_guarantee(spark, tmp_path_factory):
+    """B136: (1) add-merging two batch partials through the state path
+    equals the one-shot histogram (exact mergeability — the fixed grid's
+    whole point); (2) planted values land in the predicted bins and the
+    clamp catches out-of-range values."""
+    from kinesis2elastic_spark.streaming.quantile_stream import (
+        QHIST_BINS,
+        QHIST_W_MICRO,
+        merge_qhist,
+        qhist_partials,
+        read_qhist,
+    )
+
+    rows1 = [("a", 0.10), ("a", 0.26), ("b", 511.9)]
+    rows2 = [("a", 0.24), ("b", 9999.0), ("b", -1.0)]
+    schema = "event_type string, value double"
+    df1 = spark.createDataFrame(rows1, schema)
+    df2 = spark.createDataFrame(rows2, schema)
+    state = str(tmp_path_factory.mktemp("qh") / "state")
+    merge_qhist(spark, state, qhist_partials(df1))
+    merge_qhist(spark, state, qhist_partials(df2))
+    merged = {(r.event_type, r.bin): r.cnt for r in read_qhist(spark, state).collect()}
+    oneshot = {
+        (r.event_type, r.bin): r.cnt
+        for r in qhist_partials(df1.unionByName(df2)).collect()
+    }
+    assert merged == oneshot
+    # planted bins: 0.10 -> bin 0; 0.24/0.26 -> bins 1 and 2 (0.125 grid);
+    # 511.9 and 9999.0 clamp to the top bin; -1.0 clamps to 0
+    assert merged[("a", 0)] == 1
+    assert merged[("a", 1)] == 1
+    assert merged[("a", 2)] == 1
+    assert merged[("b", QHIST_BINS - 1)] == 2
+    assert merged[("b", 0)] == 1
+    assert QHIST_W_MICRO * QHIST_BINS == 512_000_000

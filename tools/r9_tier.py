@@ -155,6 +155,55 @@ def docs_tier(spark):
         shutil.rmtree(tier_dir, ignore_errors=True)
 
 
+def qhist_tier(spark):
+    """10x events tier for B136: two add-merge batches through the state
+    path; the state must stay bounded by |types| x occupied bins while
+    the batch scans grow 10x."""
+    from kinesis2elastic_spark.streaming.quantile_stream import (
+        merge_qhist,
+        qhist_partials,
+        read_qhist,
+    )
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "event_type", "value")
+    base_rows = None
+    ok = True
+    for tier, n in (("1x", 1), ("10x", 10)):
+        df = (
+            ev.select(
+                "*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("_k")
+            )
+            .select(
+                (F.col("event_id") + F.col("_k") * 10_000_000_000).alias(
+                    "event_id"
+                ),
+                "event_type",
+                "value",
+            )
+            .localCheckpoint(eager=True)
+        )
+        b1 = df.filter(F.col("event_id") % 2 == 0).select("event_type", "value")
+        b2 = df.filter(F.col("event_id") % 2 == 1).select("event_type", "value")
+        wall = float("inf")
+        for _ in range(2):
+            state = tempfile.mkdtemp(prefix=f"k2e_r9qh_{tier}_")
+            try:
+                t0 = time.time()
+                merge_qhist(spark, state, qhist_partials(b1))
+                merge_qhist(spark, state, qhist_partials(b2))
+                wall = min(wall, time.time() - t0)
+                rows = read_qhist(spark, state).count()
+            finally:
+                shutil.rmtree(state, ignore_errors=True)
+        print(f"qhist {tier}: wall(2 merges)={wall:.2f}s state_rows={rows}")
+        if base_rows is None:
+            base_rows = rows
+        else:
+            ok = ok and rows == base_rows
+    print(f"qhist state bounded across tiers: {ok}")
+    return ok
+
+
 def main():
     spark = get_spark("r9-tier", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     only = sys.argv[1] if len(sys.argv) > 1 else None
@@ -164,6 +213,8 @@ def main():
         print(f"ALL_OK={ok1 and ok2}")
     if only in (None, "docs"):
         docs_tier(spark)
+    if only in (None, "qhist"):
+        qhist_tier(spark)
 
 
 if __name__ == "__main__":
