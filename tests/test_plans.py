@@ -503,3 +503,44 @@ def test_matview_merge_is_copartitioned(spark, sf_dir):
     plan = formatted_plan(tb.q_matview_delta(spark, sf_dir))
     assert plan.count("+- Exchange") == 2
     assert "CartesianProduct" not in plan and "rangepartitioning" not in plan
+
+
+def test_collocations_vocab_broadcast_no_selfjoin(spark, sf_dir):
+    """B134: the top-V vocabulary reaches the token stream as a BROADCAST
+    join and pairs are generated map-side (higher-order explode) — no
+    doc-keyed self-join, no cartesian, no global sort."""
+    from kinesis2elastic_spark.operators import corpus as c
+
+    plan = formatted_plan(c.q_collocations(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan  # the V-row vocab fit
+
+
+def test_compaction_plan_metadata_windows_only(spark, sf_dir):
+    """B135: the plan is one manifest aggregate plus source-keyed windows
+    — no global sort of anything, no single-partition exchange over
+    non-aggregated rows."""
+    from kinesis2elastic_spark.operators import tableops as tb
+
+    plan = formatted_plan(tb.q_compaction_plan(spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(source#" in plan
+
+
+def test_qhist_partials_map_combinable(spark, sf_dir):
+    """B136: the histogram partial-aggregate combines map-side before its
+    one exchange (counter cells, not raw rows, shuffle)."""
+    from kinesis2elastic_spark.catalog import load
+    from kinesis2elastic_spark.streaming.quantile_stream import qhist_partials
+
+    df = qhist_partials(
+        load(spark, sf_dir, "events").select("event_type", "value")
+    )
+    plan = formatted_plan(df)
+    assert plan.count("+- Exchange") == 1
+    assert "partial_count" in plan
+    assert "rangepartitioning" not in plan
