@@ -460,7 +460,12 @@ def _lp_rounds_sql(rounds: int) -> str:
     """Unrolled LPA rounds as chained CTEs — possible because the round
     count is a small fixed constant and each round is a pure function of
     the previous labeling (the determinism contract of
-    ``label_propagation``)."""
+    ``label_propagation``).  Mirrors the kernel's DIRECTED semantics
+    exactly: per round, w{i} is the in-neighbor argmax (ties by min
+    label) and l{i} left-joins it back so a node with no in-edges keeps
+    its previous label (the carry-forward leg) — on a symmetric edge
+    list the carry-forward is vacuous, but the oracle no longer depends
+    on symmetry to agree with ``label_propagation``."""
     parts = []
     for i in range(1, rounds + 1):
         parts.append(
@@ -468,12 +473,15 @@ def _lp_rounds_sql(rounds: int) -> str:
       SELECT e.dst AS node, l.label, count(*) AS c
       FROM edges e JOIN l{i - 1} l ON l.node = e.src
       GROUP BY e.dst, l.label),
-    l{i} AS (
+    w{i} AS (
       SELECT node, label FROM (
         SELECT node, label,
                row_number() OVER (PARTITION BY node
                                   ORDER BY c DESC, label) AS rn
-        FROM c{i}) WHERE rn = 1)"""
+        FROM c{i}) WHERE rn = 1),
+    l{i} AS (
+      SELECT l.node, coalesce(w.label, l.label) AS label
+      FROM l{i - 1} l LEFT JOIN w{i} w ON w.node = l.node)"""
         )
     return ",\n    ".join(parts)
 
@@ -486,7 +494,9 @@ ORACLE["q_label_prop"] = f"""
       SELECT cust AS src, supp AS dst FROM trade
       UNION ALL
       SELECT supp AS src, cust AS dst FROM trade),
-    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    l0 AS (
+      SELECT node, node AS label FROM (
+        SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges)),
     {_lp_rounds_sql(LP_ROUNDS)}
     SELECT label AS community,
            CAST(count(*) AS BIGINT) AS n_members,
