@@ -1697,12 +1697,19 @@ def q_stream_quantile_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``1 + (p·(n−1)) div 100`` convention, the exact med/p90 the
     estimates are checked against are rank-selected micro-values, and
     the sketch guarantee ``est <= exact < est + bin_width`` ships as
-    per-type flags.  ``stream_equals_batch_hist_ok`` pins the merged
-    streaming counter table against the one-shot batch histogram
-    row-for-row (mergeability is the whole point).  The exact med/p90
-    twin here is the VERIFICATION leg (per-type rank windows); the
-    production path at 100 TB is the histogram itself."""
+    per-type flags.  Out-of-grid mass lands in the explicit OVERFLOW
+    bucket and is surfaced as ``oob_cnt`` (0 on this fixture — the grid
+    covers the value domain with headroom); a quantile whose rank fell
+    in the overflow bucket would yield NULL estimates and FALSE flags,
+    never a silently-clamped value.  ``stream_equals_batch_hist_ok``
+    pins the merged streaming counter table against the one-shot batch
+    histogram row-for-row (mergeability is the whole point).  The exact
+    med/p90 twin here is the VERIFICATION leg (per-type rank windows);
+    the production path at 100 TB is the histogram itself.  The state
+    writer is replay-idempotent (versioned by batch id — the B126
+    discipline; crash-replay unit test in tests/test_streaming.py)."""
     from ..streaming.quantile_stream import (
+        QHIST_OVERFLOW_BIN,
         QHIST_W_MICRO,
         continuous_qhist_writer,
         qhist_partials,
@@ -1748,12 +1755,24 @@ def q_stream_quantile_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     med_rank = 1 + F.expr("(n - 1) div 2")
     p90_rank = 1 + F.expr("(90 * (n - 1)) div 100")
+    in_grid = F.col("bin") < QHIST_OVERFLOW_BIN
     est = c.groupBy("event_type").agg(
         F.max("n").cast("long").alias("n"),
-        (F.min(F.when(F.col("cum") >= med_rank, F.col("bin"))) * QHIST_W_MICRO)
+        F.coalesce(
+            F.sum(F.when(~in_grid, F.col("cnt"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("oob_cnt"),
+        (
+            F.min(F.when((F.col("cum") >= med_rank) & in_grid, F.col("bin")))
+            * QHIST_W_MICRO
+        )
         .cast("long")
         .alias("est_med_micro"),
-        (F.min(F.when(F.col("cum") >= p90_rank, F.col("bin"))) * QHIST_W_MICRO)
+        (
+            F.min(F.when((F.col("cum") >= p90_rank) & in_grid, F.col("bin")))
+            * QHIST_W_MICRO
+        )
         .cast("long")
         .alias("est_p90_micro"),
     )
@@ -1791,6 +1810,7 @@ def q_stream_quantile_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "n",
+            "oob_cnt",
             "est_med_micro",
             "exact_med_micro",
             "est_p90_micro",
@@ -2055,14 +2075,14 @@ ORACLE = {
 
 
 def _qhist_oracle_sql() -> str:
-    from ..streaming.quantile_stream import QHIST_BINS, QHIST_W_MICRO
+    from ..streaming.quantile_stream import QHIST_OVERFLOW_BIN, QHIST_W_MICRO
 
     return f"""
     WITH vm AS (
       SELECT event_type, CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
       FROM events),
     b AS (SELECT event_type,
-                 least({QHIST_BINS - 1}, greatest(0, vm // {QHIST_W_MICRO})) AS bin
+                 least({QHIST_OVERFLOW_BIN}, greatest(0, vm // {QHIST_W_MICRO})) AS bin
           FROM vm),
     h AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
           FROM b GROUP BY 1, 2),
@@ -2071,9 +2091,13 @@ def _qhist_oracle_sql() -> str:
                  sum(c) OVER (PARTITION BY event_type) AS n
           FROM h),
     est AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-                   CAST(min(CASE WHEN cum >= 1 + (n - 1) // 2 THEN bin END)
+                   CAST(coalesce(sum(CASE WHEN bin >= {QHIST_OVERFLOW_BIN}
+                                          THEN c END), 0) AS BIGINT) AS oob_cnt,
+                   CAST(min(CASE WHEN cum >= 1 + (n - 1) // 2
+                                  AND bin < {QHIST_OVERFLOW_BIN} THEN bin END)
                         * {QHIST_W_MICRO} AS BIGINT) AS est_med_micro,
-                   CAST(min(CASE WHEN cum >= 1 + (90 * (n - 1)) // 100 THEN bin END)
+                   CAST(min(CASE WHEN cum >= 1 + (90 * (n - 1)) // 100
+                                  AND bin < {QHIST_OVERFLOW_BIN} THEN bin END)
                         * {QHIST_W_MICRO} AS BIGINT) AS est_p90_micro
             FROM c GROUP BY 1),
     r AS (SELECT event_type, vm,
@@ -2085,7 +2109,7 @@ def _qhist_oracle_sql() -> str:
                   CAST(min(CASE WHEN rn = 1 + (90 * (e.n - 1)) // 100 THEN vm END)
                        AS BIGINT) AS exact_p90_micro
            FROM r JOIN est e USING (event_type) GROUP BY 1)
-    SELECT est.event_type, n, est_med_micro, exact_med_micro,
+    SELECT est.event_type, n, oob_cnt, est_med_micro, exact_med_micro,
            est_p90_micro, exact_p90_micro,
            exact_med_micro >= est_med_micro
              AND exact_med_micro < est_med_micro + {QHIST_W_MICRO}

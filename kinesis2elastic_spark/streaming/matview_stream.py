@@ -32,26 +32,12 @@ this loop; the mechanism here is format-free on purpose.)
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.tableops import MV_STATE_SCHEMA, mv_aggregate, mv_merge, mv_project
-
-
-def _versions(state_dir: str) -> list[int]:
-    if not os.path.isdir(state_dir):
-        return []
-    return sorted(
-        int(d[1:])
-        for d in os.listdir(state_dir)
-        if d.startswith("v") and d[1:].isdigit()
-    )
-
-
-def _latest_version(state_dir: str, below: int | None = None) -> int | None:
-    vs = [v for v in _versions(state_dir) if below is None or v < below]
-    return max(vs, default=None)
+from .versioned_state import latest_version as _latest_version
+from .versioned_state import prune_below
 
 
 def matview_writer(spark: SparkSession, state_dir: str):
@@ -76,11 +62,7 @@ def matview_writer(spark: SparkSession, state_dir: str):
         )
         # prune versions older than the one this batch merged FROM: a
         # replay of batch_id needs prev_v, never anything older
-        for v in _versions(state_dir):
-            if prev_v is not None and v < prev_v:
-                shutil.rmtree(
-                    os.path.join(state_dir, f"v{v}"), ignore_errors=True
-                )
+        prune_below(state_dir, prev_v)
 
     return fb
 

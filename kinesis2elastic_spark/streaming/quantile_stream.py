@@ -5,48 +5,58 @@ frequencies, this for order statistics).  Continuous latency/value
 percentiles over an unbounded stream cannot keep raw values; a fixed
 integer bin grid gives counter state that merges by plain addition
 across batches/partitions/days, with a deterministic worst-case error of
-ONE bin width.
+ONE bin width for any quantile that lands inside the grid.
 
 Grid: values snap to integer micro-units (``floor(v*1e6 + 0.5)``) and
-bin = ``clamp(vm div QHIST_W_MICRO, 0, QHIST_BINS-1)`` — FIXED edges, so
-two batches' histograms are over the same grid and addition is exact
-(an adaptive-edge sketch like t-digest merges approximately; the fixed
-grid trades a configured value range for exact mergeability and
-cross-engine reproducibility — every readout below is pure BIGINT
-arithmetic both engines replay identically).
+bin = ``vm div QHIST_W_MICRO`` with two explicit boundary buckets —
+negative values clamp to bin 0, and values at/above the grid top land in
+the dedicated OVERFLOW bucket ``bin == QHIST_BINS`` (NOT folded into the
+last real bin: clamped mass stays visible, and a quantile whose rank
+falls in the overflow bucket yields a NULL estimate instead of a silent
+one-bin-width lie).  Edges are FIXED, so two batches' histograms are
+over the same grid and addition is exact (an adaptive-edge sketch like
+t-digest merges approximately; the fixed grid trades a configured value
+range for exact mergeability and cross-engine reproducibility — every
+readout is pure BIGINT arithmetic both engines replay identically).
+The grid covers [0, 1024): the events fixture's value domain tops out
+at ~560 at sf0.1, so real data has ~1.8x headroom before the overflow
+bucket sees any mass.
 
-Per micro-batch (the B102 CMS writer discipline):
+Per micro-batch (the B126 matview writer's versioned-state discipline —
+see ``versioned_state.py``):
 1. partial-aggregate the batch into (group, bin, cnt) cells — at most
-   |groups| × ``QHIST_BINS`` rows out regardless of batch size;
-2. read the CURRENT materialized counter table (bounded by the same);
-3. merge by addition; 4. localCheckpoint, then overwrite the state path
-(materialize-before-overwrite).  A replay after a crash between state
-write and checkpoint commit would double-merge — the versioned-state
-discipline of ``matview_stream.py`` is the exactly-once upgrade when
-that matters; the equivalence query restarts BETWEEN drains (clean
-commits), which this form handles exactly.
+   |groups| x (``QHIST_BINS``+1) rows out regardless of batch size;
+2. read the highest state version STRICTLY BELOW this batch id (the
+   pre-batch state — bounded by the same cell count);
+3. merge by addition; 4. localCheckpoint, write ``v{batch_id}``, prune
+   versions older than the merge source.
+Replay after a crash between state write and checkpoint commit re-reads
+the same pre-batch version and deterministically overwrites its own —
+idempotent by construction (crash-replay pytest in test_streaming.py).
 
-At 100 TB: per-batch shuffle ≤ |groups|×4096 counter cells per map
-partition; state is a fixed-size table; quantile readout is a window
-over the BOUNDED histogram, never the data.
+At 100 TB: per-batch shuffle <= |groups|x4097 counter cells per map
+partition; state is a fixed-size table (<=2 versions retained); quantile
+readout is a window over the BOUNDED histogram, never the data.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .versioned_state import latest_version, prune_below, version_path
+
 QHIST_BINS = 4096
-QHIST_W_MICRO = 125_000  # 0.125-unit bins: grid covers [0, 512) exactly
+QHIST_W_MICRO = 250_000  # 0.25-unit bins: real grid covers [0, 1024)
+QHIST_OVERFLOW_BIN = QHIST_BINS  # explicit out-of-range bucket
 QHIST_STATE_SCHEMA = "event_type string, bin long, cnt long"
 
 
 def qhist_partials(df: DataFrame) -> DataFrame:
-    """(event_type, value) rows → (event_type, bin, cnt) counter cells."""
+    """(event_type, value) rows → (event_type, bin, cnt) counter cells.
+    bin ∈ [0, QHIST_BINS]: real grid cells plus the overflow bucket."""
     bin_ = F.expr(
-        f"least({QHIST_BINS - 1}, greatest(0, "
+        f"least({QHIST_OVERFLOW_BIN}, greatest(0, "
         f"CAST(floor(value * 1000000 + 0.5) AS BIGINT) div {QHIST_W_MICRO}))"
     )
     return df.groupBy("event_type", bin_.alias("bin")).agg(
@@ -54,34 +64,52 @@ def qhist_partials(df: DataFrame) -> DataFrame:
     )
 
 
-def merge_qhist(spark: SparkSession, state_path: str, partials: DataFrame) -> None:
-    if os.path.isdir(state_path) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(state_path)
-    ):
-        existing = spark.read.schema(QHIST_STATE_SCHEMA).parquet(state_path)
-        src = existing.unionByName(partials.selectExpr("event_type", "bin", "cnt"))
+def merge_qhist(
+    spark: SparkSession, state_dir: str, partials: DataFrame, batch_id: int
+) -> None:
+    """Add-merge one batch's counter cells into version ``v{batch_id}``,
+    merging from the pre-batch version (replay-idempotent)."""
+    prev_v = latest_version(state_dir, below=int(batch_id))
+    cells = partials.selectExpr("event_type", "bin", "cnt")
+    if prev_v is None:
+        src = cells
     else:
-        src = partials.selectExpr("event_type", "bin", "cnt")
+        prev = spark.read.schema(QHIST_STATE_SCHEMA).parquet(
+            version_path(state_dir, prev_v)
+        )
+        src = prev.unionByName(cells)
     merged = (
         src.groupBy("event_type", "bin")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)  # materialize BEFORE overwriting source
+        # materialize BEFORE writing: v{batch_id} may exist from a failed
+        # prior attempt of this same batch and overwrite would otherwise
+        # race the lazy read of it
+        .localCheckpoint(eager=True)
     )
-    merged.coalesce(1).write.mode("overwrite").parquet(state_path)
+    merged.coalesce(1).write.mode("overwrite").parquet(
+        version_path(state_dir, int(batch_id))
+    )
+    prune_below(state_dir, prev_v)
 
 
-def continuous_qhist_writer(spark: SparkSession, state_path: str):
-    """foreachBatch body: events batch → bin cells → add-merge."""
+def continuous_qhist_writer(spark: SparkSession, state_dir: str):
+    """foreachBatch body: events batch → bin cells → versioned add-merge."""
 
-    def fb(batch_df: DataFrame, _batch_id: int) -> None:
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
         merge_qhist(
-            spark, state_path, qhist_partials(batch_df.select("event_type", "value"))
+            spark,
+            state_dir,
+            qhist_partials(batch_df.select("event_type", "value")),
+            int(batch_id),
         )
 
     return fb
 
 
-def read_qhist(spark: SparkSession, state_path: str) -> DataFrame:
-    if not os.path.isdir(state_path):
+def read_qhist(spark: SparkSession, state_dir: str) -> DataFrame:
+    v = latest_version(state_dir)
+    if v is None:
         return spark.createDataFrame([], QHIST_STATE_SCHEMA)
-    return spark.read.schema(QHIST_STATE_SCHEMA).parquet(state_path)
+    return spark.read.schema(QHIST_STATE_SCHEMA).parquet(
+        version_path(state_dir, v)
+    )

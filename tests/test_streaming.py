@@ -448,37 +448,140 @@ def test_matview_writer_replay_idempotent(spark, tmp_path_factory):
 
 
 def test_qhist_merge_and_bin_guarantee(spark, tmp_path_factory):
-    """B136: (1) add-merging two batch partials through the state path
-    equals the one-shot histogram (exact mergeability — the fixed grid's
-    whole point); (2) planted values land in the predicted bins and the
-    clamp catches out-of-range values."""
+    """B136: (1) add-merging two batch partials through the versioned
+    state path equals the one-shot histogram (exact mergeability — the
+    fixed grid's whole point); (2) planted values land in the predicted
+    bins, out-of-range values land in the EXPLICIT overflow bucket (not
+    the top real bin), and negatives clamp to bin 0."""
     from kinesis2elastic_spark.streaming.quantile_stream import (
         QHIST_BINS,
+        QHIST_OVERFLOW_BIN,
         QHIST_W_MICRO,
         merge_qhist,
         qhist_partials,
         read_qhist,
     )
 
-    rows1 = [("a", 0.10), ("a", 0.26), ("b", 511.9)]
-    rows2 = [("a", 0.24), ("b", 9999.0), ("b", -1.0)]
+    rows1 = [("a", 0.10), ("a", 0.51), ("b", 1023.9)]
+    rows2 = [("a", 0.26), ("b", 9999.0), ("b", -1.0)]
     schema = "event_type string, value double"
     df1 = spark.createDataFrame(rows1, schema)
     df2 = spark.createDataFrame(rows2, schema)
     state = str(tmp_path_factory.mktemp("qh") / "state")
-    merge_qhist(spark, state, qhist_partials(df1))
-    merge_qhist(spark, state, qhist_partials(df2))
+    merge_qhist(spark, state, qhist_partials(df1), 0)
+    merge_qhist(spark, state, qhist_partials(df2), 1)
     merged = {(r.event_type, r.bin): r.cnt for r in read_qhist(spark, state).collect()}
     oneshot = {
         (r.event_type, r.bin): r.cnt
         for r in qhist_partials(df1.unionByName(df2)).collect()
     }
     assert merged == oneshot
-    # planted bins: 0.10 -> bin 0; 0.24/0.26 -> bins 1 and 2 (0.125 grid);
-    # 511.9 and 9999.0 clamp to the top bin; -1.0 clamps to 0
+    # planted bins (0.25 grid): 0.10 -> bin 0; 0.26 -> bin 1; 0.51 -> bin 2;
+    # 1023.9 -> top real bin; 9999.0 -> overflow bucket; -1.0 clamps to 0
     assert merged[("a", 0)] == 1
     assert merged[("a", 1)] == 1
     assert merged[("a", 2)] == 1
-    assert merged[("b", QHIST_BINS - 1)] == 2
+    assert merged[("b", QHIST_BINS - 1)] == 1
+    assert merged[("b", QHIST_OVERFLOW_BIN)] == 1
     assert merged[("b", 0)] == 1
-    assert QHIST_W_MICRO * QHIST_BINS == 512_000_000
+    assert QHIST_W_MICRO * QHIST_BINS == 1_024_000_000
+
+
+def test_qhist_writer_replay_idempotent(spark, tmp_path_factory):
+    """B136: re-running a foreachBatch attempt with the SAME batch id
+    (the crash-between-state-write-and-checkpoint-commit replay) must
+    leave the versioned histogram state identical — the writer merges
+    from the highest version strictly BELOW its batch id, never from
+    its own partial output (closes the r9 known double-merge hole)."""
+    import os
+
+    from kinesis2elastic_spark.streaming.quantile_stream import (
+        continuous_qhist_writer,
+        qhist_partials,
+        read_qhist,
+    )
+
+    state = str(tmp_path_factory.mktemp("qh_replay") / "state")
+    schema = "event_type string, value double"
+    b0 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.5)], schema)
+    b1 = spark.createDataFrame([("a", 1.0), ("b", 10.25)], schema)
+    fb = continuous_qhist_writer(spark, state)
+    fb(b0, 0)
+    fb(b1, 1)
+    want = {(r.event_type, r.bin): r.cnt for r in read_qhist(spark, state).collect()}
+    # replay batch 1 twice more: state must not double-merge
+    fb(b1, 1)
+    fb(b1, 1)
+    got = {(r.event_type, r.bin): r.cnt for r in read_qhist(spark, state).collect()}
+    assert got == want
+    oneshot = {
+        (r.event_type, r.bin): r.cnt
+        for r in qhist_partials(b0.unionByName(b1)).collect()
+    }
+    assert got == oneshot
+    # pruning holds state at <=2 versions
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions) <= 2, versions
+
+
+def test_qhist_stream_crash_replay(spark, tmp_path_factory):
+    """B136 end-to-end dirty restart (the q_stream_replay_equiv fault
+    pattern applied to STATE maintenance): the qhist writer crashes on
+    its first attempt at batch 1 AFTER writing v1 but before the
+    checkpoint commits; a second query on the SAME checkpoint replays
+    batch 1, which must overwrite v1 from v0 rather than double-merge
+    its own partial write."""
+    import os
+
+    from kinesis2elastic_spark.streaming.quantile_stream import (
+        continuous_qhist_writer,
+        qhist_partials,
+        read_qhist,
+    )
+
+    work = tmp_path_factory.mktemp("qh_crash")
+    src, state = str(work / "src"), str(work / "state")
+    ckpt = str(work / "ckpt")
+    schema = "event_type string, value double"
+    b0 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.5)], schema)
+    b1 = spark.createDataFrame([("a", 1.0), ("b", 10.25)], schema)
+    b0.coalesce(1).write.parquet(src + "/f0")
+    b1.coalesce(1).write.parquet(src + "/f1")
+    marker = str(work / "fault_fired")
+    inner = continuous_qhist_writer(spark, state)
+
+    def faulty_fb(bdf, bid):
+        inner(bdf, bid)  # state version IS written...
+        if int(bid) == 1 and not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+            # ...then the "crash" lands before the checkpoint commit
+            raise RuntimeError("injected-qhist-fault")
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+            .writeStream.foreachBatch(faulty_fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    crashed = False
+    try:
+        q1.awaitTermination(300)
+    except Exception as e:  # noqa: BLE001 - StreamingQueryException expected
+        assert "injected-qhist-fault" in str(e)
+        crashed = True
+    assert crashed and os.path.exists(marker)
+    q2 = start()
+    assert q2.awaitTermination(300)
+    got = {(r.event_type, r.bin): r.cnt for r in read_qhist(spark, state).collect()}
+    oneshot = {
+        (r.event_type, r.bin): r.cnt
+        for r in qhist_partials(b0.unionByName(b1)).collect()
+    }
+    assert got == oneshot

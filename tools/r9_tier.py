@@ -189,8 +189,8 @@ def qhist_tier(spark):
             state = tempfile.mkdtemp(prefix=f"k2e_r9qh_{tier}_")
             try:
                 t0 = time.time()
-                merge_qhist(spark, state, qhist_partials(b1))
-                merge_qhist(spark, state, qhist_partials(b2))
+                merge_qhist(spark, state, qhist_partials(b1), 0)
+                merge_qhist(spark, state, qhist_partials(b2), 1)
                 wall = min(wall, time.time() - t0)
                 rows = read_qhist(spark, state).count()
             finally:
