@@ -405,10 +405,157 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ROUNDS = 30
+# sparse trade subgraph: quantity-1 lineitems from every 7th supplier —
+# fractures the otherwise fully-connected trade graph into real multi-node
+# components (8 components / 178 nodes at sf0.01; qty<=2 alone still
+# leaves ONE giant component, which exercises nothing)
+CC_QTY = 1
+CC_SUPP_MOD = 7
+
+
+def connected_components_exact(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
+    """Exact connected components over an edge list → (node, component),
+    component = the MINIMUM node id in each component — the canonical-id
+    primitive the dedup family wants (B33/B87 cluster ids, the reference's
+    trade graph): min-label propagation to fixpoint, undirected by
+    construction (the input is symmetrized), all-string/BIGINT exact.
+
+    Semi-naive evaluation (the BFS delta-frontier discipline applied to
+    labels): each round pushes ONLY the labels that changed last round —
+    the frontier — never the whole labeling.  A node whose label did not
+    change has already delivered that label to its neighbors in an
+    earlier round (edges are static), so per-round work is proportional
+    to the still-converging fringe and the loop exits the round the
+    frontier empties — rounds = graph diameter, not max_rounds.
+
+    Scale shape (the graph-family kernel contract):
+    - edges symmetrized + hash-partitioned on the join key once and
+      ``localCheckpoint``-pinned; every round's frontier join reuses that
+      partitioning without re-shuffling the (large) edge list;
+    - ONE exchange per round: the propagated (node, label) pairs
+      repartition to the pinned hash(node) layout, then the min-combine,
+      the improvement filter join, and the label merge all run
+      co-partitioned with no further shuffle;
+    - per-round state is two narrow columns; the frontier (pinned for
+      the emptiness probe) is also next round's join input, so the probe
+      is effectively free; labels are REPLACED state (not accumulated),
+      so they pin on the every-other-round cadence (SCALING addendum 3:
+      the relaxed cadence is safe only for replaced state — BFS's
+      accumulated visited union must pin every round);
+    - the only driver action per round is the emptiness probe.
+
+    llmops.connected_components is the sibling kernel tuned for shallow
+    near-dup graphs (observation-piggybacked convergence, whole-labeling
+    rounds); this one is the deep-graph form with frontier semantics and
+    a component count that can be large."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    n_edges = sym.count()
+    parts = _loop_parts(spark, n_edges)
+    sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .repartition(parts, "node")
+        .localCheckpoint(eager=True)
+    )
+    frontier = labels  # round 0: every node pushes its own id
+    for rnd in range(max_rounds):
+        cand = (
+            sym.join(frontier, sym.src == frontier.node)
+            .select(F.col("dst").alias("node"), "label")
+            # ONE exchange per round (the BFS discipline): repartition to
+            # the pinned hash(node) layout first; the min-combine and both
+            # node-keyed joins below then run with no further shuffle.
+            .repartition(parts, "node")
+            .groupBy("node")
+            .agg(F.min("label").alias("__cand"))
+        )
+        upd = (
+            cand.join(labels, "node")
+            .filter(F.col("__cand") < F.col("label"))
+            .select("node", F.col("__cand").alias("label"))
+            .localCheckpoint(eager=True)  # probed AND reused next round
+        )
+        if not upd.head(1):
+            break
+        labels = labels.join(
+            upd.withColumnRenamed("label", "__new"), "node", "left"
+        ).select("node", F.coalesce("__new", "label").alias("label"))
+        # replaced-state cadence: every other round + loop exit
+        if rnd % 2 == 1:
+            labels = labels.localCheckpoint(eager=True)
+        frontier = upd
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _trade_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse trade subgraph (quantity-``CC_QTY`` lineitems from every
+    ``CC_SUPP_MOD``-th supplier): thins both edge mass and hub count so
+    the trade graph fractures into many components — the topology that
+    actually exercises a components kernel."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") == CC_QTY)
+            & (F.col("l_suppkey") % CC_SUPP_MOD == 0)
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B137: exact connected components — the fourth graph primitive
+    (PageRank weights, LPA clusters, BFS reaches, and now canonical
+    component ids), the prerequisite for global dedup-cluster ids at
+    corpus scale (today's dedup clusters use banding cohesion via
+    llmops.connected_components; this is the exact deep-graph kernel).
+
+    Fully deterministic (component id = min member id), so the entire
+    per-component reduction is EXACT cross-engine: one row per component
+    — size, md5-prefix member checksum (any node in the wrong component
+    flips both components' checksums), min/max member.  min(node) must
+    equal the component id itself (the canonical-id invariant — a broken
+    fixpoint that stops early leaves some component with min(node) <
+    label and flips the hashed n_canonical_ok count).
+
+    Oracle: DuckDB ``WITH RECURSIVE`` reachable-pairs closure + min —
+    quadratic in component size, fine on the sparse subgraph at the
+    driver's sf0.01 (the production Spark path is linear-per-round;
+    the quadratic twin is verification only, the B33 twin doctrine)."""
+    comp = connected_components_exact(_trade_edges_sparse(spark, sf_dir))
+    return (
+        comp.groupBy(F.col("component"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(md5_prefix_long(F.col("node"))).cast("long").alias("member_checksum"),
+            F.min("node").alias("first_member"),
+            F.max("node").alias("last_member"),
+        )
+        .withColumn("canonical_id_ok", F.col("first_member") == F.col("component"))
+    )
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_graph_reach": q_graph_reach,
     "q_label_prop": q_label_prop,
+    "q_connected_components": q_connected_components,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -504,6 +651,35 @@ ORACLE["q_label_prop"] = f"""
            min(node) AS first_member,
            max(node) AS last_member
     FROM l{LP_ROUNDS} GROUP BY label
+"""
+
+ORACLE["q_connected_components"] = f"""
+    WITH RECURSIVE
+    trade AS (
+      SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity = {CC_QTY} AND l_suppkey % {CC_SUPP_MOD} = 0),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM trade
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM trade),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    -- reachable-pairs closure: (node, label) for every label whose owner
+    -- can reach node; min over labels = the component's min id (exact,
+    -- quadratic-in-component-size — verification twin only)
+    r(node, label) AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.dst AS node, r.label
+      FROM r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node, min(label) AS component FROM r GROUP BY node)
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum({_NODE_HEX8}) AS BIGINT) AS member_checksum,
+           min(node) AS first_member,
+           max(node) AS last_member,
+           min(node) = component AS canonical_id_ok
+    FROM comp GROUP BY component
 """
 
 ROWS_ONLY: set[str] = set()

@@ -205,3 +205,97 @@ def test_label_propagation_directed_carry_forward(spark):
     # explicit round-2 expectation: a keeps 'a'; b <- a; c <- b's round-1
     # label which was already 'a'
     assert dict(_py_lpa(und, 2)) == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_connected_components_planted_topology(spark):
+    """B137: planted multi-component graph — a 5-node chain (tests deep
+    propagation: min id at one end must travel the whole diameter), a
+    triangle, an isolated edge, and a self-loop — every node must carry
+    its component's MIN id."""
+    edges = spark.createDataFrame(
+        [
+            # chain z5-z4-z3-z2-a1 (min "a1" sits at one END: needs 4 rounds)
+            ("z5", "z4"), ("z4", "z3"), ("z3", "z2"), ("z2", "a1"),
+            # triangle
+            ("m1", "m2"), ("m2", "m3"), ("m3", "m1"),
+            # isolated edge
+            ("q1", "q2"),
+            # self-loop (degenerate single-node component)
+            ("s1", "s1"),
+        ],
+        "src string, dst string",
+    )
+    comp = {
+        r.node: r.component
+        for r in graph.connected_components_exact(edges).collect()
+    }
+    assert comp == {
+        "z5": "a1", "z4": "a1", "z3": "a1", "z2": "a1", "a1": "a1",
+        "m1": "m1", "m2": "m1", "m3": "m1",
+        "q1": "q1", "q2": "q1",
+        "s1": "s1",
+    }
+
+
+def test_connected_components_matches_python_reference(spark):
+    """Property-style check on a deterministic pseudo-random graph vs a
+    pure-Python union-find."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    edges = []
+    for i in range(120):
+        a, b = h(i) % 60, h(i * 7 + 1) % 60
+        edges.append((f"n{a:02d}", f"n{b:02d}"))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonicalize: component id = min member id
+    want = {}
+    for n in parent:
+        members = [m for m in parent if find(m) == find(n)]
+        want[n] = min(members)
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.component
+        for r in graph.connected_components_exact(df).collect()
+    }
+    assert got == want
+
+
+def test_q_connected_components_invariants(spark, sf_dir):
+    """Contract query: the rows form a partition of the node universe
+    (sizes sum to the distinct node count), every canonical_id_ok flag
+    is TRUE, and component ids are distinct."""
+    rows = graph.q_connected_components(spark, sf_dir).collect()
+    assert rows, "sparse trade subgraph must be non-empty"
+    assert all(r.canonical_id_ok for r in rows)
+    ids = [r.component for r in rows]
+    assert len(ids) == len(set(ids))
+    n_nodes = (
+        graph._trade_edges_sparse(spark, sf_dir)
+        .selectExpr("src AS node")
+        .unionByName(
+            graph._trade_edges_sparse(spark, sf_dir).selectExpr("dst AS node")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_members for r in rows) == n_nodes
