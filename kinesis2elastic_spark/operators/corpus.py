@@ -1742,6 +1742,18 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores a consumer ranks by are log-ratios of these sufficient
     statistics (n_ab, df_a, df_b, n_docs), left to the consumer exactly
     so no transcendental enters the hashed schema (the DSIR lesson)."""
+    return collocations_detail(spark, sf_dir)
+
+
+def collocations_detail(
+    spark: SparkSession,
+    sf_dir: str,
+    top_v: int = COLLOC_TOP_V,
+    min_support: int = COLLOC_MIN_SUPPORT,
+) -> DataFrame:
+    """Parameterized collocation kernel (q_collocations pins the
+    contract constants; tools/r10_tier.py sweeps ``top_v`` to carry the
+    never-all-pairs-over-vocab claim as a measured slope in V)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -1751,7 +1763,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("tok")
         .agg(F.count("*").cast("long").alias("df"))
         .orderBy(F.col("df").desc(), "tok")
-        .limit(COLLOC_TOP_V)
+        .limit(top_v)
     )
     per_doc = (
         toks.join(F.broadcast(vocab.select("tok")), "tok")
@@ -1773,7 +1785,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.groupBy("tok_a", "tok_b")
         .agg(F.count("*").cast("long").alias("n_ab"))
-        .filter(F.col("n_ab") >= COLLOC_MIN_SUPPORT)
+        .filter(F.col("n_ab") >= min_support)
         .join(F.broadcast(va), "tok_a")
         .join(F.broadcast(vb), "tok_b")
         .crossJoin(F.broadcast(n_docs))

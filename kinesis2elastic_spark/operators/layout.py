@@ -8,6 +8,9 @@ The two chronic operational problems of a 100 TB parquet lake:
   then pays per-file open/footer costs and the driver pays listing costs.
   ``compact_parquet`` rewrites a directory into ~``target_mb`` files,
   sized from the ACTUAL byte size on disk, not a guessed partition count.
+  ``compact_table`` is the plan-driven form (B135 execution leg): bins
+  from the greedy manifest rule of ``tableops.q_compaction_plan``, one
+  bin-scoped rewrite job per bin reading exactly that bin's files.
 - **Unclustered data.**  ``write_partitioned_sorted`` writes
   ``partitionBy(date-ish)`` for partition pruning plus
   ``sortWithinPartitions(key)`` so min/max footer stats make point/range
@@ -63,6 +66,68 @@ def compact_parquet(
     n_files = max(1, -(-n_bytes // (target_mb * 1024 * 1024)))
     spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(dst)
     return n_files
+
+
+def plan_compaction_bins(
+    files: list[tuple[str, int]], target_bytes: int
+) -> list[list[str]]:
+    """Greedy cumulative-size binning over a (path, bytes) manifest —
+    the SAME deterministic rule as ``tableops.q_compaction_plan`` (bin =
+    cumulative bytes BEFORE the file, integer-divided by the target),
+    applied to real files: files ordered by path, each bin a consecutive
+    run totaling ~``target_bytes``.
+
+    Pure driver-side metadata arithmetic: the manifest is one row per
+    file (~10⁶ rows per partition at 100 TB with 128 MB files — the
+    listing the driver already holds; an ACID format reads it from the
+    snapshot manifest instead of the filesystem)."""
+    bins: list[list[str]] = []
+    cum = 0
+    for path, n_bytes in sorted(files):
+        b = cum // target_bytes
+        while len(bins) <= b:
+            bins.append([])
+        bins[b].append(path)
+        cum += n_bytes
+    return [b for b in bins if b]
+
+
+def compact_table(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> list[list[str]]:
+    """Execute a compaction plan (the OPTIMIZE-job shape a 100 TB
+    streaming table actually runs — closes the B135 loop: the planner
+    emits rewrite bins, this rewrites them): plan bins over ``src``'s
+    file manifest with ``plan_compaction_bins``, then rewrite EXACTLY
+    each planned bin into one output file under ``dst/bin=N``.
+
+    Plan-driven file pruning: each rewrite job reads only its bin's
+    files (explicit path list to ``spark.read.parquet`` — never a scan
+    of the whole table), writes one file (the bin IS the target size by
+    construction), and is independent of every other bin — at cluster
+    scale the bins submit concurrently as separate jobs and a failed bin
+    retries alone, which is exactly why OPTIMIZE jobs are bin-scoped.
+    Rewrite cost = the planned bytes, touched once (read + write); no
+    shuffle — the coalesce(1) is a narrow dependency over the bin's
+    files.
+
+    Returns the executed plan (list of bins, each a list of source file
+    paths) so the caller can assert layout or commit a manifest swap.
+    Before/after layout + content equality asserted in
+    tests/test_layout.py."""
+    manifest = [(p, os.path.getsize(p)) for p in parquet_files(src)]
+    bins = plan_compaction_bins(manifest, target_bytes)
+    for i, bin_files in enumerate(bins):
+        (
+            spark.read.parquet(*bin_files)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst, f"bin={i}"))
+        )
+    return bins
 
 
 def zorder_value(col_a, col_b, a_min, a_max, b_min, b_max, bits: int = 16):

@@ -151,3 +151,49 @@ def test_training_shards_match_manifest(spark, sf_dir, tmp_path):
     for f in files:
         ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
         assert ids == sorted(ids)
+
+
+def test_compact_table_executes_planned_bins(spark, sf_dir, tmp_path):
+    """B135 execution leg: the bin rewrite must (a) produce exactly one
+    file per planned bin, (b) fill bins to ~target (every bin but the
+    last >= target once its last file lands, since the greedy rule only
+    opens bin b+1 after cumulative bytes cross the target), and (c)
+    preserve content row-for-row."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "spray")
+    dst = str(tmp_path / "optimized")
+    e = load(spark, sf_dir, "events")
+    e.repartition(24).write.parquet(src)  # micro-batch small-file spray
+    files = [(p, os.path.getsize(p)) for p in layout.parquet_files(src)]
+    total = sum(b for _, b in files)
+    target = total // 4  # expect ~4-5 bins
+    bins = layout.compact_table(spark, src, dst, target_bytes=target)
+    # the executed plan equals the pure-metadata plan
+    assert bins == layout.plan_compaction_bins(files, target)
+    # every src file lands in exactly one bin
+    flat = [p for b in bins for p in b]
+    assert sorted(flat) == sorted(p for p, _ in files)
+    # one output file per bin
+    out_files = layout.parquet_files(dst)
+    per_bin = {}
+    for f in out_files:
+        per_bin.setdefault(f.split("bin=")[1].split("/")[0], []).append(f)
+    assert len(per_bin) == len(bins)
+    assert all(len(v) == 1 for v in per_bin.values())
+    # bin fill: planned bytes per bin reach the target for all but the last
+    sizes = dict(files)
+    planned = [sum(sizes[p] for p in b) for b in bins]
+    assert all(x >= target for x in planned[:-1])
+    # per-bin row counts match the bin's source files (plan-driven pruning
+    # read exactly the right files)
+    for i, b in enumerate(bins):
+        want = sum(pq.read_metadata(p).num_rows for p in b)
+        got = pq.read_metadata(per_bin[str(i)][0]).num_rows
+        assert got == want
+    # row-for-row content equality
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst).select(a.columns)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
