@@ -33,6 +33,7 @@ def _collect_modules():
         "llmops",
         "corpus",
         "tableops",
+        "timetravel",
         "temporal",
         "sequence",
         "skew",

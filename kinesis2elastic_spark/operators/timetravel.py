@@ -1,0 +1,218 @@
+"""Snapshot / time-travel read surface (B138): a version-manifest table
+plus an AS-OF read that prunes to exactly the snapshot's files — the
+lakehouse read primitive the repo's versioned writers imply (matview
+versions, shard batch-partitions, qhist states all WRITE versioned state;
+this is the first-class way to READ a table as of a committed version).
+
+Commit protocol (the Iceberg/Delta snapshot discipline, format-free):
+
+1. a commit writes its data files under ``data/c{version}/`` — files on
+   disk are NOT the table;
+2. it then writes ``_manifest/v{version}.parquet``: one row per LIVE
+   file (path, bytes, rows) as of that version = the previous manifest's
+   rows plus the new files (append semantics; a replace commit would
+   simply not carry the prior rows forward);
+3. readers resolve a version by picking the latest manifest <= the
+   requested version and scanning EXACTLY its file list — never the
+   directory.  Files from crashed/uncommitted writers are invisible
+   (they appear in no manifest), and concurrent readers of different
+   versions never block each other: snapshot isolation by construction.
+
+Scale shape: the manifest is metadata-rate (one row per file — ~10⁶
+rows per 100 TB at 128 MB files; written driver-side via pyarrow, read
+as a normal DataFrame when it outgrows the driver).  The AS-OF read
+passes the explicit file list to the parquet scan, so partition pruning,
+predicate pushdown, and column pruning all still apply within the
+snapshot — time travel costs nothing at plan time beyond the manifest
+read.
+
+No reference parity (the ~900-LoC Go forwarder has no storage layer);
+extends the Part-B table-maintenance family (B126/B135) per the driver
+contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifest")
+
+
+def snapshot_versions(table_dir: str) -> list[int]:
+    """Committed version ids (manifests present), sorted ascending."""
+    mdir = _manifest_dir(table_dir)
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        int(f[1:-8])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".parquet") and f[1:-8].isdigit()
+    )
+
+
+def _resolve_version(table_dir: str, version: int | None) -> int | None:
+    vs = [v for v in snapshot_versions(table_dir) if version is None or v <= version]
+    return max(vs, default=None)
+
+
+def manifest_files(table_dir: str, version: int | None = None) -> list[str]:
+    """The exact live-file list of the latest snapshot <= ``version``."""
+    v = _resolve_version(table_dir, version)
+    if v is None:
+        return []
+    t = pq.read_table(
+        os.path.join(_manifest_dir(table_dir), f"v{v}.parquet"), columns=["path"]
+    )
+    return t["path"].to_pylist()
+
+
+def commit_snapshot(
+    spark: SparkSession, table_dir: str, df: DataFrame, version: int
+) -> list[str]:
+    """Append-commit ``df`` as snapshot ``version``: write data files,
+    then publish the manifest (the manifest write IS the commit — a
+    crash before it leaves only invisible files).  Returns the new
+    snapshot's full live-file list."""
+    data_dir = os.path.join(table_dir, "data", f"c{int(version)}")
+    df.write.mode("overwrite").parquet(data_dir)
+    new_files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(data_dir)
+        for f in files
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    live = manifest_files(table_dir, int(version) - 1) + new_files
+    rows = [
+        {
+            "path": p,
+            "n_bytes": os.path.getsize(p),
+            "n_rows": pq.read_metadata(p).num_rows,
+        }
+        for p in live
+    ]
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("path", pa.string()), ("n_bytes", pa.int64()), ("n_rows", pa.int64())]
+            ),
+        ),
+        os.path.join(_manifest_dir(table_dir), f"v{int(version)}.parquet"),
+    )
+    return live
+
+
+def read_asof(
+    spark: SparkSession, table_dir: str, version: int | None = None, schema=None
+) -> DataFrame:
+    """Read the table AS OF ``version`` (latest committed snapshot <=
+    version; None = latest): the scan gets the manifest's explicit file
+    list, so uncommitted and later-version files are pruned before the
+    planner ever sees them."""
+    files = manifest_files(table_dir, version)
+    if not files:
+        if schema is None:
+            raise ValueError(f"no committed snapshot <= {version} in {table_dir}")
+        return spark.createDataFrame([], schema)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*files)
+
+
+TT_VERSION_MOD = 3   # commits split orders by o_orderkey % 3
+TT_READ_VERSION = 1  # the as-of target: versions 0 and 1 visible, 2 not
+
+
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B138 contract query: three append commits land orders split by
+    ``o_orderkey % 3`` (version = the remainder), then the table is read
+    AS OF version ``TT_READ_VERSION`` — the snapshot must contain
+    exactly the first two commits' rows even though version 2's files
+    are already on disk, plus one decoy parquet dropped into the data
+    area with NO manifest entry (a crashed writer) that must stay
+    invisible.
+
+    Hashed columns: the per-status aggregate of the as-of read (count,
+    exact cents sum, min/max key) — DuckDB recomputes it from orders
+    WHERE o_orderkey % 3 <= 1.  Any pruning defect is caught by value:
+    version-2 rows change every count/sum; the decoy flips them too.
+    ``later_files_on_disk_ok`` additionally pins that the pruning was
+    real (more data files existed than the snapshot scanned)."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_timetravel_")
+    try:
+        for v in range(TT_VERSION_MOD):
+            commit_snapshot(
+                spark,
+                work,
+                o.filter(F.col("o_orderkey") % TT_VERSION_MOD == v),
+                v,
+            )
+        # a crashed writer's orphan: on disk, in no manifest
+        decoy_dir = os.path.join(work, "data", "c99")
+        o.limit(100).write.mode("overwrite").parquet(decoy_dir)
+
+        n_disk = sum(
+            1
+            for root, _d, files in os.walk(os.path.join(work, "data"))
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        snap_files = manifest_files(work, TT_READ_VERSION)
+        pruned_ok = 0 < len(snap_files) < n_disk
+        asof = read_asof(spark, work, TT_READ_VERSION)
+        agg = (
+            asof.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .withColumn("later_files_on_disk_ok", F.lit(bool(pruned_ok)))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return agg
+
+
+QUERIES = {
+    "q_time_travel_read": q_time_travel_read,
+}
+
+ORACLE = {
+    "q_time_travel_read": f"""
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               TRUE AS later_files_on_disk_ok
+        FROM orders
+        WHERE o_orderkey % {TT_VERSION_MOD} <= {TT_READ_VERSION}
+        GROUP BY o_orderstatus
+    """,
+}
+
+ROWS_ONLY: set[str] = set()

@@ -236,3 +236,36 @@ def test_compaction_plan_greedy_rule(spark, sf_dir):
             assert r.is_small_file == (
                 r.file_bytes < tableops.COMPACT_TARGET_BYTES
             )
+
+
+def test_time_travel_read_older_version(spark, tmp_path):
+    """B138: commit v0 and v1, then (a) AS OF v0 returns exactly the
+    first commit, (b) latest returns the union, (c) a gap version
+    resolves to the latest committed snapshot below it, (d) files on
+    disk without a manifest entry (crashed writer) are invisible, and
+    (e) reading below the first commit raises."""
+    import pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "tbl")
+    schema = "k long, s string"
+    d0 = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    d1 = spark.createDataFrame([(3, "c")], schema)
+    tt.commit_snapshot(spark, table, d0, 0)
+    tt.commit_snapshot(spark, table, d1, 5)  # versions need not be dense
+    # orphan files from a crashed writer: never committed
+    spark.createDataFrame([(99, "zz")], schema).write.parquet(
+        table + "/data/c7"
+    )
+
+    def rows(v=None):
+        return {tuple(r) for r in tt.read_asof(spark, table, v).collect()}
+
+    assert rows(0) == {(1, "a"), (2, "b")}
+    assert rows(3) == {(1, "a"), (2, "b")}          # gap -> latest <= 3 is v0
+    assert rows(5) == {(1, "a"), (2, "b"), (3, "c")}
+    assert rows() == {(1, "a"), (2, "b"), (3, "c")}  # latest; orphan invisible
+    assert tt.snapshot_versions(table) == [0, 5]
+    with pytest.raises(ValueError):
+        tt.read_asof(spark, table, -1)
