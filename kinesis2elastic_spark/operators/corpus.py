@@ -1669,29 +1669,69 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tgt").cast("long")).cast("long").alias("t_f"),
         F.sum((~F.col("tgt")).cast("long")).cast("long").alias("r_f"),
     )
-    # The quantized log-ratio table is computed ONCE, driver-side, through
-    # DuckDB's ln over the BOUNDED <=B-row model (a <=1024-row collect —
-    # same class as the centroid/histogram collects).  Math.log and
-    # DuckDB's ln are each only 1-ulp-accurate; routing the only libm
-    # calls through the SAME library the correctness oracle runs means a
-    # floor(x*1e6 + 0.5) quantization boundary can never split the two
-    # engines (r8 ADVICE: last-ulp disagreement flips lr_micro by 1).
-    # At 100 TB this is unchanged: the model fit still shuffles down to
-    # <=B rows, and 1024 driver-side logs are free.
-    import duckdb
+    # The quantized log-ratio table is computed ONCE, driver-side, over
+    # the BOUNDED <=B-row model (a <=1024-row collect — same class as the
+    # centroid/histogram collects).  When duckdb is importable the logs
+    # run through DuckDB's ln — the SAME library the correctness oracle
+    # runs, so a floor(x*1e6 + 0.5) quantization boundary can never split
+    # the two engines (r8 ADVICE: last-ulp disagreement flips lr_micro by
+    # 1).  CAVEAT (r9 ADVICE, documented deliberately): that makes the
+    # lr_micro/const_micro-derived w_micro/is_upweighted columns
+    # self-referential in the oracle comparison — both engines execute
+    # the same ln; the independently cross-validated columns are the
+    # exact integer sufficient statistics (n_grams, sum_num, sum_den) and
+    # the full feature/model/join pipeline they pin.  duckdb is OPTIONAL
+    # (a test-oracle library, not an engine dependency): without it the
+    # same table comes from math.log, IEEE-accurate within the same
+    # 1-ulp class (a deployment that never runs the DuckDB oracle cannot
+    # see the boundary split either).  At 100 TB this is unchanged: the
+    # model fit still shuffles down to <=B rows, and 1024 driver-side
+    # logs are free.
+    mrows = model.collect()
+    sum_t = sum(r.t_f for r in mrows)
+    sum_r = sum(r.r_f for r in mrows)
+    try:
+        import duckdb
 
-    mpdf = model.toPandas()
-    lr_pdf = duckdb.query(
-        f"""SELECT bucket, t_f, r_f,
-               CAST(floor((ln(t_f + 1) - ln(r_f + 1))
-                          * {DSIR_MICRO} + 0.5) AS BIGINT) AS lr_micro,
-               CAST(floor((ln((SELECT sum(r_f) FROM mpdf) + {DSIR_BUCKETS})
-                           - ln((SELECT sum(t_f) FROM mpdf) + {DSIR_BUCKETS}))
-                          * {DSIR_MICRO} + 0.5) AS BIGINT) AS const_micro
-            FROM mpdf"""
-    ).to_df()
+        import pandas as pd
+
+        mpdf = pd.DataFrame(
+            {"bucket": [r.bucket for r in mrows],
+             "t_f": [r.t_f for r in mrows],
+             "r_f": [r.r_f for r in mrows]}
+        )
+        lr_pdf = duckdb.query(
+            f"""SELECT bucket, t_f, r_f,
+                   CAST(floor((ln(t_f + 1) - ln(r_f + 1))
+                              * {DSIR_MICRO} + 0.5) AS BIGINT) AS lr_micro,
+                   CAST(floor((ln({sum_r} + {DSIR_BUCKETS})
+                               - ln({sum_t} + {DSIR_BUCKETS}))
+                              * {DSIR_MICRO} + 0.5) AS BIGINT) AS const_micro
+                FROM mpdf"""
+        ).to_df()
+        lr_rows = [tuple(int(x) for x in row) for row in lr_pdf.itertuples(index=False)]
+    except ImportError:  # engine-only deployment: pinned pure-Python ln
+        import math
+
+        const_micro = math.floor(
+            (math.log(sum_r + DSIR_BUCKETS) - math.log(sum_t + DSIR_BUCKETS))
+            * DSIR_MICRO
+            + 0.5
+        )
+        lr_rows = [
+            (
+                int(r.bucket),
+                int(r.t_f),
+                int(r.r_f),
+                math.floor(
+                    (math.log(r.t_f + 1) - math.log(r.r_f + 1)) * DSIR_MICRO + 0.5
+                ),
+                const_micro,
+            )
+            for r in mrows
+        ]
     lr = spark.createDataFrame(
-        lr_pdf, "bucket long, t_f long, r_f long, lr_micro long, const_micro long"
+        lr_rows, "bucket long, t_f long, r_f long, lr_micro long, const_micro long"
     )
     doc = (
         b.filter(~F.col("tgt"))
