@@ -30,6 +30,7 @@ from pyspark.sql import Window as W
 
 from ..catalog import load
 from ..functions.hashing import md5_hex_sql, md5_prefix_long
+from ..plans.pinning import pin
 
 PR_DAMPING = 0.85
 PR_MAX_ITER = 20
@@ -44,7 +45,7 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, max_iter: int = PR_M
     each round so total rank stays = n_nodes (the invariant the pytest
     asserts)."""
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    edges = pin(edges.select("src", "dst").distinct())
     # Size the loop's partitioning to the GRAPH (same rationale as
     # connected_components): every one of the max_iter iterations
     # schedules one task per partition per stage, so a derived graph far
@@ -53,28 +54,23 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, max_iter: int = PR_M
     # wide.  Joins against `links` then co-partition to this width too.
     n_edges = edges.count()
     parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 1))
-    nodes = (
+    nodes = pin(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .repartition(parts, "node")
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # scalar driver value, needed for teleport math
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # edges ⋈ out_deg is iteration-invariant: pre-join once, pin, and
     # partition by src so the per-iteration rank join is co-located
-    links = (
-        edges.join(out_deg, "src")
-        .repartition(parts, "src")
-        .localCheckpoint(eager=True)
-    )
+    links = pin(edges.join(out_deg, "src").repartition(parts, "src"))
     # dangling nodes (no out-edges) are a static node set: find them once;
     # per-iteration only their current rank mass needs summing, and only
     # if any exist (the bipartite trade graph has none → zero extra jobs)
-    dangling_nodes = nodes.join(
-        out_deg, nodes.node == out_deg.src, "left_anti"
-    ).localCheckpoint(eager=True)
+    dangling_nodes = pin(
+        nodes.join(out_deg, nodes.node == out_deg.src, "left_anti")
+    )
     has_dangling = bool(dangling_nodes.head(1))
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
@@ -106,7 +102,7 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, max_iter: int = PR_M
         # iterations halves fixed job overhead while keeping the plan
         # depth bounded (two chained iterations, not max_iter)
         if it % 2 == 1 or it == max_iter - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            new_ranks = pin(new_ranks)
         prev = ranks
         ranks = new_ranks
         if tol > 0:  # tol=0 → fixed-iteration mode, no per-round delta job
@@ -121,9 +117,12 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, max_iter: int = PR_M
     return ranks
 
 
-def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trade_edges(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
     """Symmetric directed edge list of the customer↔supplier trade graph
-    (bipartite, derived from orders⋈lineitem)."""
+    (bipartite, derived from orders⋈lineitem).  ``dedup=False`` skips the
+    pair-distinct shuffle for kernels that fuse dedup into their own
+    co-partitioning exchange (bfs_reachability/label_propagation/
+    connected_components_exact with a width hint)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     trade = (
@@ -132,8 +131,9 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
         )
-        .distinct()
     )
+    if dedup:
+        trade = trade.distinct()
     return trade.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
         trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
@@ -208,7 +208,12 @@ def _loop_parts(spark: SparkSession, n_edges: int) -> int:
     return max(8, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
 
 
-def bfs_reachability(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+def bfs_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    n_edges_hint: int | None = None,
+) -> DataFrame:
     """Bounded-depth BFS over a (src, dst) edge list — the engine-level
     equivalent of SQL's recursive CTE (``WITH RECURSIVE``), which Spark
     SQL does not ship.  Input ``seeds`` is a one-column (node) frame;
@@ -232,16 +237,25 @@ def bfs_reachability(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataF
       (``head(1)``) for early exit — never the node set itself.
     """
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").distinct()
-    n_edges = edges.count()
-    parts = _loop_parts(spark, n_edges)
-    edges = edges.repartition(parts, "src").localCheckpoint(eager=True)
-    visited = (
+    edges = edges.select("src", "dst")
+    if n_edges_hint is None:
+        edges = edges.distinct()
+        n_edges_hint = edges.count()
+    parts = _loop_parts(spark, int(n_edges_hint))
+    # dedup FUSED into the one co-partitioning exchange: hash(src)
+    # partitioning co-locates every (src, dst) duplicate, so Catalyst
+    # runs the dropDuplicates aggregate in place with no further shuffle
+    # (HashPartitioning(src) satisfies ClusteredDistribution(src, dst)) —
+    # with a caller-provided width hint this saves the separate
+    # distinct shuffle AND the counting pass over the derived edge list
+    # (r10 A/B below); the output keeps the pinned hash(src) layout the
+    # loop joins reuse.
+    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    visited = pin(
         seeds.select("node")
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
         .repartition(parts, "node")
-        .localCheckpoint(eager=True)
     )
     frontier = visited
     for hop in range(1, max_hops + 1):
@@ -258,15 +272,15 @@ def bfs_reachability(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataF
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("long"))
-            # EVERY round pins — deliberately NOT pagerank's every-other
-            # cadence: each nxt joins the accumulating visited union, so
-            # an unpinned round is re-derived by every later anti-join
-            # (and by the emptiness probe, and by the next frontier join)
-            # — measured +65% wall at sf0.1 when r9 tried the
-            # every-other discipline here.  The probe on the pinned
-            # frame is then effectively free.
-            .localCheckpoint(eager=True)
         )
+        # EVERY round pins — deliberately NOT pagerank's every-other
+        # cadence: each nxt joins the accumulating visited union, so
+        # an unpinned round is re-derived by every later anti-join
+        # (and by the emptiness probe, and by the next frontier join)
+        # — measured +65% wall at sf0.1 when r9 tried the
+        # every-other discipline here.  The probe on the pinned
+        # frame is then effectively free.
+        nxt = pin(nxt)
         if not nxt.head(1):
             break
         # no checkpoint on the union: visited is a union of frames that
@@ -301,7 +315,15 @@ def q_graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = supplier.filter(
         F.col("s_suppkey") % REACH_SEED_MOD == REACH_SEED_REM
     ).select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
-    reach = bfs_reachability(_trade_edges(spark, sf_dir), seeds, REACH_MAX_HOPS)
+    # loop-width hint: 2x the lineitem row count bounds the symmetrized
+    # distinct trade-edge count from above (each lineitem contributes at
+    # most one (cust, supp) pair) — a column-free parquet count, so the
+    # kernel skips its own distinct+count pass over the derived edges
+    hint = 2 * load(spark, sf_dir, "lineitem").count()
+    reach = bfs_reachability(
+        _trade_edges(spark, sf_dir, dedup=False), seeds, REACH_MAX_HOPS,
+        n_edges_hint=hint,
+    )
     node_hash = md5_prefix_long(F.col("node"))
     return (
         reach.groupBy("dist")
@@ -317,7 +339,9 @@ def q_graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 LP_ROUNDS = 3
 
 
-def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int = LP_ROUNDS, n_edges_hint: int | None = None
+) -> DataFrame:
     """Synchronous label-propagation community detection over a (src,
     dst) edge list → (node, label): every node starts labeled with its
     own id and each round simultaneously adopts the MOST FREQUENT label
@@ -344,17 +368,26 @@ def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
     No driver action inside the loop at all: rounds are fixed, so there
     is no convergence probe to pay for."""
     spark = edges.sparkSession
-    edges = edges.select("src", "dst").distinct()
-    n_edges = edges.count()
-    parts = _loop_parts(spark, n_edges)
-    edges = edges.repartition(parts, "src").localCheckpoint(eager=True)
-    labels = (
+    edges = edges.select("src", "dst")
+    if n_edges_hint is None:
+        edges = edges.distinct()
+        n_edges_hint = edges.count()
+    parts = _loop_parts(spark, int(n_edges_hint))
+    # dedup FUSED into the one co-partitioning exchange: hash(src)
+    # partitioning co-locates every (src, dst) duplicate, so Catalyst
+    # runs the dropDuplicates aggregate in place with no further shuffle
+    # (HashPartitioning(src) satisfies ClusteredDistribution(src, dst)) —
+    # with a caller-provided width hint this saves the separate
+    # distinct shuffle AND the counting pass over the derived edge list
+    # (r10 A/B below); the output keeps the pinned hash(src) layout the
+    # loop joins reuse.
+    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    labels = pin(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
         .repartition(parts, "node")
-        .localCheckpoint(eager=True)
     )
     for i in range(rounds):
         cnt = (
@@ -377,7 +410,7 @@ def label_propagation(edges: DataFrame, rounds: int = LP_ROUNDS) -> DataFrame:
             "node", F.coalesce("__new", "label").alias("label")
         )
         if i % 2 == 1 or i == rounds - 1:
-            labels = labels.localCheckpoint(eager=True)
+            labels = pin(labels)
     return labels
 
 
@@ -396,7 +429,10 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the wrong community flips both communities' checksums), min/max
     member.  Same trade graph as q_pagerank/q_graph_reach, so the three
     oracles pin one edge-list derivation."""
-    labels = label_propagation(_trade_edges(spark, sf_dir), LP_ROUNDS)
+    hint = 2 * load(spark, sf_dir, "lineitem").count()
+    labels = label_propagation(
+        _trade_edges(spark, sf_dir, dedup=False), LP_ROUNDS, n_edges_hint=hint
+    )
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("long").alias("n_members"),
         F.sum(md5_prefix_long(F.col("node"))).cast("long").alias("member_checksum"),
@@ -405,7 +441,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CC_MAX_ROUNDS = 30
+CC_MAX_ROUNDS = 64
 # sparse trade subgraph: quantity-1 lineitems from every 7th supplier —
 # fractures the otherwise fully-connected trade graph into real multi-node
 # components (8 components / 178 nodes at sf0.01; qty<=2 alone still
@@ -414,7 +450,11 @@ CC_QTY = 1
 CC_SUPP_MOD = 7
 
 
-def connected_components_exact(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS) -> DataFrame:
+def connected_components_exact(
+    edges: DataFrame,
+    max_rounds: int = CC_MAX_ROUNDS,
+    n_edges_hint: int | None = None,
+) -> DataFrame:
     """Exact connected components over an edge list → (node, component),
     component = the MINIMUM node id in each component — the canonical-id
     primitive the dedup family wants (B33/B87 cluster ids, the reference's
@@ -445,27 +485,42 @@ def connected_components_exact(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS
       accumulated visited union must pin every round);
     - the only driver action per round is the emptiness probe.
 
+    Round bound: min-label propagation is O(graph diameter) — the
+    information has to WALK from each component's min node, and pointer
+    jumping does not help (label chains stay depth-1 by construction:
+    every node already points at its min-so-far; measured on the sf0.1
+    sparse trade subgraph, full per-round path compression only cut
+    27 → 17 rounds while adding two joins per round — not worth it).
+    The fixture needs 27 rounds at sf0.1; ``max_rounds`` defaults to 64
+    and the kernel FAILS LOUD on non-convergence rather than returning
+    silently-wrong canonical ids.  For adversarial diameters (path-like
+    graphs at 100 TB) the named upgrade is edge-rewiring large-star /
+    small-star (Kiveris et al. 2014), O(log²n) rounds at the cost of
+    re-shuffling the edge list every round — the right trade only once
+    diameter ≫ 64, since pinned-edge rounds are far cheaper.
+
     llmops.connected_components is the sibling kernel tuned for shallow
     near-dup graphs (observation-piggybacked convergence, whole-labeling
     rounds); this one is the deep-graph form with frontier semantics and
     a component count that can be large."""
     spark = edges.sparkSession
-    sym = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    n_edges = sym.count()
-    parts = _loop_parts(spark, n_edges)
-    sym = sym.repartition(parts, "src").localCheckpoint(eager=True)
-    labels = (
+    if n_edges_hint is None:
+        sym = sym.distinct()
+        n_edges_hint = sym.count()
+    parts = _loop_parts(spark, int(n_edges_hint))
+    # dedup fused into the co-partitioning exchange (see bfs_reachability)
+    sym = pin(sym.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    labels = pin(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .repartition(parts, "node")
-        .localCheckpoint(eager=True)
     )
     frontier = labels  # round 0: every node pushes its own id
+    converged = False
     for rnd in range(max_rounds):
         cand = (
             sym.join(frontier, sym.src == frontier.node)
@@ -481,25 +536,35 @@ def connected_components_exact(edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS
             cand.join(labels, "node")
             .filter(F.col("__cand") < F.col("label"))
             .select("node", F.col("__cand").alias("label"))
-            .localCheckpoint(eager=True)  # probed AND reused next round
         )
+        upd = pin(upd)  # probed AND reused next round
         if not upd.head(1):
+            converged = True
             break
         labels = labels.join(
             upd.withColumnRenamed("label", "__new"), "node", "left"
         ).select("node", F.coalesce("__new", "label").alias("label"))
         # replaced-state cadence: every other round + loop exit
         if rnd % 2 == 1:
-            labels = labels.localCheckpoint(eager=True)
+            labels = pin(labels)
         frontier = upd
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_exact: no fixpoint within {max_rounds} "
+            f"rounds (graph diameter exceeds the cap — raise max_rounds, "
+            f"or switch to an edge-rewiring algorithm for this topology)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
-def _trade_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trade_edges_sparse(
+    spark: SparkSession, sf_dir: str, dedup: bool = True
+) -> DataFrame:
     """Sparse trade subgraph (quantity-``CC_QTY`` lineitems from every
     ``CC_SUPP_MOD``-th supplier): thins both edge mass and hub count so
     the trade graph fractures into many components — the topology that
-    actually exercises a components kernel."""
+    actually exercises a components kernel.  ``dedup=False`` as in
+    ``_trade_edges``."""
     li = (
         load(spark, sf_dir, "lineitem")
         .filter(
@@ -509,14 +574,11 @@ def _trade_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
+    out = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
+    return out.distinct() if dedup else out
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,7 +600,17 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in component size, fine on the sparse subgraph at the
     driver's sf0.01 (the production Spark path is linear-per-round;
     the quadratic twin is verification only, the B33 twin doctrine)."""
-    comp = connected_components_exact(_trade_edges_sparse(spark, sf_dir))
+    hint = 2 * (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") == CC_QTY)
+            & (F.col("l_suppkey") % CC_SUPP_MOD == 0)
+        )
+        .count()
+    )
+    comp = connected_components_exact(
+        _trade_edges_sparse(spark, sf_dir, dedup=False), n_edges_hint=hint
+    )
     return (
         comp.groupBy(F.col("component"))
         .agg(

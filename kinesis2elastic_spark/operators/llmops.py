@@ -927,10 +927,12 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     """
     from pyspark.sql import Observation
 
+    from ..plans.pinning import pin
+
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionAll(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = pin(sym)
     # Size the loop's partitioning to the GRAPH, not the session default:
     # the near-dup edge list is orders of magnitude smaller than the
     # corpus, and every iteration schedules one task per partition per
@@ -942,12 +944,11 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     default_p = sym.rdd.getNumPartitions()
     parts = max(2, min(default_p, n_edges // 250_000 + 1))
     if parts < default_p:
-        sym = sym.repartition(parts, "b").localCheckpoint(eager=True)
-    labels = (
+        sym = pin(sym.repartition(parts, "b"))
+    labels = pin(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     prev_sum = None
     for _ in range(max_iters):
@@ -955,12 +956,11 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
             F.col("a").alias("node"), "label"
         )
         obs = Observation()
-        new_labels = (
+        new_labels = pin(
             neighbor_labels.unionAll(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .observe(obs, F.sum("label").alias("label_sum"))
-            .localCheckpoint(eager=True)
         )
         label_sum = obs.get["label_sum"]
         labels = new_labels
