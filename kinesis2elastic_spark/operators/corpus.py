@@ -1790,11 +1790,13 @@ def collocations_detail(
     sf_dir: str,
     top_v: int = COLLOC_TOP_V,
     min_support: int = COLLOC_MIN_SUPPORT,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Parameterized collocation kernel (q_collocations pins the
-    contract constants; tools/r10_tier.py sweeps ``top_v`` to carry the
+    contract constants; tools/r10_tier.py sweeps ``top_v`` over a
+    vocabulary-inflated corpus via ``docs`` to carry the
     never-all-pairs-over-vocab claim as a measured slope in V)."""
-    d = load(spark, sf_dir, "documents")
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),

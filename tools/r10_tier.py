@@ -72,16 +72,37 @@ def cc_tier(spark):
 
 
 def colloc_vsweep(spark):
+    """The documents fixture only has 31 distinct tokens, so a bare
+    top_v sweep is vacuous; inflate the vocabulary by salting every
+    token with doc_id % k (all tokens in a doc get the SAME salt, so
+    per-doc pair fan-out is unchanged while the global vocabulary and
+    the broadcast grow ~31k-fold) — isolating exactly the claim under
+    test: vocab-fit aggregate + broadcast scale with V, the pair stage
+    does not."""
+    from kinesis2elastic_spark.catalog import load
     from kinesis2elastic_spark.operators import corpus
 
-    for v in (64, 256, 1024):
+    base = load(spark, SF_DIR, "documents")
+    for v, k in ((64, 1), (256, 8), (1024, 33), (4096, 132)):
+        docs = base.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(t, F.lit("_"), F.col("doc_id") % k),
+                ),
+                " ",
+            ).alias("text"),
+        )
         best = float("inf")
         n = 0
         for _ in range(2):
             t0 = time.time()
-            n = corpus.collocations_detail(spark, SF_DIR, top_v=v).count()
+            n = corpus.collocations_detail(
+                spark, SF_DIR, top_v=v, min_support=1, docs=docs
+            ).count()
             best = min(best, time.time() - t0)
-        print(f"colloc V={v}: wall={best:.2f}s pairs={n}")
+        print(f"colloc V={v} (vocab ~{31 * k}): wall={best:.2f}s pairs={n}")
 
 
 def main():
