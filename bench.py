@@ -110,6 +110,9 @@ HEADLINE = [
     # (per-user ordered window + pattern join)
     "q_table_diff",
     "q_seq_pattern",
+    # r10 (r9 VERDICT #8): the heaviest r9-new shape — 3-round synchronous
+    # LPA over the pinned trade graph vs DuckDB's unrolled-CTE twin
+    "q_label_prop",
 ]
 
 
