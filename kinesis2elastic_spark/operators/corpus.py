@@ -1782,7 +1782,8 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores a consumer ranks by are log-ratios of these sufficient
     statistics (n_ab, df_a, df_b, n_docs), left to the consumer exactly
     so no transcendental enters the hashed schema (the DSIR lesson)."""
-    return collocations_detail(spark, sf_dir)
+    # constants resolved at CALL time (tests monkeypatch them)
+    return collocations_detail(spark, sf_dir, COLLOC_TOP_V, COLLOC_MIN_SUPPORT)
 
 
 def collocations_detail(

@@ -557,6 +557,117 @@ def connected_components_exact(
     return labels.select("node", F.col("label").alias("component"))
 
 
+CC_LOGSTAR_MAX_ROUNDS = 32
+
+
+def connected_components_logstar(
+    edges: DataFrame,
+    max_rounds: int = CC_LOGSTAR_MAX_ROUNDS,
+    n_edges_hint: int | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star edge
+    rewiring (Kiveris et al. 2014, "Connected Components in MapReduce
+    and Beyond") → (node, component), component = min member id — the
+    SAME output contract as ``connected_components_exact``, different
+    round complexity: O(log² n) rounds worst case (≈log n observed)
+    regardless of diameter, vs min-label propagation's O(diameter).
+    This is the named adversarial-diameter path of B137: a path-shaped
+    graph of 10⁵ nodes converges in ~17 pair-rounds here where the
+    propagation kernel would need 10⁵ rounds (pytest plants a 120-node
+    path: 64-round propagation cap is fine, but the log-star kernel
+    finishes it in ≤8 pairs).
+
+    Per pair-round (the trade vs the pinned-edge kernels: the EDGE LIST
+    ITSELF rewires, so each phase re-shuffles it — worth paying only
+    when diameter ≫ rounds-budget):
+    - large-star: every node links its strictly-LARGER neighbors to
+      min(Γ(u) ∪ {u}) — one groupBy(u) min + one co-keyed join-back,
+      emissions canonicalize (min, max) with dedup fused into the
+      repartition (the B137 exchange discipline);
+    - small-star: every node links its smaller neighborhood ∪ itself to
+      its minimum — same shape over the (b → a) orientation;
+    - state is pinned with ``pin`` (the r10 origin-stats rule) and the
+      convergence probe rides the pin's materialization as an
+      Observation (edge count + 48-bit md5-prefix sum signature; two
+      identical consecutive signatures = the edge set is a fixpoint of
+      small∘large = the final star forest, Kiveris Thm 1-2).
+
+    Final labels: star edges are (root=a, member=b); nodes absent from
+    the member side (roots, isolated nodes) keep their own id."""
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
+    nodes = pin(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    canon = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    if n_edges_hint is None:
+        canon = canon.distinct()
+        n_edges_hint = canon.count()
+    parts = _loop_parts(spark, int(n_edges_hint))
+    E = pin(canon.repartition(parts, "a").dropDuplicates(["a", "b"]))
+
+    sig_col = F.sum(
+        md5_prefix_long(F.concat_ws("|", F.col("a"), F.col("b")), 12)
+    ).alias("sig")
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        # LARGE-STAR
+        adj = (
+            E.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(E.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .repartition(parts, "u")
+        )
+        mins = adj.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        emit = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+        )
+        E = pin(emit.repartition(parts, "a").dropDuplicates(["a", "b"]))
+
+        # SMALL-STAR (smaller-neighborhood orientation: u = b, v = a < u)
+        sadj = E.select(F.col("b").alias("u"), F.col("a").alias("v")).repartition(
+            parts, "u"
+        )
+        smins = sadj.groupBy("u").agg(F.min("v").alias("m"))
+        emit = (
+            sadj.join(smins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionByName(
+                smins.select(F.col("m").alias("a"), F.col("u").alias("b"))
+            )
+        )
+        obs = Observation()
+        E = pin(
+            emit.repartition(parts, "a")
+            .dropDuplicates(["a", "b"])
+            .observe(obs, F.count(F.lit(1)).alias("n"), sig_col)
+        )
+        row = obs.get
+        sig = (row["n"], row["sig"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_logstar: no fixpoint within {max_rounds} "
+            f"pair-rounds (O(log²n) bound exceeded — pathological input?)"
+        )
+    return nodes.join(
+        E.select(F.col("b").alias("node"), F.col("a").alias("component")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("component", "node").alias("component"))
+
+
 def _trade_edges_sparse(
     spark: SparkSession, sf_dir: str, dedup: bool = True
 ) -> DataFrame:
@@ -623,11 +734,41 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_connected_components_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B139: the large-star/small-star kernel on the SAME sparse trade
+    subgraph and reduction as B137 — two independent algorithms, one
+    output contract, one oracle: any divergence between the rewiring
+    kernel, the propagation kernel, and DuckDB's recursive closure
+    flips a hash."""
+    hint = 2 * (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") == CC_QTY)
+            & (F.col("l_suppkey") % CC_SUPP_MOD == 0)
+        )
+        .count()
+    )
+    comp = connected_components_logstar(
+        _trade_edges_sparse(spark, sf_dir, dedup=False), n_edges_hint=hint
+    )
+    return (
+        comp.groupBy(F.col("component"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(md5_prefix_long(F.col("node"))).cast("long").alias("member_checksum"),
+            F.min("node").alias("first_member"),
+            F.max("node").alias("last_member"),
+        )
+        .withColumn("canonical_id_ok", F.col("first_member") == F.col("component"))
+    )
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_graph_reach": q_graph_reach,
     "q_label_prop": q_label_prop,
     "q_connected_components": q_connected_components,
+    "q_connected_components_logstar": q_connected_components_logstar,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -753,5 +894,7 @@ ORACLE["q_connected_components"] = f"""
            min(node) = component AS canonical_id_ok
     FROM comp GROUP BY component
 """
+
+ORACLE["q_connected_components_logstar"] = ORACLE["q_connected_components"]
 
 ROWS_ONLY: set[str] = set()

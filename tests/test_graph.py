@@ -299,3 +299,87 @@ def test_q_connected_components_invariants(spark, sf_dir):
         .count()
     )
     assert sum(r.n_members for r in rows) == n_nodes
+
+
+def test_logstar_long_path_beats_diameter_bound(spark):
+    """B139: a 120-node path has diameter 119 — far past what a
+    min-propagation round budget should chase — and must converge in
+    O(log n) pair-rounds with every node labeled by the path's min."""
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(119)],
+        "src string, dst string",
+    )
+    comp = {
+        r.node: r.component
+        for r in graph.connected_components_logstar(edges, max_rounds=10).collect()
+    }
+    assert len(comp) == 120
+    assert set(comp.values()) == {"n000"}
+
+
+def test_logstar_matches_exact_kernel_and_unionfind(spark):
+    """B139 vs B137 vs pure-Python union-find on a deterministic
+    pseudo-random graph (the two Spark kernels are independent
+    algorithms — rewiring vs propagation — so agreement is a strong
+    check on both)."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    edges = [
+        (f"n{h(i) % 80:02d}", f"n{h(i * 13 + 5) % 80:02d}") for i in range(90)
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in list(parent):
+        members = [m for m in parent if find(m) == find(n)]
+        want[n] = min(members)
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got_star = {
+        r.node: r.component
+        for r in graph.connected_components_logstar(df).collect()
+    }
+    got_prop = {
+        r.node: r.component
+        for r in graph.connected_components_exact(df).collect()
+    }
+    assert got_star == want
+    assert got_prop == want
+
+
+def test_logstar_planted_topology(spark):
+    """B139 on the B137 planted graph (chain + triangle + isolated edge
+    + self-loop): identical labeling."""
+    edges = spark.createDataFrame(
+        [
+            ("z5", "z4"), ("z4", "z3"), ("z3", "z2"), ("z2", "a1"),
+            ("m1", "m2"), ("m2", "m3"), ("m3", "m1"),
+            ("q1", "q2"),
+            ("s1", "s1"),
+        ],
+        "src string, dst string",
+    )
+    comp = {
+        r.node: r.component
+        for r in graph.connected_components_logstar(edges).collect()
+    }
+    assert comp == {
+        "z5": "a1", "z4": "a1", "z3": "a1", "z2": "a1", "a1": "a1",
+        "m1": "m1", "m2": "m1", "m3": "m1",
+        "q1": "q1", "q2": "q1",
+        "s1": "s1",
+    }
