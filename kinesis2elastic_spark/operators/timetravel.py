@@ -76,22 +76,18 @@ def manifest_files(table_dir: str, version: int | None = None) -> list[str]:
     return t["path"].to_pylist()
 
 
-def commit_snapshot(
-    spark: SparkSession, table_dir: str, df: DataFrame, version: int
-) -> list[str]:
-    """Append-commit ``df`` as snapshot ``version``: write data files,
-    then publish the manifest (the manifest write IS the commit — a
-    crash before it leaves only invisible files).  Returns the new
-    snapshot's full live-file list."""
-    data_dir = os.path.join(table_dir, "data", f"c{int(version)}")
-    df.write.mode("overwrite").parquet(data_dir)
-    new_files = sorted(
+def _list_data_files(data_dir: str) -> list[str]:
+    return sorted(
         os.path.join(root, f)
         for root, _dirs, files in os.walk(data_dir)
         for f in files
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     )
-    live = manifest_files(table_dir, int(version) - 1) + new_files
+
+
+def _write_manifest(table_dir: str, version: int, live: list[str]) -> None:
+    """Publish ``live`` as snapshot ``version`` — the manifest write IS
+    the commit; a crash before it leaves only invisible files."""
     rows = [
         {
             "path": p,
@@ -110,7 +106,90 @@ def commit_snapshot(
         ),
         os.path.join(_manifest_dir(table_dir), f"v{int(version)}.parquet"),
     )
+
+
+def commit_snapshot(
+    spark: SparkSession, table_dir: str, df: DataFrame, version: int
+) -> list[str]:
+    """Append-commit ``df`` as snapshot ``version``: write data files,
+    then publish the manifest.  Returns the new snapshot's full
+    live-file list."""
+    data_dir = os.path.join(table_dir, "data", f"c{int(version)}")
+    df.write.mode("overwrite").parquet(data_dir)
+    live = manifest_files(table_dir, int(version) - 1) + _list_data_files(data_dir)
+    _write_manifest(table_dir, version, live)
     return live
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> list[str]:
+    """OPTIMIZE as a table commit — the B135 compaction executor joined
+    to the snapshot protocol: rewrite the LATEST snapshot's files into
+    target-sized bins (``layout.plan_compaction_bins`` greedy rule, one
+    bin-scoped job per bin) and publish the compacted layout as a NEW
+    version whose manifest lists ONLY the rewritten files.  Logical
+    content is unchanged — ``read_asof(version)`` equals the pre-optimize
+    snapshot row-for-row — and older versions stay readable because
+    their manifests still reference the original files (pruned only when
+    a retention job expires them, exactly the lakehouse VACUUM split).
+    Crash-safe like any commit: bins land under data/c{version}/ and are
+    invisible until the manifest write."""
+    from .layout import plan_compaction_bins
+
+    src_files = manifest_files(table_dir)
+    manifest = [(p, os.path.getsize(p)) for p in src_files]
+    bins = plan_compaction_bins(manifest, target_bytes)
+    data_dir = os.path.join(table_dir, "data", f"c{int(version)}")
+    for i, bin_files in enumerate(bins):
+        (
+            spark.read.parquet(*bin_files)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(data_dir, f"bin={i}"))
+        )
+    live = _list_data_files(data_dir)
+    _write_manifest(table_dir, version, live)
+    return live
+
+
+def snapshot_diff_files(
+    table_dir: str, v_from: int, v_to: int | None = None
+) -> list[str]:
+    """Files added between two snapshots — the incremental change-feed
+    primitive (B140): manifest set difference, metadata-rate, no data
+    touched.  Valid between APPEND commits (an optimize commit rewrites
+    files without changing content, so a diff across it would re-surface
+    rewritten rows — ACID formats solve that with row-level add/delete
+    tracking; here the contract is documented instead)."""
+    old = set(manifest_files(table_dir, v_from))
+    new = manifest_files(table_dir, v_to)
+    return [p for p in new if p not in old]
+
+
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int | None = None,
+    schema=None,
+) -> DataFrame:
+    """Read ONLY the rows appended after snapshot ``v_from`` (up to
+    ``v_to``, default latest): the scan gets the added-file list, so an
+    incremental consumer pays for the delta, never a table scan — the
+    read-side twin of the B126 delta-merge discipline."""
+    files = snapshot_diff_files(table_dir, v_from, v_to)
+    if not files:
+        if schema is None:
+            raise ValueError(
+                f"no files added between v{v_from} and v{v_to} in {table_dir}"
+            )
+        return spark.createDataFrame([], schema)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*files)
 
 
 def read_asof(
@@ -196,8 +275,61 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B140 contract query: the same three o_orderkey%3 append commits
+    as B138, then an incremental read of everything added AFTER version
+    0 — the change feed must contain exactly commits 1 and 2 (never
+    version 0's rows, never the no-manifest decoy), and its file list
+    must be a strict subset of the latest snapshot's.
+
+    Hashed columns: per-status aggregate of the delta (DuckDB recomputes
+    from orders WHERE o_orderkey % 3 IN (1, 2)); ``files_subset_ok``
+    pins that the diff scanned fewer files than the full snapshot."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_snapdiff_")
+    try:
+        for v in range(TT_VERSION_MOD):
+            commit_snapshot(
+                spark,
+                work,
+                o.filter(F.col("o_orderkey") % TT_VERSION_MOD == v),
+                v,
+            )
+        o.limit(50).write.mode("overwrite").parquet(
+            os.path.join(work, "data", "c99")  # crashed-writer decoy
+        )
+        diff_files = snapshot_diff_files(work, 0)
+        all_files = manifest_files(work)
+        subset_ok = 0 < len(diff_files) < len(all_files)
+        delta = read_changes(spark, work, 0)
+        agg = (
+            delta.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .withColumn("files_subset_ok", F.lit(bool(subset_ok)))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return agg
+
+
 QUERIES = {
     "q_time_travel_read": q_time_travel_read,
+    "q_snapshot_diff": q_snapshot_diff,
 }
 
 ORACLE = {
@@ -211,6 +343,18 @@ ORACLE = {
                TRUE AS later_files_on_disk_ok
         FROM orders
         WHERE o_orderkey % {TT_VERSION_MOD} <= {TT_READ_VERSION}
+        GROUP BY o_orderstatus
+    """,
+    "q_snapshot_diff": f"""
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               TRUE AS files_subset_ok
+        FROM orders
+        WHERE o_orderkey % {TT_VERSION_MOD} IN (1, 2)
         GROUP BY o_orderstatus
     """,
 }

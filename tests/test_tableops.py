@@ -269,3 +269,55 @@ def test_time_travel_read_older_version(spark, tmp_path):
     assert tt.snapshot_versions(table) == [0, 5]
     with pytest.raises(ValueError):
         tt.read_asof(spark, table, -1)
+
+
+def test_optimize_snapshot_preserves_time_travel(spark, tmp_path):
+    """B135+B138 integration: OPTIMIZE commits a compacted layout as a
+    NEW version — content identical to the pre-optimize snapshot,
+    fewer files, and the OLD version still readable (its manifest keeps
+    referencing the original files)."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "tbl")
+    schema = "k long, s string"
+    # two append commits, deliberately sprayed into many small files
+    d0 = spark.createDataFrame([(i, f"a{i}") for i in range(200)], schema)
+    d1 = spark.createDataFrame([(i, f"b{i}") for i in range(200, 300)], schema)
+    tt.commit_snapshot(spark, table, d0.repartition(8), 0)
+    tt.commit_snapshot(spark, table, d1.repartition(8), 1)
+    pre_files = tt.manifest_files(table)
+    assert len(pre_files) == 16
+    pre_rows = {tuple(r) for r in tt.read_asof(spark, table).collect()}
+
+    total = sum(__import__("os").path.getsize(p) for p in pre_files)
+    tt.optimize_snapshot(spark, table, 2, target_bytes=total // 2)
+    post_files = tt.manifest_files(table)
+    assert 0 < len(post_files) < len(pre_files)
+    # content unchanged across the optimize commit
+    post_rows = {tuple(r) for r in tt.read_asof(spark, table).collect()}
+    assert post_rows == pre_rows
+    # time travel to the pre-optimize version still works, file-exact
+    assert tt.manifest_files(table, 1) == pre_files
+    assert {tuple(r) for r in tt.read_asof(spark, table, 1).collect()} == pre_rows
+
+
+def test_snapshot_diff_reads_only_the_delta(spark, tmp_path):
+    """B140: the change feed between versions contains exactly the
+    appended rows, and an empty diff errors without a schema / returns
+    empty with one."""
+    import pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "tbl")
+    schema = "k long, s string"
+    tt.commit_snapshot(spark, table, spark.createDataFrame([(1, "a")], schema), 0)
+    tt.commit_snapshot(spark, table, spark.createDataFrame([(2, "b")], schema), 3)
+    tt.commit_snapshot(spark, table, spark.createDataFrame([(3, "c")], schema), 7)
+    got = {tuple(r) for r in tt.read_changes(spark, table, 0).collect()}
+    assert got == {(2, "b"), (3, "c")}
+    got = {tuple(r) for r in tt.read_changes(spark, table, 0, v_to=3).collect()}
+    assert got == {(2, "b")}
+    assert tt.read_changes(spark, table, 7, schema=schema).isEmpty()
+    with pytest.raises(ValueError):
+        tt.read_changes(spark, table, 7)
