@@ -544,3 +544,53 @@ def test_qhist_partials_map_combinable(spark, sf_dir):
     assert plan.count("+- Exchange") == 1
     assert "partial_count" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_cc_edge_prep_single_exchange(spark, sf_dir):
+    """B137/B139 edge prep: dedup fused into the one co-partitioning
+    exchange — HashPartitioning(src) satisfies ClusteredDistribution
+    (src, dst), so dropDuplicates adds NO exchange after the repartition
+    (broadcast exchanges of the small orders side excluded)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.graph import _trade_edges_sparse
+
+    e = (
+        _trade_edges_sparse(spark, sf_dir, dedup=False)
+        .select("src", "dst")
+        .repartition(8, "src")
+        .dropDuplicates(["src", "dst"])
+    )
+    plan = formatted_plan(e)
+    import re
+
+    shuffle_ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+    assert len(shuffle_ids) == 1, plan
+    assert "SortMergeJoin" not in plan and "rangepartitioning" not in plan
+
+
+def test_time_travel_scan_prunes_to_snapshot_files(spark, sf_dir, tmp_path):
+    """B138: the as-of scan touches EXACTLY the snapshot manifest's
+    files — later versions and uncommitted orphans never reach the
+    planner (checked via input_file_name over the actual scan)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "tbl")
+    schema = "k long, s string"
+    tt.commit_snapshot(
+        spark, table, spark.createDataFrame([(1, "a")], schema).coalesce(1), 0
+    )
+    tt.commit_snapshot(
+        spark, table, spark.createDataFrame([(2, "b")], schema).coalesce(1), 1
+    )
+    spark.createDataFrame([(9, "z")], schema).write.parquet(table + "/data/c9")
+    scanned = {
+        r[0].replace("file://", "")
+        for r in tt.read_asof(spark, table, 0)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert scanned == set(tt.manifest_files(table, 0))
