@@ -734,6 +734,133 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRI_QTY_MAX = 10  # co-purchase graph: lineitems with l_quantity <= 10
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts co-occurring in the same order (canonical p < q, distinct)
+    — a NON-bipartite graph (the trade graph has no odd cycles, so no
+    triangles); quantity-filtered to keep the per-order fan-out of the
+    self-join bounded at contract scale."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= TRI_QTY_MAX)
+        .select("l_orderkey", "l_partkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    return (
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_partkey < l2.p2))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list →
+    (node, n_tri) for every node in ≥1 triangle — the clustering
+    signal (clustering coefficient, community density) the graph family
+    lacks, and the classic bounded-wedge distributed kernel.
+
+    Degree-ordered orientation (the O(E^1.5) discipline): each
+    undirected edge is oriented from its LOWER-(degree, id) endpoint to
+    the higher, so every node's out-degree is ≤ √(2E) and the wedge
+    join (pairs of out-neighbors of one node) generates O(E^1.5)
+    candidates total — id-ordered orientation instead lets one
+    low-id hub of degree d generate O(d²) wedges.  Each triangle
+    {x,y,z} is found EXACTLY once: from its lowest-ranked corner, as
+    the wedge (x→y, x→z) closed by the oriented y–z edge.
+
+    Shuffle shape: degree aggregate (map-combinable) + one broadcast of
+    nothing — the orientation join is edges⋈degrees on both endpoints
+    (two co-keyed hash joins over narrow rows), the wedge join is
+    out⋈out on src, and the closing probe is one equi-join against the
+    oriented edge set on the (lo, hi) rank pair.  No driver action; the
+    per-node fan-in of wedges is the O(E^1.5) bound, never n²."""
+    e = edges.select("a", "b").distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = e.join(da, "a").join(db, "b")
+    # orient lower (deg, id) -> higher; rank ties broken by id
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    out = pin(
+        ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+                "deg_dst"
+            ),
+        )
+    )
+    o1 = out.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("deg_dst").alias("dv"),
+    )
+    o2 = out.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("deg_dst").alias("dw"),
+    )
+    # wedges at u: unordered out-neighbor pairs, then re-rank (v, w) the
+    # same way the orientation did so the closing edge probe key matches
+    wedge = (
+        o1.join(o2, "u")
+        .filter(F.col("v") < F.col("w"))
+        .select(
+            "u",
+            F.when(
+                (F.col("dv") < F.col("dw"))
+                | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))),
+                F.struct(F.col("v").alias("lo"), F.col("w").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("w").alias("lo"), F.col("v").alias("hi")))
+            .alias("k"),
+        )
+        .select("u", "k.lo", "k.hi")
+    )
+    tri = wedge.join(
+        out.select(F.col("src").alias("lo"), F.col("dst").alias("hi")),
+        ["lo", "hi"],
+    )
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("lo").alias("node")))
+        .unionByName(tri.select(F.col("hi").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_tri"))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B141: exact triangle counting — per-node triangle participation
+    over the co-purchase parts graph, hashed row-for-row (plus each
+    node's degree, pinning the edge derivation).  DuckDB oracle: the
+    canonical id-ordered triple join E(a,b)⋈E(b,c)⋈E(a,c) with per-node
+    counts via the three corners — a DIFFERENT exact algorithm (no
+    orientation), so the degree-ordered kernel and the naive closure
+    must agree on every node."""
+    comp = triangle_counts(_copurchase_edges(spark, sf_dir))
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return comp.join(deg, "node").select(
+        F.col("node").cast("long").alias("node"), "n_tri", "degree"
+    )
+
+
 def q_connected_components_logstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B139: the large-star/small-star kernel on the SAME sparse trade
     subgraph and reduction as B137 — two independent algorithms, one
@@ -769,6 +896,7 @@ QUERIES = {
     "q_label_prop": q_label_prop,
     "q_connected_components": q_connected_components,
     "q_connected_components_logstar": q_connected_components_logstar,
+    "q_triangle_count": q_triangle_count,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -896,5 +1024,32 @@ ORACLE["q_connected_components"] = f"""
 """
 
 ORACLE["q_connected_components_logstar"] = ORACLE["q_connected_components"]
+
+ORACLE["q_triangle_count"] = f"""
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_quantity <= {TRI_QTY_MAX}),
+    edges AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM li x JOIN li y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri),
+    cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+            FROM corners GROUP BY node),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      GROUP BY node)
+    SELECT CAST(cnt.node AS BIGINT) AS node, n_tri, degree
+    FROM cnt JOIN deg USING (node)
+"""
 
 ROWS_ONLY: set[str] = set()

@@ -383,3 +383,31 @@ def test_logstar_planted_topology(spark):
         "q1": "q1", "q2": "q1",
         "s1": "s1",
     }
+
+
+def test_triangle_counts_planted(spark):
+    """B141: K4 (every node in 3 triangles), one standalone triangle
+    (1 each), a 4-cycle (0 — absent from output), a pendant edge."""
+    k4 = [("k1", "k2"), ("k1", "k3"), ("k1", "k4"),
+          ("k2", "k3"), ("k2", "k4"), ("k3", "k4")]
+    tri = [("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    square = [("s1", "s2"), ("s2", "s3"), ("s3", "s4"), ("s4", "s1")]
+    pendant = [("t1", "p9")]
+    df = spark.createDataFrame(k4 + tri + square + pendant, "a string, b string")
+    got = {r.node: r.n_tri for r in graph.triangle_counts(df).collect()}
+    assert got == {
+        "k1": 3, "k2": 3, "k3": 3, "k4": 3,
+        "t1": 1, "t2": 1, "t3": 1,
+    }
+
+
+def test_triangle_counts_skewed_hub(spark):
+    """Degree-ordered orientation: a star hub (degree 40) with one rim
+    edge has exactly 1 triangle — and the hub's orientation must not
+    blow the wedge space (correctness check; the bound itself is the
+    plan's job)."""
+    star = [("hub", f"r{i:02d}") for i in range(40)]
+    rim = [("r00", "r01")]
+    df = spark.createDataFrame(star + rim, "a string, b string")
+    got = {r.node: r.n_tri for r in graph.triangle_counts(df).collect()}
+    assert got == {"hub": 1, "r00": 1, "r01": 1}
