@@ -105,6 +105,51 @@ def colloc_vsweep(spark):
         print(f"colloc V={v} (vocab ~{31 * k}): wall={best:.2f}s pairs={n}")
 
 
+def tri_tier(spark):
+    """10x disjoint-clone tier for B141: per-triangle-count histogram
+    must replicate exactly x10 (every clone contributes an identical
+    triangle structure)."""
+    from kinesis2elastic_spark.operators.graph import (
+        _copurchase_edges,
+        triangle_counts,
+    )
+
+    base = _copurchase_edges(spark, SF_DIR).localCheckpoint(eager=True)
+    hists = {}
+    for tier, edges in (
+        ("1x", base),
+        (
+            "10x",
+            base.select(
+                "*", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("_k")
+            ).select(
+                F.concat("a", F.lit("!"), F.col("_k")).alias("a"),
+                F.concat("b", F.lit("!"), F.col("_k")).alias("b"),
+            ),
+        ),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            hist = {
+                r.n_tri: r.n_nodes
+                for r in triangle_counts(edges)
+                .groupBy("n_tri")
+                .agg(F.count("*").alias("n_nodes"))
+                .collect()
+            }
+            best = min(best, time.time() - t0)
+        hists[tier] = hist
+        print(
+            f"tri {tier}: wall={best:.2f}s nodes_in_triangles={sum(hist.values())}"
+        )
+    ok = all(
+        hists["10x"].get(k) == 10 * v for k, v in hists["1x"].items()
+    ) and len(hists["10x"]) == len(hists["1x"])
+    print(f"tri histogram scales exactly x10: {ok}")
+    return ok
+
+
 def main():
     spark = get_spark(
         "r10-tier", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -114,6 +159,8 @@ def main():
         cc_tier(spark)
     if only in (None, "colloc"):
         colloc_vsweep(spark)
+    if only in (None, "tri"):
+        tri_tier(spark)
 
 
 if __name__ == "__main__":
