@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions.hashing import md5_hex_sql
 from ..functions.numerics import stable_round
 from ..functions.vectors import cosine
 
@@ -65,6 +66,69 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", "source").agg(
         F.count("*").alias("n_total"),
         F.countDistinct("text").alias("n_unique"),
+    )
+
+
+PARA_WORDS = 8  # sub-document dedup granularity: disjoint 8-word chunks
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B142: sub-document (paragraph-level) dedup — the RefinedWeb /
+    FineWeb pipeline step document-level dedup (B32) cannot do: repeated
+    boilerplate paragraphs are dropped CORPUS-WIDE (keep the first
+    occurrence by (doc_id, position)) and every document is reassembled
+    from its surviving paragraphs, so a document that shares half its
+    content with an earlier one keeps only its novel half.
+
+    Paragraph = disjoint ``PARA_WORDS``-word chunk (the q_doc_chunk
+    convention — the fixture's texts are flat word streams).  Keep rule
+    is a deterministic total order (first by doc_id, then chunk index),
+    so the surviving set and every reassembled text are exact
+    cross-engine.
+
+    Scale shape: one explode pass (doc → chunks), ONE shuffle keyed by
+    paragraph text for the keep-first window (at 100 TB the key would be
+    the md5 digest — the B32 16-byte-key discipline — with the text
+    riding only the winner rows), one map-combinable groupBy(doc_id)
+    whose reassembly is an array_sort over (idx, para) structs —
+    shuffle-order-proof, no per-doc window.  Hashed: per-doc paragraph
+    counts + the md5-prefix of the reassembled text."""
+    d = load(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(split(text, ' ')) - 1) div {PARA_WORDS}), "
+                f"i -> struct(i AS idx, array_join(slice(split(text, ' '), "
+                f"i * {PARA_WORDS} + 1, {PARA_WORDS}), ' ') AS para))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.idx", "c.para")
+    w = W.partitionBy("para").orderBy("doc_id", "idx")
+    marked = chunks.withColumn("rn", F.row_number().over(w))
+    from ..functions.hashing import md5_prefix_long
+
+    per_doc = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum((F.col("rn") == 1).cast("long")).cast("long").alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN rn = 1 "
+                    "THEN struct(idx, para) END)), s -> s.para)"
+                ),
+                " ",
+            ).alias("__text"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        md5_prefix_long(F.coalesce(F.col("__text"), F.lit(""))).alias(
+            "dedup_text_hash"
+        ),
     )
 
 
@@ -2795,6 +2859,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_stats": q_dedup_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "q_minhash_near_dup": q_minhash_near_dup,
     "q_minhash_incremental": q_minhash_incremental,
     "q_dedup_clusters": q_dedup_clusters,
@@ -2841,6 +2906,36 @@ ORACLE = {
                md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))    AS fingerprint,
                sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint_sha256
         FROM documents
+    """,
+    "q_paragraph_dedup": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        chunks AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, (len(ws) - 1) // {PARA_WORDS})) AS idx,
+                 ws
+          FROM w),
+        paras AS (
+          SELECT doc_id, idx,
+                 array_to_string(
+                   list_slice(ws, idx * {PARA_WORDS} + 1,
+                              idx * {PARA_WORDS} + {PARA_WORDS}), ' ') AS para
+          FROM chunks),
+        marked AS (
+          SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY para
+                                    ORDER BY doc_id, idx) AS rn
+          FROM paras),
+        re AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_paras,
+                 CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0) AS BIGINT)
+                   AS n_kept,
+                 coalesce(string_agg(para, ' ' ORDER BY idx)
+                            FILTER (WHERE rn = 1), '') AS t
+          FROM marked GROUP BY doc_id)
+        SELECT doc_id, n_paras, n_kept,
+               CAST({md5_hex_sql("t")} AS BIGINT) AS dedup_text_hash
+        FROM re
     """,
     "q_exact_substr_dedup": f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -587,3 +587,40 @@ def test_hard_negatives_null_label_candidates_excluded(spark):
         llmops.load = orig
     assert {r.neighbor_id for r in out} == {3, 4}
     assert all(r.anchor_label == 1 for r in out)
+
+
+def test_paragraph_dedup_planted(spark, tmp_path):
+    """B142: corpus-wide keep-first paragraph dedup + reassembly — a doc
+    sharing a paragraph with an earlier doc keeps only its novel one; a
+    doc made entirely of seen paragraphs reassembles to ''."""
+    import hashlib
+
+    from kinesis2elastic_spark.operators import llmops
+
+    P1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    P2 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    P3 = "y1 y2 y3 y4 y5 y6 y7 y8"
+    SHORT = "z1 z2 z3"
+    rows = [
+        (1, f"{P1} {P2}", "en", "s", 10),
+        (2, f"{P1} {P3}", "en", "s", 10),
+        (3, f"{P2} {P1}", "en", "s", 10),
+        (4, SHORT, "en", "s", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.dedup_text_hash)
+        for r in llmops.q_paragraph_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2, 2, h(f"{P1} {P2}")),
+        2: (2, 1, h(P3)),
+        3: (2, 0, h("")),
+        4: (1, 1, h(SHORT)),
+    }
