@@ -26,7 +26,7 @@ the *same compiled grok regex* (grok.py emits RE2-safe patterns).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -190,6 +190,92 @@ def q_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(absu, F.lit("HOST")).alias("abs_host"),
         F.parse_url(absu, F.lit("PATH")).alias("abs_path"),
         F.parse_url(absu, F.lit("QUERY")).alias("abs_query"),
+    )
+
+
+def canonical_url(url) -> "F.Column":
+    """The canonicalization kernel of q_url_canonical as a reusable
+    column expression (pytest pins the rules on hand-written URLs):
+    scheme+host case-folded, default port stripped, non-root trailing
+    slash removed, utm_* params dropped, survivors sorted."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
+    port = F.nullif(F.regexp_extract(hostport, r":([0-9]+)$", 1), F.lit(""))
+    default_port = F.when(scheme == "https", "443").when(scheme == "http", "80")
+    port_part = F.when(
+        port.isNotNull() & (port != default_port), F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path0 = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    path1 = F.when(path0 == "", F.lit("/")).otherwise(path0)
+    path = F.when(path1 == "/", path1).otherwise(
+        F.regexp_replace(path1, r"/$", "")
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.startswith("utm_"),
+        )
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_part,
+        path,
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B143: URL canonicalization — the crawl-frontier / web-dedup key
+    the uri_parts surface (A20) stops short of: two spellings of the
+    same resource must collapse to ONE string before any URL-keyed
+    dedup, visit-scheduling, or per-site budgeting.  Rules (the standard
+    canon): scheme+host case-folded, default port stripped (https:443,
+    http:80), trailing slash removed from non-root paths, query params
+    with tracking prefixes (utm_*) dropped and the survivors SORTED
+    (param order is transport noise), '?' dropped when nothing survives.
+
+    Raw URLs are synthesized deterministically per event with all four
+    hazards planted (mixed-case scheme/host, explicit default port,
+    %4==0 trailing slash, 1-2 utm params in shuffled positions), so the
+    canonicalizer's work is visible in the hash — and
+    ``n_events_sharing_canonical`` (a count over the canonical key)
+    shows the dedup effect the key exists for.
+
+    Pure codegen: regex extracts + a higher-order filter/sort over the
+    split query — no UDF; one shuffle for the per-canonical count.
+    DuckDB twin replicates with regexp_extract / list_filter /
+    list_sort (the A20 oracle's regex-only precedent)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    raw = F.concat(
+        F.lit("HTTPS://Api"), (F.col("user_id") % 5).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(":8443")).otherwise(
+            F.lit(":443")  # default port: must strip; 8443 must survive
+        ),
+        F.lit("/api/v"), (F.col("event_id") % 3).cast("string"),
+        F.lit("/items"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?page="), (F.col("event_id") % 7).cast("string"),
+        F.lit("&utm_source=u"), (F.col("user_id") % 9).cast("string"),
+        F.lit("&q="), k,
+        F.when(F.col("event_id") % 2 == 0, F.lit("&utm_campaign=c1")).otherwise(
+            F.lit("")
+        ),
+    )
+    d = e.select("event_id", raw.alias("url_raw"))
+    out = d.select(
+        "event_id", "url_raw", canonical_url(F.col("url_raw")).alias("url_canonical")
+    )
+    wc = W.partitionBy("url_canonical")
+    return out.withColumn(
+        "n_events_sharing_canonical", F.count("*").over(wc).cast("long")
     )
 
 
@@ -408,6 +494,7 @@ QUERIES = {
     "q_grok": q_grok,
     "q_grok_ip": q_grok_ip,
     "q_parse_url": q_parse_url,
+    "q_url_canonical": q_url_canonical,
     "q_set_ops": q_set_ops,
     "q_case_when": q_case_when,
     "q_coalesce": q_coalesce,
@@ -624,3 +711,51 @@ ORACLE["q_pipeline_axway"] = SQL_LINES_CTE + f"""
 """
 
 ROWS_ONLY: set[str] = set()
+
+ORACLE["q_url_canonical"] = """
+    WITH raw AS (
+      SELECT event_id,
+             concat('HTTPS://Api', CAST(user_id % 5 AS VARCHAR),
+                    '.Example.COM',
+                    CASE WHEN event_id % 5 = 0 THEN ':8443' ELSE ':443' END,
+                    '/api/v', CAST(event_id % 3 AS VARCHAR), '/items',
+                    CASE WHEN event_id % 4 = 0 THEN '/' ELSE '' END,
+                    '?page=', CAST(event_id % 7 AS VARCHAR),
+                    '&utm_source=u', CAST(user_id % 9 AS VARCHAR),
+                    '&q=', json_extract_string(props, '$.k'),
+                    CASE WHEN event_id % 2 = 0 THEN '&utm_campaign=c1'
+                         ELSE '' END) AS url_raw
+      FROM events),
+    parts AS (
+      SELECT event_id, url_raw,
+             lower(regexp_extract(url_raw, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_extract(url_raw, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+             regexp_extract(url_raw, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+             regexp_extract(url_raw, '\\?([^#]*)', 1) AS query
+      FROM raw),
+    norm AS (
+      SELECT event_id, url_raw, scheme,
+             lower(regexp_extract(hostport, '^([^:]+)', 1)) AS host,
+             nullif(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path1,
+             list_sort(list_filter(string_split(query, '&'),
+                       p -> p <> '' AND NOT p LIKE 'utm_%')) AS kept
+      FROM parts),
+    canon AS (
+      SELECT event_id, url_raw,
+             concat(scheme, '://', host,
+                    CASE WHEN port IS NOT NULL AND port <>
+                         CASE scheme WHEN 'https' THEN '443'
+                                     WHEN 'http' THEN '80' END
+                         THEN concat(':', port) ELSE '' END,
+                    CASE WHEN path1 = '/' THEN path1
+                         ELSE regexp_replace(path1, '/$', '') END,
+                    CASE WHEN len(kept) > 0
+                         THEN concat('?', array_to_string(kept, '&'))
+                         ELSE '' END) AS url_canonical
+      FROM norm)
+    SELECT event_id, url_raw, url_canonical,
+           CAST(count(*) OVER (PARTITION BY url_canonical) AS BIGINT)
+             AS n_events_sharing_canonical
+    FROM canon
+"""

@@ -73,3 +73,28 @@ def test_axway_e2e_branches(spark, sf_dir):
     dead = df.filter(F.col("error_message").isNotNull())
     assert dead.count() > 0
     df.unpersist()
+
+
+def test_canonical_url_rules(spark):
+    """B143: the four canonicalization rules on hand-written URLs —
+    case-fold, default-port strip (non-default survives), trailing-slash
+    strip (root keeps its slash), utm-drop + param sort ('?' dropped
+    when nothing survives)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.pipeline import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/b/", "https://www.example.com/A/b"),
+        ("http://h.io:80/x?b=2&a=1", "http://h.io/x?a=1&b=2"),
+        ("https://h.io:8443/x", "https://h.io:8443/x"),
+        ("https://h.io/", "https://h.io/"),
+        ("https://h.io", "https://h.io/"),
+        ("https://h.io/p?utm_source=x&utm_campaign=y", "https://h.io/p"),
+        ("https://h.io/p?z=1&utm_source=x&a=2", "https://h.io/p?a=2&z=1"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
+    got = [
+        r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
