@@ -734,6 +734,107 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def kcore_membership(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    n_edges_hint: int | None = None,
+):
+    """Fixed-round k-core peeling over an undirected edge list →
+    ((node, core_degree) DataFrame, converged flag): iteratively remove
+    every node whose degree in the remaining induced subgraph is < k —
+    the cohesion filter (spam rings, boilerplate farms, and isolated
+    tendrils all peel away; what survives is the densely-linked core a
+    link-based curation pass keeps).  Fixed ``rounds`` with an early
+    exit at the fixpoint and an explicit converged flag — the LPA
+    fixed-round determinism contract, so the DuckDB oracle unrolls the
+    SAME rounds and agrees exactly whether or not the peel finished
+    (the fixture converges in 6 rounds at sf0.01; 16 at sf0.1 — the
+    flag says which world you're in, never a silently-partial core).
+
+    Per round: two co-partitioned joins restrict edges to
+    alive-both-ends (sym pinned hash(src) once; one exchange moves the
+    surviving rows to hash(dst)), then the degree aggregate and the
+    >= k filter run in place; alive state is replaced each round and
+    pinned with ``pin`` (the r10 origin-stats rule), and the round's
+    node count rides the pin as an Observation — alive counts are
+    MONOTONE non-increasing, so equal consecutive counts == equal sets
+    == fixpoint (no set-compare join needed)."""
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if n_edges_hint is None:
+        sym = sym.distinct()
+        n_edges_hint = sym.count()
+    parts = _loop_parts(spark, int(n_edges_hint))
+    sym = pin(sym.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    alive = pin(
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .repartition(parts, "node")
+    )
+    prev_n = alive.count()
+    converged = False
+    for _ in range(rounds):
+        ind = (
+            sym.join(alive.withColumnRenamed("node", "src"), "src")
+            .select("src", "dst")
+            .repartition(parts, "dst")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+        )
+        obs = Observation()
+        nxt = pin(
+            ind.groupBy("dst")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("dst").alias("node"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        n = obs.get["n"] or 0
+        alive = nxt
+        if n == prev_n:
+            converged = True
+            break
+        prev_n = n
+    core_deg = (
+        sym.join(alive.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst")
+        .repartition(parts, "dst")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+    return core_deg, converged
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B144: k-core decomposition (k=2, 8 peel rounds) on the sparse
+    trade subgraph — per-core-member rows (node, induced core degree)
+    plus the convergence flag, all exact BIGINT/string; DuckDB oracle
+    unrolls the identical rounds as chained CTEs and recomputes the
+    a8-induced degrees, with converged = |a8| == |a7| (counts are
+    monotone, so count equality is set equality)."""
+    hint = 2 * (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") == CC_QTY)
+            & (F.col("l_suppkey") % CC_SUPP_MOD == 0)
+        )
+        .count()
+    )
+    core, converged = kcore_membership(
+        _trade_edges_sparse(spark, sf_dir, dedup=False), n_edges_hint=hint
+    )
+    return core.withColumn("converged", F.lit(bool(converged)))
+
+
 TRI_QTY_MAX = 10  # co-purchase graph: lineitems with l_quantity <= 10
 
 
@@ -897,6 +998,7 @@ QUERIES = {
     "q_connected_components": q_connected_components,
     "q_connected_components_logstar": q_connected_components_logstar,
     "q_triangle_count": q_triangle_count,
+    "q_kcore": q_kcore,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -1024,6 +1126,50 @@ ORACLE["q_connected_components"] = f"""
 """
 
 ORACLE["q_connected_components_logstar"] = ORACLE["q_connected_components"]
+
+def _kcore_rounds_sql(rounds: int, k: int) -> str:
+    """Unrolled k-core peel rounds as chained CTEs (the LPA fixed-round
+    oracle discipline): a{{i}} = nodes of a{{i-1}} whose degree in the
+    a{{i-1}}-induced subgraph is >= k.  AS MATERIALIZED is load-bearing:
+    each round references a{{i-1}} TWICE (both join sides), so DuckDB's
+    default CTE inlining re-expands the whole chain 2^rounds-fold
+    (measured: ~2 min for 8 rounds on 170 edges; materialized: ms)."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT e.dst AS node, count(*) AS c
+        FROM edges e
+        JOIN a{i - 1} s ON s.node = e.src
+        JOIN a{i - 1} t ON t.node = e.dst
+        GROUP BY e.dst) WHERE c >= {k})"""
+        )
+    return ",\n    ".join(parts)
+
+
+ORACLE["q_kcore"] = f"""
+    WITH trade AS (
+      SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity = {CC_QTY} AND l_suppkey % {CC_SUPP_MOD} = 0),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM trade
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM trade),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    {_kcore_rounds_sql(KCORE_ROUNDS, KCORE_K)},
+    deg AS (
+      SELECT e.dst AS node, CAST(count(*) AS BIGINT) AS core_degree
+      FROM edges e
+      JOIN a{KCORE_ROUNDS} s ON s.node = e.src
+      JOIN a{KCORE_ROUNDS} t ON t.node = e.dst
+      GROUP BY e.dst),
+    conv AS (
+      SELECT (SELECT count(*) FROM a{KCORE_ROUNDS})
+           = (SELECT count(*) FROM a{KCORE_ROUNDS - 1}) AS converged)
+    SELECT node, core_degree, converged FROM deg CROSS JOIN conv
+"""
 
 ORACLE["q_triangle_count"] = f"""
     WITH li AS (

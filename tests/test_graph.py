@@ -411,3 +411,37 @@ def test_triangle_counts_skewed_hub(spark):
     df = spark.createDataFrame(star + rim, "a string, b string")
     got = {r.node: r.n_tri for r in graph.triangle_counts(df).collect()}
     assert got == {"hub": 1, "r00": 1, "r01": 1}
+
+
+def test_kcore_planted_peeling(spark):
+    """B144 (k=2): a pendant chain peels away layer by layer, the
+    triangle and 4-cycle survive with induced degree 2, and the flag
+    reports convergence."""
+    edges = spark.createDataFrame(
+        [
+            ("m1", "m2"), ("m2", "m3"), ("m3", "m1"),   # triangle
+            ("m1", "c1"), ("c1", "c2"),                 # pendant chain
+            ("s1", "s2"), ("s2", "s3"), ("s3", "s4"), ("s4", "s1"),  # 4-cycle
+        ],
+        "src string, dst string",
+    )
+    core, converged = graph.kcore_membership(edges, k=2, rounds=8)
+    got = {r.node: r.core_degree for r in core.collect()}
+    assert converged
+    assert got == {
+        "m1": 2, "m2": 2, "m3": 2,
+        "s1": 2, "s2": 2, "s3": 2, "s4": 2,
+    }
+
+
+def test_kcore_not_converged_flag(spark):
+    """B144: a long chain needs one peel round per end-layer — with a
+    1-round budget the flag must say NOT converged (and the partial
+    peel is exactly one layer deep)."""
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    core, converged = graph.kcore_membership(
+        spark.createDataFrame(chain, "src string, dst string"), k=2, rounds=1
+    )
+    assert not converged
+    # after one round only the two endpoints have peeled
+    assert {r.node for r in core.collect()} == {f"n{i}" for i in range(1, 6)}
