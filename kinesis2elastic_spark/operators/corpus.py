@@ -67,7 +67,15 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (curated > web > synthetic here), then report the kept-mix per
     (source, lang).  The dedup key is a 16-byte fingerprint of normalized
     text — at corpus scale the shuffle carries (digest, priority, ids),
-    never documents."""
+    never documents.
+
+    r11 (the B142 skew sweep): the keep rule is an argmin, so it is a
+    map-combinable ``groupBy(fingerprint).agg(min(struct(priority,
+    doc_id, …)))`` — NOT a row_number window partitioned by the
+    fingerprint, which would put every copy of a viral document in one
+    task.  doc_id is unique, so fields after it in the struct ride along
+    without changing the winner; hot fingerprints collapse in the
+    partial aggregate."""
     d = load(spark, sf_dir, "documents")
     fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").cast("binary"))
     prio = (
@@ -75,11 +83,16 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source") == "web", 1)
         .otherwise(2)
     )
-    w = W.partitionBy("fingerprint").orderBy("priority", "doc_id")
     kept = (
-        d.select("doc_id", "lang", "source", fp.alias("fingerprint"), prio.alias("priority"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        d.select(
+            fp.alias("fingerprint"),
+            F.struct(
+                prio.alias("priority"), "doc_id", "source", "lang"
+            ).alias("s"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("s").alias("w"))
+        .select("w.doc_id", "w.lang", "w.source")
     )
     return kept.groupBy("source", "lang").agg(
         F.count("*").alias("n_kept"),
@@ -465,6 +478,10 @@ def q_charlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.groupBy("bg")
         .agg(F.count("*").alias("n_bg"))
         .withColumn("c1", F.substring("bg", 1, 1))
+        # window over a data-value key is safe HERE (r11 skew audit):
+        # the frame is the already-aggregated bigram table, so a c1
+        # partition holds at most |alphabet| rows regardless of corpus
+        # size — bounded by construction, unlike the B142 shape.
         .withColumn("n_c1", F.sum("n_bg").over(W.partitionBy("c1")))
     )
     scored = grams.join(F.broadcast(model.select("bg", "n_bg", "n_c1")), "bg")

@@ -624,3 +624,35 @@ def test_paragraph_dedup_planted(spark, tmp_path):
         3: (2, 0, h("")),
         4: (1, 1, h(SHORT)),
     }
+
+
+def test_paragraph_dedup_hot_paragraph_distributes(spark):
+    """B142 r11: one viral paragraph planted in 100k docs — the r10
+    keep-first window would funnel all 100k copies into ONE task; the
+    winner-aggregate rewrite collapses them map-side.  Asserts the
+    corpus-wide keep rule on the hot key (exactly one keeper, the min
+    (doc_id, idx)) and that the winner aggregate runs partial-first
+    (each input partition emits at most one pre-shuffle row per
+    distinct paragraph, so the shuffled winner set is bounded by
+    |distinct paragraphs|, not by copy count)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators import llmops
+
+    HOT = "all rights reserved c example corp do not"
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 0, F.concat(F.lit(HOT + " u"), F.col("id").cast("string")))
+        .otherwise(F.lit(HOT))
+        .alias("text"),
+    ).repartition(16)
+    out = llmops.paragraph_dedup(docs)
+    agg = out.agg(
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_paras").alias("paras"),
+    ).collect()[0]
+    # 1 keeper for HOT (doc 0) + every %100 doc's unique 1-word tail para
+    assert agg.paras == 100_000 + 1_000
+    assert agg.kept == 1 + 1_000
+    keeper = out.filter(F.col("n_kept") > 0).agg(F.min("doc_id")).collect()[0][0]
+    assert keeper == 0

@@ -92,6 +92,12 @@ def test_canonical_url_rules(spark):
         ("https://h.io", "https://h.io/"),
         ("https://h.io/p?utm_source=x&utm_campaign=y", "https://h.io/p"),
         ("https://h.io/p?z=1&utm_source=x&a=2", "https://h.io/p?a=2&z=1"),
+        # r11 ADVICE: schemes with no known default port must KEEP the
+        # port (the NULL default used to strip it, merging resources)
+        ("ftp://H.io:2121/x", "ftp://h.io:2121/x"),
+        # and only the literal 'utm_' prefix is a tracking param — a
+        # SQL-LIKE '_' wildcard in the oracle would also drop 'utmx'
+        ("https://h.io/p?utmx=1&a=2", "https://h.io/p?a=2&utmx=1"),
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
     got = [

@@ -594,3 +594,54 @@ def test_time_travel_scan_prunes_to_snapshot_files(spark, sf_dir, tmp_path):
         .collect()
     }
     assert scanned == set(tt.manifest_files(table, 0))
+
+
+def test_pin_preserves_partitioning(spark):
+    """r11 ADVICE (medium): pin() must keep the checkpointed plan's
+    outputPartitioning — a loop join on the pinned key must add NO
+    ENSURE_REQUIREMENTS exchange on the pinned side.  The original
+    internalCreateDataFrame rebuild produced UnknownPartitioning, so
+    every iterative kernel silently re-shuffled its pinned
+    co-partitioned state once per round at cluster scale."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.plans.pinning import pin
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = spark.range(1000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+        pinned = pin(base.repartition(8, "k"))
+        other = (
+            spark.range(50)
+            .select(F.col("id").alias("k"), F.lit(1).alias("w"))
+            .repartition(8, "k")
+        )
+        joined = pinned.join(other, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the only exchange is `other`'s explicit repartition; the pinned
+        # side must be consumed in place (and really be a bare RDD leaf —
+        # no origin-stats chain for the optimizer to walk)
+        assert "ENSURE_REQUIREMENTS" not in plan, plan
+        assert "Scan ExistingRDD" in plan, plan
+        # values survive the rebuild
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_paragraph_dedup_no_window_on_para(spark, sf_dir):
+    """B142 r11: the keep-first rule must be the map-combinable winner
+    aggregate, never a row_number window partitioned by the raw
+    paragraph — that key is GUARANTEED skewed at web scale (viral
+    boilerplate) and a window cannot split a hot key across tasks.
+    Pins: no Window node anywhere, and a partial min(struct) aggregate
+    keyed by the md5 digest before its exchange."""
+    from kinesis2elastic_spark.operators import llmops
+
+    plan = formatted_plan(llmops.q_paragraph_dedup(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial" in plan.lower(), plan
+    assert "md5" in plan.lower(), plan
