@@ -878,8 +878,20 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (two co-keyed hash joins over narrow rows), the wedge join is
     out⋈out on src, and the closing probe is one equi-join against the
     oriented edge set on the (lo, hi) rank pair.  No driver action; the
-    per-node fan-in of wedges is the O(E^1.5) bound, never n²."""
-    e = edges.select("a", "b").distinct()
+    per-node fan-in of wedges is the O(E^1.5) bound, never n².
+
+    Input contract (r11 ADVICE): the kernel advertises "undirected edge
+    list", so it canonicalizes DEFENSIVELY — least/greatest per pair,
+    self-loops dropped, then distinct — the logstar-CC discipline.  A
+    symmetrized or reversed-pair input would otherwise double degrees
+    and duplicate oriented edges, silently inflating n_tri."""
+    e = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -948,9 +960,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical id-ordered triple join E(a,b)⋈E(b,c)⋈E(a,c) with per-node
     counts via the three corners — a DIFFERENT exact algorithm (no
     orientation), so the degree-ordered kernel and the naive closure
-    must agree on every node."""
-    comp = triangle_counts(_copurchase_edges(spark, sf_dir))
-    e = _copurchase_edges(spark, sf_dir)
+    must agree on every node.
+
+    r11: the edge list is derived ONCE and pinned — the lineitem
+    self-join + distinct is the expensive stage and the r10 shape ran it
+    twice (once for the kernel, once for the degree join); pin() also
+    keeps the derivation's partitioning for the kernel's degree joins."""
+    e = pin(_copurchase_edges(spark, sf_dir))
+    comp = triangle_counts(e)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))

@@ -86,8 +86,14 @@ def _list_data_files(data_dir: str) -> list[str]:
 
 
 def _write_manifest(table_dir: str, version: int, live: list[str]) -> None:
-    """Publish ``live`` as snapshot ``version`` — the manifest write IS
-    the commit; a crash before it leaves only invisible files."""
+    """Publish ``live`` as snapshot ``version`` — the commit point is an
+    ATOMIC same-directory rename (r11 ADVICE): writing the parquet
+    straight to ``v{N}.parquet`` would let a mid-write crash leave a
+    truncated file that ``snapshot_versions`` already lists as
+    committed, breaking every later read.  Temp name + ``os.replace``
+    is the Iceberg/Delta discipline the module claims — a crash before
+    the rename leaves only an invisible ``.tmp`` the reader's
+    name-filter skips."""
     rows = [
         {
             "path": p,
@@ -97,6 +103,8 @@ def _write_manifest(table_dir: str, version: int, live: list[str]) -> None:
         for p in live
     ]
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    final = os.path.join(_manifest_dir(table_dir), f"v{int(version)}.parquet")
+    tmp = final + f".tmp-{os.getpid()}"
     pq.write_table(
         pa.Table.from_pylist(
             rows,
@@ -104,8 +112,9 @@ def _write_manifest(table_dir: str, version: int, live: list[str]) -> None:
                 [("path", pa.string()), ("n_bytes", pa.int64()), ("n_rows", pa.int64())]
             ),
         ),
-        os.path.join(_manifest_dir(table_dir), f"v{int(version)}.parquet"),
+        tmp,
     )
+    os.replace(tmp, final)
 
 
 def commit_snapshot(

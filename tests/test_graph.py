@@ -413,6 +413,23 @@ def test_triangle_counts_skewed_hub(spark):
     assert got == {"hub": 1, "r00": 1, "r01": 1}
 
 
+
+def test_triangle_counts_symmetrized_input(spark):
+    """r11 ADVICE: the kernel advertises a generic undirected edge list,
+    so a symmetrized (both directions) or reversed-pair input — plus a
+    planted self-loop — must produce the SAME counts as the canonical
+    a<b form, not doubled degrees / duplicated oriented edges."""
+    tri = [("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    sym = tri + [(b, a) for a, b in tri] + [("t1", "t1")]
+    canon = {r.node: r.n_tri
+             for r in graph.triangle_counts(
+                 spark.createDataFrame(tri, "a string, b string")).collect()}
+    messy = {r.node: r.n_tri
+             for r in graph.triangle_counts(
+                 spark.createDataFrame(sym, "a string, b string")).collect()}
+    assert canon == messy == {"t1": 1, "t2": 1, "t3": 1}
+
+
 def test_kcore_planted_peeling(spark):
     """B144 (k=2): a pendant chain peels away layer by layer, the
     triangle and 4-cycle survive with induced degree 2, and the flag

@@ -321,3 +321,32 @@ def test_snapshot_diff_reads_only_the_delta(spark, tmp_path):
     assert tt.read_changes(spark, table, 7, schema=schema).isEmpty()
     with pytest.raises(ValueError):
         tt.read_changes(spark, table, 7)
+
+
+def test_manifest_commit_is_atomic_rename(spark, tmp_path):
+    """r11 ADVICE: the commit point is the rename — a crashed writer's
+    leftover temp file (or any truncated non-.parquet name) is invisible
+    to snapshot_versions/read_asof, and a successful commit leaves no
+    temp files behind."""
+    import os
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "tbl")
+    schema = "k long, s string"
+    tt.commit_snapshot(
+        spark, table, spark.createDataFrame([(1, "a")], schema).coalesce(1), 0
+    )
+    mdir = os.path.join(table, "_manifest")
+    # simulate a writer that died mid-write of v1's manifest
+    with open(os.path.join(mdir, "v1.parquet.tmp-4242"), "wb") as f:
+        f.write(b"truncated-garbage")
+    assert tt.snapshot_versions(table) == [0]
+    assert [r.k for r in tt.read_asof(spark, table).collect()] == [1]
+    # a real commit succeeds next to the orphan temp and leaves none of its own
+    tt.commit_snapshot(
+        spark, table, spark.createDataFrame([(2, "b")], schema).coalesce(1), 1
+    )
+    assert tt.snapshot_versions(table) == [0, 1]
+    leftovers = [f for f in os.listdir(mdir) if not f.endswith(".parquet")]
+    assert leftovers == ["v1.parquet.tmp-4242"]
