@@ -113,3 +113,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for the SQL surface."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata table from the parquet FOOTER —
+    metadata-only (no Spark job, no data scan).  The width-hint source
+    for iterative kernels: ``_loop_parts`` needs an order of magnitude,
+    so paying a cluster count job for it is pure overhead.  Handles the
+    single-file layout and a multi-file directory (sum of part footers,
+    still metadata-rate)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(p).num_rows
+            for p in sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        )
+    return pq.read_metadata(path).num_rows
