@@ -118,16 +118,84 @@ def _write_manifest(table_dir: str, version: int, live: list[str]) -> None:
 
 
 def commit_snapshot(
-    spark: SparkSession, table_dir: str, df: DataFrame, version: int
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    version: int,
+    carry_forward: bool = True,
 ) -> list[str]:
-    """Append-commit ``df`` as snapshot ``version``: write data files,
-    then publish the manifest.  Returns the new snapshot's full
+    """Commit ``df`` as snapshot ``version``: write data files, then
+    publish the manifest.  ``carry_forward=True`` is an APPEND commit
+    (manifest = previous live set + the new files); ``False`` is a
+    REPLACE commit (manifest lists ONLY this version's files — the
+    state-table shape the streaming matview maintainer publishes, where
+    each version IS the whole table).  Returns the new snapshot's full
     live-file list."""
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}")
     df.write.mode("overwrite").parquet(data_dir)
-    live = manifest_files(table_dir, int(version) - 1) + _list_data_files(data_dir)
+    live = _list_data_files(data_dir)
+    if carry_forward:
+        live = manifest_files(table_dir, int(version) - 1) + live
     _write_manifest(table_dir, version, live)
     return live
+
+
+def vacuum(
+    table_dir: str, keep_last: int = 2, min_age_s: float = 0.0
+) -> dict:
+    """VACUUM + retention (B145) — the deletion half B138 deliberately
+    deferred: nothing in the commit protocol ever removes a file, so a
+    long-running table accumulates every superseded version's data plus
+    any crashed writer's orphans.  Two metadata-rate steps:
+
+    1. RETENTION: drop manifests older than the last ``keep_last``
+       versions — time travel below the new floor fails LOUDLY
+       (``read_asof`` raises; it must never silently re-read vacuumed
+       files or fall forward to a newer snapshot than asked).
+    2. ORPHAN GC: delete data files present on disk but referenced by
+       NO surviving manifest (anti-join of the data-dir listing vs the
+       union of live manifests), age-gated by ``min_age_s`` so a
+       concurrent writer's just-written-not-yet-committed files are
+       never swept (the Iceberg orphan-file discipline; commit protocol
+       is write-data-then-manifest, so a file older than the gate with
+       no manifest entry is either superseded or abandoned).
+
+    The OPTIMIZE interplay (B140's note): an optimize commit rewrites
+    the live set, leaving the pre-optimize files referenced only by
+    OLDER manifests — retention expires those manifests, and the GC
+    then reclaims the files.  Returns counts for observability."""
+    import time as _time
+
+    vs = snapshot_versions(table_dir)
+    dropped_manifests = []
+    if keep_last > 0 and len(vs) > keep_last:
+        for v in vs[:-keep_last]:
+            os.remove(os.path.join(_manifest_dir(table_dir), f"v{v}.parquet"))
+            dropped_manifests.append(v)
+        vs = vs[-keep_last:]
+    live: set[str] = set()
+    for v in vs:
+        live.update(manifest_files(table_dir, v))
+    data_root = os.path.join(table_dir, "data")
+    now = _time.time()
+    removed = []
+    for p in _list_data_files(data_root) if os.path.isdir(data_root) else []:
+        if p not in live and now - os.path.getmtime(p) >= min_age_s:
+            os.remove(p)
+            removed.append(p)
+    # sweep emptied commit dirs (cosmetic; readers never list directories)
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, d)
+            if os.path.isdir(full) and not _list_data_files(full):
+                import shutil as _shutil
+
+                _shutil.rmtree(full, ignore_errors=True)
+    return {
+        "dropped_manifests": dropped_manifests,
+        "removed_files": removed,
+        "retained_versions": vs,
+    }
 
 
 def optimize_snapshot(
@@ -207,7 +275,19 @@ def read_asof(
     """Read the table AS OF ``version`` (latest committed snapshot <=
     version; None = latest): the scan gets the manifest's explicit file
     list, so uncommitted and later-version files are pruned before the
-    planner ever sees them."""
+    planner ever sees them.
+
+    A version below the retention floor (older manifests vacuumed away)
+    raises UNCONDITIONALLY — even with a ``schema`` fallback — because
+    the only honest answers are the vacuumed snapshot (gone) or an
+    error; silently returning empty/newer data would corrupt an
+    incremental consumer."""
+    vs = snapshot_versions(table_dir)
+    if vs and version is not None and int(version) < vs[0]:
+        raise ValueError(
+            f"version {version} is below the retention floor v{vs[0]} of "
+            f"{table_dir} (older snapshots were vacuumed)"
+        )
     files = manifest_files(table_dir, version)
     if not files:
         if schema is None:

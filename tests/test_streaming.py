@@ -585,3 +585,62 @@ def test_qhist_stream_crash_replay(spark, tmp_path_factory):
         for r in qhist_partials(b0.unionByName(b1)).collect()
     }
     assert got == oneshot
+
+
+def test_matview_commits_are_time_travelable(spark, tmp_path_factory):
+    """r11 (verdict #4): the streaming MV publishes through the B138
+    snapshot protocol, so read_asof works over streaming-maintained
+    state — as-of batch 1 equals the state after batch 1 even after
+    batch 2 commits; a crashed batch's data-only orphan (no manifest)
+    is invisible and its replay converges; vacuumed pre-floor versions
+    fail loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+    from kinesis2elastic_spark.operators.tableops import MV_STATE_SCHEMA
+    from kinesis2elastic_spark.streaming.matview_stream import (
+        matview_writer,
+        read_matview,
+    )
+
+    state = str(tmp_path_factory.mktemp("mv_tt"))
+    schema = (
+        "o_orderkey long, o_orderstatus string, o_totalprice double,"
+        " o_date_s string"
+    )
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(rows, schema)
+            .withColumn("o_orderdate", F.col("o_date_s").cast("timestamp"))
+            .drop("o_date_s")
+        )
+
+    b0 = [(1, "O", 100.0, "2024-01-05 00:00:00")]
+    b1 = [(2, "F", 50.5, "2024-01-20 00:00:00")]
+    b2 = [(3, "O", 10.0, "2024-02-01 00:00:00")]
+    fb = matview_writer(spark, state)
+    fb(mk(b0), 0)
+    fb(mk(b1), 1)
+    after_b1 = {tuple(r) for r in read_matview(spark, state).collect()}
+
+    # crashed batch 2: data written, manifest never renamed (simulated by
+    # writing the data dir directly) — must be invisible to every reader
+    mk(b2).write.mode("overwrite").parquet(os.path.join(state, "data", "c2"))
+    assert tt.snapshot_versions(state) == [0, 1]
+    assert {tuple(r) for r in read_matview(spark, state).collect()} == after_b1
+
+    # the replayed batch 2 overwrites its own orphan and commits
+    fb(mk(b2), 2)
+    assert tt.snapshot_versions(state) == [1, 2]  # vacuum kept last 2
+    # as-of the retained batch 1 == the state after batch 1
+    asof1 = {
+        tuple(r)
+        for r in tt.read_asof(spark, state, 1, schema=MV_STATE_SCHEMA).collect()
+    }
+    assert asof1 == after_b1
+    # batch 0 fell below the retention floor: loud failure, not empty data
+    with _pytest.raises(ValueError, match="retention floor"):
+        tt.read_asof(spark, state, 0, schema=MV_STATE_SCHEMA)

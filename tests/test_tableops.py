@@ -350,3 +350,59 @@ def test_manifest_commit_is_atomic_rename(spark, tmp_path):
     assert tt.snapshot_versions(table) == [0, 1]
     leftovers = [f for f in os.listdir(mdir) if not f.endswith(".parquet")]
     assert leftovers == ["v1.parquet.tmp-4242"]
+
+
+def test_vacuum_retention_and_orphan_gc(spark, tmp_path):
+    """B145: vacuum drops pre-floor manifests and deletes exactly the
+    files no surviving manifest references — live files untouched, a
+    too-young orphan survives the age gate, pre-floor reads raise, and
+    the post-OPTIMIZE originals are reclaimed once retention expires
+    their manifests."""
+    import os
+
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "tbl")
+    schema = "k long, s string"
+    for v, rows in enumerate([[(1, "a")], [(2, "b")], [(3, "c")]]):
+        tt.commit_snapshot(
+            spark, table, spark.createDataFrame(rows, schema).coalesce(1), v
+        )
+    # a crashed writer's orphan + a fresh (uncommitted, in-flight) file
+    spark.createDataFrame([(9, "z")], schema).coalesce(1).write.parquet(
+        os.path.join(table, "data", "c9")
+    )
+    orphan_files = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(table, "data", "c9"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert orphan_files
+    # age-gate: nothing is old enough yet -> orphan survives, manifests drop
+    res = tt.vacuum(table, keep_last=2, min_age_s=3600)
+    assert res["dropped_manifests"] == [0]
+    assert res["removed_files"] == []
+    assert all(os.path.exists(p) for p in orphan_files)
+    # no gate: orphan AND v0's now-unreferenced file go; live files stay
+    res = tt.vacuum(table, keep_last=2, min_age_s=0)
+    assert tt.snapshot_versions(table) == [1, 2]
+    assert not any(os.path.exists(p) for p in orphan_files)
+    live = tt.manifest_files(table)
+    assert live and all(os.path.exists(p) for p in live)
+    # pre-floor time travel fails loudly
+    with _pytest.raises(ValueError, match="retention floor"):
+        tt.read_asof(spark, table, 0)
+    # retained snapshots still read exactly
+    assert sorted(r.k for r in tt.read_asof(spark, table, 2).collect()) == [1, 2, 3]
+    assert sorted(r.k for r in tt.read_asof(spark, table, 1).collect()) == [1, 2]
+    # OPTIMIZE interplay: compact to v3, then retention expires the
+    # pre-optimize manifests and GC reclaims the original files
+    pre_optimize_files = set(live)
+    tt.optimize_snapshot(spark, table, 3)
+    tt.vacuum(table, keep_last=1, min_age_s=0)
+    assert tt.snapshot_versions(table) == [3]
+    assert not any(os.path.exists(p) for p in pre_optimize_files)
+    assert sorted(r.k for r in tt.read_asof(spark, table).collect()) == [1, 2, 3]
