@@ -1015,6 +1015,195 @@ def q_connected_components_logstar(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+
+SCC_MAX_OUTER = 8
+SCC_INNER_MAX_ROUNDS = 32
+
+
+def _minprop_directed(
+    e: DataFrame, nodes: DataFrame, parts: int, max_rounds: int, what: str
+) -> DataFrame:
+    """Semi-naive min-label propagation ALONG edge direction to fixpoint
+    → (node, label), label = min id that can reach node (node included)
+    — connected_components_exact's directed sibling, same discipline:
+    pinned hash(src) edges, frontier = labels that changed last round,
+    ONE exchange per round, emptiness probe the only driver action,
+    fail-loud on non-convergence.  ``nodes`` (pinned hash(node)) is the
+    label universe — active nodes with no in-class edges keep their own
+    id without ever joining."""
+    labels = pin(nodes.withColumn("label", F.col("node")))
+    frontier = labels
+    converged = False
+    for rnd in range(max_rounds):
+        cand = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"), "label")
+            .repartition(parts, "node")
+            .groupBy("node")
+            .agg(F.min("label").alias("__cand"))
+        )
+        upd = (
+            cand.join(labels, "node")
+            .filter(F.col("__cand") < F.col("label"))
+            .select("node", F.col("__cand").alias("label"))
+        )
+        upd = pin(upd)  # probed AND reused next round
+        if not upd.head(1):
+            converged = True
+            break
+        labels = labels.join(
+            upd.withColumnRenamed("label", "__new"), "node", "left"
+        ).select("node", F.coalesce("__new", "label").alias("label"))
+        if rnd % 2 == 1:  # replaced-state cadence
+            labels = pin(labels)
+        frontier = upd
+    if not converged:
+        raise RuntimeError(
+            f"_minprop_directed({what}): no fixpoint within {max_rounds} rounds"
+        )
+    return labels
+
+
+def scc_decomposition(
+    edges: DataFrame,
+    max_outer: int = SCC_MAX_OUTER,
+    inner_max_rounds: int = SCC_INNER_MAX_ROUNDS,
+    n_edges_hint: int | None = None,
+) -> DataFrame:
+    """Strongly connected components over a DIRECTED (src, dst) edge
+    list → (node, scc_id), scc_id = the minimum member id — the cycle
+    collapse crawl-link analysis wants before ranking (B146; every
+    other family kernel treats the graph as undirected or flat).
+
+    Algorithm: parallel multi-pivot FW-BW via min-label reachability
+    (Fleischer et al. 2000's recursion, all branches at once).  Each
+    outer round, restricted to SAME-CLASS edges (classes partition the
+    unassigned nodes; round 0 = one class):
+
+    1. fwd(v) = min id that can reach v  (directed min-label fixpoint);
+    2. bwd(v) = min id v can reach       (same kernel, reversed edges);
+    3. fwd(v) == bwd(v) == m means m reaches v AND v reaches m, so v is
+       ASSIGNED scc_id = m — this resolves exactly the SCCs of each
+       class's min-reachability pivots, including every source/sink-min
+       singleton of the condensation DAG;
+    4. survivors re-class by the (fwd, bwd) pair.  Any SCC lies wholly
+       inside one pair class (mutual reachability forces equal labels),
+       and pairs cannot collide across classes (a propagated label is a
+       member of its own class), so the recursion is sound and classes
+       only ever split.
+
+    Round bound: the recursion depth of FW-BW — 3 outer rounds on the
+    sf0.01 directed trade graph (120 SCCs, 14 non-trivial; simulated
+    before building, tools/r11_scc_sim note in SCALING.md).  Fail-loud
+    past ``max_outer`` (the CC discipline: never silently-wrong ids).
+
+    Scale shape: edges pinned hash(src) once; per outer round the
+    class restriction is two node-keyed joins + one repartition per
+    direction, and each inner fixpoint is the pinned-edge one-exchange
+    CC loop.  Assigned pairs are ACCUMULATED state → pinned every
+    round (the BFS cadence rule); active/class state is REPLACED →
+    every other round via the inner kernel.  Driver actions: one
+    emptiness probe per inner round + one per outer round."""
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if n_edges_hint is None:
+        e0 = e0.distinct()
+        n_edges_hint = e0.count()
+    parts = _loop_parts(spark, int(n_edges_hint))
+    e0 = pin(e0.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    act = pin(
+        e0.select(F.col("src").alias("node"))
+        .unionByName(e0.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("cls", F.lit(""))
+        .repartition(parts, "node")
+    )
+    assigned: DataFrame | None = None
+    for _outer in range(max_outer):
+        s_cls = act.select(F.col("node").alias("src"), F.col("cls").alias("__cs"))
+        d_cls = act.select(F.col("node").alias("dst"), F.col("cls").alias("__cd"))
+        e_act = (
+            e0.join(s_cls, "src")
+            .join(d_cls.repartition(parts, "dst"), "dst")
+            .filter(F.col("__cs") == F.col("__cd"))
+            .select("src", "dst")
+        )
+        e_fwd = pin(e_act.repartition(parts, "src"))
+        e_bwd = pin(
+            e_act.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).repartition(parts, "src")
+        )
+        nodes = act.select("node")
+        fwd = _minprop_directed(e_fwd, nodes, parts, inner_max_rounds, "fwd")
+        bwd = _minprop_directed(e_bwd, nodes, parts, inner_max_rounds, "bwd")
+        both = fwd.join(bwd.withColumnRenamed("label", "__bl"), "node")
+        done = both.filter(F.col("label") == F.col("__bl")).select(
+            "node", F.col("label").alias("scc_id")
+        )
+        assigned = done if assigned is None else assigned.unionByName(done)
+        assigned = pin(assigned)  # accumulated state: every round
+        rest = both.filter(F.col("label") != F.col("__bl")).select(
+            "node",
+            F.concat(F.col("label"), F.lit("|"), F.col("__bl")).alias("cls"),
+        )
+        act = pin(rest.repartition(parts, "node"))
+        if not act.head(1):
+            return assigned
+    raise RuntimeError(
+        f"scc_decomposition: unassigned nodes remain after {max_outer} "
+        f"outer rounds (pathological condensation depth — raise max_outer)"
+    )
+
+
+def _trade_edges_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED sparse trade graph for the SCC kernel: the B137 sparse
+    filter (quantity-``CC_QTY`` lineitems from every ``CC_SUPP_MOD``-th
+    supplier) taken c→s for every trade and s→c ONLY where the lineitem
+    was returned (l_returnflag = 'R') — return flows close cycles, so
+    the graph has real multi-node SCCs (14 at sf0.01) plus one-way DAG
+    tendrils (the c→s-only edges) that must stay singletons."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") == CC_QTY)
+            & (F.col("l_suppkey") % CC_SUPP_MOD == 0)
+        )
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    cust = F.concat(F.lit("c"), F.col("o_custkey"))
+    supp = F.concat(F.lit("s"), F.col("l_suppkey"))
+    return j.select(cust.alias("src"), supp.alias("dst")).unionByName(
+        j.filter(F.col("l_returnflag") == "R").select(
+            supp.alias("src"), cust.alias("dst")
+        )
+    )
+
+
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B146: strongly connected components — same output contract and
+    reduction as B137 (scc_id = min member; size, md5-prefix member
+    checksum, min/max member, canonical-id flag) over the directed
+    sparse trade graph, plus ``is_nontrivial`` so the cycle collapse is
+    visible in the hash.  DuckDB oracle: recursive reachable-pairs
+    closure BOTH directions intersected (u,v mutual ⟺ same SCC) — a
+    different exact algorithm, quadratic-in-component verification twin
+    like B137's."""
+    comp = scc_decomposition(_trade_edges_directed(spark, sf_dir))
+    return (
+        comp.groupBy(F.col("scc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(md5_prefix_long(F.col("node"))).cast("long").alias("member_checksum"),
+            F.min("node").alias("first_member"),
+            F.max("node").alias("last_member"),
+        )
+        .withColumn("canonical_id_ok", F.col("first_member") == F.col("scc_id"))
+        .withColumn("is_nontrivial", F.col("n_members") > 1)
+    )
+
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_graph_reach": q_graph_reach,
@@ -1023,6 +1212,7 @@ QUERIES = {
     "q_connected_components_logstar": q_connected_components_logstar,
     "q_triangle_count": q_triangle_count,
     "q_kcore": q_kcore,
+    "q_scc": q_scc,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -1150,6 +1340,41 @@ ORACLE["q_connected_components"] = f"""
 """
 
 ORACLE["q_connected_components_logstar"] = ORACLE["q_connected_components"]
+
+ORACLE["q_scc"] = f"""
+    WITH RECURSIVE
+    li AS (
+      SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+      WHERE l_quantity = {CC_QTY} AND l_suppkey % {CC_SUPP_MOD} = 0),
+    j AS (
+      SELECT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp, l_returnflag
+      FROM li JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT DISTINCT cust AS src, supp AS dst FROM j
+      UNION
+      SELECT DISTINCT supp AS src, cust AS dst FROM j WHERE l_returnflag = 'R'),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    -- forward reachable-pairs closure; mutual pairs = same SCC
+    r(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b),
+    mutual AS (
+      SELECT r1.a AS u, r1.b AS v
+      FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a),
+    scc AS (
+      SELECT node, least(node, coalesce(min(v), node)) AS scc_id
+      FROM nodes LEFT JOIN mutual ON u = node GROUP BY node)
+    SELECT scc_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum({_NODE_HEX8}) AS BIGINT) AS member_checksum,
+           min(node) AS first_member,
+           max(node) AS last_member,
+           min(node) = scc_id AS canonical_id_ok,
+           count(*) > 1 AS is_nontrivial
+    FROM scc GROUP BY scc_id
+"""
+
 
 def _kcore_rounds_sql(rounds: int, k: int) -> str:
     """Unrolled k-core peel rounds as chained CTEs (the LPA fixed-round

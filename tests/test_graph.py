@@ -462,3 +462,48 @@ def test_kcore_not_converged_flag(spark):
     assert not converged
     # after one round only the two endpoints have peeled
     assert {r.node for r in core.collect()} == {f"n{i}" for i in range(1, 6)}
+
+
+def test_scc_planted_cycles_and_dag(spark):
+    """B146: a 2-cycle and a 3-cycle collapse to min-member ids, DAG
+    chain nodes stay singletons, cross-SCC edges don't merge — and the
+    condensation respects direction (y->z alone is NOT a cycle)."""
+    edges = [
+        ("a", "b"), ("b", "a"),                       # 2-cycle
+        ("c", "d"), ("d", "e"), ("e", "c"),           # 3-cycle
+        ("x", "y"), ("y", "z"),                       # DAG chain
+        ("b", "c"), ("z", "a"),                       # cross-SCC edges
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.scc_id for r in graph.scc_decomposition(df).collect()}
+    assert got == {
+        "a": "a", "b": "a",
+        "c": "c", "d": "c", "e": "c",
+        "x": "x", "y": "y", "z": "z",
+    }
+
+
+def test_scc_directed_path_is_all_singletons(spark):
+    """B146 DAG adversary: an 8-node directed path has NO cycles — every
+    node is its own SCC regardless of id order (both orientations)."""
+    up = [(f"n{i}", f"n{i+1}") for i in range(8)]
+    down = [(f"n{i+1}", f"n{i}") for i in range(8)]
+    for edges in (up, down):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.scc_id for r in graph.scc_decomposition(df).collect()}
+        assert got == {f"n{i}": f"n{i}" for i in range(9)}
+
+
+def test_scc_on_symmetric_graph_equals_cc(spark):
+    """B146 invariant: on a symmetrized edge list, SCCs ARE the
+    connected components — the directed kernel must agree with B137's
+    undirected one node-for-node."""
+    base = [("p", "q"), ("q", "r"), ("s", "t"), ("u", "u2"), ("u2", "v")]
+    sym = base + [(b, a) for a, b in base]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    scc = {r.node: r.scc_id for r in graph.scc_decomposition(df).collect()}
+    cc = {
+        r.node: r.component
+        for r in graph.connected_components_exact(df).collect()
+    }
+    assert scc == cc
