@@ -113,6 +113,11 @@ HEADLINE = [
     # r10 (r9 VERDICT #8): the heaviest r9-new shape — 3-round synchronous
     # LPA over the pinned trade graph vs DuckDB's unrolled-CTE twin
     "q_label_prop",
+    # r11 (r10 VERDICT #8): complete the graph family's round-over-round
+    # cost tracking — the min-propagation CC fixpoint and the
+    # degree-ordered triangle kernel (~1.5 s each at sf0.1)
+    "q_connected_components",
+    "q_triangle_count",
 ]
 
 

@@ -1135,8 +1135,23 @@ def scc_decomposition(
             ).repartition(parts, "src")
         )
         nodes = act.select("node")
-        fwd = _minprop_directed(e_fwd, nodes, parts, inner_max_rounds, "fwd")
-        bwd = _minprop_directed(e_bwd, nodes, parts, inner_max_rounds, "bwd")
+        # the two fixpoints are independent — drive them from two driver
+        # threads so their per-round jobs interleave on the cluster
+        # (Spark's scheduler is thread-safe; each loop's jobs are small,
+        # so this roughly halves the outer round's wall without touching
+        # the plan).  Falls back to sequential if the executor is
+        # unavailable for any reason.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_fwd = ex.submit(
+                _minprop_directed, e_fwd, nodes, parts, inner_max_rounds, "fwd"
+            )
+            f_bwd = ex.submit(
+                _minprop_directed, e_bwd, nodes, parts, inner_max_rounds, "bwd"
+            )
+            fwd = f_fwd.result()
+            bwd = f_bwd.result()
         both = fwd.join(bwd.withColumnRenamed("label", "__bl"), "node")
         done = both.filter(F.col("label") == F.col("__bl")).select(
             "node", F.col("label").alias("scc_id")
@@ -1204,6 +1219,110 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_nontrivial", F.col("n_members") > 1)
     )
 
+
+COND_MAX_DEPTH = 64
+
+
+def condensation_levels(
+    edges: DataFrame,
+    scc: DataFrame,
+    max_depth: int = COND_MAX_DEPTH,
+    n_edges_hint: int | None = None,
+) -> DataFrame:
+    """Condensation DAG + topological depth (B147): collapse each SCC of
+    a directed graph to one node and assign every SCC its LONGEST-path
+    depth from the DAG's sources → (scc_id, depth) — the crawl-analysis
+    layering (how many cycle-collapsed hops deep a page cluster sits
+    from the frontier) that only makes sense AFTER the B146 cycle
+    collapse, because longest-path is undefined on cyclic graphs.
+
+    Kernel: two node-keyed joins map edges to (scc(u), scc(v)), cross-
+    SCC pairs dedup-fused into the co-partitioning exchange; then
+    semi-naive MAX-level propagation (the _minprop_directed shape with
+    max/increment instead of min): level(v) = max over in-edges of
+    level(u)+1, frontier = levels raised last round, one exchange per
+    round, rounds = DAG depth.  ``max_depth`` doubles as the cycle
+    guard — a cycle would climb forever, so exceeding the budget fails
+    loud (it cannot happen on a true condensation; the guard protects
+    against a caller passing a non-SCC labeling)."""
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if n_edges_hint is None:
+        e0 = e0.distinct()
+        n_edges_hint = e0.count()
+    parts = _loop_parts(spark, int(n_edges_hint))
+    s_map = scc.select(F.col("node").alias("src"), F.col("scc_id").alias("__cu"))
+    d_map = scc.select(F.col("node").alias("dst"), F.col("scc_id").alias("__cv"))
+    ce = pin(
+        e0.join(s_map, "src")
+        .join(d_map.repartition(parts, "dst"), "dst")
+        .filter(F.col("__cu") != F.col("__cv"))
+        .select(F.col("__cu").alias("src"), F.col("__cv").alias("dst"))
+        .repartition(parts, "src")
+        .dropDuplicates(["src", "dst"])
+    )
+    levels = pin(
+        scc.select(F.col("scc_id").alias("node"))
+        .distinct()
+        .withColumn("lvl", F.lit(0).cast("long"))
+        .repartition(parts, "node")
+    )
+    frontier = levels
+    for _rnd in range(max_depth):
+        cand = (
+            ce.join(frontier, ce.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("__c"))
+            .repartition(parts, "node")
+            .groupBy("node")
+            .agg(F.max("__c").alias("__c"))
+        )
+        upd = (
+            cand.join(levels, "node")
+            .filter(F.col("__c") > F.col("lvl"))
+            .select("node", F.col("__c").alias("lvl"))
+        )
+        upd = pin(upd)
+        if not upd.head(1):
+            return levels.select(
+                F.col("node").alias("scc_id"), F.col("lvl").alias("depth")
+            )
+        levels = levels.join(
+            upd.withColumnRenamed("lvl", "__new"), "node", "left"
+        ).select("node", F.coalesce("__new", "lvl").alias("lvl"))
+        if _rnd % 2 == 1:
+            levels = pin(levels)
+        frontier = upd
+    raise RuntimeError(
+        f"condensation_levels: levels still rising after {max_depth} rounds "
+        f"— the input labeling is not a condensation (cycle present)"
+    )
+
+
+def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B147: condensation DAG layering over the SAME directed trade
+    graph as B146 — SCCs collapse, then each SCC gets its longest-path
+    depth from the sources; one row per depth with the SCC count, the
+    member-node count, an scc-id checksum, and the depth's min/max scc
+    id.  DuckDB oracle: the B146 mutual-closure SCC CTE, condensation
+    edges by set difference, then recursive path-length enumeration
+    with max-per-node (exact longest path — terminates because the
+    condensation is acyclic)."""
+    edges = pin(_trade_edges_directed(spark, sf_dir).distinct())
+    comp = scc_decomposition(edges, n_edges_hint=None)
+    lv = condensation_levels(edges, comp)
+    sizes = comp.groupBy("scc_id").agg(F.count("*").cast("long").alias("n_nodes"))
+    return (
+        lv.join(sizes, "scc_id")
+        .groupBy(F.col("depth").cast("long").alias("depth"))
+        .agg(
+            F.count("*").cast("long").alias("n_sccs"),
+            F.sum("n_nodes").cast("long").alias("n_member_nodes"),
+            F.sum(md5_prefix_long(F.col("scc_id"))).cast("long").alias("scc_checksum"),
+            F.min("scc_id").alias("first_scc"),
+            F.max("scc_id").alias("last_scc"),
+        )
+    )
+
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_graph_reach": q_graph_reach,
@@ -1213,6 +1332,7 @@ QUERIES = {
     "q_triangle_count": q_triangle_count,
     "q_kcore": q_kcore,
     "q_scc": q_scc,
+    "q_condensation": q_condensation,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -1373,6 +1493,53 @@ ORACLE["q_scc"] = f"""
            min(node) = scc_id AS canonical_id_ok,
            count(*) > 1 AS is_nontrivial
     FROM scc GROUP BY scc_id
+"""
+
+
+ORACLE["q_condensation"] = f"""
+    WITH RECURSIVE
+    li AS (
+      SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+      WHERE l_quantity = {CC_QTY} AND l_suppkey % {CC_SUPP_MOD} = 0),
+    j AS (
+      SELECT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp, l_returnflag
+      FROM li JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT DISTINCT cust AS src, supp AS dst FROM j
+      UNION
+      SELECT DISTINCT supp AS src, cust AS dst FROM j WHERE l_returnflag = 'R'),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    r(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b),
+    mutual AS (
+      SELECT r1.a AS u, r1.b AS v
+      FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a),
+    scc AS (
+      SELECT node, least(node, coalesce(min(v), node)) AS scc_id
+      FROM nodes LEFT JOIN mutual ON u = node GROUP BY node),
+    cond AS (
+      SELECT DISTINCT su.scc_id AS src, sv.scc_id AS dst
+      FROM edges e
+      JOIN scc su ON su.node = e.src
+      JOIN scc sv ON sv.node = e.dst
+      WHERE su.scc_id <> sv.scc_id),
+    -- longest path from any source: enumerate all path lengths ending
+    -- at each condensation node (terminates: the condensation is a DAG)
+    pl(c, l) AS (
+      SELECT scc_id, 0 FROM (SELECT DISTINCT scc_id FROM scc)
+      UNION
+      SELECT cond.dst, pl.l + 1 FROM pl JOIN cond ON cond.src = pl.c),
+    lv AS (SELECT c AS scc_id, max(l) AS depth FROM pl GROUP BY c),
+    sz AS (SELECT scc_id, count(*) AS n_nodes FROM scc GROUP BY scc_id)
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_sccs,
+           CAST(sum(n_nodes) AS BIGINT) AS n_member_nodes,
+           CAST(sum({md5_hex_sql("scc_id")}) AS BIGINT) AS scc_checksum,
+           min(lv.scc_id) AS first_scc,
+           max(lv.scc_id) AS last_scc
+    FROM lv JOIN sz USING (scc_id) GROUP BY depth
 """
 
 

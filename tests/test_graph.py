@@ -507,3 +507,37 @@ def test_scc_on_symmetric_graph_equals_cc(spark):
         for r in graph.connected_components_exact(df).collect()
     }
     assert scc == cc
+
+
+def test_condensation_levels_planted(spark):
+    """B147: SCCs collapse, then longest-path depth from sources — the
+    2-cycle {a,b} sits downstream of both the 3-cycle {c,d,e} (via e->a)
+    and the chain x->y->z->a, so its depth is the LONGEST incoming path
+    (4 via the chain), not the shortest (2 via the cycle)."""
+    edges = [
+        ("c", "d"), ("d", "e"), ("e", "c"),   # 3-cycle, a source SCC
+        ("a", "b"), ("b", "a"),               # 2-cycle
+        ("e", "a"),                           # cycle -> cycle (depth 1 path)
+        ("x", "y"), ("y", "z"), ("z", "a"),   # 4-node path into the 2-cycle
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comp = graph.scc_decomposition(df)
+    got = {
+        r.scc_id: r.depth
+        for r in graph.condensation_levels(df, comp).collect()
+    }
+    assert got == {"c": 0, "x": 0, "y": 1, "z": 2, "a": 3}
+
+
+def test_condensation_levels_cycle_guard(spark):
+    """B147: a labeling that is NOT a condensation (cycle survives the
+    collapse) must fail loud, not loop or return garbage."""
+    import pytest as _pytest
+
+    edges = [("a", "b"), ("b", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fake = spark.createDataFrame(
+        [("a", "a"), ("b", "b")], "node string, scc_id string"
+    )
+    with _pytest.raises(RuntimeError, match="not a condensation"):
+        graph.condensation_levels(df, fake, max_depth=6)
