@@ -24,7 +24,7 @@ DataFrame loop —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -544,8 +544,12 @@ def connected_components_exact(
             .filter(F.col("__cand") < F.col("label"))
             .select("node", F.col("__cand").alias("label"))
         )
-        upd = pin(upd)  # probed AND reused next round
-        if not upd.head(1):
+        # emptiness probe rides the pin as an Observation (the kcore
+        # pattern, r11): the pin already materializes upd, so a separate
+        # head() job per round is pure job-floor overhead
+        obs = Observation()
+        upd = pin(upd.observe(obs, F.count(F.lit(1)).alias("n")))
+        if obs.get["n"] == 0:
             converged = True
             break
         labels = labels.join(
@@ -1047,8 +1051,12 @@ def _minprop_directed(
             .filter(F.col("__cand") < F.col("label"))
             .select("node", F.col("__cand").alias("label"))
         )
-        upd = pin(upd)  # probed AND reused next round
-        if not upd.head(1):
+        # emptiness probe rides the pin as an Observation (the kcore
+        # pattern, r11): the pin already materializes upd, so a separate
+        # head() job per round is pure job-floor overhead
+        obs = Observation()
+        upd = pin(upd.observe(obs, F.count(F.lit(1)).alias("n")))
+        if obs.get["n"] == 0:
             converged = True
             break
         labels = labels.join(
@@ -1281,8 +1289,9 @@ def condensation_levels(
             .filter(F.col("__c") > F.col("lvl"))
             .select("node", F.col("__c").alias("lvl"))
         )
-        upd = pin(upd)
-        if not upd.head(1):
+        obs = Observation()  # probe rides the pin (kcore pattern, r11)
+        upd = pin(upd.observe(obs, F.count(F.lit(1)).alias("n")))
+        if obs.get["n"] == 0:
             return levels.select(
                 F.col("node").alias("scc_id"), F.col("lvl").alias("depth")
             )
