@@ -257,6 +257,29 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     split query — no UDF; one shuffle for the per-canonical count.
     DuckDB twin replicates with regexp_extract / list_filter /
     list_sort (the A20 oracle's regex-only precedent)."""
+    d = _synth_urls(spark, sf_dir)
+    out = d.select(
+        "event_id", "url_raw", canonical_url(F.col("url_raw")).alias("url_canonical")
+    )
+    # Per-canonical count as a map-combinable groupBy + equi-join back,
+    # NOT a count window over url_canonical: the canonical URL is a
+    # data-value key with guaranteed hot entries at crawl scale (one
+    # viral URL → one window task), the same shape the judge flagged on
+    # B142.  The partial aggregate collapses hot keys map-side and AQE
+    # can skew-split the probe side of the join.
+    counts = out.groupBy("url_canonical").agg(
+        F.count("*").cast("long").alias("n_events_sharing_canonical")
+    )
+    return out.join(counts, "url_canonical").select(
+        "event_id", "url_raw", "url_canonical", "n_events_sharing_canonical"
+    )
+
+
+
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, url_raw) with all four canonicalization hazards planted
+    deterministically per event — shared by B143 and B148 (and mirrored
+    verbatim in both oracles' raw CTE)."""
     e = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     raw = F.concat(
@@ -275,21 +298,60 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")
         ),
     )
-    d = e.select("event_id", raw.alias("url_raw"))
-    out = d.select(
-        "event_id", "url_raw", canonical_url(F.col("url_raw")).alias("url_canonical")
-    )
-    # Per-canonical count as a map-combinable groupBy + equi-join back,
-    # NOT a count window over url_canonical: the canonical URL is a
-    # data-value key with guaranteed hot entries at crawl scale (one
-    # viral URL → one window task), the same shape the judge flagged on
-    # B142.  The partial aggregate collapses hot keys map-side and AQE
-    # can skew-split the probe side of the join.
-    counts = out.groupBy("url_canonical").agg(
-        F.count("*").cast("long").alias("n_events_sharing_canonical")
-    )
-    return out.join(counts, "url_canonical").select(
-        "event_id", "url_raw", "url_canonical", "n_events_sharing_canonical"
+    return e.select("event_id", raw.alias("url_raw"))
+
+
+def q_url_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B148: URL path-hierarchy rollup — the per-directory crawl-budget
+    table B143's canonical key feeds: every canonical URL contributes
+    each of its path PREFIXES (depth-capped at 4 segments), aggregated
+    per (host, prefix) into event traffic and distinct-page counts —
+    "how many pages and how much traffic live under /api/v1/" is the
+    unit a crawl scheduler budgets, dedups, and rate-limits by.
+
+    Scale shape: canonicalization is row-local codegen (B143's kernel),
+    the prefix explode fans out ≤ 4 rows per URL, and the rollup is ONE
+    aggregate keyed by (host, prefix) — counts partial-aggregate
+    map-side, and the exact distinct-page count partial-DEDUPS map-side
+    (Spark's two-phase distinct aggregate), so the hottest prefix (every
+    site's '/') arrives at its reducer as near-distinct rows, not raw
+    traffic.  No window anywhere (the B142 discipline).  DuckDB twin:
+    the shared canonicalization CTEs + generate_series/list_slice
+    prefix expansion."""
+    d = _synth_urls(spark, sf_dir)
+    canon = d.select(canonical_url(F.col("url_raw")).alias("url_canonical"))
+    segs = canon.select(
+        "url_canonical",
+        F.regexp_extract("url_canonical", r"^[a-z]+://([^/:?#]+)", 1).alias(
+            "host"
+        ),
+        F.filter(
+            F.split(
+                F.regexp_extract("url_canonical", r"^[a-z]+://[^/?#]+([^?#]*)", 1),
+                "/",
+            ),
+            lambda s: s != "",
+        ).alias("s"),
+    ).filter(F.size("s") >= 1)
+    pref = segs.select(
+        "host",
+        "url_canonical",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.size("s"), F.lit(4))),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.concat(
+                        F.lit("/"), F.array_join(F.slice("s", 1, i), "/")
+                    ).alias("prefix"),
+                ),
+            )
+        ).alias("p"),
+    ).select("host", "url_canonical", "p.i", "p.prefix")
+    return pref.groupBy("host", "prefix").agg(
+        F.min("i").cast("long").alias("depth"),
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("url_canonical").cast("long").alias("n_pages"),
     )
 
 
@@ -509,6 +571,7 @@ QUERIES = {
     "q_grok_ip": q_grok_ip,
     "q_parse_url": q_parse_url,
     "q_url_canonical": q_url_canonical,
+    "q_url_hierarchy": q_url_hierarchy,
     "q_set_ops": q_set_ops,
     "q_case_when": q_case_when,
     "q_coalesce": q_coalesce,
@@ -726,7 +789,8 @@ ORACLE["q_pipeline_axway"] = SQL_LINES_CTE + f"""
 
 ROWS_ONLY: set[str] = set()
 
-ORACLE["q_url_canonical"] = """
+# shared canonicalization CTE chain (B143 + B148 oracles build on it)
+_URL_CANON_CTES = """
     WITH raw AS (
       SELECT event_id,
              concat('HTTPS://Api', CAST(user_id % 5 AS VARCHAR),
@@ -770,8 +834,32 @@ ORACLE["q_url_canonical"] = """
                          THEN concat('?', array_to_string(kept, '&'))
                          ELSE '' END) AS url_canonical
       FROM norm)
+"""
+
+ORACLE["q_url_canonical"] = _URL_CANON_CTES + """
     SELECT event_id, url_raw, url_canonical,
            CAST(count(*) OVER (PARTITION BY url_canonical) AS BIGINT)
              AS n_events_sharing_canonical
     FROM canon
 """
+
+ORACLE["q_url_hierarchy"] = _URL_CANON_CTES + """
+    , segs AS (
+      SELECT url_canonical,
+             regexp_extract(url_canonical, '^[a-z]+://([^/:?#]+)', 1) AS host,
+             list_filter(string_split(
+               regexp_extract(url_canonical, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+               '/'), s -> s <> '') AS s
+      FROM canon),
+    pref AS (
+      SELECT host, url_canonical, i,
+             concat('/', array_to_string(list_slice(s, 1, i), '/')) AS prefix
+      FROM segs, unnest(generate_series(1, least(len(s), 4))) AS t(i)
+      WHERE len(s) >= 1)
+    SELECT host, prefix,
+           CAST(min(i) AS BIGINT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT url_canonical) AS BIGINT) AS n_pages
+    FROM pref GROUP BY host, prefix
+"""
+

@@ -104,3 +104,39 @@ def test_canonical_url_rules(spark):
         r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_url_hierarchy_prefix_rollup(spark, tmp_path):
+    """B148: every canonical URL contributes each path prefix (capped at
+    4 segments), n_pages counts distinct canonicals while n_events
+    counts traffic — two events on one page must differ between the two
+    counts, and shared prefixes aggregate across pages."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.pipeline import q_url_hierarchy
+
+    rows = [
+        # (event_id, user_id, props) — event_id drives version+page+utm,
+        # user_id drives host.  Two events, same canonical page:
+        (3, 1, '{"k":"a"}'),
+        # 24: same v0 (%3) and page (%7) as 3, but planted trailing slash
+        # (%4==0) and utm_campaign (%2==0) — BOTH canonicalized away, so
+        # 3 and 24 must collapse to ONE page:
+        (24, 1, '{"k":"a"}'),
+        # different version segment -> different page, same /api prefix:
+        (7, 1, '{"k":"a"}'),    # %3==1 -> /api/v1/items
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, props string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.host, r.prefix): (r.depth, r.n_events, r.n_pages)
+        for r in q_url_hierarchy(spark, str(tmp_path)).collect()
+    }
+    host = "api1.example.com"
+    assert got == {
+        (host, "/api"): (1, 3, 2),
+        (host, "/api/v0"): (2, 2, 1),
+        (host, "/api/v0/items"): (3, 2, 1),
+        (host, "/api/v1"): (2, 1, 1),
+        (host, "/api/v1/items"): (3, 1, 1),
+    }
