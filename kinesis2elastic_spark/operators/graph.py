@@ -461,6 +461,7 @@ def connected_components_exact(
     edges: DataFrame,
     max_rounds: int = CC_MAX_ROUNDS,
     n_edges_hint: int | None = None,
+    pin_cadence: int = 4,
 ) -> DataFrame:
     """Exact connected components over an edge list → (node, component),
     component = the MINIMUM node id in each component — the canonical-id
@@ -555,8 +556,15 @@ def connected_components_exact(
         labels = labels.join(
             upd.withColumnRenamed("label", "__new"), "node", "left"
         ).select("node", F.coalesce("__new", "label").alias("label"))
-        # replaced-state cadence: every other round + loop exit
-        if rnd % 2 == 1:
+        # replaced-state cadence (every upd leaf above is already
+        # pinned, so a longer cadence deepens a join chain over
+        # MATERIALIZED leaves only — no lazy recompute blow-up; r11
+        # same-session interleaved A/B at sf0.1, 27-round fixpoint:
+        # cadence 4 beat 2 in all three pairs (7.60/8.26/8.42 vs
+        # 7.77/9.55/8.58 s) while 8 lost clearly (10.1-10.5 s — the
+        # per-round re-execution of the deeper join chain overtakes the
+        # pin savings), so 4 is the default)
+        if rnd % pin_cadence == pin_cadence - 1:
             labels = pin(labels)
         frontier = upd
     if not converged:
