@@ -85,7 +85,18 @@ def _list_data_files(data_dir: str) -> list[str]:
     )
 
 
-def _write_manifest(table_dir: str, version: int, live: list[str]) -> None:
+import itertools as _itertools
+
+_COMMIT_SEQ = _itertools.count()  # per-process writer-attempt counter
+
+
+class CommitConflict(Exception):
+    """Another writer committed this snapshot version first (B149)."""
+
+
+def _write_manifest(
+    table_dir: str, version: int, live: list[str], exclusive: bool = False
+) -> None:
     """Publish ``live`` as snapshot ``version`` — the commit point is an
     ATOMIC same-directory rename (r11 ADVICE): writing the parquet
     straight to ``v{N}.parquet`` would let a mid-write crash leave a
@@ -114,7 +125,22 @@ def _write_manifest(table_dir: str, version: int, live: list[str]) -> None:
         ),
         tmp,
     )
-    os.replace(tmp, final)
+    if exclusive:
+        # compare-and-swap publish (B149 optimistic concurrency):
+        # os.link fails with EEXIST if the version is already committed
+        # — atomically, so two racing writers of one version id get
+        # exactly one winner; os.replace would let the second silently
+        # clobber the first (lost update).
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"snapshot v{int(version)} already committed in {table_dir}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+    else:
+        os.replace(tmp, final)
 
 
 def commit_snapshot(
@@ -123,21 +149,61 @@ def commit_snapshot(
     df: DataFrame,
     version: int,
     carry_forward: bool = True,
+    exclusive: bool = False,
 ) -> list[str]:
     """Commit ``df`` as snapshot ``version``: write data files, then
     publish the manifest.  ``carry_forward=True`` is an APPEND commit
     (manifest = previous live set + the new files); ``False`` is a
     REPLACE commit (manifest lists ONLY this version's files — the
     state-table shape the streaming matview maintainer publishes, where
-    each version IS the whole table).  Returns the new snapshot's full
-    live-file list."""
-    data_dir = os.path.join(table_dir, "data", f"c{int(version)}")
+    each version IS the whole table).  ``exclusive=True`` makes the
+    manifest publish a compare-and-swap AND gives the attempt a
+    writer-unique data dir — two racers on one version id must not
+    share ``c{v}`` or the loser's overwrite clobbers the files the
+    winner's manifest just published (the Iceberg unique-data-file-name
+    discipline; the manifest records full paths, so readers never
+    depend on dir naming).  Returns the new snapshot's full live-file
+    list."""
+    suffix = f"w{os.getpid()}x{next(_COMMIT_SEQ)}" if exclusive else ""
+    data_dir = os.path.join(table_dir, "data", f"c{int(version)}{suffix}")
     df.write.mode("overwrite").parquet(data_dir)
     live = _list_data_files(data_dir)
     if carry_forward:
         live = manifest_files(table_dir, int(version) - 1) + live
-    _write_manifest(table_dir, version, live)
+    _write_manifest(table_dir, version, live, exclusive=exclusive)
     return live
+
+
+def commit_with_retry(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    max_attempts: int = 5,
+    carry_forward: bool = True,
+) -> int:
+    """Optimistic-concurrency append (B149): resolve the next version
+    id, attempt an EXCLUSIVE commit, and on CommitConflict re-resolve
+    and retry — the Iceberg/Delta multi-writer loop.  Each attempt
+    re-reads the (possibly just-advanced) latest manifest, so a loser's
+    retry carries the winner's rows forward; a lost attempt's data files
+    sit under their own c{v} dir as invisible orphans for the age-gated
+    ``vacuum`` to sweep.  Returns the committed version."""
+    for _ in range(max_attempts):
+        vs = snapshot_versions(table_dir)
+        v = (vs[-1] + 1) if vs else 0
+        try:
+            commit_snapshot(
+                spark,
+                table_dir,
+                df,
+                v,
+                carry_forward=carry_forward,
+                exclusive=True,
+            )
+            return v
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"gave up after {max_attempts} attempts in {table_dir}")
 
 
 def vacuum(

@@ -406,3 +406,44 @@ def test_vacuum_retention_and_orphan_gc(spark, tmp_path):
     assert tt.snapshot_versions(table) == [3]
     assert not any(os.path.exists(p) for p in pre_optimize_files)
     assert sorted(r.k for r in tt.read_asof(spark, table).collect()) == [1, 2, 3]
+
+
+def test_concurrent_commit_conflict_and_retry(spark, tmp_path):
+    """B149: two writers racing one version id get exactly one winner
+    (the manifest publish is a compare-and-swap link, not a clobbering
+    rename), the loser's data files never become visible, and the
+    retry loop lands the loser at the next version CARRYING the
+    winner's rows."""
+    import os
+
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "tbl")
+    schema = "k long, s string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).coalesce(1)
+
+    tt.commit_with_retry(spark, table, mk([(1, "base")]))
+    assert tt.snapshot_versions(table) == [0]
+
+    # simulate the race: writer B wins version 1 while writer A is
+    # mid-flight; A's exclusive attempt at the same version must fail
+    tt.commit_snapshot(spark, table, mk([(2, "winner")]), 1, exclusive=True)
+    with _pytest.raises(tt.CommitConflict):
+        tt.commit_snapshot(spark, table, mk([(3, "loser")]), 1, exclusive=True)
+    # the loser's data landed in its own writer-unique dir: invisible
+    assert sorted(r.k for r in tt.read_asof(spark, table).collect()) == [1, 2]
+    # retry loop re-resolves to v2 and carries the winner's rows forward
+    v = tt.commit_with_retry(spark, table, mk([(3, "loser")]))
+    assert v == 2
+    assert sorted(r.k for r in tt.read_asof(spark, table).collect()) == [1, 2, 3]
+    # the abandoned attempt's orphan is sweepable, live files untouched
+    res = tt.vacuum(table, keep_last=3, min_age_s=0)
+    assert res["removed_files"]  # the failed v1 attempt's file went
+    assert sorted(r.k for r in tt.read_asof(spark, table).collect()) == [1, 2, 3]
+    # every data file under a distinct dir (no shared c{v} clobber path)
+    dirs = {os.path.dirname(p) for p in tt.manifest_files(table)}
+    assert len(dirs) == 3
