@@ -1136,20 +1136,36 @@ def scc_decomposition(
     )
     assigned: DataFrame | None = None
     for _outer in range(max_outer):
-        s_cls = act.select(F.col("node").alias("src"), F.col("cls").alias("__cs"))
-        d_cls = act.select(F.col("node").alias("dst"), F.col("cls").alias("__cd"))
-        e_act = (
-            e0.join(s_cls, "src")
-            .join(d_cls.repartition(parts, "dst"), "dst")
-            .filter(F.col("__cs") == F.col("__cd"))
-            .select("src", "dst")
-        )
-        e_fwd = pin(e_act.repartition(parts, "src"))
-        e_bwd = pin(
-            e_act.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            ).repartition(parts, "src")
-        )
+        if _outer == 0:
+            # round 0 has a single class ("" everywhere): the class
+            # restriction is a no-op, and e0 already carries the pinned
+            # hash(src) layout — skip two joins and one pin on the
+            # heaviest round (every node still unassigned)
+            e_fwd = e0
+            e_bwd = pin(
+                e0.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ).repartition(parts, "src")
+            )
+        else:
+            s_cls = act.select(
+                F.col("node").alias("src"), F.col("cls").alias("__cs")
+            )
+            d_cls = act.select(
+                F.col("node").alias("dst"), F.col("cls").alias("__cd")
+            )
+            e_act = (
+                e0.join(s_cls, "src")
+                .join(d_cls.repartition(parts, "dst"), "dst")
+                .filter(F.col("__cs") == F.col("__cd"))
+                .select("src", "dst")
+            )
+            e_fwd = pin(e_act.repartition(parts, "src"))
+            e_bwd = pin(
+                e_act.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                ).repartition(parts, "src")
+            )
         nodes = act.select("node")
         # the two fixpoints are independent — drive them from two driver
         # threads so their per-round jobs interleave on the cluster
