@@ -33,6 +33,7 @@ contract.
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyarrow as pa
@@ -89,13 +90,72 @@ import itertools as _itertools
 
 _COMMIT_SEQ = _itertools.count()  # per-process writer-attempt counter
 
+# Column stats recorded in the manifest are restricted to types whose
+# Python comparison semantics match both engines' SQL ordering (ints,
+# floats, utf-8 strings, bools).  Timestamps/decimals/binary are simply
+# not recorded — a missing stat means "cannot prune", never "wrong prune".
+_STATS_OK = (bool, int, float, str)
+
+
+def _file_column_stats(path: str) -> dict[str, dict]:
+    """Per-file column min/max from the parquet FOOTER (B150) — the
+    Iceberg/Delta data-skipping statistic, collected at metadata rate:
+    ``pq.read_metadata`` reads only the footer, never a data page, so a
+    commit's stats pass costs one footer read per live file (~KB each;
+    at 100 TB / 128 MB files that is ~10⁶ footer reads done ONCE at
+    write time, amortized over every subsequent pruned read).
+
+    Row-group stats are merged to file-level [min, max] per column.  A
+    column is recorded only if EVERY row group carries min/max of a
+    comparison-safe type — a single statless or exotic-typed row group
+    drops the column (conservative: absent stats disable pruning for
+    that column, they can never mis-prune)."""
+    md = pq.read_metadata(path)
+    out: dict[str, dict] = {}
+    dropped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name in dropped:
+                continue
+            st = col.statistics
+            mn = st.min if st is not None and st.has_min_max else None
+            mx = st.max if st is not None and st.has_min_max else None
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    mn = None
+            if (
+                mn is None
+                or not isinstance(mn, _STATS_OK)
+                or not isinstance(mx, _STATS_OK)
+                or type(mn) is not type(mx)
+            ):
+                dropped.add(name)
+                out.pop(name, None)
+                continue
+            cur = out.get(name)
+            if cur is None:
+                out[name] = {"min": mn, "max": mx}
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+    return out
+
 
 class CommitConflict(Exception):
     """Another writer committed this snapshot version first (B149)."""
 
 
 def _write_manifest(
-    table_dir: str, version: int, live: list[str], exclusive: bool = False
+    table_dir: str,
+    version: int,
+    live: list[str],
+    exclusive: bool = False,
+    collect_stats: bool = False,
 ) -> None:
     """Publish ``live`` as snapshot ``version`` — the commit point is an
     ATOMIC same-directory rename (r11 ADVICE): writing the parquet
@@ -113,18 +173,24 @@ def _write_manifest(
         }
         for p in live
     ]
+    fields = [
+        ("path", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("n_rows", pa.int64()),
+    ]
+    if collect_stats:
+        # B150: per-file column [min,max] as a JSON column — schema-free
+        # across heterogeneous tables, and older stats-less manifests stay
+        # readable (readers treat a missing column as "no stats, no prune")
+        for r in rows:
+            r["stats_json"] = json.dumps(
+                _file_column_stats(r["path"]), sort_keys=True
+            )
+        fields.append(("stats_json", pa.string()))
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     final = os.path.join(_manifest_dir(table_dir), f"v{int(version)}.parquet")
     tmp = final + f".tmp-{os.getpid()}"
-    pq.write_table(
-        pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [("path", pa.string()), ("n_bytes", pa.int64()), ("n_rows", pa.int64())]
-            ),
-        ),
-        tmp,
-    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(fields)), tmp)
     if exclusive:
         # compare-and-swap publish (B149 optimistic concurrency):
         # os.link fails with EEXIST if the version is already committed
@@ -150,6 +216,7 @@ def commit_snapshot(
     version: int,
     carry_forward: bool = True,
     exclusive: bool = False,
+    collect_stats: bool = False,
 ) -> list[str]:
     """Commit ``df`` as snapshot ``version``: write data files, then
     publish the manifest.  ``carry_forward=True`` is an APPEND commit
@@ -162,15 +229,19 @@ def commit_snapshot(
     share ``c{v}`` or the loser's overwrite clobbers the files the
     winner's manifest just published (the Iceberg unique-data-file-name
     discipline; the manifest records full paths, so readers never
-    depend on dir naming).  Returns the new snapshot's full live-file
-    list."""
+    depend on dir naming).  ``collect_stats=True`` additionally records
+    per-file column [min,max] in the manifest (B150) so ``read_where``
+    can skip files at metadata rate.  Returns the new snapshot's full
+    live-file list."""
     suffix = f"w{os.getpid()}x{next(_COMMIT_SEQ)}" if exclusive else ""
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}{suffix}")
     df.write.mode("overwrite").parquet(data_dir)
     live = _list_data_files(data_dir)
     if carry_forward:
         live = manifest_files(table_dir, int(version) - 1) + live
-    _write_manifest(table_dir, version, live, exclusive=exclusive)
+    _write_manifest(
+        table_dir, version, live, exclusive=exclusive, collect_stats=collect_stats
+    )
     return live
 
 
@@ -363,6 +434,128 @@ def read_asof(
     return reader.parquet(*files)
 
 
+_PRUNE_OPS = {"=", "<", "<=", ">", ">=", "between"}
+
+
+def _stats_may_satisfy(stats: dict | None, col: str, op: str, val) -> bool:
+    """Can a file whose ``col`` spans [min, max] contain a row satisfying
+    ``col <op> val``?  Conservative three-valued logic collapsed to bool:
+    missing stats / missing column / cross-type comparison → True (scan
+    it); only a provably-disjoint range answers False.  NULLs never
+    satisfy a comparison predicate, so null_count plays no role here."""
+    if op not in _PRUNE_OPS:
+        raise ValueError(f"unsupported prune op {op!r} (use {sorted(_PRUNE_OPS)})")
+    if not stats or col not in stats:
+        return True
+    mn, mx = stats[col]["min"], stats[col]["max"]
+    try:
+        if op == "=":
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+        lo, hi = val  # between
+        return mx >= lo and mn <= hi
+    except TypeError:
+        return True  # cross-type comparison: cannot prove disjoint, scan
+
+
+def prune_files(
+    table_dir: str, filters: list[tuple], version: int | None = None
+) -> tuple[list[str], int]:
+    """B150 file skipping: the snapshot's files whose manifest-recorded
+    column stats MAY satisfy every filter (AND semantics), plus the
+    total live count.  Pure manifest work — no data file is opened, so
+    at 100 TB this is a ~10⁶-row metadata scan that typically discards
+    the vast majority of a well-clustered table's files before Spark
+    ever plans the scan.  Filters are ``(col, op, value)`` with op in
+    =/</<=/>/>=/between (value = (lo, hi) for between)."""
+    v = _resolve_version(table_dir, version)
+    if v is None:
+        return [], 0
+    t = pq.read_table(os.path.join(_manifest_dir(table_dir), f"v{v}.parquet"))
+    paths = t["path"].to_pylist()
+    nrows = t["n_rows"].to_pylist()
+    stats = (
+        t["stats_json"].to_pylist()
+        if "stats_json" in t.column_names
+        else [None] * len(paths)
+    )
+    kept = [
+        p
+        for p, n, sj in zip(paths, nrows, stats)
+        # a zero-row file (empty write partition) has no row groups and
+        # thus no stats; it is prunable unconditionally, not "unknown"
+        if n > 0
+        and all(
+            _stats_may_satisfy(json.loads(sj) if sj else None, c, op, val)
+            for (c, op, val) in filters
+        )
+    ]
+    return kept, len(paths)
+
+
+def _filters_to_column(filters: list[tuple]):
+    cond = F.lit(True)
+    for c, op, val in filters:
+        col = F.col(c)
+        if op == "=":
+            cond = cond & (col == val)
+        elif op == "<":
+            cond = cond & (col < val)
+        elif op == "<=":
+            cond = cond & (col <= val)
+        elif op == ">":
+            cond = cond & (col > val)
+        elif op == ">=":
+            cond = cond & (col >= val)
+        else:
+            cond = cond & col.between(val[0], val[1])
+    return cond
+
+
+def read_where(
+    spark: SparkSession,
+    table_dir: str,
+    filters: list[tuple],
+    version: int | None = None,
+    schema=None,
+) -> DataFrame:
+    """Read a snapshot with manifest-stats file skipping (B150): prune
+    the file list by per-file [min,max], then scan ONLY the survivors
+    with the residual filter still applied — pruning is an optimization,
+    never a semantics change (a file kept by stats but empty under the
+    exact predicate contributes nothing; a file with no stats is always
+    scanned).  Parquet row-group pruning and predicate pushdown then
+    apply WITHIN the surviving files — this layer removes whole files
+    before the planner, which footer-level pushdown cannot (Spark still
+    lists/schedules every file the scan was handed)."""
+    vs = snapshot_versions(table_dir)
+    if vs and version is not None and int(version) < vs[0]:
+        raise ValueError(
+            f"version {version} is below the retention floor v{vs[0]} of "
+            f"{table_dir} (older snapshots were vacuumed)"
+        )
+    kept, total = prune_files(table_dir, filters, version)
+    if total == 0:
+        if schema is None:
+            raise ValueError(f"no committed snapshot <= {version} in {table_dir}")
+        return spark.createDataFrame([], schema)
+    if not kept:
+        # every file provably disjoint from the predicate: empty result,
+        # schema from ONE live file's footer (no data pages read)
+        one = manifest_files(table_dir, version)[0]
+        reader = spark.read if schema is None else spark.read.schema(schema)
+        return reader.parquet(one).filter(_filters_to_column(filters)).limit(0)
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    return reader.parquet(*kept).filter(_filters_to_column(filters))
+
+
 TT_VERSION_MOD = 3   # commits split orders by o_orderkey % 3
 TT_READ_VERSION = 1  # the as-of target: versions 0 and 1 visible, 2 not
 
@@ -482,9 +675,74 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+PRUNE_RANGE_PARTS = 8        # range-clustered commit: 8 disjoint key ranges
+PRUNE_LO, PRUNE_HI = 1000, 5000  # the read predicate (non-empty at every sf)
+
+
+def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B150 contract query: commit orders ONCE, range-clustered on
+    ``o_orderkey`` (``repartitionByRange(8)`` → 8 files with disjoint
+    key ranges — the layout a Z-order/partition-clustering write
+    discipline produces, B79), with per-file column stats recorded in
+    the manifest; then ``read_where(o_orderkey BETWEEN 1000 AND 5000)``
+    must (a) return exactly the predicate's rows and (b) have SKIPPED
+    at least one file purely from manifest stats.
+
+    Hashed columns: the per-status aggregate of the pruned read (DuckDB
+    recomputes from ``orders WHERE o_orderkey BETWEEN ...``) — any
+    mis-prune flips counts/sums by value; ``files_pruned_ok``
+    additionally pins that skipping actually happened (kept strictly
+    between 0 and the live-file total), so a regression that silently
+    scans everything fails the hash even though the VALUES would agree.
+
+    Scale story: this is the read path that matters most at 100 TB — a
+    clustered table's manifest prunes ~10⁶ files to the handful whose
+    [min,max] overlap the predicate, at metadata rate, BEFORE Spark
+    plans the scan; footer pushdown alone still lists and schedules
+    every file."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_statsprune_")
+    try:
+        commit_snapshot(
+            spark,
+            work,
+            o.repartitionByRange(PRUNE_RANGE_PARTS, "o_orderkey"),
+            0,
+            collect_stats=True,
+        )
+        filters = [("o_orderkey", "between", (PRUNE_LO, PRUNE_HI))]
+        kept, total = prune_files(work, filters)
+        pruned_ok = 0 < len(kept) < total
+        df = read_where(spark, work, filters)
+        agg = (
+            df.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .withColumn("files_pruned_ok", F.lit(bool(pruned_ok)))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return agg
+
+
 QUERIES = {
     "q_time_travel_read": q_time_travel_read,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_stats_prune": q_stats_prune,
 }
 
 ORACLE = {
@@ -510,6 +768,18 @@ ORACLE = {
                TRUE AS files_subset_ok
         FROM orders
         WHERE o_orderkey % {TT_VERSION_MOD} IN (1, 2)
+        GROUP BY o_orderstatus
+    """,
+    "q_stats_prune": f"""
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               TRUE AS files_pruned_ok
+        FROM orders
+        WHERE o_orderkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
         GROUP BY o_orderstatus
     """,
 }

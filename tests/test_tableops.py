@@ -447,3 +447,73 @@ def test_concurrent_commit_conflict_and_retry(spark, tmp_path):
     # every data file under a distinct dir (no shared c{v} clobber path)
     dirs = {os.path.dirname(p) for p in tt.manifest_files(table)}
     assert len(dirs) == 3
+
+
+def test_stats_prune_skips_files_and_stays_exact(spark, tmp_path):
+    """B150: a range-clustered commit with manifest column stats must let
+    read_where (a) skip provably-disjoint files, (b) return exactly the
+    predicate's rows anyway (residual filter), (c) never prune when the
+    manifest has no stats, and (d) return an empty-but-typed frame when
+    every file is disjoint."""
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "stats")
+    schema = "k long, tag string"
+    rows = [(i, "lo" if i < 100 else "hi") for i in range(200)]
+    df = spark.createDataFrame(rows, schema)
+    tt.commit_snapshot(
+        spark, table, df.repartitionByRange(4, "k"), 0, collect_stats=True
+    )
+
+    # (a) pruning on a disjoint range: fewer files scanned
+    filt = [("k", "between", (10, 40))]
+    kept, total = tt.prune_files(table, filt)
+    assert total == 4 and 0 < len(kept) < total
+    # (b) exactness: pruned read == full filter
+    got = sorted(r.k for r in tt.read_where(spark, table, filt).collect())
+    assert got == list(range(10, 41))
+    # string-column equality pruning also works (range clustering on k
+    # makes tag='hi' live only in the upper files)
+    kept_s, _ = tt.prune_files(table, [("tag", "=", "hi")])
+    assert 0 < len(kept_s) < total
+    got_s = tt.read_where(spark, table, [("tag", "=", "hi")]).count()
+    assert got_s == 100
+
+    # (c) stats-less manifest (the pre-B150 shape): no pruning, still exact
+    table2 = str(tmp_path / "nostats")
+    tt.commit_snapshot(spark, table2, df.repartitionByRange(4, "k"), 0)
+    kept2, total2 = tt.prune_files(table2, filt)
+    assert len(kept2) == total2 == 4  # conservative: no stats, no prune
+    assert tt.read_where(spark, table2, filt).count() == 31
+
+    # (d) all files disjoint: empty frame, real schema, no error
+    empty = tt.read_where(spark, table, [("k", ">", 10_000)])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "tag"}
+
+    # (e) unknown op fails loud
+    with _pytest.raises(ValueError):
+        tt.prune_files(table, [("k", "!=", 5)])
+
+
+def test_stats_prune_conservative_on_mixed_types(spark, tmp_path):
+    """B150 edge: a filter on a column with no recorded stats (here a
+    float predicate against a string-typed literal mismatch) must keep
+    the file — pruning can only ever be proven-disjoint."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "mixed")
+    df = spark.createDataFrame([(1, 2.5), (2, 7.5)], "k long, x double")
+    tt.commit_snapshot(spark, table, df, 0, collect_stats=True)
+    # baseline: the no-filter prune keeps exactly the non-empty files
+    # (zero-row write partitions are unconditionally prunable)
+    nonempty, total = tt.prune_files(table, [])
+    assert 0 < len(nonempty) <= total
+    # cross-type comparison: int stats vs string literal -> keep (scan)
+    kept, _ = tt.prune_files(table, [("k", ">", "zzz")])
+    assert kept == nonempty
+    # float stats prune correctly: no file can contain x > 10
+    kept2, _ = tt.prune_files(table, [("x", ">", 10.0)])
+    assert kept2 == []
