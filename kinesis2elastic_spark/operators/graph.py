@@ -1358,6 +1358,169 @@ def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+SSSP_W_MOD = 7          # edge weight = 1 + (custkey + suppkey) % 7 ∈ [1, 7]
+SSSP_MAX_ROUNDS = 64    # fail-loud relaxation budget (kernel side)
+SSSP_ORACLE_ROUNDS = 12  # unrolled SQL relaxations (>= observed fixpoint + slack)
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = SSSP_MAX_ROUNDS,
+    n_edges_hint: int | None = None,
+    pin_cadence: int = 4,
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths over a (src, dst, w)
+    edge list → (node, dist): exact minimum path COST from any seed,
+    integer weights, BIGINT end to end — the weighted sibling of
+    ``bfs_reachability`` (hop counts) the graph family lacked.  Distance
+    semantics are multi-source Dijkstra's, computed as distributed
+    Bellman-Ford: label-correcting relaxation to fixpoint, which is the
+    shape that distributes (priority queues do not).
+
+    Semi-naive evaluation: each round relaxes ONLY the frontier (nodes
+    whose dist improved last round) — a settled node re-offers nothing
+    because edges are static and its best dist already propagated.
+    Scale shape (the B137 kernel contract):
+    - parallel edges collapse to min weight INSIDE the one edge-prep
+      exchange (groupBy(src, dst).min(w) under hash(src) partitioning —
+      map-combinable, skew-safe), then the list pins; every round's
+      frontier join reuses that layout with no re-shuffle;
+    - ONE exchange per round: candidate (node, dist+w) offers
+      repartition to the pinned hash(node) layout; the min-combine, the
+      improvement join, and the dist merge all run co-partitioned;
+    - the improvement check joins candidates to the CURRENT dist map and
+      keeps strict improvements (or first sightings), so monotone
+      convergence is structural — no oscillation, no float drift
+      (weights are ints);
+    - emptiness probe rides the pin as an Observation; dist is REPLACED
+      state (the CC cadence rule: pin every ``pin_cadence`` rounds);
+    - rounds ≤ the max hop count of any optimal path (≤ weighted
+      diameter / min edge weight); the budget fails LOUD rather than
+      returning partially-relaxed distances.  For adversarially
+      heavy-tailed weights the named upgrade is Δ-stepping (Meyer &
+      Sanders 2003) — bucketed relaxation bounds rounds by (max dist /
+      Δ) instead of optimal-path hops; not needed while weights are
+      small ints.
+    """
+    spark = edges.sparkSession
+    if n_edges_hint is None:
+        edges = edges.select("src", "dst", "w").distinct()
+        n_edges_hint = edges.count()
+    parts = _loop_parts(spark, int(n_edges_hint))
+    # min-weight collapse of parallel edges fused into the one
+    # co-partitioning exchange (hash(src) satisfies the groupBy's
+    # ClusteredDistribution(src, dst) — same fusion as the dropDuplicates
+    # in bfs_reachability, but aggregate-with-min instead of dedup)
+    edges = pin(
+        edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+        .repartition(parts, "src")
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    dist = pin(
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .repartition(parts, "node")
+    )
+    frontier = dist
+    converged = False
+    for rnd in range(max_rounds):
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("__c"))
+            # ONE exchange per round: repartition to the pinned
+            # hash(node) layout; min-combine + both node-keyed joins
+            # below run with no further shuffle
+            .repartition(parts, "node")
+            .groupBy("node")
+            .agg(F.min("__c").alias("__c"))
+        )
+        upd = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("__c") < F.col("dist")))
+            .select("node", F.col("__c").alias("dist"))
+        )
+        obs = Observation()  # probe rides the pin (kcore pattern, r11)
+        upd = pin(upd.observe(obs, F.count(F.lit(1)).alias("n")))
+        if obs.get["n"] == 0:
+            converged = True
+            break
+        # dist merge must be FULL outer: an upd row may be a brand-new
+        # node (first sighting), not just an improvement
+        dist = dist.join(
+            upd.withColumnRenamed("dist", "__new"), "node", "full_outer"
+        ).select("node", F.coalesce("__new", "dist").alias("dist"))
+        if rnd % pin_cadence == pin_cadence - 1:
+            dist = pin(dist)
+        frontier = upd
+    if not converged:
+        raise RuntimeError(
+            f"sssp_weighted: relaxation still improving after {max_rounds} "
+            f"rounds — raise max_rounds (weighted hop diameter exceeds the "
+            f"budget) or switch to Δ-stepping for this weight distribution"
+        )
+    return dist
+
+
+def _trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric weighted trade graph: one edge per DISTINCT (customer,
+    supplier) trading pair, weight 1 + (custkey + suppkey) % SSSP_W_MOD —
+    deterministic from the keys alone, so the weight survives the
+    pair-distinct and both engines derive identical (src, dst, w) rows.
+    No dedup here: the kernel fuses its min-weight collapse into its own
+    edge-prep exchange (dedup=False discipline of ``_trade_edges``)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    trade = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+        (
+            F.lit(1)
+            + (F.col("o_custkey") + F.col("l_suppkey")) % F.lit(SSSP_W_MOD)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    return trade.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst"), "w"
+    ).unionByName(
+        trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"), "w")
+    )
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B151: weighted shortest paths from the B114 seed set (suppliers
+    with s_suppkey % 7 == 3) over the trade graph with deterministic
+    integer weights — the graph family's cost-distance primitive
+    (crawl-budget propagation, link-distance curation signals) where
+    B114's BFS gives only hop counts.
+
+    Fully deterministic and integer-exact, so the reduction hashes one
+    row per DISTINCT DISTANCE VALUE: node count, md5-prefix node
+    checksum (a node at the wrong distance flips two rows' checksums),
+    min/max node.  Oracle: ``SSSP_ORACLE_ROUNDS`` Bellman-Ford
+    relaxations unrolled as chained CTEs (the ``_lp_rounds_sql``
+    doctrine — exact because extra rounds past the fixpoint are
+    no-ops), a DIFFERENT exact algorithm shape from the kernel's
+    semi-naive frontier."""
+    supplier = load(spark, sf_dir, "supplier")
+    seeds = supplier.filter(
+        F.col("s_suppkey") % REACH_SEED_MOD == REACH_SEED_REM
+    ).select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    hint = 2 * table_rows(sf_dir, "lineitem")  # parquet-footer metadata
+    dist = sssp_weighted(
+        _trade_edges_weighted(spark, sf_dir), seeds, n_edges_hint=hint
+    )
+    return dist.groupBy("dist").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(md5_prefix_long(F.col("node"))).cast("long").alias("node_checksum"),
+        F.min("node").alias("first_node"),
+        F.max("node").alias("last_node"),
+    )
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_graph_reach": q_graph_reach,
@@ -1368,6 +1531,7 @@ QUERIES = {
     "q_kcore": q_kcore,
     "q_scc": q_scc,
     "q_condensation": q_condensation,
+    "q_sssp": q_sssp,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -1414,6 +1578,58 @@ ORACLE["q_graph_reach"] = f"""
            max(node) AS last_node
     FROM best GROUP BY dist
 """
+
+def _sssp_rounds_sql(rounds: int) -> str:
+    """Unrolled Bellman-Ford relaxations as chained CTEs: d{i} = min per
+    node over (d{i-1} carried forward ∪ one-edge relaxations of d{i-1}).
+    Exact for any ``rounds`` ≥ the fixpoint's hop count — further rounds
+    are no-ops — and each d{i} is at most |V| rows, so the unroll stays
+    linear (contrast a recursive (node, dist) enumeration, which cycles
+    forever on a cyclic graph because longer-and-costlier paths keep
+    producing new rows).
+
+    Every CTE is MATERIALIZED: each d{i} references d{i-1} TWICE (the
+    carry-forward leg and the relaxation leg), and DuckDB 1.0 inlines
+    multiply-referenced CTEs by default — an inlined 12-round chain
+    expands 2^12 copies of the base scans (first symptom: 'Too many
+    open files' on the parquet views before the planner even runs)."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{i - 1} d JOIN edges e ON e.src = d.node)
+      GROUP BY node)"""
+        )
+    return ",\n    ".join(parts)
+
+
+ORACLE["q_sssp"] = f"""
+    WITH trade AS (
+      SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp,
+             CAST(1 + (o_custkey + l_suppkey) % {SSSP_W_MOD} AS BIGINT) AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges0 AS (
+      SELECT cust AS src, supp AS dst, w FROM trade
+      UNION ALL
+      SELECT supp AS src, cust AS dst, w FROM trade),
+    edges AS MATERIALIZED (
+      SELECT src, dst, min(w) AS w FROM edges0 GROUP BY src, dst),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT 's' || s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_suppkey % {REACH_SEED_MOD} = {REACH_SEED_REM}),
+    {_sssp_rounds_sql(SSSP_ORACLE_ROUNDS)}
+    SELECT dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum({{node_hex}}) AS BIGINT) AS node_checksum,
+           min(node) AS first_node,
+           max(node) AS last_node
+    FROM d{SSSP_ORACLE_ROUNDS} GROUP BY dist
+""".replace("{node_hex}", _NODE_HEX8)
+
 
 def _lp_rounds_sql(rounds: int) -> str:
     """Unrolled LPA rounds as chained CTEs — possible because the round

@@ -541,3 +541,45 @@ def test_condensation_levels_cycle_guard(spark):
     )
     with _pytest.raises(RuntimeError, match="not a condensation"):
         graph.condensation_levels(df, fake, max_depth=6)
+
+
+def test_sssp_cheap_detour_beats_direct_edge(spark):
+    """B151: weighted relaxation must prefer a cheaper multi-hop path
+    over a direct heavy edge (the case hop-count BFS gets wrong), take
+    the min over parallel edges, and leave unreachable nodes out."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 5),   # direct but heavy
+            ("a", "c", 1),
+            ("c", "b", 1),   # a->c->b costs 2 < 5
+            ("a", "c", 9),   # parallel edge: min(1, 9) must win
+            ("x", "y", 1),   # disconnected from the seed
+        ],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    dist = {
+        r.node: r.dist
+        for r in graph.sssp_weighted(edges, seeds, max_rounds=8).collect()
+    }
+    assert dist == {"a": 0, "c": 1, "b": 2}
+
+
+def test_sssp_multi_seed_and_fail_loud(spark):
+    """B151: multi-seed takes the nearest seed per node; a budget too
+    small for the weighted hop diameter raises instead of returning
+    partially relaxed distances."""
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}", 1) for i in range(6)],
+        "src string, dst string, w long",
+    )
+    seeds2 = spark.createDataFrame([("n0",), ("n6",)], "node string")
+    dist = {
+        r.node: r.dist
+        for r in graph.sssp_weighted(chain, seeds2, max_rounds=8).collect()
+    }
+    # directed chain: n6 is a seed at 0; others measured from n0
+    assert dist["n0"] == 0 and dist["n3"] == 3 and dist["n6"] == 0
+    with pytest.raises(RuntimeError):
+        seeds1 = spark.createDataFrame([("n0",)], "node string")
+        graph.sssp_weighted(chain, seeds1, max_rounds=3)
