@@ -66,15 +66,41 @@ def _resolve_version(table_dir: str, version: int | None) -> int | None:
     return max(vs, default=None)
 
 
-def manifest_files(table_dir: str, version: int | None = None) -> list[str]:
-    """The exact live-file list of the latest snapshot <= ``version``."""
+def manifest_entries(
+    table_dir: str, version: int | None = None
+) -> list[dict]:
+    """Live manifest rows of the latest snapshot <= ``version`` as
+    dicts with at least path / kind / seq.  ``kind`` is "data" or
+    "delete" (B152 equality-delete files); ``seq`` is the version at
+    which the file ENTERED the table — the Iceberg sequence number that
+    scopes which deletes apply to which data.  Pre-B152 manifests have
+    neither column: every row reads as data with seq 0 (no deletes can
+    exist in such a table, so the scoping is vacuous)."""
     v = _resolve_version(table_dir, version)
     if v is None:
         return []
-    t = pq.read_table(
-        os.path.join(_manifest_dir(table_dir), f"v{v}.parquet"), columns=["path"]
-    )
-    return t["path"].to_pylist()
+    t = pq.read_table(os.path.join(_manifest_dir(table_dir), f"v{v}.parquet"))
+    names = t.column_names
+    out = []
+    for i in range(t.num_rows):
+        row = {c: t[c][i].as_py() for c in names}
+        row.setdefault("kind", "data")
+        row.setdefault("seq", 0)
+        out.append(row)
+    return out
+
+
+def manifest_files(
+    table_dir: str, version: int | None = None, kind: str | None = "data"
+) -> list[str]:
+    """The exact live-file list of the latest snapshot <= ``version``,
+    restricted to ``kind`` ("data" by default — what a plain read scans;
+    pass None for ALL files incl. delete files, the vacuum live-set)."""
+    return [
+        e["path"]
+        for e in manifest_entries(table_dir, version)
+        if kind is None or e["kind"] == kind
+    ]
 
 
 def _list_data_files(data_dir: str) -> list[str]:
@@ -164,17 +190,26 @@ def _write_manifest(
     committed, breaking every later read.  Temp name + ``os.replace``
     is the Iceberg/Delta discipline the module claims — a crash before
     the rename leaves only an invisible ``.tmp`` the reader's
-    name-filter skips."""
+    name-filter skips.
+
+    ``live`` entries are plain paths (data files entering at this
+    version) or (path, kind, seq) triples — the carry-forward form that
+    preserves each file's kind ("data"/"delete") and entry version."""
     rows = [
         {
-            "path": p,
-            "n_bytes": os.path.getsize(p),
-            "n_rows": pq.read_metadata(p).num_rows,
+            "path": e[0] if isinstance(e, tuple) else e,
+            "kind": e[1] if isinstance(e, tuple) else "data",
+            "seq": int(e[2]) if isinstance(e, tuple) else int(version),
         }
-        for p in live
+        for e in live
     ]
+    for r in rows:
+        r["n_bytes"] = os.path.getsize(r["path"])
+        r["n_rows"] = pq.read_metadata(r["path"]).num_rows
     fields = [
         ("path", pa.string()),
+        ("kind", pa.string()),
+        ("seq", pa.int64()),
         ("n_bytes", pa.int64()),
         ("n_rows", pa.int64()),
     ]
@@ -236,13 +271,49 @@ def commit_snapshot(
     suffix = f"w{os.getpid()}x{next(_COMMIT_SEQ)}" if exclusive else ""
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}{suffix}")
     df.write.mode("overwrite").parquet(data_dir)
-    live = _list_data_files(data_dir)
+    live = [(p, "data", int(version)) for p in _list_data_files(data_dir)]
     if carry_forward:
-        live = manifest_files(table_dir, int(version) - 1) + live
+        prev = [
+            (e["path"], e["kind"], e["seq"])
+            for e in manifest_entries(table_dir, int(version) - 1)
+        ]
+        live = prev + live
     _write_manifest(
         table_dir, version, live, exclusive=exclusive, collect_stats=collect_stats
     )
-    return live
+    return [t[0] for t in live]
+
+
+def commit_delete(
+    spark: SparkSession,
+    table_dir: str,
+    keys_df: DataFrame,
+    version: int,
+) -> list[str]:
+    """Commit an EQUALITY DELETE (B152, the Iceberg v2 merge-on-read
+    discipline): ``keys_df``'s columns ARE the equality key — every
+    data row matching any key row on those columns is deleted as of
+    this version.  The keys land as ordinary parquet under the commit's
+    dir, the manifest carries them with kind="delete", and NO data file
+    is rewritten — a delete is metadata-rate plus keys-rate, never a
+    table rewrite (the copy-on-write alternative is ``optimize_snapshot``,
+    which folds live deletes in and publishes a pure-data layout).
+
+    Scoping is by sequence number: a delete with seq v applies to data
+    files with seq < v only, so a LATER append may legitimately
+    re-insert a deleted key and the reader sees the new row (exactly
+    Iceberg's sequence-number rule).  Time travel below the delete's
+    version still sees the original rows — deletes are snapshot
+    participants, not history rewrites."""
+    data_dir = os.path.join(table_dir, "data", f"c{int(version)}d")
+    keys_df.dropDuplicates().write.mode("overwrite").parquet(data_dir)
+    live = [(p, "delete", int(version)) for p in _list_data_files(data_dir)]
+    prev = [
+        (e["path"], e["kind"], e["seq"])
+        for e in manifest_entries(table_dir, int(version) - 1)
+    ]
+    _write_manifest(table_dir, version, prev + live)
+    return [t[0] for t in prev + live]
 
 
 def commit_with_retry(
@@ -312,7 +383,9 @@ def vacuum(
         vs = vs[-keep_last:]
     live: set[str] = set()
     for v in vs:
-        live.update(manifest_files(table_dir, v))
+        # kind=None: delete files are live too — sweeping a referenced
+        # equality-delete file would resurrect deleted rows (B152)
+        live.update(manifest_files(table_dir, v, kind=None))
     data_root = os.path.join(table_dir, "data")
     now = _time.time()
     removed = []
@@ -351,20 +424,36 @@ def optimize_snapshot(
     their manifests still reference the original files (pruned only when
     a retention job expires them, exactly the lakehouse VACUUM split).
     Crash-safe like any commit: bins land under data/c{version}/ and are
-    invisible until the manifest write."""
+    invisible until the manifest write.
+
+    B152 interplay: a table with live equality-delete files is rewritten
+    THROUGH ``read_asof`` (deletes applied) and published as a pure-data
+    layout — OPTIMIZE is the copy-on-write step that retires
+    merge-on-read debt and restores B150 file skipping."""
     from .layout import plan_compaction_bins
 
-    src_files = manifest_files(table_dir)
-    manifest = [(p, os.path.getsize(p)) for p in src_files]
-    bins = plan_compaction_bins(manifest, target_bytes)
+    entries = manifest_entries(table_dir)
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}")
-    for i, bin_files in enumerate(bins):
+    if any(e["kind"] == "delete" for e in entries):
+        total = sum(e["n_bytes"] for e in entries if e["kind"] == "data")
+        n_bins = max(1, total // max(1, target_bytes))
         (
-            spark.read.parquet(*bin_files)
-            .coalesce(1)
+            read_asof(spark, table_dir)
+            .repartition(int(n_bins))
             .write.mode("overwrite")
-            .parquet(os.path.join(data_dir, f"bin={i}"))
+            .parquet(data_dir)
         )
+    else:
+        src_files = [e["path"] for e in entries]
+        manifest = [(p, os.path.getsize(p)) for p in src_files]
+        bins = plan_compaction_bins(manifest, target_bytes)
+        for i, bin_files in enumerate(bins):
+            (
+                spark.read.parquet(*bin_files)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(data_dir, f"bin={i}"))
+            )
     live = _list_data_files(data_dir)
     _write_manifest(table_dir, version, live)
     return live
@@ -378,7 +467,10 @@ def snapshot_diff_files(
     touched.  Valid between APPEND commits (an optimize commit rewrites
     files without changing content, so a diff across it would re-surface
     rewritten rows — ACID formats solve that with row-level add/delete
-    tracking; here the contract is documented instead)."""
+    tracking; here the contract is documented instead).  Equality-delete
+    commits (B152) add no data files, so the feed is APPENDED ROWS only
+    — a consumer that must observe deletions reads the delete files
+    themselves (``manifest_files(kind='delete')``)."""
     old = set(manifest_files(table_dir, v_from))
     new = manifest_files(table_dir, v_to)
     return [p for p in new if p not in old]
@@ -418,20 +510,47 @@ def read_asof(
     raises UNCONDITIONALLY — even with a ``schema`` fallback — because
     the only honest answers are the vacuumed snapshot (gone) or an
     error; silently returning empty/newer data would corrupt an
-    incremental consumer."""
+    incremental consumer.
+
+    Merge-on-read (B152): when the snapshot carries equality-delete
+    files, data files are grouped by sequence number and each group is
+    anti-joined against the union of delete keys with a STRICTLY LATER
+    seq (the Iceberg scoping rule: a delete never touches data that
+    entered after it, so re-inserted keys survive).  The group count is
+    the commit count, not the file count — the plan stays a union of a
+    few scans + one broadcast-ish anti-join per group over narrow key
+    columns."""
     vs = snapshot_versions(table_dir)
     if vs and version is not None and int(version) < vs[0]:
         raise ValueError(
             f"version {version} is below the retention floor v{vs[0]} of "
             f"{table_dir} (older snapshots were vacuumed)"
         )
-    files = manifest_files(table_dir, version)
+    entries = manifest_entries(table_dir, version)
+    files = [e["path"] for e in entries if e["kind"] == "data"]
     if not files:
         if schema is None:
             raise ValueError(f"no committed snapshot <= {version} in {table_dir}")
         return spark.createDataFrame([], schema)
     reader = spark.read if schema is None else spark.read.schema(schema)
-    return reader.parquet(*files)
+    deletes = sorted(
+        (e for e in entries if e["kind"] == "delete"), key=lambda e: e["seq"]
+    )
+    if not deletes:
+        return reader.parquet(*files)
+    by_seq: dict[int, list[str]] = {}
+    for e in entries:
+        if e["kind"] == "data":
+            by_seq.setdefault(e["seq"], []).append(e["path"])
+    out = None
+    for s, paths in sorted(by_seq.items()):
+        part = reader.parquet(*paths)
+        applicable = [d["path"] for d in deletes if d["seq"] > s]
+        if applicable:
+            keys = spark.read.parquet(*applicable).dropDuplicates()
+            part = part.join(keys, on=keys.columns, how="left_anti")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 _PRUNE_OPS = {"=", "<", "<=", ">", ">=", "between"}
@@ -478,26 +597,25 @@ def prune_files(
     v = _resolve_version(table_dir, version)
     if v is None:
         return [], 0
-    t = pq.read_table(os.path.join(_manifest_dir(table_dir), f"v{v}.parquet"))
-    paths = t["path"].to_pylist()
-    nrows = t["n_rows"].to_pylist()
-    stats = (
-        t["stats_json"].to_pylist()
-        if "stats_json" in t.column_names
-        else [None] * len(paths)
-    )
+    entries = manifest_entries(table_dir, v)
+    data = [e for e in entries if e["kind"] == "data"]
     kept = [
-        p
-        for p, n, sj in zip(paths, nrows, stats)
+        e["path"]
+        for e in data
         # a zero-row file (empty write partition) has no row groups and
         # thus no stats; it is prunable unconditionally, not "unknown"
-        if n > 0
+        if e["n_rows"] > 0
         and all(
-            _stats_may_satisfy(json.loads(sj) if sj else None, c, op, val)
+            _stats_may_satisfy(
+                json.loads(e["stats_json"]) if e.get("stats_json") else None,
+                c,
+                op,
+                val,
+            )
             for (c, op, val) in filters
         )
     ]
-    return kept, len(paths)
+    return kept, len(data)
 
 
 def _filters_to_column(filters: list[tuple]):
@@ -540,6 +658,17 @@ def read_where(
         raise ValueError(
             f"version {version} is below the retention floor v{vs[0]} of "
             f"{table_dir} (older snapshots were vacuumed)"
+        )
+    if any(
+        e["kind"] == "delete" for e in manifest_entries(table_dir, version)
+    ):
+        # B152 interplay: correctness over pruning — applying equality
+        # deletes requires the seq-grouped merge-on-read plan, so a
+        # table with live delete files reads through read_asof and only
+        # gets the residual filter (run optimize_snapshot to fold the
+        # deletes in and restore file skipping)
+        return read_asof(spark, table_dir, version, schema=schema).filter(
+            _filters_to_column(filters)
         )
     kept, total = prune_files(table_dir, filters, version)
     if total == 0:
@@ -739,10 +868,75 @@ def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+DEL_MOD = 5     # v1 equality-deletes orders with o_orderkey % 5 == 0
+REINS_MOD = 10  # v2 re-appends orders with o_orderkey % 10 == 0 (deleted subset)
+
+
+def q_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B152 contract query: commit orders (v0), equality-delete every
+    ``o_orderkey % 5 == 0`` key (v1 — keys-only parquet, NO data file
+    rewritten), then re-append the ``% 10 == 0`` half of the deleted
+    keys (v2).  The latest read must show: undeleted originals ∪ the
+    re-inserted rows — i.e. the seq rule end to end (the v1 delete
+    applies to v0 data only, never to the v2 append), which DuckDB
+    recomputes as ``% 5 <> 0 OR % 10 = 0``.
+
+    Hashed columns: the per-status aggregate of the merge-on-read
+    latest, plus two structural flags — as-of v0 still shows ALL rows
+    (deletes are snapshot participants, not history rewrites) and as-of
+    v1 shrank (delete visible).  Re-insert visibility is carried by the
+    VALUES: the oracle's ``% 10 = 0`` leg only matches if the v2 rows
+    survive the v1 delete.  A scoping bug in any direction (delete
+    leaking onto v2 data, delete ignored, time travel corrupted) flips
+    a flag or the hashed aggregate itself."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_eqdelete_")
+    try:
+        commit_snapshot(spark, work, o, 0)
+        commit_delete(
+            spark,
+            work,
+            o.filter(F.col("o_orderkey") % DEL_MOD == 0).select("o_orderkey"),
+            1,
+        )
+        commit_snapshot(
+            spark, work, o.filter(F.col("o_orderkey") % REINS_MOD == 0), 2
+        )
+        n_all = o.count()
+        n_v0 = read_asof(spark, work, 0).count()
+        n_v1 = read_asof(spark, work, 1).count()
+        latest = read_asof(spark, work)
+        agg = (
+            latest.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .withColumn("asof_predelete_ok", F.lit(bool(n_v0 == n_all)))
+            .withColumn("delete_shrank_ok", F.lit(bool(n_v1 < n_v0)))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return agg
+
+
 QUERIES = {
     "q_time_travel_read": q_time_travel_read,
     "q_snapshot_diff": q_snapshot_diff,
     "q_stats_prune": q_stats_prune,
+    "q_equality_delete": q_equality_delete,
 }
 
 ORACLE = {
@@ -780,6 +974,19 @@ ORACLE = {
                TRUE AS files_pruned_ok
         FROM orders
         WHERE o_orderkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+        GROUP BY o_orderstatus
+    """,
+    "q_equality_delete": f"""
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               TRUE AS asof_predelete_ok,
+               TRUE AS delete_shrank_ok
+        FROM orders
+        WHERE o_orderkey % {DEL_MOD} <> 0 OR o_orderkey % {REINS_MOD} = 0
         GROUP BY o_orderstatus
     """,
 }

@@ -517,3 +517,85 @@ def test_stats_prune_conservative_on_mixed_types(spark, tmp_path):
     # float stats prune correctly: no file can contain x > 10
     kept2, _ = tt.prune_files(table, [("x", ">", 10.0)])
     assert kept2 == []
+
+
+def test_equality_delete_merge_on_read(spark, tmp_path):
+    """B152: equality deletes are metadata+keys commits — visible at
+    their version, scoped by sequence number (later appends re-insert),
+    invisible to time travel below them, and never GC'd while live."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "eqdel")
+    schema = "k long, s string"
+    base = spark.createDataFrame([(i, f"r{i}") for i in range(10)], schema)
+    tt.commit_snapshot(spark, table, base, 0)
+    # delete even keys with a keys-only commit (no data file rewritten)
+    keys = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "k long")
+    pre_data_files = set(tt.manifest_files(table, 0))
+    tt.commit_delete(spark, table, keys, 1)
+    assert set(tt.manifest_files(table, 1)) == pre_data_files  # data untouched
+    assert tt.manifest_files(table, 1, kind="delete")  # delete file live
+
+    def ks(v=None):
+        return sorted(r.k for r in tt.read_asof(spark, table, v).collect())
+
+    assert ks(0) == list(range(10))            # time travel: pre-delete intact
+    assert ks(1) == [1, 3, 5, 7, 9]            # delete applied
+    # v2 re-inserts two previously-deleted keys: seq rule must keep them
+    tt.commit_snapshot(
+        spark, table, spark.createDataFrame([(0, "new0"), (4, "new4")], schema), 2
+    )
+    assert ks(2) == [0, 1, 3, 4, 5, 7, 9]
+    got = {(r.k, r.s) for r in tt.read_asof(spark, table).collect()}
+    assert (0, "new0") in got and (0, "r0") not in got  # the NEW row won
+    # vacuum keeping all versions must not sweep the live delete file
+    res = tt.vacuum(table, keep_last=3, min_age_s=0)
+    assert ks(2) == [0, 1, 3, 4, 5, 7, 9]
+    assert not any("c1d" in p for p in res["removed_files"])
+
+
+def test_equality_delete_optimize_folds_and_restores_pruning(spark, tmp_path):
+    """B152+B135+B150 interplay: OPTIMIZE on a table with live deletes
+    rewrites THROUGH merge-on-read, publishes a pure-data manifest, and
+    read_where's file skipping works again afterwards."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "eqopt")
+    schema = "k long, s string"
+    base = spark.createDataFrame([(i, f"r{i}") for i in range(100)], schema)
+    tt.commit_snapshot(
+        spark, table, base.repartitionByRange(4, "k"), 0, collect_stats=True
+    )
+    tt.commit_delete(
+        spark, table, spark.createDataFrame([(i,) for i in range(50)], "k long"), 1
+    )
+    # with live deletes, read_where falls back to merge-on-read (exact)
+    got = sorted(r.k for r in tt.read_asof(spark, table).collect())
+    assert got == list(range(50, 100))
+    rw = sorted(
+        r.k
+        for r in tt.read_where(spark, table, [("k", ">=", 90)]).collect()
+    )
+    assert rw == list(range(90, 100))
+    # optimize folds the deletes: pure-data manifest, same rows
+    tt.optimize_snapshot(spark, table, 2)
+    assert tt.manifest_files(table, 2, kind="delete") == []
+    got2 = sorted(r.k for r in tt.read_asof(spark, table).collect())
+    assert got2 == list(range(50, 100))
+
+
+def test_equality_delete_multicolumn_key(spark, tmp_path):
+    """B152: the delete key is whatever columns the keys frame carries —
+    a two-column key deletes only exact (k, s) matches."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "eqmc")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 30.0)], "k long, s string, x double"
+    )
+    tt.commit_snapshot(spark, table, df, 0)
+    tt.commit_delete(
+        spark, table, spark.createDataFrame([(1, "a")], "k long, s string"), 1
+    )
+    got = {(r.k, r.s) for r in tt.read_asof(spark, table).collect()}
+    assert got == {(1, "b"), (2, "a")}
