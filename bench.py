@@ -118,6 +118,10 @@ HEADLINE = [
     # degree-ordered triangle kernel (~1.5 s each at sf0.1)
     "q_connected_components",
     "q_triangle_count",
+    # r11: weighted SSSP joins the tracked graph family (Bellman-Ford
+    # fixpoint, 3 improving rounds at sf0.1 vs DuckDB's 12-round
+    # MATERIALIZED-CTE unroll)
+    "q_sssp",
 ]
 
 

@@ -252,6 +252,7 @@ def commit_snapshot(
     carry_forward: bool = True,
     exclusive: bool = False,
     collect_stats: bool = False,
+    parent: int | None = None,
 ) -> list[str]:
     """Commit ``df`` as snapshot ``version``: write data files, then
     publish the manifest.  ``carry_forward=True`` is an APPEND commit
@@ -266,16 +267,21 @@ def commit_snapshot(
     discipline; the manifest records full paths, so readers never
     depend on dir naming).  ``collect_stats=True`` additionally records
     per-file column [min,max] in the manifest (B150) so ``read_where``
-    can skip files at metadata rate.  Returns the new snapshot's full
+    can skip files at metadata rate.  ``parent`` names the snapshot the
+    carry-forward builds on (default: the latest snapshot below
+    ``version``) — the branching leg B153's write-audit-publish uses to
+    stage an alternative commit off an AUDITED ancestor instead of off
+    a rejected staging snapshot.  Returns the new snapshot's full
     live-file list."""
     suffix = f"w{os.getpid()}x{next(_COMMIT_SEQ)}" if exclusive else ""
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}{suffix}")
     df.write.mode("overwrite").parquet(data_dir)
     live = [(p, "data", int(version)) for p in _list_data_files(data_dir)]
     if carry_forward:
+        base = int(version) - 1 if parent is None else int(parent)
         prev = [
             (e["path"], e["kind"], e["seq"])
-            for e in manifest_entries(table_dir, int(version) - 1)
+            for e in manifest_entries(table_dir, base)
         ]
         live = prev + live
     _write_manifest(
@@ -685,6 +691,53 @@ def read_where(
     return reader.parquet(*kept).filter(_filters_to_column(filters))
 
 
+def _refs_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_refs")
+
+
+def set_ref(table_dir: str, name: str, version: int) -> None:
+    """Point branch ref ``name`` at snapshot ``version`` (B153): refs
+    are tiny JSON files published by the same temp-write + atomic-rename
+    discipline as manifests, so a reader never sees a torn ref and the
+    PUBLISH step of write-audit-publish is one atomic rename — the
+    cheapest possible cutover, independent of table size.  The version
+    must be a committed snapshot: pointing a ref at an uncommitted
+    version would make the branch unreadable."""
+    if int(version) not in snapshot_versions(table_dir):
+        raise ValueError(
+            f"cannot set ref {name!r} to uncommitted version {version}"
+        )
+    os.makedirs(_refs_dir(table_dir), exist_ok=True)
+    final = os.path.join(_refs_dir(table_dir), f"{name}.json")
+    tmp = final + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": int(version)}, f)
+    os.replace(tmp, final)
+
+
+def read_ref(table_dir: str, name: str) -> int | None:
+    """The snapshot version branch ref ``name`` points at (None if the
+    ref does not exist)."""
+    path = os.path.join(_refs_dir(table_dir), f"{name}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(json.load(f)["version"])
+
+
+def read_branch(spark: SparkSession, table_dir: str, name: str = "main") -> DataFrame:
+    """Read the table AS OF branch ref ``name`` — the WAP reader
+    contract: production readers follow the ref, never "latest
+    manifest", so staged-but-unaudited snapshots are invisible to them
+    even though their manifests are committed (the staging/publish
+    split; ``read_asof(None)`` remains the ref-free single-writer
+    mode)."""
+    v = read_ref(table_dir, name)
+    if v is None:
+        raise ValueError(f"no ref {name!r} in {table_dir}")
+    return read_asof(spark, table_dir, v)
+
+
 TT_VERSION_MOD = 3   # commits split orders by o_orderkey % 3
 TT_READ_VERSION = 1  # the as-of target: versions 0 and 1 visible, 2 not
 
@@ -932,11 +985,93 @@ def q_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+WAP_BASE_MOD = 2   # main starts as orders with o_orderkey % 2 == 0
+WAP_BAD_MOD = 6    # staged append plants negative prices on % 6 == 3 keys
+
+
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B153 contract query — write-audit-publish end to end: main branch
+    starts at v0 (even orderkeys); a staged append (v1, odd orderkeys
+    with PLANTED negative prices on ``% 6 == 3``) commits its manifest
+    but is NOT published; the audit (no negative totalprice) rejects it,
+    so main still reads v0; a corrected append (v2, branched off v0 via
+    ``parent=0`` — it must NOT carry the rejected v1 rows) passes audit
+    and publishes by one atomic ref rename.
+
+    Hashed columns: the per-status aggregate read THROUGH THE MAIN REF
+    (DuckDB recomputes the published predicate: even keys ∪ odd keys
+    except the planted-bad ones) plus two structural flags — the reject
+    left main at v0 while v1's manifest existed (staging invisible to
+    ref readers), and the publish advanced main to exactly v2.  A
+    gating bug in either direction (bad rows leak to main, audit
+    blindness, publish skew) flips the values or a flag."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_wap_")
+    try:
+        even = o.filter(F.col("o_orderkey") % WAP_BASE_MOD == 0)
+        odd = o.filter(F.col("o_orderkey") % WAP_BASE_MOD == 1)
+        commit_snapshot(spark, work, even, 0)
+        set_ref(work, "main", 0)
+        # stage: odd keys, prices negated on the planted-bad subset
+        staged = odd.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % WAP_BAD_MOD == 3, -F.col("o_totalprice")
+            ).otherwise(F.col("o_totalprice")),
+        )
+        commit_snapshot(spark, work, staged, 1)
+        # audit v1: reject (negative prices present); main must stay at v0
+        n_bad = (
+            read_asof(spark, work, 1).filter(F.col("o_totalprice") < 0).count()
+        )
+        reject_ok = n_bad > 0 and read_ref(work, "main") == 0
+        # corrected stage off the AUDITED parent v0, audit, publish
+        commit_snapshot(
+            spark,
+            work,
+            odd.filter(F.col("o_orderkey") % WAP_BAD_MOD != 3),
+            2,
+            parent=0,
+        )
+        n_bad2 = (
+            read_asof(spark, work, 2).filter(F.col("o_totalprice") < 0).count()
+        )
+        if n_bad2 == 0:
+            set_ref(work, "main", 2)
+        publish_ok = read_ref(work, "main") == 2
+        agg = (
+            read_branch(spark, work, "main")
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .withColumn("reject_left_main_ok", F.lit(bool(reject_ok)))
+            .withColumn("publish_advanced_ok", F.lit(bool(publish_ok)))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return agg
+
+
 QUERIES = {
     "q_time_travel_read": q_time_travel_read,
     "q_snapshot_diff": q_snapshot_diff,
     "q_stats_prune": q_stats_prune,
     "q_equality_delete": q_equality_delete,
+    "q_wap_publish": q_wap_publish,
 }
 
 ORACLE = {
@@ -987,6 +1122,21 @@ ORACLE = {
                TRUE AS delete_shrank_ok
         FROM orders
         WHERE o_orderkey % {DEL_MOD} <> 0 OR o_orderkey % {REINS_MOD} = 0
+        GROUP BY o_orderstatus
+    """,
+    "q_wap_publish": f"""
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               TRUE AS reject_left_main_ok,
+               TRUE AS publish_advanced_ok
+        FROM orders
+        WHERE o_orderkey % {WAP_BASE_MOD} = 0
+           OR (o_orderkey % {WAP_BASE_MOD} = 1
+               AND o_orderkey % {WAP_BAD_MOD} <> 3)
         GROUP BY o_orderstatus
     """,
 }

@@ -599,3 +599,77 @@ def test_equality_delete_multicolumn_key(spark, tmp_path):
     )
     got = {(r.k, r.s) for r in tt.read_asof(spark, table).collect()}
     assert got == {(1, "b"), (2, "a")}
+
+
+def test_wap_branch_refs(spark, tmp_path):
+    """B153: refs are atomic pointers — staging commits are invisible to
+    ref readers until publish; a ref cannot point at an uncommitted
+    version; branch reads follow the ref, not 'latest'."""
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "wap")
+    schema = "k long, s string"
+    mk = lambda rs: spark.createDataFrame(rs, schema)  # noqa: E731
+    tt.commit_snapshot(spark, table, mk([(1, "a")]), 0)
+    tt.set_ref(table, "main", 0)
+    # staging commit: manifest exists, ref readers don't see it
+    tt.commit_snapshot(spark, table, mk([(2, "bad")]), 1)
+    assert tt.snapshot_versions(table) == [0, 1]
+    assert {r.k for r in tt.read_branch(spark, table).collect()} == {1}
+    # ref to an uncommitted version fails loud
+    with _pytest.raises(ValueError):
+        tt.set_ref(table, "main", 7)
+    # corrected commit branched off the AUDITED parent (not the reject)
+    tt.commit_snapshot(spark, table, mk([(3, "good")]), 2, parent=0)
+    assert {r.k for r in tt.read_asof(spark, table, 2).collect()} == {1, 3}
+    tt.set_ref(table, "main", 2)
+    assert {r.k for r in tt.read_branch(spark, table).collect()} == {1, 3}
+    # a second named ref can still audit the rejected snapshot
+    tt.set_ref(table, "audit", 1)
+    assert {r.k for r in tt.read_branch(spark, table, "audit").collect()} == {1, 2}
+    # missing ref fails loud
+    with _pytest.raises(ValueError):
+        tt.read_branch(spark, table, "nope")
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path, sf_dir):
+    """B79 x B150 integration: a Z-order-clustered commit interleaves
+    two columns' bits, so manifest stats prune files for predicates on
+    EITHER column — the property a single-column range clustering
+    cannot give."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+    from kinesis2elastic_spark.operators.layout import zorder_value
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    bounds = o.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.min("o_custkey"), F.max("o_custkey"),
+    ).first()
+    z = zorder_value(
+        F.col("o_orderkey"), F.col("o_custkey"),
+        bounds[0], bounds[1], bounds[2], bounds[3],
+    )
+    table = str(tmp_path / "ztbl")
+    tt.commit_snapshot(
+        spark,
+        table,
+        o.repartitionByRange(8, z.alias("__z")).sortWithinPartitions(z.alias("__z")),
+        0,
+        collect_stats=True,
+    )
+    lo_k, hi_k = bounds[0], bounds[0] + (bounds[1] - bounds[0]) // 8
+    lo_c, hi_c = bounds[2], bounds[2] + (bounds[3] - bounds[2]) // 8
+    kept_k, total = tt.prune_files(table, [("o_orderkey", "between", (lo_k, hi_k))])
+    kept_c, _ = tt.prune_files(table, [("o_custkey", "between", (lo_c, hi_c))])
+    assert total == 8
+    assert 0 < len(kept_k) < total, "orderkey predicate must prune z-ordered files"
+    assert 0 < len(kept_c) < total, "custkey predicate must prune z-ordered files"
+    # exactness on both dimensions
+    n1 = tt.read_where(spark, table, [("o_orderkey", "between", (lo_k, hi_k))]).count()
+    assert n1 == o.filter(F.col("o_orderkey").between(lo_k, hi_k)).count()
+    n2 = tt.read_where(spark, table, [("o_custkey", "between", (lo_c, hi_c))]).count()
+    assert n2 == o.filter(F.col("o_custkey").between(lo_c, hi_c)).count()
