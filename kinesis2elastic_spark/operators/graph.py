@@ -1358,6 +1358,138 @@ def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+PPR_ITERS = 8  # fixed power iterations (the q_pagerank budget discipline)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = PR_DAMPING,
+    iters: int = PPR_ITERS,
+    n_edges_hint: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank / TrustRank (Gyöngyi et al. 2004, "Combating
+    Web Spam with TrustRank") over a directed (src, dst) edge list →
+    (node, rank): the power iteration r ← (1−d)·p + d·Mᵀr with teleport
+    vector p uniform over ``seeds`` instead of all nodes — authority
+    relative to a trusted seed set, the spam-resistant crawl-curation
+    signal plain PageRank (B83) cannot give (a link farm inflates global
+    PR but receives no trust unless a seed path reaches it).
+
+    The SPARSITY is the scale story: rank frames hold only nodes with
+    nonzero rank, and after k iterations that is exactly the k-hop
+    out-neighborhood of the seeds — on a 100 TB web graph a trusted-seed
+    PPR touches the seeds' reach, never the full node set (plain
+    pagerank() materializes rank for every node by construction).
+    Kernel shape follows the family contract: edges dedup-fused into the
+    pinned hash(src) exchange, the out-degree join co-partitioned on it,
+    ONE exchange per iteration (contributions repartition to hash(node);
+    the teleport merge runs co-partitioned), full-outer teleport merge
+    because a contribution may reach a node the teleport vector does not
+    hold.  Dangling mass (rank parked on nodes with no out-edges) is
+    redistributed to the SEEDS — the TrustRank convention, keeping
+    Σrank = 1 exactly and trust non-leaking; the probe runs once (static
+    node set), not per round.
+
+    Exactness contract for the oracle: contributions are strictly
+    positive, so {rank > 0} after k iterations EQUALS the ≤k-hop BFS
+    closure of the seeds — an exact integer the DuckDB recursive CTE
+    recomputes; mass conservation and the (1−d)/|S| seed floor are
+    in-engine float invariants (1e-9/1e-12 slack)."""
+    spark = edges.sparkSession
+    edges = edges.select("src", "dst")
+    if n_edges_hint is None:
+        edges = edges.distinct()
+        n_edges_hint = edges.count()
+    parts = _loop_parts(spark, int(n_edges_hint))
+    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    # out-degree + link join both ride the pinned hash(src) layout
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    links = pin(edges.join(out_deg, "src"))
+    seed_nodes = pin(seeds.select("node").distinct().repartition(parts, "node"))
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: empty seed set")
+    dangling_nodes = pin(
+        edges.select(F.col("dst").alias("node"))
+        .distinct()
+        .join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
+        .repartition(parts, "node")
+    )
+    has_dangling = bool(dangling_nodes.head(1))
+    tele = 1.0 / n_seeds  # p(v) for seeds; teleport mass = (1-d)·p
+    ranks = seed_nodes.withColumn("rank", F.lit(tele))  # r0 = p
+    for it in range(iters):
+        contribs = (
+            links.join(ranks, links.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(damping) * F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .repartition(parts, "node")
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        seed_mass = (1.0 - damping) * tele
+        if has_dangling:
+            dm = (
+                ranks.join(dangling_nodes, "node")
+                .agg(F.sum("rank").alias("m"))
+                .first()["m"]
+            )
+            if dm:  # parked mass re-teleports to the trusted seeds
+                seed_mass += damping * float(dm) * tele
+        ranks = (
+            seed_nodes.withColumn("tele", F.lit(seed_mass))
+            .join(contribs, "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("tele"), F.lit(0.0))
+                    + F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if it % 2 == 1 or it == iters - 1:
+            ranks = pin(ranks)
+    return ranks
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B154 contract query: TrustRank from the B114 seed set (suppliers
+    with s_suppkey % 7 == 3) over the trade graph.  Rank VALUES are
+    engine-local floats, but the reduction is exact (the q_pagerank
+    est_ok doctrine, strengthened): ``n_reached`` — the count of nodes
+    with nonzero trust — must equal the seeds' ≤8-hop BFS closure, which
+    DuckDB recomputes EXACTLY via a bounded recursive CTE (positive
+    contributions cannot cancel, so reach and support coincide);
+    ``n_seeds`` is exact; mass conservation (Σrank = 1 with dangling
+    redistribution) and the (1−d)/|S| seed trust floor are in-engine
+    invariant flags."""
+    supplier = load(spark, sf_dir, "supplier")
+    seeds = supplier.filter(
+        F.col("s_suppkey") % REACH_SEED_MOD == REACH_SEED_REM
+    ).select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    hint = 2 * table_rows(sf_dir, "lineitem")  # parquet-footer metadata
+    ranks = personalized_pagerank(
+        _trade_edges(spark, sf_dir, dedup=False), seeds, n_edges_hint=hint
+    )
+    n_seeds = seeds.distinct().count()
+    floor = (1.0 - PR_DAMPING) / n_seeds
+    seed_ranks = ranks.join(seeds.distinct(), "node")
+    stats = ranks.agg(
+        F.count("*").cast("long").alias("n_reached"),
+        F.sum("rank").alias("_mass"),
+    )
+    seed_stats = seed_ranks.agg(F.min("rank").alias("_seed_min"))
+    return stats.crossJoin(seed_stats).select(
+        "n_reached",
+        F.lit(n_seeds).cast("long").alias("n_seeds"),
+        (F.abs(F.col("_mass") - F.lit(1.0)) <= 1e-9).alias("mass_conserved_ok"),
+        (F.col("_seed_min") >= F.lit(floor) - 1e-12).alias("seed_floor_ok"),
+    )
+
+
 SSSP_W_MOD = 7          # edge weight = 1 + (custkey + suppkey) % 7 ∈ [1, 7]
 SSSP_MAX_ROUNDS = 64    # fail-loud relaxation budget (kernel side)
 SSSP_ORACLE_ROUNDS = 12  # unrolled SQL relaxations (>= observed fixpoint + slack)
@@ -1532,6 +1664,7 @@ QUERIES = {
     "q_scc": q_scc,
     "q_condensation": q_condensation,
     "q_sssp": q_sssp,
+    "q_trustrank": q_trustrank,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -1606,6 +1739,31 @@ def _sssp_rounds_sql(rounds: int) -> str:
         )
     return ",\n    ".join(parts)
 
+
+ORACLE["q_trustrank"] = f"""
+    WITH RECURSIVE
+    trade AS (
+      SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM trade
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM trade),
+    seeds AS (
+      SELECT DISTINCT 's' || s_suppkey AS node
+      FROM supplier WHERE s_suppkey % {REACH_SEED_MOD} = {REACH_SEED_REM}),
+    reach(node, dist) AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+      UNION
+      SELECT e.dst AS node, r.dist + 1 AS dist
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.dist < {PPR_ITERS})
+    SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_reached,
+           (SELECT CAST(count(*) AS BIGINT) FROM seeds) AS n_seeds,
+           TRUE AS mass_conserved_ok,
+           TRUE AS seed_floor_ok
+    FROM reach
+"""
 
 ORACLE["q_sssp"] = f"""
     WITH trade AS (

@@ -583,3 +583,47 @@ def test_sssp_multi_seed_and_fail_loud(spark):
     with pytest.raises(RuntimeError):
         seeds1 = spark.createDataFrame([("n0",)], "node string")
         graph.sssp_weighted(chain, seeds1, max_rounds=3)
+
+
+def test_trustrank_spam_cluster_gets_no_trust(spark):
+    """B154: a densely self-linked cluster unreachable from the seeds
+    receives ZERO trust (the TrustRank property plain PageRank lacks),
+    rank frames stay sparse (only reached nodes present), dangling mass
+    re-teleports to seeds, and the result matches a driver-side
+    reference iteration of the same recurrence to 1e-9."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"),
+            ("b", "c"),  # c is dangling: its mass re-teleports to the seed
+            ("s1", "s2"),
+            ("s2", "s1"),  # spam farm: high mutual linkage, no seed path
+        ],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.rank
+        for r in graph.personalized_pagerank(edges, seeds, iters=6).collect()
+    }
+    assert set(got) == {"a", "b", "c"}  # sparse: spam nodes ABSENT, not 0.0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    # reference: same recurrence, dense dict arithmetic
+    d, tele = 0.85, 1.0
+    out = {"a": ["b"], "b": ["c"], "s1": ["s2"], "s2": ["s1"]}
+    r = {"a": tele}
+    for _ in range(6):
+        contrib = {}
+        for u, rank in r.items():
+            for v in out.get(u, []):
+                contrib[v] = contrib.get(v, 0.0) + d * rank / len(out[u])
+        dangling = sum(rank for u, rank in r.items() if u not in out)
+        seed_mass = (1 - d) * tele + d * dangling * tele
+        r = dict(contrib)
+        r["a"] = r.get("a", 0.0) + seed_mass
+    for node, want in r.items():
+        assert got[node] == pytest.approx(want, abs=1e-9), node
+    with pytest.raises(ValueError):
+        graph.personalized_pagerank(
+            edges, spark.createDataFrame([], "node string")
+        )
