@@ -1822,6 +1822,89 @@ def q_stream_quantile_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B155 oracle-backed: streaming CDC apply through the snapshot
+    protocol (``streaming/cdc_stream.py``) — the events change stream
+    (event_type 'error' = tombstone, anything else = upsert) arrives in
+    two TIME-ORDERED micro-batches across a checkpoint restart; each
+    batch reduces to last-op-per-key and lands as an equality-delete
+    commit + an append commit + one atomic ref publish (B152+B153), so
+    the final ``read_branch`` merge-on-read must equal B47's one-shot
+    ``cdc_latest`` state machine.
+
+    Batches split by event-TIME (second granularity: every row of one
+    second lands in one batch), honoring the CDC ordering contract —
+    a key's changes arrive in event order ACROSS batches; within a
+    batch the argmax reduction restores order.  Hashed columns: the
+    final state grouped by last event_type (count, exact value cents,
+    min/max user) — DuckDB recomputes it from the raw events via
+    latest-per-key (ts desc, event_id desc) excluding tombstones; any
+    sequence-rule defect (delete eating its own batch's upsert, stale
+    row surviving, tombstone leak, replay double-apply) flips counts by
+    value.  ``stream_equals_batch_cdc_ok`` additionally pins the
+    row-level state against the in-engine one-shot twin."""
+    from ..streaming.cdc_stream import cdc_writer, read_cdc_table
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    med = ev.agg(
+        F.expr("percentile(cast(ts as bigint), 0.5)").alias("m")
+    ).first()["m"]
+    split = F.col("ts").cast("bigint") <= float(med)
+    work = tempfile.mkdtemp(prefix="k2e_stream_cdc_")
+    try:
+        src, state = os.path.join(work, "src"), os.path.join(work, "state")
+
+        def start():
+            return (
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string, "
+                    "ts timestamp, value double"
+                )
+                .parquet(src + "/*")
+                .writeStream.foreachBatch(cdc_writer(spark, state))
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        os.makedirs(src, exist_ok=True)
+        ev.filter(split).coalesce(1).write.parquet(src + "/b1")
+        _drain(start())
+        ev.filter(~split).coalesce(1).write.parquet(src + "/b2")
+        _drain(start())
+        stream_state = read_cdc_table(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # in-engine one-shot twin: the same argmax state machine over all events
+    batch_state = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_type", "ts", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("m")
+        )
+        .select("user_id", "m.event_type", "m.ts", "m.value")
+        .filter(F.col("event_type") != "error")
+    )
+    eq = frames_equal_flag(stream_state, batch_state, "stream_equals_batch_cdc_ok")
+    return (
+        stream_state.groupBy(F.col("event_type").alias("last_event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("sum_value_cents"),
+            F.min("user_id").cast("long").alias("min_user"),
+            F.max("user_id").cast("long").alias("max_user"),
+        )
+        .crossJoin(F.broadcast(eq))
+    )
+
+
 QUERIES = {
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -1842,6 +1925,7 @@ QUERIES = {
     "q_stream_update_equiv": q_stream_update_equiv,
     "q_stream_matview_equiv": q_stream_matview_equiv,
     "q_stream_quantile_equiv": q_stream_quantile_equiv,
+    "q_stream_cdc_equiv": q_stream_cdc_equiv,
 }
 
 
@@ -1865,6 +1949,23 @@ def _shard_manifest_sql() -> str:
 
 
 ORACLE = {
+    "q_stream_cdc_equiv": """
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events),
+        state AS (
+          SELECT user_id, event_type, value
+          FROM ranked WHERE rn = 1 AND event_type <> 'error')
+        SELECT event_type AS last_event_type,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents,
+               CAST(min(user_id) AS BIGINT) AS min_user,
+               CAST(max(user_id) AS BIGINT) AS max_user,
+               TRUE AS stream_equals_batch_cdc_ok
+        FROM state GROUP BY event_type
+    """,
     "q_stream_shard_equiv": _shard_manifest_sql(),
     # identical exact-ground-truth shape as ORACLE["q_minhash_incremental"]
     # (the batch twin), with the streaming flags constant-true

@@ -1,0 +1,92 @@
+"""Streaming CDC apply through the snapshot protocol (B155): a
+foreachBatch-maintained UPSERT/DELETE table — the form a 100 TB CDC
+target actually runs: each micro-batch lands as an equality-delete
+commit plus an append commit, NEVER a table rewrite, and the reader
+merge-on-reads the latest state (B152).  The batch twin is B47's
+``cdc_latest`` ("latest state per key, tombstone drops the key"): one
+definition of the state machine, two execution modes.
+
+Per micro-batch (batch id b):
+
+1. reduce the batch to its LAST op per key — ``max_by`` over the
+   (ts, event_id) order, a map-combinable aggregate (the B142/B123
+   discipline: no window over the key, hot keys collapse map-side);
+   event_type 'error' is the tombstone, anything else upserts the row;
+2. ``commit_delete`` of ALL touched keys as version ``2b`` — by the
+   B152 sequence rule this removes every EARLIER version of those keys
+   and cannot touch data committed after it;
+3. ``commit_snapshot`` (append) of the surviving upsert rows as version
+   ``2b+1`` — the append outlives step 2's delete because its sequence
+   number is strictly larger;
+4. ``set_ref('main', 2b+1)`` — the B153 publish: readers follow the
+   ref, so the torn state between the two commits (deletes applied,
+   upserts not yet) is NEVER visible to them, crash or no crash.
+
+Replay idempotence is structural: versions derive from the batch id, a
+replayed batch rewrites manifests 2b/2b+1 with a deterministic
+carry-forward from 2b−1 (the matview discipline, B126), and the ref
+only ever moves to a fully-committed pair.  Ordering contract: the
+source must deliver a key's changes in event-time order across batches
+(the Kafka per-key-partition guarantee); WITHIN a batch any order is
+fine — the argmax reduction restores it.
+
+At 100 TB: per-batch cost = one batch-sized reduction + keys-rate
+delete + upsert-rate append, all metadata-rate on the manifest side;
+``optimize_snapshot`` periodically folds the accumulated delete debt
+(copy-on-write) and ``vacuum`` expires history — both documented
+interplays of B152/B145.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timetravel import (
+    commit_delete,
+    commit_snapshot,
+    read_branch,
+    set_ref,
+)
+
+CDC_STATE_SCHEMA = (
+    "user_id long, event_type string, ts timestamp, value double"
+)
+
+
+def cdc_writer(spark: SparkSession, table_dir: str):
+    """foreachBatch body: change batch → last-op-per-key reduction →
+    delete commit (v=2b) + append commit (v=2b+1) → atomic ref publish."""
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        b = int(batch_id)
+        last = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_type", "ts", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("m")
+            )
+            .select("user_id", "m.event_type", "m.ts", "m.value")
+            # materialize BEFORE the writes: the commit dirs may exist
+            # from a failed prior attempt of this same batch and the
+            # overwrite would otherwise race the lazy read (the
+            # matview_stream discipline)
+            .localCheckpoint(eager=True)
+        )
+        commit_delete(spark, table_dir, last.select("user_id"), 2 * b)
+        commit_snapshot(
+            spark,
+            table_dir,
+            last.filter(F.col("event_type") != "error"),
+            2 * b + 1,
+        )
+        set_ref(table_dir, "main", 2 * b + 1)
+
+    return fb
+
+
+def read_cdc_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The CDC target's current state: the published ref, merge-on-read."""
+    return read_branch(spark, table_dir, "main")

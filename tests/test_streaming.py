@@ -644,3 +644,97 @@ def test_matview_commits_are_time_travelable(spark, tmp_path_factory):
     # batch 0 fell below the retention floor: loud failure, not empty data
     with _pytest.raises(ValueError, match="retention floor"):
         tt.read_asof(spark, state, 0, schema=MV_STATE_SCHEMA)
+
+
+def test_cdc_writer_upsert_delete_reinsert_and_replay(spark, tmp_path_factory):
+    """B155: the CDC writer applies upsert/delete/re-upsert across
+    batches through delete+append commit pairs; a replayed batch is
+    idempotent; the torn state between a batch's two commits is
+    invisible to ref readers (crash simulation)."""
+    import os
+
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+    from kinesis2elastic_spark.streaming.cdc_stream import (
+        cdc_writer,
+        read_cdc_table,
+    )
+
+    state = str(tmp_path_factory.mktemp("cdc_state"))
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts string, value double"
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(list(rows), schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    def state_rows():
+        return {
+            (r.user_id, r.event_type, r.value)
+            for r in read_cdc_table(spark, state).collect()
+        }
+
+    fb = cdc_writer(spark, state)
+    # batch 0: two upserts + within-batch supersede (u1 twice, later wins)
+    fb(
+        mk(
+            [
+                (1, 1, "view", "2024-01-01 00:00:00", 1.0),
+                (2, 1, "click", "2024-01-01 00:01:00", 2.0),
+                (3, 2, "view", "2024-01-01 00:02:00", 3.0),
+            ]
+        ),
+        0,
+    )
+    assert state_rows() == {(1, "click", 2.0), (2, "view", 3.0)}
+    # replay of batch 0: identical state, same versions (idempotent)
+    fb(
+        mk(
+            [
+                (1, 1, "view", "2024-01-01 00:00:00", 1.0),
+                (2, 1, "click", "2024-01-01 00:01:00", 2.0),
+                (3, 2, "view", "2024-01-01 00:02:00", 3.0),
+            ]
+        ),
+        0,
+    )
+    assert state_rows() == {(1, "click", 2.0), (2, "view", 3.0)}
+    assert tt.snapshot_versions(state) == [0, 1]
+    # batch 1: tombstone u1, upsert u3
+    fb(
+        mk(
+            [
+                (4, 1, "error", "2024-01-02 00:00:00", 0.0),
+                (5, 3, "view", "2024-01-02 00:01:00", 5.0),
+            ]
+        ),
+        1,
+    )
+    assert state_rows() == {(2, "view", 3.0), (3, "view", 5.0)}
+    # torn state: batch 2's delete commit lands, crash before append —
+    # ref readers still see batch 1's published state
+    tt.commit_delete(
+        spark, state, spark.createDataFrame([(2,)], "user_id long"), 4
+    )
+    assert state_rows() == {(2, "view", 3.0), (3, "view", 5.0)}
+    # batch 2 replays fully: u2 tombstoned, u1 re-inserted after delete
+    fb(
+        mk(
+            [
+                (6, 2, "error", "2024-01-03 00:00:00", 0.0),
+                (7, 1, "purchase", "2024-01-03 00:01:00", 9.0),
+            ]
+        ),
+        2,
+    )
+    assert state_rows() == {(3, "view", 5.0), (1, "purchase", 9.0)}
+    # optimize folds the delete debt; state unchanged, deletes gone
+    v = tt.snapshot_versions(state)[-1] + 1
+    tt.optimize_snapshot(spark, state, v)
+    assert tt.manifest_files(state, v, kind="delete") == []
+    tt.set_ref(state, "main", v)
+    assert state_rows() == {(3, "view", 5.0), (1, "purchase", 9.0)}
