@@ -658,3 +658,68 @@ def test_url_hierarchy_no_window_partial_aggs(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "partial" in plan.lower(), plan
     assert plan.count("Generate") >= 1, plan
+
+
+def test_sssp_edge_prep_min_collapse_single_exchange(spark, sf_dir):
+    """B151 edge prep: the parallel-edge min-weight collapse is FUSED
+    into the one co-partitioning exchange — HashPartitioning(src)
+    satisfies the groupBy(src, dst) distribution, so the aggregate adds
+    NO exchange after the repartition, and it partial-aggregates
+    map-side (skew-safe for hub sources)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.graph import _trade_edges_weighted
+
+    e = (
+        _trade_edges_weighted(spark, sf_dir)
+        .repartition(8, "src")
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    plan = formatted_plan(e)
+    import re
+
+    shuffle_ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+    assert len(shuffle_ids) == 1, plan
+    assert "partial_min" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_trustrank_contribution_round_single_exchange(spark, sf_dir):
+    """B154 iteration body: contributions repartition to hash(node) and
+    the min-combine runs in place — exactly ONE shuffle exchange per
+    iteration beyond the pinned leaves (broadcasts excluded)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.graph import (
+        _trade_edges,
+        personalized_pagerank,
+    )
+    from kinesis2elastic_spark.plans.pinning import pin
+
+    edges = pin(
+        _trade_edges(spark, sf_dir).select("src", "dst").repartition(8, "src")
+    )
+    ranks = pin(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .limit(20)
+        .withColumn("rank", F.lit(0.05))
+        .repartition(8, "node")
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    links = pin(edges.join(out_deg, "src"))
+    contribs = (
+        links.join(ranks, links.src == ranks.node)
+        .select(
+            F.col("dst").alias("node"),
+            (F.lit(0.85) * F.col("rank") / F.col("out_deg")).alias("c"),
+        )
+        .repartition(8, "node")
+        .groupBy("node")
+        .agg(F.sum("c").alias("contrib"))
+    )
+    plan = formatted_plan(contribs)
+    import re
+
+    shuffle_ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+    assert len(shuffle_ids) == 1, plan
