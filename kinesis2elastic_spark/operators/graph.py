@@ -1653,6 +1653,104 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIAM_MAX_HOPS = 64  # matches CC_MAX_ROUNDS: the budget the probe informs
+
+
+def q_diameter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B156: double-sweep diameter lower bound (Magnien et al. 2009 —
+    the standard cheap eccentricity probe): BFS from a deterministic
+    seed (the MINIMUM node id), take the farthest node u (ties to min
+    id), BFS again from u; ecc(u) lower-bounds the seed component's
+    diameter and is exact on trees / near-exact on real graphs.
+
+    This is the KERNEL-SELECTION signal the components family
+    documents but could not previously measure: min-label CC (B137) is
+    O(diameter) rounds and wins while diameter ≤ the round budget;
+    large-star/small-star (B139) is O(log²n) and wins beyond it.  The
+    probe costs two BFS fixpoints — 2·diameter pinned rounds, each
+    frontier-proportional — which at 100 TB is the cheap pre-flight
+    before committing a 10⁵-round propagation to a path-shaped graph.
+    ``kernel_choice`` ships the decision itself ('minlabel' iff the
+    measured bound fits the B137 budget) so the oracle checks the
+    POLICY, not just the numbers.
+
+    Everything hashed is exact: seed and u are deterministic ids, hop
+    counts are BIGINTs, reach sizes are component-exact (sweep 2 covers
+    exactly the seed's component: same closure, different root).
+    DuckDB recomputes both sweeps as bounded recursive CTEs with the
+    same argmax tie-break.
+
+    Execution note: the sweeps run as ``sssp_weighted`` with unit
+    weights, NOT ``bfs_reachability`` — BFS accumulates its visited set
+    as a growing union of per-round frames (right for its ≤4-hop
+    contract, where the union doubles as the result), but a
+    diameter-deep sweep pays that plan depth every round; the SSSP
+    kernel's REPLACED dist state is the deep-loop form.  pin_cadence=2
+    here, not the kernel's default 4: an interleaved warm A/B on the
+    sf0.01 sweeps put cadence 2 at 7.2-9.1 s vs cadence 4's unstable
+    4.1-13.8 s — on a TINY deep graph the between-pin merge-chain
+    re-execution is pure fixed overhead, so shorter chains win, while
+    CC's sf0.1 A/B (SCALING addendum 6) showed the reverse at volume;
+    the cadence stays a per-call knob for exactly this reason."""
+    edges = _trade_edges_sparse(spark, sf_dir, dedup=False)
+    sym = pin(
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .withColumn("w", F.lit(1).cast("long"))
+    )
+    hint = 4 * (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity") == CC_QTY)
+            & (F.col("l_suppkey") % CC_SUPP_MOD == 0)
+        )
+        .count()
+    )
+    seed0 = sym.agg(F.min("src").alias("m")).first()["m"]
+    b1 = sssp_weighted(
+        sym,
+        spark.createDataFrame([(seed0,)], "node string"),
+        max_rounds=DIAM_MAX_HOPS,
+        n_edges_hint=hint,
+        pin_cadence=2,
+    )
+    far = (
+        b1.orderBy(F.col("dist").desc(), F.col("node").asc()).limit(1).first()
+    )
+    u, ecc_seed = far["node"], int(far["dist"])
+    b2 = sssp_weighted(
+        sym,
+        spark.createDataFrame([(u,)], "node string"),
+        max_rounds=DIAM_MAX_HOPS,
+        n_edges_hint=hint,
+        pin_cadence=2,
+    )
+    stats = b2.agg(
+        F.max("dist").cast("long").alias("diameter_lb"),
+        F.count("*").cast("long").alias("n_reached_2"),
+    ).first()
+    n1 = b1.count()
+    return spark.createDataFrame(
+        [
+            (
+                seed0,
+                u,
+                ecc_seed,
+                int(stats["diameter_lb"]),
+                int(n1),
+                int(stats["n_reached_2"]),
+                "minlabel"
+                if int(stats["diameter_lb"]) <= CC_MAX_ROUNDS
+                else "logstar",
+            )
+        ],
+        "seed_node string, far_node string, ecc_seed long, diameter_lb long, "
+        "n_reached_1 long, n_reached_2 long, kernel_choice string",
+    )
+
+
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_graph_reach": q_graph_reach,
@@ -1665,6 +1763,7 @@ QUERIES = {
     "q_condensation": q_condensation,
     "q_sssp": q_sssp,
     "q_trustrank": q_trustrank,
+    "q_diameter_probe": q_diameter_probe,
 }
 
 # The oracle recomputes n_nodes exactly from the same graph definition and
@@ -1869,6 +1968,43 @@ ORACLE["q_connected_components"] = f"""
 """
 
 ORACLE["q_connected_components_logstar"] = ORACLE["q_connected_components"]
+
+ORACLE["q_diameter_probe"] = f"""
+    WITH RECURSIVE
+    trade AS (
+      SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity = {CC_QTY} AND l_suppkey % {CC_SUPP_MOD} = 0),
+    edges AS (
+      SELECT cust AS src, supp AS dst FROM trade
+      UNION ALL
+      SELECT supp AS src, cust AS dst FROM trade),
+    seed AS (SELECT min(src) AS node FROM edges),
+    r1(node, dist) AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM seed
+      UNION
+      SELECT e.dst, r1.dist + 1
+      FROM r1 JOIN edges e ON e.src = r1.node
+      WHERE r1.dist < {DIAM_MAX_HOPS}),
+    b1 AS (SELECT node, min(dist) AS dist FROM r1 GROUP BY node),
+    far AS (
+      SELECT node, dist FROM b1 ORDER BY dist DESC, node ASC LIMIT 1),
+    r2(node, dist) AS (
+      SELECT node, CAST(0 AS BIGINT) AS dist FROM far
+      UNION
+      SELECT e.dst, r2.dist + 1
+      FROM r2 JOIN edges e ON e.src = r2.node
+      WHERE r2.dist < {DIAM_MAX_HOPS}),
+    b2 AS (SELECT node, min(dist) AS dist FROM r2 GROUP BY node)
+    SELECT (SELECT node FROM seed) AS seed_node,
+           (SELECT node FROM far) AS far_node,
+           (SELECT dist FROM far) AS ecc_seed,
+           (SELECT max(dist) FROM b2) AS diameter_lb,
+           (SELECT CAST(count(*) AS BIGINT) FROM b1) AS n_reached_1,
+           (SELECT CAST(count(*) AS BIGINT) FROM b2) AS n_reached_2,
+           CASE WHEN (SELECT max(dist) FROM b2) <= {CC_MAX_ROUNDS}
+                THEN 'minlabel' ELSE 'logstar' END AS kernel_choice
+"""
 
 ORACLE["q_scc"] = f"""
     WITH RECURSIVE

@@ -627,3 +627,31 @@ def test_trustrank_spam_cluster_gets_no_trust(spark):
         graph.personalized_pagerank(
             edges, spark.createDataFrame([], "node string")
         )
+
+
+def test_double_sweep_finds_path_diameter(spark):
+    """B156: on a path whose MIN-id node sits mid-path, the first sweep
+    underestimates the diameter (ecc of the middle = half) and the
+    second sweep from the farthest node recovers it exactly — the
+    double-sweep property the probe's kernel_choice policy rests on."""
+    from pyspark.sql import functions as F
+
+    # path: b0 - b1 - a - b2 - b3 - b4; min id 'a' is 2 from the left
+    # end, 3 from the right -> ecc(a)=3, true diameter 5
+    chain = ["b0", "b1", "a", "b2", "b3", "b4"]
+    e = [(chain[i], chain[i + 1]) for i in range(5)]
+    sym = spark.createDataFrame(
+        e + [(d, s) for s, d in e], "src string, dst string"
+    ).withColumn("w", F.lit(1).cast("long"))
+    seed0 = sym.agg(F.min("src")).first()[0]
+    assert seed0 == "a"
+    b1 = graph.sssp_weighted(
+        sym, spark.createDataFrame([(seed0,)], "node string"), max_rounds=16
+    )
+    far = b1.orderBy(F.col("dist").desc(), F.col("node").asc()).limit(1).first()
+    assert far["dist"] == 3  # single sweep underestimates
+    b2 = graph.sssp_weighted(
+        sym, spark.createDataFrame([(far["node"],)], "node string"), max_rounds=16
+    )
+    assert b2.agg(F.max("dist")).first()[0] == 5  # double sweep exact on paths
+    assert b2.count() == 6  # sweep 2 covers the whole component
