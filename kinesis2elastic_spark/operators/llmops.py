@@ -2888,6 +2888,80 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_leg_check(spark, sf_dir, "pq")
 
 
+def dense_rank_by_histogram(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Global DENSE rank of ``col`` (ascending) without a global sort
+    (B157): the quantized signal has BOUNDED cardinality, so its
+    histogram is small data at any corpus size — rank the DISTINCT
+    values with a single-partition window over the histogram (bounded,
+    never the corpus) and broadcast-join the value→rank map back.  The
+    corpus-side plan is one map-combinable groupBy + one broadcast
+    join; no row-level sort anywhere (the B98 histogram discipline
+    applied to ranks instead of tiles)."""
+    hist = df.select(col).groupBy(col).agg(F.count("*").alias("_n"))
+    ranked = hist.withColumn(
+        out, F.row_number().over(W.orderBy(F.col(col)))
+    ).select(col, F.col(out).cast("long").alias(out))
+    return df.join(F.broadcast(ranked), col)
+
+
+RANK_FUSION_Q = 10_000  # signal quantization: 1e-4 units, integer-exact
+
+
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B157: multi-signal Borda rank fusion — the quality-gating step
+    that combines INCOMMENSURABLE signals (length, vocabulary richness,
+    word shape) on the only shared scale they have, their ranks: each
+    document scores sum-of-dense-ranks (ties share a rank — standard
+    Borda-with-ties), the robust alternative to hand-tuned weighted
+    sums of raw signals whose units drift per corpus (rank fusion is
+    distribution-free; reciprocal-rank fusion is the float sibling —
+    Borda keeps every hashed value BIGINT).
+
+    Signals, all integer-exact so both engines agree to the bit:
+    n_words; distinct-word ratio in 1e-4 units via pure integer
+    rounding ((2·Q·d + n) div (2n)); mean word length in 1e-4 units the
+    same way.  Each global rank is a ``dense_rank_by_histogram`` — the
+    quantized signals have bounded cardinality (≤ Q·range), so at 100 TB
+    the three rank maps stay broadcast-sized while the corpus side is
+    three map-combinable aggregates + three broadcast joins, with NO
+    row-level global sort (contrast the naive three ntile/rank windows
+    over the corpus).  Oracle: DuckDB's declarative
+    ``dense_rank() OVER (ORDER BY signal)`` ×3 — the driver hash check
+    proves the histogram-broadcast plan IS dense_rank."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    n_distinct = F.size(F.array_distinct(words)).cast("long")
+    n_chars = (F.length("text") - (n_words - 1)).cast("long")
+    q = F.lit(RANK_FUSION_Q)
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        # round(Q*a/b) as floor((2Qa + b) / 2b): the division is IEEE
+        # double in BOTH engines and floor (never CAST — DuckDB's
+        # double→BIGINT cast ROUNDS while Spark's truncates) makes the
+        # quantized key bit-identical cross-engine
+        F.floor((2 * q * n_distinct + n_words) / (2 * n_words))
+        .cast("long")
+        .alias("distinct_q"),
+        F.floor((2 * q * n_chars + n_words) / (2 * n_words))
+        .cast("long")
+        .alias("wlen_q"),
+    )
+    ranked = dense_rank_by_histogram(base, "n_words", "r_len")
+    ranked = dense_rank_by_histogram(ranked, "distinct_q", "r_distinct")
+    ranked = dense_rank_by_histogram(ranked, "wlen_q", "r_wlen")
+    return ranked.select(
+        "doc_id",
+        "r_len",
+        "r_distinct",
+        "r_wlen",
+        (F.col("r_len") + F.col("r_distinct") + F.col("r_wlen"))
+        .cast("long")
+        .alias("borda"),
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_stats": q_dedup_stats,
@@ -2921,6 +2995,7 @@ QUERIES = {
     "q_quality_score": q_quality_score,
     "q_text_stats": q_text_stats,
     "q_curation_pipeline": q_curation_pipeline,
+    "q_rank_fusion": q_rank_fusion,
 }
 
 ORACLE = {
@@ -3242,6 +3317,33 @@ _ANN_LEG_ORACLE = (
     FROM ranked WHERE rank <= {COSINE_TOPK_K} GROUP BY query_id
 """
 )
+
+ORACLE["q_rank_fusion"] = f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(floor((2 * {RANK_FUSION_Q}
+                         * len(list_distinct(string_split(text, ' ')))
+                         + len(string_split(text, ' ')))
+                        / (2.0 * len(string_split(text, ' '))))
+                  AS BIGINT) AS distinct_q,
+             CAST(floor((2 * {RANK_FUSION_Q}
+                         * (length(text) - (len(string_split(text, ' ')) - 1))
+                         + len(string_split(text, ' ')))
+                        / (2.0 * len(string_split(text, ' '))))
+                  AS BIGINT) AS wlen_q
+      FROM documents),
+    ranked AS (
+      SELECT doc_id,
+             CAST(dense_rank() OVER (ORDER BY n_words) AS BIGINT) AS r_len,
+             CAST(dense_rank() OVER (ORDER BY distinct_q) AS BIGINT)
+               AS r_distinct,
+             CAST(dense_rank() OVER (ORDER BY wlen_q) AS BIGINT) AS r_wlen
+      FROM sig)
+    SELECT doc_id, r_len, r_distinct, r_wlen,
+           CAST(r_len + r_distinct + r_wlen AS BIGINT) AS borda
+    FROM ranked
+"""
 
 ORACLE["q_minhash_near_dup"] = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),

@@ -656,3 +656,35 @@ def test_paragraph_dedup_hot_paragraph_distributes(spark):
     assert agg.kept == 1 + 1_000
     keeper = out.filter(F.col("n_kept") > 0).agg(F.min("doc_id")).collect()[0][0]
     assert keeper == 0
+
+
+def test_rank_fusion_borda_ties_share_rank(spark, tmp_path):
+    """B157 semantics on a planted corpus: dense ranks ascend with the
+    signal, exact ties share a rank, and borda is the sum."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators.llmops import q_rank_fusion
+
+    docs = [
+        (1, "a b", "en", "s"),          # 2 words, 2 distinct, wlen 1
+        (2, "a b c d", "en", "s"),      # 4 words
+        (3, "a a a a", "en", "s"),      # 4 words, 1 distinct
+        (4, "aa bb", "en", "s"),        # 2 words, wlen 2
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in q_rank_fusion(spark, str(tmp_path)).collect()}
+    # n_words: docs 1,4 tie at 2 (rank 1); docs 2,3 tie at 4 (rank 2)
+    assert out[1].r_len == out[4].r_len == 1
+    assert out[2].r_len == out[3].r_len == 2
+    # distinct ratio: doc3 = 0.25 lowest; docs 1,2,4 = 1.0 tie
+    assert out[3].r_distinct == 1
+    assert out[1].r_distinct == out[2].r_distinct == out[4].r_distinct == 2
+    # mean word length: docs 1,2,3 = 1.0 tie (rank 1); doc 4 = 2.0
+    assert out[1].r_wlen == out[2].r_wlen == out[3].r_wlen == 1
+    assert out[4].r_wlen == 2
+    for d in out.values():
+        assert d.borda == d.r_len + d.r_distinct + d.r_wlen

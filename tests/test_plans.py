@@ -723,3 +723,16 @@ def test_trustrank_contribution_round_single_exchange(spark, sf_dir):
 
     shuffle_ids = set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
     assert len(shuffle_ids) == 1, plan
+
+
+def test_rank_fusion_broadcast_ranks_no_corpus_sort(spark, sf_dir):
+    """B157: the three global dense ranks come from bounded-histogram
+    broadcast maps — the corpus side must show three broadcast joins
+    and NO sort-merge join / row-level range partitioning (a global
+    sort of the corpus is exactly what the histogram trick removes)."""
+    from kinesis2elastic_spark.operators.llmops import q_rank_fusion
+
+    plan = formatted_plan(q_rank_fusion(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
