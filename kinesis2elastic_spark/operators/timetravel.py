@@ -985,6 +985,65 @@ def q_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+def erase_keys(
+    spark: SparkSession, table_dir: str, keys_df: DataFrame
+) -> dict:
+    """Right-to-erasure, PHYSICAL (B158): the GDPR/CCPA composition the
+    lakehouse pieces exist for — a B152 equality delete makes the keys
+    logically invisible, but the bytes still live in data files that
+    older snapshots reference and time travel can resurrect.  Physical
+    erasure is delete → fold → expire, each already-audited machinery:
+
+    1. ``commit_delete(keys)`` — keys invisible to the new snapshot;
+    2. ``optimize_snapshot`` — copy-on-write rewrite THROUGH the
+       merge-on-read, so the new data files physically lack the rows;
+    3. ``vacuum(keep_last=1, min_age_s=0)`` — every manifest that could
+       still reference the pre-erasure files expires, and the orphan GC
+       deletes the files themselves.  Time travel below the floor now
+       fails loudly instead of resurrecting erased rows.
+
+    The 'main' ref (B153), if present, is repointed at the rewritten
+    snapshot — an erased table must not leave production readers on an
+    expired version.  Other refs are deliberately NOT touched: a ref
+    pinned below the retention floor now errors on read, which is the
+    honest outcome (the snapshot it named no longer exists).
+
+    Cost at 100 TB: ONE table rewrite (the optimize) — irreducible for
+    physical erasure — plus metadata-rate everything else; batching
+    erasure requests into one optimize is the standard amortization.
+    Returns the vacuum report plus the rewrite version for audit logs."""
+    vs = snapshot_versions(table_dir)
+    if not vs:
+        raise ValueError(f"no committed snapshots in {table_dir}")
+    v_del = vs[-1] + 1
+    commit_delete(spark, table_dir, keys_df, v_del)
+    v_opt = v_del + 1
+    optimize_snapshot(spark, table_dir, v_opt)
+    if read_ref(table_dir, "main") is not None:
+        set_ref(table_dir, "main", v_opt)
+    report = vacuum(table_dir, keep_last=1, min_age_s=0.0)
+    report["rewrite_version"] = v_opt
+    return report
+
+
+def audit_erasure(
+    spark: SparkSession, table_dir: str, keys_df: DataFrame
+) -> int:
+    """Count of key matches across EVERY retained snapshot's data files
+    (0 = erased): the audit reads the union of all live manifests' data
+    files — not just the latest — so a stale manifest still referencing
+    pre-erasure bytes is caught, which is exactly the leak class
+    ``erase_keys``'s vacuum step exists to close."""
+    files: set[str] = set()
+    for v in snapshot_versions(table_dir):
+        files.update(manifest_files(table_dir, v))
+    if not files:
+        return 0
+    data = spark.read.parquet(*sorted(files))
+    keys = keys_df.dropDuplicates()
+    return data.join(keys, on=keys.columns, how="left_semi").count()
+
+
 WAP_BASE_MOD = 2   # main starts as orders with o_orderkey % 2 == 0
 WAP_BAD_MOD = 6    # staged append plants negative prices on % 6 == 3 keys
 

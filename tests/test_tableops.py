@@ -673,3 +673,39 @@ def test_zorder_write_prunes_on_both_dimensions(spark, tmp_path, sf_dir):
     assert n1 == o.filter(F.col("o_orderkey").between(lo_k, hi_k)).count()
     n2 = tt.read_where(spark, table, [("o_custkey", "between", (lo_c, hi_c))]).count()
     assert n2 == o.filter(F.col("o_custkey").between(lo_c, hi_c)).count()
+
+
+def test_erase_keys_physical_and_audited(spark, tmp_path):
+    """B158: after erase_keys, the keys are absent from EVERY retained
+    snapshot's data files (physical, not just logical), time travel
+    below the new floor fails loudly, the main ref moved to the
+    rewritten snapshot, and non-erased rows survive byte-for-byte."""
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "erase")
+    schema = "k long, s string"
+    base = spark.createDataFrame([(i, f"r{i}") for i in range(20)], schema)
+    tt.commit_snapshot(spark, table, base, 0)
+    tt.commit_snapshot(
+        spark, table, spark.createDataFrame([(20, "r20")], schema), 1
+    )
+    tt.set_ref(table, "main", 1)
+    keys = spark.createDataFrame([(i,) for i in range(0, 21, 4)], "k long")
+    # pre-erasure: logically visible and physically present
+    assert tt.audit_erasure(spark, table, keys) > 0
+
+    report = tt.erase_keys(spark, table, keys)
+    assert report["removed_files"], "pre-erasure files must be GC'd"
+    # audit: zero matches across ALL retained snapshots
+    assert tt.audit_erasure(spark, table, keys) == 0
+    # survivors intact, served through the repointed main ref
+    got = sorted(r.k for r in tt.read_branch(spark, table).collect())
+    assert got == [i for i in range(21) if i % 4 != 0]
+    # history below the floor is gone LOUDLY, not resurrected
+    with _pytest.raises(ValueError, match="retention floor"):
+        tt.read_asof(spark, table, 0)
+    # erasure on an empty table fails loud
+    with _pytest.raises(ValueError):
+        tt.erase_keys(spark, str(tmp_path / "nope"), keys)
