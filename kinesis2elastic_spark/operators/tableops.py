@@ -607,8 +607,70 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B159: declarative data-quality expectation suite (the dbt-test /
+    Great-Expectations contract layer a pipeline gates ingestion on),
+    COMPILED to one pass per table: every row-local check over a table
+    becomes a conditional aggregate in a SINGLE scan — not the naive
+    one-scan-per-check that turns a 20-expectation suite into 20 reads
+    of a 100 TB table — and the one relational check (referential
+    integrity) is the irreducible extra: an anti-join that shuffles
+    only the key columns.
+
+    Suite (the standard five check kinds on the orders/lineitem
+    contract): not_null(o_orderkey), unique(o_orderkey) — count minus
+    distinct inside the same aggregate — accepted_values(o_orderstatus
+    ∈ {{F,O,P}}), range(o_totalprice > 0), and fk(lineitem.l_orderkey ⊆
+    orders.o_orderkey) via left-anti.  Output: one row per check with
+    its exact violation count and a pass flag — the gating artifact a
+    WAP audit (B153) consumes.  The unpivot to rows is a literal
+    ``stack`` over the one aggregate row, not a second pass.
+
+    Plan contract (test-asserted): the four row-local checks share ONE
+    orders scan; adding a check adds a column to that aggregate, never
+    a scan.  Oracle: five scalar subqueries DuckDB computes its own
+    way — the hash proves the compiled single-pass aggregate equals
+    the declarative per-check counts."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    agg = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("v_not_null"),
+        (F.count("o_orderkey") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v_unique"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_accepted"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_range"),
+    )
+    rows = agg.selectExpr(
+        "stack(4, "
+        "'not_null_orderkey', v_not_null, "
+        "'unique_orderkey', v_unique, "
+        "'accepted_orderstatus', v_accepted, "
+        "'positive_totalprice', v_range) AS (check_name, n_violations)"
+    )
+    fk = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").cast("long").alias("n_violations"))
+        .select(F.lit("fk_lineitem_orders").alias("check_name"), "n_violations")
+    )
+    return rows.unionByName(fk).select(
+        "check_name",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
 QUERIES = {
     "q_profile_columns": q_profile_columns,
+    "q_expectations": q_expectations,
     "q_compaction_plan": q_compaction_plan,
     "q_cdc_latest": q_cdc_latest,
     "q_run_compress": q_run_compress,
@@ -777,6 +839,34 @@ ORACLE = {
         FROM orders GROUP BY o_orderstatus, month
     """,
 }
+
+ORACLE["q_expectations"] = """
+    WITH checks(check_name, n_violations) AS (
+      SELECT 'not_null_orderkey',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderkey IS NULL)
+      UNION ALL
+      SELECT 'unique_orderkey',
+             (SELECT CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                     AS BIGINT) FROM orders)
+      UNION ALL
+      SELECT 'accepted_orderstatus',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+      UNION ALL
+      SELECT 'positive_totalprice',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_totalprice <= 0)
+      UNION ALL
+      SELECT 'fk_lineitem_orders',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    )
+    SELECT check_name,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM checks
+"""
 
 ORACLE["q_compaction_plan"] = f"""
     WITH files AS (

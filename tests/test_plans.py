@@ -736,3 +736,16 @@ def test_rank_fusion_broadcast_ranks_no_corpus_sort(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_expectations_rowlocal_checks_share_one_scan(spark, sf_dir):
+    """B159: the four row-local expectations compile into ONE orders
+    scan (conditional aggregates in a single Aggregate), not
+    one-scan-per-check; only the FK anti-join reads orders again (keys
+    only)."""
+    from kinesis2elastic_spark.operators.tableops import q_expectations
+
+    plan = formatted_plan(q_expectations(spark, sf_dir))
+    n_orders_scans = plan.count("orders.parquet")
+    assert n_orders_scans <= 2, plan  # 1 aggregate scan + 1 FK join side
+    assert plan.count("lineitem.parquet") == 1, plan

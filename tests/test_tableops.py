@@ -709,3 +709,34 @@ def test_erase_keys_physical_and_audited(spark, tmp_path):
     # erasure on an empty table fails loud
     with _pytest.raises(ValueError):
         tt.erase_keys(spark, str(tmp_path / "nope"), keys)
+
+
+def test_expectations_catch_planted_violations(spark, tmp_path):
+    """B159 semantics: a corpus with one planted violation per check
+    kind reports exactly those counts and flips exactly those flags."""
+    from kinesis2elastic_spark.operators.tableops import q_expectations
+
+    orders = spark.createDataFrame(
+        [
+            (1, "F", 10.0),
+            (1, "O", 20.0),     # duplicate key -> unique violation
+            (2, "X", 30.0),     # bad status
+            (3, "P", -5.0),     # non-positive price
+            (None, "O", 40.0),  # null key
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [(1,), (2,), (99,)], "l_orderkey long"  # 99 -> FK violation
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    lineitem.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r.check_name: (r.n_violations, r.passed) for r in
+           q_expectations(spark, str(tmp_path)).collect()}
+    assert got == {
+        "not_null_orderkey": (1, False),
+        "unique_orderkey": (1, False),
+        "accepted_orderstatus": (1, False),
+        "positive_totalprice": (1, False),
+        "fk_lineitem_orders": (1, False),
+    }
