@@ -686,7 +686,62 @@ def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UDTF_CHUNK_WORDS = 40   # window size (words)
+UDTF_CHUNK_STRIDE = 30  # stride (words) → 10-word overlap
+
+
+def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B160: the Python UDTF surface (Spark 4 `@udtf` + SQL LATERAL) —
+    the fourth and last custom-function shape after scalar pandas UDFs
+    (B36), Arrow grouped UDAFs (B103), and the Python DataSource (B85):
+    a table function that EXPANDS each row, joined laterally so each
+    document's correlated columns feed its own expansion.
+
+    The function itself is sliding word-window chunking (40-word
+    windows, stride 30 — the token-window sibling of B52's char
+    chunking): one input row → ceil(n_words/stride) rows.  Execution
+    shape: a UDTF is a per-partition Python generator — no shuffle, no
+    state, parallel per input split like any flat map; the cost is the
+    Python-worker row path, so the HOT-path chunker stays the B52
+    codegen sequence+explode and this query is the SURFACE contract
+    (when the expansion logic genuinely needs Python — a tokenizer, a
+    parser — the UDTF is the idiomatic container; Arrow-optimized
+    UDTFs, `useArrow=True`, batch the transfer when rows are wide).
+
+    Hashed columns avoid shipping text: per chunk the word count and
+    first/last word, exact cross-engine (DuckDB recomputes the windows
+    with generate_series + list_slice)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id long, chunk_idx long, n_chunk_words long, "
+        "first_word string, last_word string"
+    ))
+    class WordChunks:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            if not text:
+                return
+            words = text.split(" ")
+            n = len(words)
+            for idx, start in enumerate(
+                range(0, n, UDTF_CHUNK_STRIDE)
+            ):
+                chunk = words[start : start + UDTF_CHUNK_WORDS]
+                yield doc_id, idx, len(chunk), chunk[0], chunk[-1]
+
+    spark.udtf.register("k2e_word_chunks", WordChunks)
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    view = "k2e_udtf_docs"
+    d.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT t.doc_id, t.chunk_idx, t.n_chunk_words, "
+        f"       t.first_word, t.last_word "
+        f"FROM {view} d, LATERAL k2e_word_chunks(d.doc_id, d.text) t"
+    )
+
+
 QUERIES = {
+    "q_udtf_chunk": q_udtf_chunk,
     "q_ntile_dist": q_ntile_dist,
     "q_grouped_ols": q_grouped_ols,
     "q_quantile_select": q_quantile_select,
@@ -720,6 +775,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_udtf_chunk": f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE text IS NOT NULL AND text <> ''),
+        ex AS (
+          SELECT doc_id, ws, gs.i AS chunk_idx
+          FROM w, LATERAL (
+            SELECT unnest(generate_series(
+              0, CAST((len(ws) - 1) // {UDTF_CHUNK_STRIDE} AS BIGINT))) AS i
+          ) gs)
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(least(len(ws) - chunk_idx * {UDTF_CHUNK_STRIDE},
+                          {UDTF_CHUNK_WORDS}) AS BIGINT) AS n_chunk_words,
+               ws[chunk_idx * {UDTF_CHUNK_STRIDE} + 1] AS first_word,
+               ws[least(chunk_idx * {UDTF_CHUNK_STRIDE} + {UDTF_CHUNK_WORDS},
+                        len(ws))] AS last_word
+        FROM ex
+    """,
     "q_grouped_ols": """
         WITH t AS (
           SELECT l_suppkey,

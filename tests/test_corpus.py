@@ -635,3 +635,44 @@ def test_collocations_planted_counts(spark, tmp_path, monkeypatch):
     # df: a=3 b=3 c=2; (a,b) docs {1,2}; (a,c) docs {1,3}; (b,c) doc {1}
     # falls below support
     assert out == {("a", "b"): (2, 3, 3, 4), ("a", "c"): (2, 3, 2, 4)}
+
+
+def test_udtf_chunk_windows_exact(spark, tmp_path):
+    """B160: the word-window UDTF emits ceil(n/stride) lateral rows per
+    doc with exact window contents — incl. a short doc (one partial
+    window), an exact-multiple doc, and empty text (no rows)."""
+    from kinesis2elastic_spark.operators.relational_ext import (
+        UDTF_CHUNK_STRIDE,
+        UDTF_CHUNK_WORDS,
+        q_udtf_chunk,
+    )
+
+    n = UDTF_CHUNK_WORDS + UDTF_CHUNK_STRIDE  # 70 words -> 3 windows
+    long_doc = " ".join(f"w{i}" for i in range(n))
+    docs = [
+        (1, long_doc, "en", "s"),
+        (2, "a b c", "en", "s"),   # one short window
+        (3, "", "en", "s"),        # no rows
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = q_udtf_chunk(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert [(r.chunk_idx, r.n_chunk_words, r.first_word, r.last_word)
+            for r in sorted(by_doc[2], key=lambda r: r.chunk_idx)] == [
+        (0, 3, "a", "c")
+    ]
+    got1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [(r.chunk_idx, r.n_chunk_words) for r in got1] == [
+        (0, UDTF_CHUNK_WORDS),
+        (1, n - UDTF_CHUNK_STRIDE),
+        (2, n - 2 * UDTF_CHUNK_STRIDE),
+    ]
+    assert got1[0].first_word == "w0"
+    assert got1[0].last_word == f"w{UDTF_CHUNK_WORDS - 1}"
+    assert got1[2].first_word == f"w{2 * UDTF_CHUNK_STRIDE}"
+    assert got1[2].last_word == f"w{n - 1}"
