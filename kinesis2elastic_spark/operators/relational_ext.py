@@ -691,15 +691,17 @@ UDTF_CHUNK_STRIDE = 30  # stride (words) → 10-word overlap
 
 
 def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B160: the Python UDTF surface (Spark 4 `@udtf` + SQL LATERAL) —
-    the fourth and last custom-function shape after scalar pandas UDFs
-    (B36), Arrow grouped UDAFs (B103), and the Python DataSource (B85):
-    a table function that EXPANDS each row, joined laterally so each
-    document's correlated columns feed its own expansion.
+    """B160: sliding word-window chunking via a correlated multi-arg
+    Python UDTF — the token-window sibling of B52's char chunking (40
+    words / stride 30), one input row → ceil(n_words/stride) rows.
+    The UDTF *API* surface itself is already owned by ``q_udtf_ngrams``
+    (temporal.py); what this adds is (a) the chunking operator and
+    (b) the MULTI-ARGUMENT correlated lateral leg — key columns
+    (doc_id) threaded THROUGH the table function so the expansion rows
+    stay self-identifying without a re-join (the ngrams UDTF takes one
+    column and loses the key).
 
-    The function itself is sliding word-window chunking (40-word
-    windows, stride 30 — the token-window sibling of B52's char
-    chunking): one input row → ceil(n_words/stride) rows.  Execution
+    Execution
     shape: a UDTF is a per-partition Python generator — no shuffle, no
     state, parallel per input split like any flat map; the cost is the
     Python-worker row path, so the HOT-path chunker stays the B52
