@@ -985,6 +985,55 @@ def q_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+def clone_table(
+    src_dir: str, dst_dir: str, version: int | None = None, deep: bool = False
+) -> int:
+    """Shallow clone (B161, the Delta/Iceberg CLONE): create table
+    ``dst_dir`` whose v0 manifest REFERENCES the source snapshot's
+    files — zero data copied, metadata-rate regardless of table size.
+    The dev/test-sandbox primitive: clone a 100 TB table in
+    milliseconds, experiment (appends, deletes, optimize all land under
+    the CLONE's own data dir), throw it away.
+
+    Ownership discipline (the one rule that makes shallow clones safe):
+    a table's vacuum only ever deletes files under ITS OWN ``data/``
+    dir (`_list_data_files(dst/data)`), so a clone's vacuum can never
+    GC the source's files it merely references — and conversely a
+    SOURCE vacuum that expires the cloned-from snapshot CAN strand the
+    clone (exactly Delta's documented shallow-clone caveat); the clone
+    must be re-based or deep-copied before the source's retention
+    passes it — ``deep=True`` is that escape: it COPIES the referenced
+    files under the clone's own data dir (data-rate, one read+write
+    per file, no Spark job — a byte copy preserves footers and stats),
+    making the clone self-contained and immune to source retention.
+
+    Sequence discipline: entries keep their ORIGINAL seq numbers (so
+    the source's delete-vs-data scoping survives verbatim) and the
+    clone's first version id starts ABOVE the max inherited seq —
+    every future clone commit therefore outranks every inherited file,
+    which is exactly the ordering a fresh append/delete needs.
+    Returns the clone's base version id."""
+    import shutil as _shutil
+
+    entries = manifest_entries(src_dir, version)
+    if not entries:
+        raise ValueError(f"no committed snapshot <= {version} in {src_dir}")
+    base = max(int(e["seq"]) for e in entries) + 1
+    os.makedirs(dst_dir, exist_ok=True)
+    rows = [(e["path"], e["kind"], e["seq"]) for e in entries]
+    if deep:
+        copy_dir = os.path.join(dst_dir, "data", f"c{base}clone")
+        os.makedirs(copy_dir, exist_ok=True)
+        copied = []
+        for i, (p, kind, seq) in enumerate(rows):
+            dst_p = os.path.join(copy_dir, f"f{i}-{os.path.basename(p)}")
+            _shutil.copyfile(p, dst_p)
+            copied.append((dst_p, kind, seq))
+        rows = copied
+    _write_manifest(dst_dir, base, rows)
+    return base
+
+
 def erase_keys(
     spark: SparkSession, table_dir: str, keys_df: DataFrame
 ) -> dict:

@@ -740,3 +740,85 @@ def test_expectations_catch_planted_violations(spark, tmp_path):
         "positive_totalprice": (1, False),
         "fk_lineitem_orders": (1, False),
     }
+
+
+def test_shallow_clone_zero_copy_and_isolated(spark, tmp_path):
+    """B161: a shallow clone references the source's files (zero copy),
+    diverges independently (appends/deletes land under the clone's own
+    data dir), applies the seq rule across the clone boundary (a clone
+    delete hits inherited data; a clone re-insert outranks it), and the
+    clone's vacuum can never GC source files (ownership discipline)."""
+    import os
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    schema = "k long, s string"
+    base = spark.createDataFrame([(i, f"r{i}") for i in range(10)], schema)
+    tt.commit_snapshot(spark, src, base, 0)
+    tt.commit_snapshot(
+        spark, src, spark.createDataFrame([(10, "r10")], schema), 1
+    )
+
+    v = tt.clone_table(src, dst)
+    assert v >= 2  # base version outranks every inherited seq
+    # zero copy: the clone's manifest points at SOURCE paths
+    assert all(p.startswith(src) for p in tt.manifest_files(dst))
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    # clone reads the source snapshot exactly
+    ks = lambda d: sorted(r.k for r in tt.read_asof(spark, d).collect())  # noqa: E731
+    assert ks(dst) == list(range(11))
+
+    # divergence: append to the clone — invisible to the source
+    tt.commit_snapshot(
+        spark, dst, spark.createDataFrame([(99, "clone")], schema), v + 1
+    )
+    assert ks(dst) == list(range(11)) + [99]
+    assert ks(src) == list(range(11))
+    # clone delete hits INHERITED data (seq rule across the boundary)
+    tt.commit_delete(
+        spark, dst, spark.createDataFrame([(0,), (10,)], "k long"), v + 2
+    )
+    assert ks(dst) == list(range(1, 10)) + [99]
+    assert ks(src) == list(range(11))  # source untouched
+    # clone vacuum: expires clone manifests, GCs ONLY under dst/data
+    pre_src_files = set(tt.manifest_files(src, kind=None))
+    rep = tt.vacuum(dst, keep_last=1, min_age_s=0)
+    assert all(not p.startswith(src) for p in rep["removed_files"])
+    assert pre_src_files == set(tt.manifest_files(src, kind=None))
+    assert ks(src) == list(range(11))
+    assert ks(dst) == list(range(1, 10)) + [99]
+
+    # cloning a table that already carries live deletes preserves
+    # merge-on-read verbatim
+    tt.commit_delete(spark, src, spark.createDataFrame([(3,)], "k long"), 2)
+    dst2 = str(tmp_path / "dst2")
+    tt.clone_table(src, dst2)
+    assert ks(dst2) == [k for k in range(11) if k != 3]
+
+    # empty source fails loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tt.clone_table(str(tmp_path / "missing"), str(tmp_path / "x"))
+
+
+def test_deep_clone_survives_source_destruction(spark, tmp_path):
+    """B161 deep leg: deep=True copies the referenced files under the
+    clone's own data dir, so destroying the source entirely leaves the
+    clone readable — the escape from the shallow-clone retention
+    caveat."""
+    import shutil
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "deep")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(5)], "k long, s string")
+    tt.commit_snapshot(spark, src, df, 0)
+    tt.clone_table(src, dst, deep=True)
+    assert all(p.startswith(dst) for p in tt.manifest_files(dst))
+    shutil.rmtree(src)  # source gone entirely
+    got = sorted(r.k for r in tt.read_asof(spark, dst).collect())
+    assert got == [0, 1, 2, 3, 4]
