@@ -295,6 +295,7 @@ def commit_delete(
     table_dir: str,
     keys_df: DataFrame,
     version: int,
+    parent: int | None = None,
 ) -> list[str]:
     """Commit an EQUALITY DELETE (B152, the Iceberg v2 merge-on-read
     discipline): ``keys_df``'s columns ARE the equality key — every
@@ -310,13 +311,20 @@ def commit_delete(
     re-insert a deleted key and the reader sees the new row (exactly
     Iceberg's sequence-number rule).  Time travel below the delete's
     version still sees the original rows — deletes are snapshot
-    participants, not history rewrites."""
+    participants, not history rewrites.
+
+    ``parent`` names the snapshot carried forward (default: the latest
+    below ``version``) — the branching leg (B153/B162): a gated writer
+    whose previous batch was QUARANTINED must build on the last
+    PUBLISHED snapshot, not on the rejected one version arithmetic
+    would pick up."""
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}d")
     keys_df.dropDuplicates().write.mode("overwrite").parquet(data_dir)
     live = [(p, "delete", int(version)) for p in _list_data_files(data_dir)]
+    base = int(version) - 1 if parent is None else int(parent)
     prev = [
         (e["path"], e["kind"], e["seq"])
-        for e in manifest_entries(table_dir, int(version) - 1)
+        for e in manifest_entries(table_dir, base)
     ]
     _write_manifest(table_dir, version, prev + live)
     return [t[0] for t in prev + live]

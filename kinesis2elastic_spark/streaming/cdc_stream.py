@@ -90,3 +90,62 @@ def cdc_writer(spark: SparkSession, table_dir: str):
 def read_cdc_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """The CDC target's current state: the published ref, merge-on-read."""
     return read_branch(spark, table_dir, "main")
+
+
+def gated_cdc_writer(spark: SparkSession, table_dir: str, audit):
+    """Expectations-gated CDC apply (B162): the B155 writer with the
+    B153 WAP gate INSIDE the loop — each batch's delete+append pair
+    commits as usual, but the ref only advances if ``audit`` (a
+    callable on the STAGED post-batch state, e.g. a B159 expectation
+    suite) passes.  A failing batch is QUARANTINED: its manifests exist
+    (forensics can read them as-of their versions, or via a named ref)
+    but production readers never see them, and the NEXT batch builds on
+    the last PUBLISHED snapshot via explicit ``parent=`` — quarantined
+    lineage never leaks forward.  The age-gated vacuum eventually
+    reclaims quarantined files like any unreferenced commit.
+
+    This is the streaming form of the ingestion data-quality gate: at
+    100 TB a poisoned CDC batch (upstream schema break, null-key
+    flood) must neither corrupt the serving table nor kill the stream —
+    it lands, fails its audit, is skipped, and the pipeline keeps
+    draining (the dead-letter-over-fail-the-batch doctrine applied to
+    whole commits).  Returns the writer plus a mutable report list the
+    caller can inspect (batch id → published/quarantined)."""
+    report: list[dict] = []
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.timetravel import read_asof, read_ref
+
+        b = int(batch_id)
+        published = read_ref(table_dir, "main")
+        # no published snapshot yet -> carry from NOTHING (-1 resolves to
+        # the empty set), never from a possibly-quarantined predecessor
+        parent = published if published is not None else -1
+        last = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_type", "ts", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("m")
+            )
+            .select("user_id", "m.event_type", "m.ts", "m.value")
+            .localCheckpoint(eager=True)
+        )
+        commit_delete(
+            spark, table_dir, last.select("user_id"), 2 * b, parent=parent
+        )
+        commit_snapshot(
+            spark,
+            table_dir,
+            last.filter(F.col("event_type") != "error"),
+            2 * b + 1,
+        )
+        staged = read_asof(spark, table_dir, 2 * b + 1)
+        if audit(staged):
+            set_ref(table_dir, "main", 2 * b + 1)
+            report.append({"batch": b, "published": True})
+        else:
+            report.append({"batch": b, "published": False})
+
+    return fb, report

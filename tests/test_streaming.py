@@ -738,3 +738,51 @@ def test_cdc_writer_upsert_delete_reinsert_and_replay(spark, tmp_path_factory):
     assert tt.manifest_files(state, v, kind="delete") == []
     tt.set_ref(state, "main", v)
     assert state_rows() == {(3, "view", 5.0), (1, "purchase", 9.0)}
+
+
+def test_gated_cdc_writer_quarantines_bad_batches(spark, tmp_path_factory):
+    """B162: a CDC batch failing its audit is quarantined — ref readers
+    never see it, the next batch builds on the last PUBLISHED snapshot
+    (quarantined lineage never leaks forward), and a first-batch
+    quarantine leaves the table unpublished rather than corrupt."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+    from kinesis2elastic_spark.streaming.cdc_stream import (
+        gated_cdc_writer,
+        read_cdc_table,
+    )
+
+    state = str(tmp_path_factory.mktemp("gated_cdc"))
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "ts string, value double"
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(list(rows), schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+    def audit(df):  # no negative values may reach the serving table
+        return df.filter(F.col("value") < 0).count() == 0
+
+    fb, report = gated_cdc_writer(spark, state, audit)
+    # batch 0: POISONED (negative value) -> quarantined, nothing published
+    fb(mk([(1, 1, "view", "2024-01-01 00:00:00", -1.0)]), 0)
+    assert report[-1] == {"batch": 0, "published": False}
+    assert tt.read_ref(state, "main") is None
+    # batch 1: clean -> published, and does NOT contain batch 0's row
+    fb(mk([(2, 2, "view", "2024-01-02 00:00:00", 2.0)]), 1)
+    assert report[-1] == {"batch": 1, "published": True}
+    assert {(r.user_id, r.value) for r in read_cdc_table(spark, state).collect()} == {
+        (2, 2.0)
+    }
+    # batch 2: poisoned again -> serving state frozen at batch 1
+    fb(mk([(3, 3, "view", "2024-01-03 00:00:00", -9.0)]), 2)
+    assert report[-1]["published"] is False
+    assert {r.user_id for r in read_cdc_table(spark, state).collect()} == {2}
+    # batch 3: clean; builds on batch 1's PUBLISHED state, not batch 2
+    fb(mk([(4, 4, "click", "2024-01-04 00:00:00", 4.0)]), 3)
+    assert {r.user_id for r in read_cdc_table(spark, state).collect()} == {2, 4}
+    # forensics: the quarantined snapshot is still as-of readable
+    quarantined = tt.read_asof(spark, state, 5)  # batch 2's append version
+    assert {r.user_id for r in quarantined.collect()} == {2, 3}
