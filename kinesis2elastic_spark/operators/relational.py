@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import dim, load
+from ..functions.hashing import md5_prefix_long
 from ..functions.sessions import session_cte_sql, with_session_ids
 from ..functions.numerics import stable_round
 
@@ -112,6 +113,102 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.abs(F.col("_approx") - F.col("exact_parts")) / F.col("exact_parts")
     return agg.select(
         "l_returnflag", "exact_parts", "n", (err <= 0.05).alias("est_ok")
+    )
+
+
+KMV_K = 256          # sketch size: rel. std err ~ 1/sqrt(K-2) ≈ 6.3%
+KMV_TOL = 0.20       # flag tolerance (~3 sigma)
+KMV_PAIR = ("click", "view")  # intersection target: heavy overlap
+_KMV_M = float(1 << 48)       # hash domain (12 hex chars of md5)
+
+
+def kmv_estimate(hashes: list[int], k: int = KMV_K) -> float:
+    """Distinct-count estimate from a KMV sketch (the k smallest hash
+    values of the set, uniform on [0, 2^48)): exact when the sketch
+    holds the whole set (< k values), else (k-1)·M / h_k — the classic
+    k-minimum-values estimator (Bar-Yossef et al. 2002)."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    return (k - 1) * _KMV_M / float(sorted(hashes)[k - 1])
+
+
+def kmv_intersect_estimate(
+    a: list[int], b: list[int], k: int = KMV_K
+) -> float:
+    """Intersection estimate from two KMV sketches — THE operation
+    HLL cannot do (unions only): take the union's k smallest hashes X
+    (a valid KMV sketch of A ∪ B by the uniform-hash property), measure
+    the fraction of X present in BOTH input sketches (a Jaccard
+    estimate), and scale by the union estimate."""
+    sa, sb = set(a), set(b)
+    x = sorted(sa | sb)[:k]
+    if not x:
+        return 0.0
+    rho = sum(1 for h in x if h in sa and h in sb) / len(x)
+    return rho * kmv_estimate(x, k)
+
+
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B163: KMV (k-minimum-values) distinct sketches with SET
+    INTERSECTION estimation — the sketch-family capability HLL (B65),
+    CMS (B102), and the quantile histogram (B136) all lack: HLL unions
+    merge but never intersect; KMV's uniform-hash order statistics give
+    distinct counts AND |A ∩ B| (audience overlap, funnel intersection,
+    cross-source duplicate mass) from two bounded sketches.
+
+    Scale shape: per group the sketch is the BOTTOM-K distinct hashes —
+    (type, hash) dedup is one map-combinable shuffle, then the bottom-K
+    window runs under WindowGroupLimit (partial top-K map-side before
+    the exchange, so the per-type task merges ≤ K·n_tasks rows, never
+    the distinct set); sketches are ≤ K rows/group = driver-safe at any
+    corpus size, and mergeable (union of sketches, re-trimmed to K, IS
+    the union's sketch — the estimator the intersection leg uses).
+
+    Oracle discipline (the B5/B65 est_ok doctrine): estimates are
+    engine-local floats, so the query emits the EXACT distinct and
+    exact intersection (DuckDB recomputes both) plus in-engine
+    ``est_ok`` flags at the ~3σ tolerance; the md5-based hashes make
+    the sketch itself deterministic, so a flag flip is a real estimator
+    regression, not sampling luck re-rolled."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    h = md5_prefix_long(F.col("user_id"), 12)
+    dedup = (
+        e.select("event_type", h.alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    sketches = (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "h")
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in sketches.collect():  # bounded: <= K rows per type
+        by_type.setdefault(r.event_type, []).append(r.h)
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    a, b = KMV_PAIR
+    inter_exact = (
+        e.filter(F.col("event_type") == a)
+        .select("user_id")
+        .intersect(e.filter(F.col("event_type") == b).select("user_id"))
+        .count()
+    )
+    rows = []
+    for t in sorted(exact):
+        est = kmv_estimate(by_type.get(t, []))
+        ok = abs(est - exact[t]) <= KMV_TOL * max(1, exact[t])
+        rows.append((t, int(exact[t]), bool(ok)))
+    inter_est = kmv_intersect_estimate(by_type.get(a, []), by_type.get(b, []))
+    inter_ok = abs(inter_est - inter_exact) <= KMV_TOL * max(1, inter_exact)
+    rows.append((f"{a}&{b}", int(inter_exact), bool(inter_ok)))
+    return spark.createDataFrame(
+        rows, "set_name string, exact_distinct long, est_ok boolean"
     )
 
 
@@ -528,6 +625,7 @@ QUERIES = {
     "q_agg_distinct": q_agg_distinct,
     "q_approx_distinct": q_approx_distinct,
     "q_hll_merge": q_hll_merge,
+    "q_kmv_sketch": q_kmv_sketch,
     "q_rollup": q_rollup,
     "q_join_inner": q_join_inner,
     "q_join_star": q_join_star,
@@ -591,6 +689,20 @@ ORACLE = {
                count(*)                  AS n,
                TRUE                      AS est_ok
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_kmv_sketch": f"""
+        SELECT event_type AS set_name,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS est_ok
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '{KMV_PAIR[0]}&{KMV_PAIR[1]}',
+               CAST((SELECT count(*) FROM (
+                  SELECT user_id FROM events WHERE event_type = '{KMV_PAIR[0]}'
+                  INTERSECT
+                  SELECT user_id FROM events WHERE event_type = '{KMV_PAIR[1]}'
+               )) AS BIGINT),
+               TRUE
     """,
     "q_hll_merge": """
         SELECT l_returnflag AS scope,

@@ -688,3 +688,36 @@ def test_rank_fusion_borda_ties_share_rank(spark, tmp_path):
     assert out[4].r_wlen == 2
     for d in out.values():
         assert d.borda == d.r_len + d.r_distinct + d.r_wlen
+
+
+def test_kmv_partial_overlap_estimation():
+    """B163: the KMV intersection estimator on planted PARTIAL overlap
+    (Jaccard 1/3) — pure estimator math, no Spark: sets of 2000 with
+    1000 shared must estimate |A∩B| within the 3-sigma tolerance, and
+    sub-K sets are exact."""
+    import hashlib
+
+    from kinesis2elastic_spark.operators.relational import (
+        KMV_K,
+        KMV_TOL,
+        kmv_estimate,
+        kmv_intersect_estimate,
+    )
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+
+    A = sorted(h(i) for i in range(2000))[:KMV_K]
+    B = sorted(h(i) for i in range(1000, 3000))[:KMV_K]
+    est_a = kmv_estimate(A)
+    assert abs(est_a - 2000) <= KMV_TOL * 2000
+    est_i = kmv_intersect_estimate(A, B)
+    assert abs(est_i - 1000) <= KMV_TOL * 1000 + 50
+    # sub-K sets: sketch IS the set -> exact everywhere
+    small_a = [h(i) for i in range(100)]
+    small_b = [h(i) for i in range(50, 150)]
+    assert kmv_estimate(small_a) == 100.0
+    assert kmv_intersect_estimate(small_a, small_b) == 50.0
+    # disjoint sets -> zero
+    C = sorted(h(i) for i in range(50000, 53000))[:KMV_K]
+    assert kmv_intersect_estimate(A, C) <= KMV_TOL * 100
