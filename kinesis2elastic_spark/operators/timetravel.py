@@ -1042,6 +1042,79 @@ def clone_table(
     return base
 
 
+def commit_catalog(catalog_dir: str, table_versions: dict[str, int]) -> int:
+    """Catalog-level ATOMIC multi-table commit (B164): publish a
+    consistent set of per-table snapshot versions as one catalog
+    version — the cross-table transaction leg single-table manifests
+    cannot give (a reader joining orders-v2 against lineitem-v1 sees a
+    state that never existed).  Mechanics reuse the proven commit
+    discipline at one level up: the catalog version is a JSON file
+    {table: version} published by temp-write + atomic rename under
+    ``_catalog/``, so a reader resolves ONE catalog version and gets
+    every table pinned to mutually-consistent snapshots; table commits
+    that have not been catalog-published are staged, exactly the B153
+    reader contract lifted to the database level (Iceberg REST-catalog
+    / Delta multi-table-transaction shape, format-free).
+
+    The write protocol is therefore: commit each table (their manifests
+    are invisible to catalog readers), then one catalog commit flips
+    all of them visible together — crash between table commits leaves
+    only invisible staged snapshots; crash before the catalog rename
+    leaves the previous catalog version intact.  Metadata-rate: the
+    catalog file is one row per table."""
+    os.makedirs(os.path.join(catalog_dir, "_catalog"), exist_ok=True)
+    vs = catalog_versions(catalog_dir)
+    v = (vs[-1] + 1) if vs else 0
+    final = os.path.join(catalog_dir, "_catalog", f"v{v}.json")
+    tmp = final + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({t: int(tv) for t, tv in table_versions.items()}, f)
+    os.replace(tmp, final)
+    return v
+
+
+def catalog_versions(catalog_dir: str) -> list[int]:
+    """Committed catalog versions, ascending."""
+    cdir = os.path.join(catalog_dir, "_catalog")
+    if not os.path.isdir(cdir):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(cdir)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    )
+
+
+def read_catalog_asof(
+    spark: SparkSession,
+    catalog_dir: str,
+    tables: dict[str, str],
+    version: int | None = None,
+) -> dict[str, DataFrame]:
+    """Consistent multi-table read (B164): resolve ONE catalog version
+    (latest <= ``version``) and return every requested table AS OF the
+    versions that catalog commit pinned TOGETHER — a join across the
+    returned frames can never mix table states from different
+    transactions.  ``tables`` maps table name → table_dir."""
+    vs = [
+        v
+        for v in catalog_versions(catalog_dir)
+        if version is None or v <= version
+    ]
+    if not vs:
+        raise ValueError(f"no catalog commit <= {version} in {catalog_dir}")
+    with open(
+        os.path.join(catalog_dir, "_catalog", f"v{vs[-1]}.json")
+    ) as f:
+        pinned = json.load(f)
+    out = {}
+    for name, tdir in tables.items():
+        if name not in pinned:
+            raise ValueError(f"table {name!r} not in catalog version v{vs[-1]}")
+        out[name] = read_asof(spark, tdir, int(pinned[name]))
+    return out
+
+
 def erase_keys(
     spark: SparkSession, table_dir: str, keys_df: DataFrame
 ) -> dict:

@@ -822,3 +822,51 @@ def test_deep_clone_survives_source_destruction(spark, tmp_path):
     shutil.rmtree(src)  # source gone entirely
     got = sorted(r.k for r in tt.read_asof(spark, dst).collect())
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_catalog_atomic_multi_table_commit(spark, tmp_path):
+    """B164: a reader resolving one catalog version can never mix table
+    states from different transactions — staged table commits are
+    invisible until the catalog rename flips them visible together."""
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    cat = str(tmp_path)
+    t_orders = str(tmp_path / "orders_t")
+    t_items = str(tmp_path / "items_t")
+    mk = lambda rows, s: spark.createDataFrame(rows, s)  # noqa: E731
+
+    # txn 0: one order, one item — two table commits + ONE catalog commit
+    tt.commit_snapshot(spark, t_orders, mk([(1, "A")], "o long, st string"), 0)
+    tt.commit_snapshot(spark, t_items, mk([(1, 10.0)], "o long, amt double"), 0)
+    cv0 = tt.commit_catalog(cat, {"orders": 0, "items": 0})
+
+    # txn 1 IN FLIGHT: both tables commit v1, catalog NOT yet published
+    tt.commit_snapshot(spark, t_orders, mk([(2, "B")], "o long, st string"), 1)
+    tt.commit_snapshot(spark, t_items, mk([(2, 20.0)], "o long, amt double"), 1)
+    snap = tt.read_catalog_asof(
+        spark, cat, {"orders": t_orders, "items": t_items}
+    )
+    # catalog readers still see the txn-0 state of BOTH tables
+    assert {r.o for r in snap["orders"].collect()} == {1}
+    assert {r.o for r in snap["items"].collect()} == {1}
+
+    # publish txn 1: both tables flip visible TOGETHER
+    cv1 = tt.commit_catalog(cat, {"orders": 1, "items": 1})
+    snap = tt.read_catalog_asof(
+        spark, cat, {"orders": t_orders, "items": t_items}
+    )
+    assert {r.o for r in snap["orders"].collect()} == {1, 2}
+    assert {r.o for r in snap["items"].collect()} == {1, 2}
+    # time travel to the earlier TRANSACTION (not per-table versions)
+    old = tt.read_catalog_asof(
+        spark, cat, {"orders": t_orders, "items": t_items}, version=cv0
+    )
+    assert {r.o for r in old["orders"].collect()} == {1}
+    assert cv1 == cv0 + 1
+    # unknown table / empty catalog fail loud
+    with _pytest.raises(ValueError):
+        tt.read_catalog_asof(spark, cat, {"nope": t_orders})
+    with _pytest.raises(ValueError):
+        tt.read_catalog_asof(spark, str(tmp_path / "empty"), {})
