@@ -1042,6 +1042,53 @@ def clone_table(
     return base
 
 
+def _plan_fingerprint(df: DataFrame, inputs: dict) -> str:
+    """Deterministic cache key for a DataFrame's OPTIMIZED logical plan
+    plus a caller-pinned input-version map.  Expression ids (#123) are
+    session-local noise and get normalized away; everything else —
+    operators, literals, column names, file paths — stays, so two
+    different queries cannot collide (a FALSE MISS just recomputes; a
+    false hit would serve wrong data, hence conservative keying)."""
+    import hashlib
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    norm = re.sub(r"#\d+", "#x", plan)
+    key = norm + "\n" + json.dumps(inputs, sort_keys=True)
+    return hashlib.md5(key.encode("utf-8")).hexdigest()
+
+
+def cached_query(
+    spark: SparkSession,
+    df: DataFrame,
+    cache_dir: str,
+    inputs: dict | None = None,
+) -> DataFrame:
+    """Plan-fingerprint result cache on the snapshot protocol (B165):
+    the repeated-dashboard-query answer at 100 TB — the first run
+    commits the result as a snapshot table keyed by the query's
+    normalized optimized-plan fingerprint + the caller's pinned input
+    versions; every later identical query is a metadata-rate manifest
+    read plus a result-sized scan, the source is never re-touched.
+
+    Correctness contract: ``inputs`` must pin every source's version
+    (e.g. {"orders": 3} from the B138/B164 read path) — the fingerprint
+    includes it, so a new input version is a cache MISS, never a stale
+    hit; with inputs omitted the cache only guarantees same-plan
+    equivalence and staleness is the CALLER's bargain (documented, the
+    materialized-view-without-maintenance mode — contrast B126, whose
+    incremental maintainer is the right tool when the input churns).
+    Storage is an ordinary snapshot table per fingerprint: vacuum's
+    age-gated GC is the eviction policy, and a crash mid-commit leaves
+    an invisible orphan, never a half-cached answer."""
+    fp = _plan_fingerprint(df, inputs or {})
+    table = os.path.join(cache_dir, fp)
+    if snapshot_versions(table):
+        return read_asof(spark, table)
+    commit_snapshot(spark, table, df, 0)
+    return read_asof(spark, table)
+
+
 def commit_catalog(catalog_dir: str, table_versions: dict[str, int]) -> int:
     """Catalog-level ATOMIC multi-table commit (B164): publish a
     consistent set of per-table snapshot versions as one catalog

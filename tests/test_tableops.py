@@ -870,3 +870,45 @@ def test_catalog_atomic_multi_table_commit(spark, tmp_path):
         tt.read_catalog_asof(spark, cat, {"nope": t_orders})
     with _pytest.raises(ValueError):
         tt.read_catalog_asof(spark, str(tmp_path / "empty"), {})
+
+
+def test_cached_query_serves_hits_and_misses_on_change(spark, tmp_path):
+    """B165: an identical query is served FROM the cache (proven by
+    deleting the source after the first run), a different literal is a
+    different entry, and a changed pinned input version is a miss."""
+    import shutil
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k long, g long"
+    ).write.parquet(src)
+    cache = str(tmp_path / "cache")
+
+    def q(thresh):
+        return (
+            spark.read.parquet(src)
+            .filter(F.col("k") >= thresh)
+            .groupBy("g")
+            .agg(F.count("*").alias("n"))
+        )
+
+    first = {(r.g, r.n) for r in tt.cached_query(spark, q(10), cache,
+                                                 {"src": 0}).collect()}
+    # different literal -> different fingerprint -> its own entry
+    other = {(r.g, r.n) for r in tt.cached_query(spark, q(20), cache,
+                                                 {"src": 0}).collect()}
+    assert first != other
+    plan_df = q(10)  # build BEFORE the source disappears
+    plan_df2 = q(10)
+    shutil.rmtree(src)  # source gone: only a true cache hit can answer
+    hit = {(r.g, r.n) for r in tt.cached_query(spark, plan_df, cache,
+                                               {"src": 0}).collect()}
+    assert hit == first
+    # changed pinned input version -> MISS -> recompute fails loudly
+    # (the source is gone), proving it did NOT serve the stale entry
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        tt.cached_query(spark, plan_df2, cache, {"src": 1}).collect()
