@@ -1042,6 +1042,54 @@ def clone_table(
     return base
 
 
+def record_schema(table_dir: str, version: int, df: DataFrame) -> None:
+    """Record ``df``'s schema alongside snapshot ``version`` (B166):
+    one JSON file per version under ``_schema/`` (same atomic-rename
+    publish), giving time travel a SCHEMA dimension — ``read_asof``
+    already returns the old FILES (and therefore the old columns); the
+    recorded schema makes the evolution inspectable without opening a
+    single footer."""
+    sdir = os.path.join(table_dir, "_schema")
+    os.makedirs(sdir, exist_ok=True)
+    final = os.path.join(sdir, f"v{int(version)}.json")
+    tmp = final + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(df.schema.json())
+    os.replace(tmp, final)
+
+
+def schema_history(table_dir: str) -> list[dict]:
+    """Schema drift report (B166, the DESCRIBE-HISTORY schema leg): one
+    entry per recorded version with the columns ADDED and REMOVED
+    relative to the previous recorded version — the ingestion-contract
+    audit trail a pipeline consults before a B120 schema-evolution read
+    or a B159 expectation update.  Metadata-rate: JSON files only, no
+    footer or data reads."""
+    sdir = os.path.join(table_dir, "_schema")
+    if not os.path.isdir(sdir):
+        return []
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(sdir)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    )
+    out = []
+    prev: set[str] = set()
+    for v in versions:
+        with open(os.path.join(sdir, f"v{v}.json")) as f:
+            fields = {fl["name"] for fl in json.load(f)["fields"]}
+        out.append(
+            {
+                "version": v,
+                "columns": sorted(fields),
+                "added": sorted(fields - prev),
+                "removed": sorted(prev - fields),
+            }
+        )
+        prev = fields
+    return out
+
+
 def _plan_fingerprint(df: DataFrame, inputs: dict) -> str:
     """Deterministic cache key for a DataFrame's OPTIMIZED logical plan
     plus a caller-pinned input-version map.  Expression ids (#123) are

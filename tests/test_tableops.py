@@ -912,3 +912,25 @@ def test_cached_query_serves_hits_and_misses_on_change(spark, tmp_path):
 
     with _pytest.raises(Exception):
         tt.cached_query(spark, plan_df2, cache, {"src": 1}).collect()
+
+
+def test_schema_history_reports_drift(spark, tmp_path):
+    """B166: per-commit schema records give an added/removed drift
+    report, and time travel returns each version's own columns."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "drift")
+    d0 = spark.createDataFrame([(1, "a")], "k long, s string")
+    d1 = spark.createDataFrame([(2, "b", 1.5)], "k long, s string, x double")
+    d2 = spark.createDataFrame([(3, 2.5)], "k long, x double")  # s dropped
+    for v, d in ((0, d0), (1, d1), (2, d2)):
+        tt.commit_snapshot(spark, table, d, v, carry_forward=False)
+        tt.record_schema(table, v, d)
+    hist = tt.schema_history(table)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[0]["added"] == ["k", "s"] and hist[0]["removed"] == []
+    assert hist[1]["added"] == ["x"] and hist[1]["removed"] == []
+    assert hist[2]["added"] == [] and hist[2]["removed"] == ["s"]
+    # time travel returns each version's OWN columns
+    assert set(tt.read_asof(spark, table, 0).columns) == {"k", "s"}
+    assert set(tt.read_asof(spark, table, 2).columns) == {"k", "x"}
