@@ -427,6 +427,8 @@ def optimize_snapshot(
     table_dir: str,
     version: int,
     target_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+    collect_stats: bool = False,
 ) -> list[str]:
     """OPTIMIZE as a table commit — the B135 compaction executor joined
     to the snapshot protocol: rewrite the LATEST snapshot's files into
@@ -443,20 +445,33 @@ def optimize_snapshot(
     B152 interplay: a table with live equality-delete files is rewritten
     THROUGH ``read_asof`` (deletes applied) and published as a pure-data
     layout — OPTIMIZE is the copy-on-write step that retires
-    merge-on-read debt and restores B150 file skipping."""
+    merge-on-read debt and restores B150 file skipping.
+
+    B167 legs: ``cluster_by`` makes the rewrite RE-CLUSTER — the full
+    live set (deletes applied) is range-partitioned and sorted on the
+    given keys, so the optimized files get disjoint key ranges and
+    B150's stats prune on those keys again; ``collect_stats`` records
+    the per-file stats in the published manifest — without it an
+    optimize of a stats-carrying table silently DROPPED its stats and
+    pruning with them (the gap this leg closes: compaction must
+    preserve, and re-clustering must re-establish, the skipping a
+    clustered write paid for)."""
     from .layout import plan_compaction_bins
 
     entries = manifest_entries(table_dir)
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}")
-    if any(e["kind"] == "delete" for e in entries):
+    has_deletes = any(e["kind"] == "delete" for e in entries)
+    if cluster_by or has_deletes:
         total = sum(e["n_bytes"] for e in entries if e["kind"] == "data")
-        n_bins = max(1, total // max(1, target_bytes))
-        (
-            read_asof(spark, table_dir)
-            .repartition(int(n_bins))
-            .write.mode("overwrite")
-            .parquet(data_dir)
-        )
+        n_bins = int(max(1, total // max(1, target_bytes)))
+        df = read_asof(spark, table_dir)
+        if cluster_by:
+            df = df.repartitionByRange(n_bins, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            df = df.repartition(n_bins)
+        df.write.mode("overwrite").parquet(data_dir)
     else:
         src_files = [e["path"] for e in entries]
         manifest = [(p, os.path.getsize(p)) for p in src_files]
@@ -469,7 +484,7 @@ def optimize_snapshot(
                 .parquet(os.path.join(data_dir, f"bin={i}"))
             )
     live = _list_data_files(data_dir)
-    _write_manifest(table_dir, version, live)
+    _write_manifest(table_dir, version, live, collect_stats=collect_stats)
     return live
 
 

@@ -934,3 +934,41 @@ def test_schema_history_reports_drift(spark, tmp_path):
     # time travel returns each version's OWN columns
     assert set(tt.read_asof(spark, table, 0).columns) == {"k", "s"}
     assert set(tt.read_asof(spark, table, 2).columns) == {"k", "x"}
+
+
+def test_optimize_recluster_restores_pruning(spark, tmp_path):
+    """B167: OPTIMIZE with cluster_by + collect_stats re-clusters the
+    live set (deletes applied) into disjoint key ranges and publishes
+    stats, so B150 pruning works again after compaction — and without
+    collect_stats an optimize leaves a stats-less manifest (pruning
+    conservatively off, never wrong)."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "reclust")
+    # two unclustered commits + a delete -> no pruning possible
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(400)], "k long, s string"
+    )
+    tt.commit_snapshot(spark, table, df.repartition(4), 0, collect_stats=True)
+    tt.commit_delete(
+        spark, table, spark.createDataFrame([(i,) for i in range(100)], "k long"), 1
+    )
+    # random layout: the k-range predicate cannot prune (every file
+    # spans the domain) — and with live deletes read_where won't prune
+    tt.optimize_snapshot(
+        spark, table, 2, target_bytes=2000, cluster_by=["k"], collect_stats=True
+    )
+    assert tt.manifest_files(table, 2, kind="delete") == []
+    kept, total = tt.prune_files(table, [("k", "between", (150, 180))])
+    assert total > 1 and 0 < len(kept) < total  # re-clustered: prunes again
+    got = sorted(
+        r.k for r in tt.read_where(spark, table, [("k", "between", (150, 180))]).collect()
+    )
+    assert got == list(range(150, 181))
+    # content preserved exactly (deletes folded)
+    assert tt.read_asof(spark, table).count() == 300
+    # stats-less optimize: conservative, all files kept, still exact
+    tt.optimize_snapshot(spark, table, 3, target_bytes=2000, cluster_by=["k"])
+    kept3, total3 = tt.prune_files(table, [("k", "between", (150, 180))])
+    assert len(kept3) == total3
+    assert tt.read_where(spark, table, [("k", ">=", 399)]).count() == 1
