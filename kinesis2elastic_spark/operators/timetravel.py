@@ -1171,16 +1171,31 @@ def commit_catalog(catalog_dir: str, table_versions: dict[str, int]) -> int:
     all of them visible together — crash between table commits leaves
     only invisible staged snapshots; crash before the catalog rename
     leaves the previous catalog version intact.  Metadata-rate: the
-    catalog file is one row per table."""
+    catalog file is one row per table.
+
+    The publish is a compare-and-swap (the B149 discipline at catalog
+    level — an ``os.replace`` here would let two racing transactions
+    silently clobber one catalog version, the exact lost-update B149
+    closed for tables): ``os.link`` fails EEXIST if the version is
+    taken, the loser gets ``CommitConflict`` and retries with a fresh
+    version id, carrying ITS OWN table pins forward — transactions
+    serialize, neither is lost."""
     os.makedirs(os.path.join(catalog_dir, "_catalog"), exist_ok=True)
-    vs = catalog_versions(catalog_dir)
-    v = (vs[-1] + 1) if vs else 0
-    final = os.path.join(catalog_dir, "_catalog", f"v{v}.json")
-    tmp = final + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump({t: int(tv) for t, tv in table_versions.items()}, f)
-    os.replace(tmp, final)
-    return v
+    for _ in range(5):
+        vs = catalog_versions(catalog_dir)
+        v = (vs[-1] + 1) if vs else 0
+        final = os.path.join(catalog_dir, "_catalog", f"v{v}.json")
+        tmp = final + f".tmp-{os.getpid()}x{next(_COMMIT_SEQ)}"
+        with open(tmp, "w") as f:
+            json.dump({t: int(tv) for t, tv in table_versions.items()}, f)
+        try:
+            os.link(tmp, final)
+            return v
+        except FileExistsError:
+            continue
+        finally:
+            os.unlink(tmp)
+    raise CommitConflict(f"catalog commit gave up after 5 attempts in {catalog_dir}")
 
 
 def catalog_versions(catalog_dir: str) -> list[int]:
@@ -1255,10 +1270,13 @@ def erase_keys(
     vs = snapshot_versions(table_dir)
     if not vs:
         raise ValueError(f"no committed snapshots in {table_dir}")
+    # preserve what the table already paid for: if the pre-erasure
+    # manifest carried column stats, the rewrite re-collects them (B167)
+    had_stats = any(e.get("stats_json") for e in manifest_entries(table_dir))
     v_del = vs[-1] + 1
     commit_delete(spark, table_dir, keys_df, v_del)
     v_opt = v_del + 1
-    optimize_snapshot(spark, table_dir, v_opt)
+    optimize_snapshot(spark, table_dir, v_opt, collect_stats=had_stats)
     if read_ref(table_dir, "main") is not None:
         set_ref(table_dir, "main", v_opt)
     report = vacuum(table_dir, keep_last=1, min_age_s=0.0)

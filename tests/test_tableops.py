@@ -972,3 +972,42 @@ def test_optimize_recluster_restores_pruning(spark, tmp_path):
     kept3, total3 = tt.prune_files(table, [("k", "between", (150, 180))])
     assert len(kept3) == total3
     assert tt.read_where(spark, table, [("k", ">=", 399)]).count() == 1
+
+
+def test_catalog_commit_cas_and_erasure_keeps_stats(spark, tmp_path):
+    """B164/B158 hardening: a pre-staged catalog version file makes the
+    next commit retry to the following id (CAS, no clobber); erase_keys
+    on a stats-carrying table re-collects stats through its rewrite so
+    pruning still works post-erasure."""
+    import json as _json
+    import os
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    tt.commit_snapshot(
+        spark, t, spark.createDataFrame([(1, "a")], "k long, s string"), 0
+    )
+    v0 = tt.commit_catalog(cat, {"t": 0})
+    # simulate a racing writer that already took v1
+    os.makedirs(os.path.join(cat, "_catalog"), exist_ok=True)
+    with open(os.path.join(cat, "_catalog", "v1.json"), "w") as f:
+        _json.dump({"t": 0}, f)
+    v2 = tt.commit_catalog(cat, {"t": 0})
+    assert (v0, v2) == (0, 2)  # CAS skipped the taken id, nothing clobbered
+    with open(os.path.join(cat, "_catalog", "v1.json")) as f:
+        assert _json.load(f) == {"t": 0}  # racer's file untouched
+
+    # erasure preserves stats: clustered+stats table -> erase -> prune ok
+    table = str(tmp_path / "estats")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(200)], "k long, s string")
+    tt.commit_snapshot(
+        spark, table, df.repartitionByRange(4, "k"), 0, collect_stats=True
+    )
+    tt.erase_keys(
+        spark, table, spark.createDataFrame([(i,) for i in range(50)], "k long")
+    )
+    entries = tt.manifest_entries(table)
+    assert any(e.get("stats_json") for e in entries)  # stats survived
+    assert tt.read_asof(spark, table).count() == 150
