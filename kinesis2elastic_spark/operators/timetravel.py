@@ -1057,6 +1057,38 @@ def clone_table(
     return base
 
 
+def fsck_snapshot(table_dir: str, version: int | None = None) -> dict:
+    """Snapshot integrity check (B168, the lakehouse fsck): verify every
+    file the manifest references exists on disk with EXACTLY the
+    recorded byte size and row count — the audit a storage migration,
+    a restore, or a suspected-bitrot incident runs before trusting a
+    table.  Footer-rate (one os.stat + one footer read per live file,
+    no data pages), so it scales like the manifest itself.
+
+    Returns {missing, size_mismatch, rows_mismatch, n_checked}; an
+    empty triple of lists is a clean bill.  A dirty result means the
+    snapshot CANNOT be read faithfully — the caller restores the files
+    or vacuums forward past the damage; fsck itself never mutates."""
+    missing, size_bad, rows_bad = [], [], []
+    entries = manifest_entries(table_dir, version)
+    for e in entries:
+        p = e["path"]
+        if not os.path.exists(p):
+            missing.append(p)
+            continue
+        if os.path.getsize(p) != e["n_bytes"]:
+            size_bad.append(p)
+            continue
+        if pq.read_metadata(p).num_rows != e["n_rows"]:
+            rows_bad.append(p)
+    return {
+        "missing": missing,
+        "size_mismatch": size_bad,
+        "rows_mismatch": rows_bad,
+        "n_checked": len(entries),
+    }
+
+
 def record_schema(table_dir: str, version: int, df: DataFrame) -> None:
     """Record ``df``'s schema alongside snapshot ``version`` (B166):
     one JSON file per version under ``_schema/`` (same atomic-rename

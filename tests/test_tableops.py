@@ -1011,3 +1011,28 @@ def test_catalog_commit_cas_and_erasure_keeps_stats(spark, tmp_path):
     entries = tt.manifest_entries(table)
     assert any(e.get("stats_json") for e in entries)  # stats survived
     assert tt.read_asof(spark, table).count() == 150
+
+
+def test_fsck_snapshot_detects_damage(spark, tmp_path):
+    """B168: fsck is clean on an intact snapshot, and reports a deleted
+    file and a size-corrupted file precisely without mutating anything."""
+    import os
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "fsck")
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(40)], "k long, s string")
+    tt.commit_snapshot(spark, table, df.repartition(3), 0)
+    clean = tt.fsck_snapshot(table)
+    assert clean["missing"] == clean["size_mismatch"] == clean["rows_mismatch"] == []
+    assert clean["n_checked"] >= 3
+
+    files = tt.manifest_files(table)
+    os.remove(files[0])                      # bitrot leg 1: file gone
+    with open(files[1], "ab") as f:          # leg 2: size drift
+        f.write(b"xx")
+    rep = tt.fsck_snapshot(table)
+    assert rep["missing"] == [files[0]]
+    assert rep["size_mismatch"] == [files[1]]
+    assert rep["rows_mismatch"] == []
+    assert rep["n_checked"] == len(files)
