@@ -353,9 +353,12 @@ def main() -> None:
     unvalidated = floor_drift == float("inf")
     if unvalidated:
         floor_drift = 0.0
-    # >10% disagreement between the two CLOSEST full passes = genuinely
-    # loaded machine; a single-pass run is noisy by definition (no band)
-    noisy = unvalidated or floor_drift > 0.10
+    # >5% disagreement between the two CLOSEST full passes = loaded
+    # machine (r11 VERDICT #1 tightened this from 10%); a single-pass run
+    # is noisy by definition (no band).  A noisy total must NOT be read as
+    # a round-over-round regression signal — BENCH_DETAIL carries the
+    # per-attempt totals so the drift is auditable.
+    noisy = unvalidated or floor_drift > 0.05
 
     ratios = sorted(ratio.values())
     median = ratios[len(ratios) // 2] if ratios else None

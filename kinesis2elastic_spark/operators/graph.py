@@ -1410,8 +1410,14 @@ def personalized_pagerank(
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: empty seed set")
+    # rank can live only on seeds ∪ contribution targets (dst); the
+    # dangling set is THAT union minus out-degree holders — a dst-only
+    # probe (r11 ADVICE) misses ISOLATED seeds (no edges at all), whose
+    # parked teleport mass would neither propagate nor re-teleport,
+    # leaking Σrank below 1.
     dangling_nodes = pin(
-        edges.select(F.col("dst").alias("node"))
+        seed_nodes.select("node")
+        .union(edges.select(F.col("dst").alias("node")))
         .distinct()
         .join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
         .repartition(parts, "node")
@@ -1501,6 +1507,7 @@ def sssp_weighted(
     max_rounds: int = SSSP_MAX_ROUNDS,
     n_edges_hint: int | None = None,
     pin_cadence: int = 4,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Weighted single-source(-set) shortest paths over a (src, dst, w)
     edge list → (node, dist): exact minimum path COST from any seed,
@@ -1578,6 +1585,10 @@ def sssp_weighted(
         upd = pin(upd.observe(obs, F.count(F.lit(1)).alias("n")))
         if obs.get["n"] == 0:
             converged = True
+            # rounds that IMPROVED a distance (this one didn't) — the
+            # bound an unrolled-relaxation oracle must meet (r11 ADVICE)
+            if stats_out is not None:
+                stats_out["improving_rounds"] = rnd
             break
         # dist merge must be FULL outer: an upd row may be a brand-new
         # node (first sighting), not just an improvement
@@ -1642,9 +1653,23 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey") % REACH_SEED_MOD == REACH_SEED_REM
     ).select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
     hint = 2 * table_rows(sf_dir, "lineitem")  # parquet-footer metadata
+    stats: dict = {}
     dist = sssp_weighted(
-        _trade_edges_weighted(spark, sf_dir), seeds, n_edges_hint=hint
+        _trade_edges_weighted(spark, sf_dir),
+        seeds,
+        n_edges_hint=hint,
+        stats_out=stats,
     )
+    # r12 (r11 ADVICE): the oracle unrolls a FIXED number of relaxations;
+    # if a graph shape ever needs more improving rounds than that, the
+    # oracle would silently return partially-relaxed distances and the
+    # driver would record a FALSE failure — fail loud here instead.
+    if stats.get("improving_rounds", SSSP_MAX_ROUNDS) > SSSP_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"q_sssp: kernel needed {stats.get('improving_rounds')} improving "
+            f"rounds but ORACLE['q_sssp'] unrolls only {SSSP_ORACLE_ROUNDS} "
+            f"relaxations — raise SSSP_ORACLE_ROUNDS to keep the oracle exact"
+        )
     return dist.groupBy("dist").agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.sum(md5_prefix_long(F.col("node"))).cast("long").alias("node_checksum"),

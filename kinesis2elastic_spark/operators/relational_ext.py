@@ -18,16 +18,118 @@ from ..catalog import load, register_views
 from ..functions.numerics import stable_round
 
 
+RANK_RANGE_BUCKETS = 4096
+
+
+def distributed_order_stats(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: str,
+    n_buckets: int = RANK_RANGE_BUCKETS,
+) -> DataFrame:
+    """Exact global rank over ``ORDER BY value_col, tiebreak`` with NO
+    unpartitioned corpus-sized window (r11 VERDICT #2 — the WindowExec
+    single-task-sort class).  Returns the input plus ``__rk`` (1-based
+    global rank, BIGINT) and ``__n_total``.
+
+    Plan (the B98 ``distributed_ntile`` bounded-histogram doctrine applied
+    to a continuous sort key):
+    1. min/max of ``value_col`` — one map-combinable scan, 1-row result,
+       broadcast back.
+    2. Each row gets a range bucket ``floor((v-lo)/width)`` over
+       ``n_buckets`` cells.  IEEE division/floor are monotone in ``v``, so
+       bucket order == value order; ties inside a bucket are resolved
+       exactly by the (value, tiebreak) window below — unlike quantization,
+       no precision is lost.
+    3. groupBy(bucket) histogram — bounded (≤ n_buckets rows at ANY corpus
+       size); cumulative counts ride ONE window over that bounded frame.
+    4. row_number per bucket (hash-partitioned window, ~n/n_buckets rows
+       per task) + broadcast-joined cumulative offset = exact global rank.
+    The only unpartitioned window in the plan cumulates the ≤4096-row
+    histogram — whitelisted by ``plans.explain.unbounded_global_windows``.
+    """
+    internal = {"__bkt", "__rn", "__rk", "__cumb", "__n_total", "__lo", "__hi"}
+    clash = internal & set(df.columns)
+    if clash:
+        raise ValueError(f"distributed_order_stats column clash: {clash}")
+    v = F.col(value_col)
+    bounds = df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    rows = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bkt",
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (v - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / n_buckets)
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("__lo", "__hi")
+    )
+    hist = rows.groupBy("__bkt").agg(F.count("*").alias("__cnt"))
+    wh = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    wt = W.orderBy("__bkt").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "__bkt",
+        F.coalesce(F.sum("__cnt").over(wh), F.lit(0))
+        .cast("long")
+        .alias("__cumb"),
+        F.sum("__cnt").over(wt).cast("long").alias("__n_total"),
+    )
+    wq = W.partitionBy("__bkt").orderBy(value_col, tiebreak)
+    return (
+        rows.withColumn("__rn", F.row_number().over(wq).cast("long"))
+        .join(F.broadcast(cum), "__bkt")
+        .withColumn("__rk", F.col("__cumb") + F.col("__rn"))
+        .drop("__bkt", "__rn", "__cumb")
+    )
+
+
 def q_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank / cume_dist over a unique global ordering."""
+    """ntile / percent_rank / cume_dist over a unique global ordering —
+    computed via the distributed exact-rank kernel, not a global window
+    (r11 VERDICT #2: the former ``W.orderBy(value, event_id)`` moved the
+    whole events table into one WindowExec task).
+
+    Because the ordering (value, event_id) is UNIQUE per row, rank ==
+    row_number and every peer group has size 1, so the SQL window
+    functions reduce to pure BIGINT rank arithmetic:
+    ``percent_rank = (rk-1)/(n-1)``, ``cume_dist = rk/n``, and ntile's
+    first ``n%k`` tiles get ``n div k + 1`` rows.  The oracle states the
+    same contract declaratively (``ntile(4)/percent_rank()/cume_dist()
+    OVER (ORDER BY value, event_id)``), so the driver hash check proves
+    the rank-arithmetic plan IS those window functions."""
     e = load(spark, sf_dir, "events")
-    w = W.orderBy("value", "event_id")
-    return e.select(
+    ranked = distributed_order_stats(
+        e.select("event_id", "value"), "value", "event_id"
+    )
+    k = 4
+    rk, n = F.col("__rk"), F.col("__n_total")
+    # standard SQL ntile split in pure BIGINT arithmetic (the B98 rule:
+    # first n%k tiles get one extra row; doubles lose exactness > 2^53)
+    tile = F.expr(
+        f"CASE WHEN __n_total div {k} = 0 THEN __rk "
+        f"WHEN __rk <= (__n_total % {k}) * (__n_total div {k} + 1) "
+        f"THEN (__rk - 1) div (__n_total div {k} + 1) + 1 "
+        f"ELSE (__n_total % {k}) "
+        f"   + (__rk - (__n_total % {k}) * (__n_total div {k} + 1) - 1) "
+        f"     div (__n_total div {k}) + 1 END"
+    )
+    return ranked.select(
         "event_id",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
+        tile.cast("long").alias("quartile"),
         # int/int quotients ((rank-1)/(n-1), n_le/n) — repr-tie hazard
-        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        stable_round(F.cume_dist().over(w), 6).alias("cume"),
+        stable_round((rk - 1) / (n - 1), 6).alias("pct_rank"),
+        stable_round(rk / n, 6).alias("cume"),
     )
 
 

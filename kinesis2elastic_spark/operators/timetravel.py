@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -193,19 +194,37 @@ def _write_manifest(
     name-filter skips.
 
     ``live`` entries are plain paths (data files entering at this
-    version) or (path, kind, seq) triples — the carry-forward form that
-    preserves each file's kind ("data"/"delete") and entry version."""
-    rows = [
-        {
-            "path": e[0] if isinstance(e, tuple) else e,
-            "kind": e[1] if isinstance(e, tuple) else "data",
-            "seq": int(e[2]) if isinstance(e, tuple) else int(version),
-        }
-        for e in live
-    ]
+    version), (path, kind, seq) triples, or full manifest-entry DICTS —
+    the carry-forward form (r11 ADVICE): a dict entry REUSES its
+    recorded n_bytes / n_rows / stats_json, so a commit reads footers
+    only for files newly entering at this version.  Recomputing them for
+    every carried file made each commit O(live files) footer reads —
+    at the documented 10^6-file scale, a metadata-rate commit became a
+    million-stat pass per append."""
+    rows = []
+    for e in live:
+        if isinstance(e, dict):
+            r = {
+                "path": e["path"],
+                "kind": e.get("kind", "data"),
+                "seq": int(e.get("seq", version)),
+            }
+            if e.get("n_bytes") is not None:
+                r["n_bytes"] = int(e["n_bytes"])
+            if e.get("n_rows") is not None:
+                r["n_rows"] = int(e["n_rows"])
+            if e.get("stats_json"):
+                r["stats_json"] = e["stats_json"]
+        elif isinstance(e, tuple):
+            r = {"path": e[0], "kind": e[1], "seq": int(e[2])}
+        else:
+            r = {"path": e, "kind": "data", "seq": int(version)}
+        rows.append(r)
     for r in rows:
-        r["n_bytes"] = os.path.getsize(r["path"])
-        r["n_rows"] = pq.read_metadata(r["path"]).num_rows
+        if "n_bytes" not in r:
+            r["n_bytes"] = os.path.getsize(r["path"])
+        if "n_rows" not in r:
+            r["n_rows"] = pq.read_metadata(r["path"]).num_rows
     fields = [
         ("path", pa.string()),
         ("kind", pa.string()),
@@ -213,18 +232,25 @@ def _write_manifest(
         ("n_bytes", pa.int64()),
         ("n_rows", pa.int64()),
     ]
-    if collect_stats:
-        # B150: per-file column [min,max] as a JSON column — schema-free
-        # across heterogeneous tables, and older stats-less manifests stay
-        # readable (readers treat a missing column as "no stats, no prune")
+    # B150: per-file column [min,max] as a JSON column — schema-free
+    # across heterogeneous tables, and older stats-less manifests stay
+    # readable (readers treat a missing column as "no stats, no prune").
+    # Stats are STICKY (r12): once any carried entry has them, every
+    # commit keeps the column and fills it for new files only — an
+    # append to a stats-carrying table must not silently drop pruning.
+    if collect_stats or any("stats_json" in r for r in rows):
         for r in rows:
-            r["stats_json"] = json.dumps(
-                _file_column_stats(r["path"]), sort_keys=True
-            )
+            if not r.get("stats_json"):
+                r["stats_json"] = json.dumps(
+                    _file_column_stats(r["path"]), sort_keys=True
+                )
         fields.append(("stats_json", pa.string()))
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     final = os.path.join(_manifest_dir(table_dir), f"v{int(version)}.parquet")
-    tmp = final + f".tmp-{os.getpid()}"
+    # pid alone is NOT unique under same-process multi-writer (threads):
+    # two racers sharing one tmp path → one link wins, both unlink, the
+    # second unlink throws.  pid×seq matches the commit_catalog discipline.
+    tmp = final + f".tmp-{os.getpid()}x{next(_COMMIT_SEQ)}"
     pq.write_table(pa.Table.from_pylist(rows, schema=pa.schema(fields)), tmp)
     if exclusive:
         # compare-and-swap publish (B149 optimistic concurrency):
@@ -279,15 +305,13 @@ def commit_snapshot(
     live = [(p, "data", int(version)) for p in _list_data_files(data_dir)]
     if carry_forward:
         base = int(version) - 1 if parent is None else int(parent)
-        prev = [
-            (e["path"], e["kind"], e["seq"])
-            for e in manifest_entries(table_dir, base)
-        ]
-        live = prev + live
+        # full dict entries: carried files keep their recorded footer
+        # stats — this commit reads footers only for the NEW files
+        live = manifest_entries(table_dir, base) + live
     _write_manifest(
         table_dir, version, live, exclusive=exclusive, collect_stats=collect_stats
     )
-    return [t[0] for t in live]
+    return [t["path"] if isinstance(t, dict) else t[0] for t in live]
 
 
 def commit_delete(
@@ -322,12 +346,9 @@ def commit_delete(
     keys_df.dropDuplicates().write.mode("overwrite").parquet(data_dir)
     live = [(p, "delete", int(version)) for p in _list_data_files(data_dir)]
     base = int(version) - 1 if parent is None else int(parent)
-    prev = [
-        (e["path"], e["kind"], e["seq"])
-        for e in manifest_entries(table_dir, base)
-    ]
+    prev = manifest_entries(table_dir, base)
     _write_manifest(table_dir, version, prev + live)
-    return [t[0] for t in prev + live]
+    return [t["path"] if isinstance(t, dict) else t[0] for t in prev + live]
 
 
 def commit_with_retry(
@@ -1043,15 +1064,16 @@ def clone_table(
         raise ValueError(f"no committed snapshot <= {version} in {src_dir}")
     base = max(int(e["seq"]) for e in entries) + 1
     os.makedirs(dst_dir, exist_ok=True)
-    rows = [(e["path"], e["kind"], e["seq"]) for e in entries]
+    rows = list(entries)  # full dicts: footer stats carried, not re-read
     if deep:
         copy_dir = os.path.join(dst_dir, "data", f"c{base}clone")
         os.makedirs(copy_dir, exist_ok=True)
         copied = []
-        for i, (p, kind, seq) in enumerate(rows):
-            dst_p = os.path.join(copy_dir, f"f{i}-{os.path.basename(p)}")
-            _shutil.copyfile(p, dst_p)
-            copied.append((dst_p, kind, seq))
+        for i, e in enumerate(rows):
+            dst_p = os.path.join(copy_dir, f"f{i}-{os.path.basename(e['path'])}")
+            _shutil.copyfile(e["path"], dst_p)
+            # a byte copy preserves footers, so size/rows/stats carry over
+            copied.append({**e, "path": dst_p})
         rows = copied
     _write_manifest(dst_dir, base, rows)
     return base
@@ -1180,7 +1202,17 @@ def cached_query(
     table = os.path.join(cache_dir, fp)
     if snapshot_versions(table):
         return read_asof(spark, table)
-    commit_snapshot(spark, table, df, 0)
+    # EXCLUSIVE commit (r11 ADVICE): two processes that both miss the
+    # same fingerprint would otherwise write mode-overwrite into the
+    # same data/c0 dir — the loser clobbering files the winner's
+    # manifest just published (the shared-c{v} hazard).  exclusive=True
+    # gives each attempt a writer-unique data dir + CAS manifest
+    # publish; a CommitConflict just means another writer populated the
+    # entry first, so fall through and serve it.
+    try:
+        commit_snapshot(spark, table, df, 0, exclusive=True)
+    except CommitConflict:
+        pass
     return read_asof(spark, table)
 
 
@@ -1209,17 +1241,39 @@ def commit_catalog(catalog_dir: str, table_versions: dict[str, int]) -> int:
     level — an ``os.replace`` here would let two racing transactions
     silently clobber one catalog version, the exact lost-update B149
     closed for tables): ``os.link`` fails EEXIST if the version is
-    taken, the loser gets ``CommitConflict`` and retries with a fresh
-    version id, carrying ITS OWN table pins forward — transactions
-    serialize, neither is lost."""
+    taken, the loser gets ``CommitConflict`` and retries.
+
+    ``table_versions`` is a DELTA, not the full catalog state (r11
+    ADVICE, medium): every attempt — first try and CAS retries alike —
+    re-reads the LATEST catalog version inside the loop and merges the
+    caller's pins over it (read-modify-write under CAS).  Publishing the
+    caller's map verbatim on retry would silently revert a concurrent
+    winner's pins for tables this transaction never touched (lost update
+    on disjoint-table commits); with the merge, disjoint transactions
+    serialize and BOTH sets of pins survive in the final version.
+    Tables absent from both the delta and the parent state simply don't
+    appear — dropping a table from the catalog is a separate, explicit
+    operation, not an implicit side effect of someone else's commit."""
     os.makedirs(os.path.join(catalog_dir, "_catalog"), exist_ok=True)
-    for _ in range(5):
+    delta = {t: int(tv) for t, tv in table_versions.items()}
+    for attempt in range(20):
+        if attempt:
+            # tiny decorrelating backoff: under N-writer contention every
+            # loser otherwise re-reads and re-collides in lockstep
+            time.sleep(0.001 * (attempt % 4) + 0.0005 * (os.getpid() % 7))
         vs = catalog_versions(catalog_dir)
         v = (vs[-1] + 1) if vs else 0
+        merged = dict(delta)
+        if vs:
+            with open(
+                os.path.join(catalog_dir, "_catalog", f"v{vs[-1]}.json")
+            ) as f:
+                parent = json.load(f)
+            merged = {**parent, **delta}
         final = os.path.join(catalog_dir, "_catalog", f"v{v}.json")
         tmp = final + f".tmp-{os.getpid()}x{next(_COMMIT_SEQ)}"
         with open(tmp, "w") as f:
-            json.dump({t: int(tv) for t, tv in table_versions.items()}, f)
+            json.dump(merged, f)
         try:
             os.link(tmp, final)
             return v
@@ -1227,7 +1281,7 @@ def commit_catalog(catalog_dir: str, table_versions: dict[str, int]) -> int:
             continue
         finally:
             os.unlink(tmp)
-    raise CommitConflict(f"catalog commit gave up after 5 attempts in {catalog_dir}")
+    raise CommitConflict(f"catalog commit gave up after 20 attempts in {catalog_dir}")
 
 
 def catalog_versions(catalog_dir: str) -> list[int]:

@@ -299,16 +299,23 @@ def test_no_decimal_or_unvetted_double_in_hashed_schemas(spark, sf_dir):
     from pyspark.sql import types as T
 
     import __spark_entry__ as entrymod
+    from kinesis2elastic_spark.plans.explain import unbounded_global_windows
 
-    offenders_decimal, offenders_double = [], []
+    offenders_decimal, offenders_double, offenders_window = [], [], []
     for name, fn in sorted(entrymod.queries().items()):
-        schema = fn(spark, sf_dir).schema
-        for col, dt in _walk_types(schema):
+        df = fn(spark, sf_dir)
+        for col, dt in _walk_types(df.schema):
             if isinstance(dt, T.DecimalType):
                 offenders_decimal.append((name, col, str(dt)))
             elif isinstance(dt, (T.DoubleType, T.FloatType)):
                 if (name, col) not in VETTED_DOUBLE_COLUMNS:
                     offenders_double.append((name, col))
+        # r12 (r11 VERDICT #2): same build, second gate — no registered
+        # query may plan an unpartitioned Window over corpus-sized input
+        # (the q_ntile_dist single-task-sort class).  Windows cumulating
+        # bounded frames (groupBy histograms, limits) pass the walker.
+        for node in unbounded_global_windows(df):
+            offenders_window.append((name, node))
     assert not offenders_decimal, (
         "DecimalType in a hashed output schema (NEVER hash-safe — see "
         f"q_time_weighted_avg rounds 2-5): {offenders_decimal}"
@@ -317,6 +324,11 @@ def test_no_decimal_or_unvetted_double_in_hashed_schemas(spark, sf_dir):
         "un-vetted double column(s) in hashed output schemas — snap them "
         "(floor(x*s+0.5) / stable_round) and add to VETTED_DOUBLE_COLUMNS: "
         f"{offenders_double}"
+    )
+    assert not offenders_window, (
+        "unpartitioned Window over corpus-sized input (single-task global "
+        "sort at scale — route through distributed_order_stats / "
+        f"distributed_ntile): {offenders_window}"
     )
 
 

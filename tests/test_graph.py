@@ -629,6 +629,41 @@ def test_trustrank_spam_cluster_gets_no_trust(spark):
         )
 
 
+def test_trustrank_isolated_seed_mass_conserved(spark):
+    """r12 (r11 ADVICE): a seed that appears NOWHERE in the edge list is
+    dangling — its parked teleport mass must re-teleport like any other
+    dangling node, keeping Σrank = 1 exactly.  The r11 dst-only dangling
+    probe leaked this mass (Σrank < 1 whenever a seed is isolated)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    # two seeds: one on the graph, one fully isolated
+    seeds = spark.createDataFrame([("a",), ("z",)], "node string")
+    got = {
+        r.node: r.rank
+        for r in graph.personalized_pagerank(edges, seeds, iters=8).collect()
+    }
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the isolated seed keeps receiving its teleport share (never zero)
+    assert got["z"] > 0.0
+    # reference recurrence with z dangling
+    d, tele = 0.85, 0.5
+    out = {"a": ["b"], "b": ["a"]}
+    r = {"a": tele, "z": tele}
+    for _ in range(8):
+        contrib = {}
+        for u, rank in r.items():
+            for v in out.get(u, []):
+                contrib[v] = contrib.get(v, 0.0) + d * rank / len(out[u])
+        dangling = sum(rank for u, rank in r.items() if u not in out)
+        seed_mass = (1 - d) * tele + d * dangling * tele
+        r = dict(contrib)
+        for s in ("a", "z"):
+            r[s] = r.get(s, 0.0) + seed_mass
+    for node, want in r.items():
+        assert got[node] == pytest.approx(want, abs=1e-9), node
+
+
 def test_double_sweep_finds_path_diameter(spark):
     """B156: on a path whose MIN-id node sits mid-path, the first sweep
     underestimates the diameter (ecc of the middle = half) and the

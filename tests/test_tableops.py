@@ -1036,3 +1036,208 @@ def test_fsck_snapshot_detects_damage(spark, tmp_path):
     assert rep["size_mismatch"] == [files[1]]
     assert rep["rows_mismatch"] == []
     assert rep["n_checked"] == len(files)
+
+
+def test_catalog_commit_merges_disjoint_table_deltas(tmp_path):
+    """B164 r12 (r11 ADVICE, medium): commit_catalog takes a DELTA merged
+    over the latest catalog state — a commit touching only table B must
+    carry forward A's pin from the previous version, and a racing loser's
+    retry must not revert the winner's pins for tables it didn't touch."""
+    import json as _json
+    import os
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    cat = str(tmp_path)
+    v0 = tt.commit_catalog(cat, {"a": 3})
+    v1 = tt.commit_catalog(cat, {"b": 7})  # disjoint: must keep a=3
+    v2 = tt.commit_catalog(cat, {"a": 4})  # bump a: must keep b=7
+    with open(os.path.join(cat, "_catalog", f"v{v2}.json")) as f:
+        assert _json.load(f) == {"a": 4, "b": 7}
+    with open(os.path.join(cat, "_catalog", f"v{v1}.json")) as f:
+        assert _json.load(f) == {"a": 3, "b": 7}
+    assert (v0, v1, v2) == (0, 1, 2)
+
+
+def test_catalog_commit_n_writer_race_is_linearizable(tmp_path):
+    """B164 N-writer property test (r11 VERDICT #9): 8 threads commit
+    sequential bumps to their OWN table concurrently, over many trials.
+    Linearizable history = contiguous version ids, every version's state
+    a superset-merge of its parent, and the final state carrying every
+    writer's LAST pin (no lost update at catalog level)."""
+    import json as _json
+    import os
+    import threading
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    N_WRITERS, N_COMMITS, N_TRIALS = 8, 3, 15
+    for trial in range(N_TRIALS):
+        cat = str(tmp_path / f"trial{trial}")
+        errs: list[Exception] = []
+
+        def writer(i: int, cat=cat, errs=errs) -> None:
+            try:
+                for j in range(N_COMMITS):
+                    tt.commit_catalog(cat, {f"t{i}": j})
+            except Exception as e:  # pragma: no cover - surfaced below
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=writer, args=(i,))
+            for i in range(N_WRITERS)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        vs = tt.catalog_versions(cat)
+        assert vs == list(range(N_WRITERS * N_COMMITS))  # contiguous, none lost
+        states = []
+        for v in vs:
+            with open(os.path.join(cat, "_catalog", f"v{v}.json")) as f:
+                states.append(_json.load(f))
+        # each version only ADDS or BUMPS pins relative to its parent
+        # (a revert of another writer's table = the r11 lost-update bug)
+        for parent, child in zip(states, states[1:]):
+            for table, pin in parent.items():
+                assert table in child and child[table] >= pin, (
+                    trial,
+                    parent,
+                    child,
+                )
+        assert states[-1] == {
+            f"t{i}": N_COMMITS - 1 for i in range(N_WRITERS)
+        }
+
+
+def test_commit_carries_forward_footer_stats_without_rereads(
+    spark, tmp_path, monkeypatch
+):
+    """r12 (r11 ADVICE): an append commit must reuse the parent
+    manifest's n_bytes/n_rows/stats_json for carried files — footer
+    reads happen only for files NEWLY entering at this version (at 10^6
+    live files a commit is otherwise a million-footer pass) — and stats
+    are STICKY: an append without collect_stats must not drop the
+    table's pruning stats."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(i, i * 2) for i in range(100)], "k long, v long")
+    tt.commit_snapshot(
+        spark, table, df0.repartitionByRange(3, "k"), 0, collect_stats=True
+    )
+    v0_entries = {e["path"]: e for e in tt.manifest_entries(table, 0)}
+    assert all(e.get("stats_json") for e in v0_entries.values())
+
+    read_paths: list[str] = []
+    real_read_metadata = tt.pq.read_metadata
+
+    def counting_read_metadata(path, *a, **kw):
+        read_paths.append(str(path))
+        return real_read_metadata(path, *a, **kw)
+
+    monkeypatch.setattr(tt.pq, "read_metadata", counting_read_metadata)
+    real_stats = tt._file_column_stats
+    stats_paths: list[str] = []
+
+    def counting_stats(path, *a, **kw):
+        stats_paths.append(str(path))
+        return real_stats(path, *a, **kw)
+
+    monkeypatch.setattr(tt, "_file_column_stats", counting_stats)
+
+    # append WITHOUT collect_stats: carried entries keep their stats
+    df1 = spark.createDataFrame([(i, i) for i in range(100, 120)], "k long, v long")
+    tt.commit_snapshot(spark, table, df1.coalesce(1), 1)
+    carried_rereads = [p for p in read_paths + stats_paths if p in v0_entries]
+    assert carried_rereads == []  # zero footer work for carried files
+    v1_entries = {e["path"]: e for e in tt.manifest_entries(table, 1)}
+    assert len(v1_entries) > len(v0_entries)
+    for p, e0 in v0_entries.items():
+        e1 = v1_entries[p]
+        assert e1["stats_json"] == e0["stats_json"]  # sticky + verbatim
+        assert (e1["n_bytes"], e1["n_rows"]) == (e0["n_bytes"], e0["n_rows"])
+    # the NEW file got real stats of its own (computed this commit)
+    new_paths = set(v1_entries) - set(v0_entries)
+    assert all(v1_entries[p].get("stats_json") for p in new_paths)
+    # pruning still works across old AND new files
+    kept, total = tt.prune_files(table, [("k", "between", (0, 10))])
+    assert total == len(v1_entries) and 0 < len(kept) < total
+
+
+def test_cached_query_concurrent_miss_single_winner(spark, tmp_path):
+    """B165 r12 (r11 ADVICE): two writers that both MISS the same
+    fingerprint race their first commit — exclusive CAS must leave
+    exactly ONE committed v0 with a consistent manifest, the loser
+    serving the winner's entry instead of clobbering its data dir."""
+    import threading
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "k long, g long"
+    ).write.parquet(src)
+    cache = str(tmp_path / "cache")
+
+    def q():
+        return (
+            spark.read.parquet(src)
+            .groupBy("g")
+            .count()
+            .orderBy("g")
+        )
+
+    results, errs = [], []
+
+    def racer():
+        try:
+            got = sorted(
+                (r.g, r["count"])
+                for r in tt.cached_query(spark, q(), cache).collect()
+            )
+            results.append(got)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=racer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    want = sorted((r.g, r["count"]) for r in q().collect())
+    assert all(got == want for got in results)
+    # exactly one cache entry, one committed version, fsck-clean
+    entries = [d for d in __import__("os").listdir(cache)]
+    assert len(entries) == 1
+    table = f"{cache}/{entries[0]}"
+    assert tt.snapshot_versions(table) == [0]
+    rep = tt.fsck_snapshot(table)
+    assert rep["missing"] == rep["size_mismatch"] == rep["rows_mismatch"] == []
+
+
+def test_plan_fingerprint_stable_across_sessions(spark, sf_dir):
+    """B165 r12 (r11 VERDICT #7): the result cache only pays off if the
+    SAME logical query fingerprints identically in a FRESH session —
+    session-local expression ids must normalize away over every TPC-H
+    shape (a false miss per session = recompute churn at dashboard
+    scale)."""
+    from kinesis2elastic_spark.operators import relational_ext as rx
+    from kinesis2elastic_spark.operators import tpch
+    from kinesis2elastic_spark.operators.timetravel import _plan_fingerprint
+
+    other = spark.newSession()
+    shapes = dict(tpch.QUERIES)
+    shapes["q_sql_q3"] = rx.q_sql_q3
+    shapes["q_sql_q5"] = rx.q_sql_q5
+    shapes["q_sql_q18"] = rx.q_sql_q18
+    misses = []
+    for name, fn in sorted(shapes.items()):
+        fp_a = _plan_fingerprint(fn(spark, sf_dir), {"sf": sf_dir})
+        fp_b = _plan_fingerprint(fn(other, sf_dir), {"sf": sf_dir})
+        if fp_a != fp_b:
+            misses.append(name)
+    assert not misses, f"cross-session fingerprint false-miss: {misses}"
