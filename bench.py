@@ -122,6 +122,15 @@ HEADLINE = [
     # fixpoint, 3 improving rounds at sf0.1 vs DuckDB's 12-round
     # MATERIALIZED-CTE unroll)
     "q_sssp",
+    # r12 (r11 VERDICT #10): the lakehouse READ path measured, not
+    # narrated — manifest-stats file skipping (the query's own
+    # files_pruned_ok flag asserts pruning actually happened) and the
+    # two merge-on-read legs (equality + positional deletes).  Each
+    # builds its snapshot table in a tempdir per run, so the timing is
+    # commit+read end-to-end at this SF.
+    "q_stats_prune",
+    "q_equality_delete",
+    "q_positional_delete",
 ]
 
 

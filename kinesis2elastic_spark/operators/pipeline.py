@@ -434,14 +434,29 @@ def q_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_geoip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A28: geoip as a broadcast range join (IP→int64 BETWEEN lo AND hi).
     IPs outside every range stay NULL (ignore_missing).  At GeoLite2 scale
-    the dim broadcasts whole; beyond that, equi-join on /8 bucket first."""
+    the dim broadcasts whole; beyond that, equi-join on /8 bucket first.
+
+    r12: the dim now reads THROUGH the MaxMind binary format — the
+    SYNTH_RANGES fixture is encoded to a spec-2.0 .mmdb and parsed back
+    by ``sources/mmdb.py`` (search tree + typed data section), so the
+    whole real-artifact path is on the oracle hash: the CIDR-granular
+    ranges cover the identical IP space, hence identical enrichment."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..sources.geoip import mmdb_geoip_dim, write_fixture_mmdb
+
     e = load(spark, sf_dir, "events")
     ip = F.concat(
         F.lit("10."), (F.col("user_id") % 200).cast("string"),
         F.lit("."), (F.col("event_id") % 256).cast("string"), F.lit(".7"),
     )
     staged = e.select("event_id", ip.alias("source.ip"))
-    out = geoip_enrich(staged, synthetic_geoip_dim(spark), "source.ip")
+    with _tempfile.TemporaryDirectory(prefix="k2e_mmdb_") as td:
+        db = _os.path.join(td, "fixture.mmdb")
+        write_fixture_mmdb(db)
+        dim = mmdb_geoip_dim(spark, db)  # driver-side parse, eager rows
+    out = geoip_enrich(staged, dim, "source.ip")
     return out.select(
         "event_id",
         F.col("`source.ip`").alias("source_ip"),

@@ -279,6 +279,7 @@ def commit_snapshot(
     exclusive: bool = False,
     collect_stats: bool = False,
     parent: int | None = None,
+    schema_mode: str | None = None,
 ) -> list[str]:
     """Commit ``df`` as snapshot ``version``: write data files, then
     publish the manifest.  ``carry_forward=True`` is an APPEND commit
@@ -297,8 +298,14 @@ def commit_snapshot(
     carry-forward builds on (default: the latest snapshot below
     ``version``) — the branching leg B153's write-audit-publish uses to
     stage an alternative commit off an AUDITED ancestor instead of off
-    a rejected staging snapshot.  Returns the new snapshot's full
+    a rejected staging snapshot.  ``schema_mode`` (B170, 'enforce' |
+    'evolve' | None) validates ``df``'s schema against the table's
+    recorded schema BEFORE any write and records the committed schema
+    after publish — see ``check_schema_compatible``; None preserves the
+    legacy unchecked behavior.  Returns the new snapshot's full
     live-file list."""
+    if schema_mode is not None:
+        check_schema_compatible(table_dir, df, schema_mode)
     suffix = f"w{os.getpid()}x{next(_COMMIT_SEQ)}" if exclusive else ""
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}{suffix}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -311,6 +318,8 @@ def commit_snapshot(
     _write_manifest(
         table_dir, version, live, exclusive=exclusive, collect_stats=collect_stats
     )
+    if schema_mode is not None:
+        record_schema(table_dir, int(version), df)
     return [t["path"] if isinstance(t, dict) else t[0] for t in live]
 
 
@@ -349,6 +358,113 @@ def commit_delete(
     prev = manifest_entries(table_dir, base)
     _write_manifest(table_dir, version, prev + live)
     return [t["path"] if isinstance(t, dict) else t[0] for t in prev + live]
+
+
+def commit_positional_delete(
+    spark: SparkSession,
+    table_dir: str,
+    pos_df: DataFrame,
+    version: int,
+    parent: int | None = None,
+) -> list[str]:
+    """Commit a POSITIONAL DELETE (B169, the Iceberg-v2 position-delete
+    file): ``pos_df`` is (file_path string, row_index long) pairs — each
+    names one physical row of one live data file, deleted as of this
+    version.  This is what a MERGE touching 0.01% of rows emits cheaply
+    when the keys aren't indexed: the writer already knows WHERE the
+    matched rows live (the B109 ``_metadata`` scan), so the delete is
+    pairs-rate and equality-free — no key columns, no data rewrite.
+
+    Scoping is by PATH IDENTITY, simpler and stronger than the equality
+    delete's sequence rule: commit data dirs are never reused, so a
+    (file, row) pair can only ever hit the one file it names; a later
+    append can never be shadowed.  Validation is manifest-rate: every
+    referenced path must be a live data file of the parent snapshot
+    (a pair aimed at a vacuumed / foreign / delete-kind file is a bug
+    in the writer and fails loud, not a silent no-op).
+
+    Read side (``read_asof``): rows gain their (path, row_index)
+    identity from the parquet scan's ``_metadata`` column and the pairs
+    are anti-joined away — merge-on-read, same discipline as B152;
+    ``optimize_snapshot`` folds both delete kinds into a pure-data
+    layout.  Cite: reference has no lakehouse layer (Go relay,
+    main.go); this extends the repo's own B152/B138 protocol."""
+    base = int(version) - 1 if parent is None else int(parent)
+    prev = manifest_entries(table_dir, base)
+    live_data = {e["path"] for e in prev if e["kind"] == "data"}
+    pos_df = pos_df.select(
+        F.col("file_path").cast("string"), F.col("row_index").cast("long")
+    ).dropDuplicates()
+    # distinct referenced paths are bounded by the live file count —
+    # manifest-rate driver data, never rows-rate
+    referenced = {r.file_path for r in pos_df.select("file_path").distinct().collect()}
+    unknown = referenced - live_data
+    if unknown:
+        raise ValueError(
+            f"positional delete references non-live data files: "
+            f"{sorted(unknown)[:3]}{'...' if len(unknown) > 3 else ''}"
+        )
+    data_dir = os.path.join(table_dir, "data", f"c{int(version)}p")
+    pos_df.write.mode("overwrite").parquet(data_dir)
+    live = [(p, "posdelete", int(version)) for p in _list_data_files(data_dir)]
+    _write_manifest(table_dir, version, prev + live)
+    return [t["path"] if isinstance(t, dict) else t[0] for t in prev + live]
+
+
+def merge_rows_positional(
+    spark: SparkSession,
+    table_dir: str,
+    source_df: DataFrame,
+    key_cols: list[str],
+    version: int,
+    parent: int | None = None,
+) -> dict:
+    """MERGE INTO through positional deletes (B169's composition —
+    upsert semantics on the snapshot protocol): every target row whose
+    ``key_cols`` match a source row is superseded; all source rows are
+    appended.  One snapshot publish makes the whole MERGE atomic:
+
+    1. scan the parent snapshot WITH row positions (``_metadata``) and
+       inner-join the distinct source keys → the matched rows' (file,
+       row_index) pairs — a broadcast-ish join over key columns only,
+       the data files are read once and never rewritten;
+    2. write the pairs as ONE position-delete file and the source rows
+       as ordinary data files, then publish a single manifest carrying
+       both — a reader sees pre-merge or post-merge state, never the
+       delete without the append.
+
+    Copy-on-write (B82 q_merge_upsert) rewrites every file containing a
+    match — at 0.01% selectivity over a 100 TB table that is a ~100 TB
+    rewrite; this merge-on-read path is (pairs + source)-rate, and
+    ``optimize_snapshot`` retires the read-side debt when it
+    accumulates.  Returns {"n_deleted_pos", "n_inserted", "version"}."""
+    base = int(version) - 1 if parent is None else int(parent)
+    prev = manifest_entries(table_dir, base)
+    tgt = _read_asof_impl(spark, table_dir, base, None, with_pos=True)
+    src_keys = source_df.select(*key_cols).dropDuplicates()
+    # no broadcast hint: a dashboard-sized source broadcasts via AQE on
+    # its own; a bulk-merge source must be allowed to shuffle-join
+    pos_pairs = (
+        tgt.join(src_keys, key_cols)
+        .select(
+            F.col(_POS_PATH).alias("file_path"),
+            F.col(_POS_ROW).alias("row_index"),
+        )
+        .dropDuplicates()
+    )
+    pd_dir = os.path.join(table_dir, "data", f"c{int(version)}p")
+    pos_pairs.write.mode("overwrite").parquet(pd_dir)
+    a_dir = os.path.join(table_dir, "data", f"c{int(version)}")
+    source_df.write.mode("overwrite").parquet(a_dir)
+    live = (
+        prev
+        + [(p, "posdelete", int(version)) for p in _list_data_files(pd_dir)]
+        + [(p, "data", int(version)) for p in _list_data_files(a_dir)]
+    )
+    _write_manifest(table_dir, version, live)
+    n_del = spark.read.parquet(pd_dir).count()
+    n_ins = spark.read.parquet(a_dir).count()
+    return {"n_deleted_pos": n_del, "n_inserted": n_ins, "version": int(version)}
 
 
 def commit_with_retry(
@@ -481,7 +597,7 @@ def optimize_snapshot(
 
     entries = manifest_entries(table_dir)
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}")
-    has_deletes = any(e["kind"] == "delete" for e in entries)
+    has_deletes = any(e["kind"] in ("delete", "posdelete") for e in entries)
     if cluster_by or has_deletes:
         total = sum(e["n_bytes"] for e in entries if e["kind"] == "data")
         n_bins = int(max(1, total // max(1, target_bytes)))
@@ -570,6 +686,36 @@ def read_asof(
     the commit count, not the file count — the plan stays a union of a
     few scans + one broadcast-ish anti-join per group over narrow key
     columns."""
+    return _read_asof_impl(spark, table_dir, version, schema, with_pos=False)
+
+
+# internal names for the row-position columns a positional-delete read
+# (or a merge writer) threads through the plan; stripped before return
+_POS_PATH, _POS_ROW = "__pos_file_path", "__pos_row_index"
+
+
+def _with_pos_cols(part: DataFrame) -> DataFrame:
+    """Attach each row's (file_path, row_index) identity from Spark's
+    ``_metadata`` hidden column (the B109 provenance surface) — the
+    Iceberg-v2 positional-delete key.  ``file_path`` is normalized to
+    the plain absolute path the manifest records (the scan reports a
+    ``file:`` URI)."""
+    return part.select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias(
+            _POS_PATH
+        ),
+        F.col("_metadata.row_index").cast("long").alias(_POS_ROW),
+    )
+
+
+def _read_asof_impl(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None,
+    schema,
+    with_pos: bool,
+) -> DataFrame:
     vs = snapshot_versions(table_dir)
     if vs and version is not None and int(version) < vs[0]:
         raise ValueError(
@@ -586,7 +732,12 @@ def read_asof(
     deletes = sorted(
         (e for e in entries if e["kind"] == "delete"), key=lambda e: e["seq"]
     )
-    if not deletes:
+    # B169 positional deletes: (file_path, row_index) pairs — path
+    # identity IS the scope (commit dirs are never reused, so a pair can
+    # only ever hit the one data file it names; no seq rule needed)
+    posdeletes = [e["path"] for e in entries if e["kind"] == "posdelete"]
+    need_pos = with_pos or bool(posdeletes)
+    if not deletes and not need_pos:
         return reader.parquet(*files)
     by_seq: dict[int, list[str]] = {}
     for e in entries:
@@ -595,11 +746,25 @@ def read_asof(
     out = None
     for s, paths in sorted(by_seq.items()):
         part = reader.parquet(*paths)
+        if need_pos:
+            part = _with_pos_cols(part)
         applicable = [d["path"] for d in deletes if d["seq"] > s]
         if applicable:
             keys = spark.read.parquet(*applicable).dropDuplicates()
             part = part.join(keys, on=keys.columns, how="left_anti")
         out = part if out is None else out.unionByName(part)
+    if posdeletes:
+        pd_keys = (
+            spark.read.parquet(*posdeletes)
+            .dropDuplicates()
+            .select(
+                F.col("file_path").alias(_POS_PATH),
+                F.col("row_index").cast("long").alias(_POS_ROW),
+            )
+        )
+        out = out.join(pd_keys, [_POS_PATH, _POS_ROW], "left_anti")
+    if not with_pos and need_pos:
+        out = out.drop(_POS_PATH, _POS_ROW)
     return out
 
 
@@ -710,7 +875,8 @@ def read_where(
             f"{table_dir} (older snapshots were vacuumed)"
         )
     if any(
-        e["kind"] == "delete" for e in manifest_entries(table_dir, version)
+        e["kind"] in ("delete", "posdelete")
+        for e in manifest_entries(table_dir, version)
     ):
         # B152 interplay: correctness over pruning — applying equality
         # deletes requires the seq-grouped merge-on-read plan, so a
@@ -1029,6 +1195,86 @@ def q_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+MERGE_MOD = 7            # merge UPDATES orders with o_orderkey % 7 == 0
+MERGE_INS_MOD = 97       # merge INSERTS new keys derived from % 97 == 0 rows
+MERGE_KEY_OFFSET = 10_000_000  # offset makes inserted keys provably new
+MERGE_PRICE_BUMP = 1000.0      # exact binary double add — engine-identical
+
+
+def q_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B169 contract query: commit orders (v0, multi-file), then ONE
+    atomic MERGE (v1) through ``merge_rows_positional`` — updates every
+    ``o_orderkey % 7 == 0`` row (price + 1000, deleted BY POSITION and
+    re-appended) and inserts brand-new keys (``% 97 == 0`` rows shifted
+    by +10M).  The latest read must equal DuckDB's declarative restate:
+    unmatched originals ∪ updated rows ∪ inserts.
+
+    Structural flags: ``asof_premerge_ok`` — v0 still shows every
+    original row (the merge is a snapshot participant, not a rewrite);
+    ``no_rewrite_ok`` — every v0 DATA file is still live in v1's
+    manifest (the whole point: a 0.01%-match merge must not rewrite
+    data files); ``posdelete_present_ok`` — v1 carries position-delete
+    entries.  A scoping bug (pair hitting the wrong file/row, delete
+    leaking onto the appended rows, pairs ignored) flips the hashed
+    aggregate itself."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_posdelete_")
+    try:
+        commit_snapshot(spark, work, o.repartition(4), 0)
+        updates = o.filter(F.col("o_orderkey") % MERGE_MOD == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(MERGE_PRICE_BUMP)).alias(
+                "o_totalprice"
+            ),
+        )
+        inserts = o.filter(F.col("o_orderkey") % MERGE_INS_MOD == 0).select(
+            (F.col("o_orderkey") + F.lit(MERGE_KEY_OFFSET)).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        rep = merge_rows_positional(
+            spark, work, updates.unionByName(inserts), ["o_orderkey"], 1
+        )
+        n_all = o.count()
+        n_v0 = read_asof(spark, work, 0).count()
+        v0_files = set(manifest_files(work, 0))
+        v1_entries = manifest_entries(work, 1)
+        v1_data = {e["path"] for e in v1_entries if e["kind"] == "data"}
+        has_pos = any(e["kind"] == "posdelete" for e in v1_entries)
+        latest = read_asof(spark, work)
+        agg = (
+            latest.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .withColumn("asof_premerge_ok", F.lit(bool(n_v0 == n_all)))
+            .withColumn(
+                "no_rewrite_ok", F.lit(bool(v0_files <= v1_data))
+            )
+            .withColumn(
+                "posdelete_present_ok",
+                F.lit(bool(has_pos and rep["n_deleted_pos"] > 0)),
+            )
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return agg
+
+
 def clone_table(
     src_dir: str, dst_dir: str, version: int | None = None, deep: bool = False
 ) -> int:
@@ -1109,6 +1355,101 @@ def fsck_snapshot(table_dir: str, version: int | None = None) -> dict:
         "rows_mismatch": rows_bad,
         "n_checked": len(entries),
     }
+
+
+class SchemaEnforcementError(ValueError):
+    """An append's schema is incompatible with the table's recorded
+    schema under the commit's ``schema_mode`` (B170)."""
+
+
+# safe widening conversions (Spark's own upcast lattice, numeric kinds
+# kept separate — int→double silently loses 2^53+ exactness, rejected)
+_INT_WIDEN = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLT_WIDEN = {"float": 0, "double": 1}
+
+
+def _type_change_ok(old: str, new: str) -> bool:
+    if old == new:
+        return True
+    if old in _INT_WIDEN and new in _INT_WIDEN:
+        return _INT_WIDEN[new] > _INT_WIDEN[old]
+    if old in _FLT_WIDEN and new in _FLT_WIDEN:
+        return _FLT_WIDEN[new] > _FLT_WIDEN[old]
+    return False
+
+
+def latest_recorded_schema(table_dir: str) -> dict[str, str] | None:
+    """{column: simple type string} of the latest recorded schema (B166),
+    or None if the table has never recorded one."""
+    sdir = os.path.join(table_dir, "_schema")
+    if not os.path.isdir(sdir):
+        return None
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(sdir)
+        if f.startswith("v") and f.endswith(".json") and f[1:-5].isdigit()
+    ]
+    if not versions:
+        return None
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(sdir, f"v{max(versions)}.json")) as f:
+        st = StructType.fromJson(json.load(f))
+    return {fl.name: fl.dataType.simpleString() for fl in st.fields}
+
+
+def check_schema_compatible(
+    table_dir: str, df: DataFrame, mode: str
+) -> None:
+    """B170 ingestion contract — the enforcement leg B166's passive
+    drift RECORDS lacked: validate ``df``'s schema against the table's
+    latest recorded schema BEFORE any data is written (metadata-rate,
+    fail-loud).  Modes are the Delta semantics:
+
+    - ``enforce``: the append must match the recorded schema exactly —
+      no new columns, no dropped columns, no type changes.  The 100 TB
+      default: a producer-side schema slip (int→string, a renamed
+      field) must bounce at commit time, not poison a million-file
+      table for every downstream reader.
+    - ``evolve``: additive evolution — new columns allowed, dropped
+      columns allowed (B120's evolution-on-read serves nulls / prunes),
+      type changes allowed only along the safe WIDENING lattice
+      (int→bigint, float→double); narrowing or cross-kind changes
+      (bigint→int, double→string) are rejected in BOTH modes, because
+      no read-side merge can undo lost information.
+    A table with no recorded schema accepts any df (the first
+    schema-moded commit establishes the contract)."""
+    if mode not in ("enforce", "evolve"):
+        raise ValueError(f"schema_mode must be 'enforce'|'evolve', got {mode!r}")
+    prev = latest_recorded_schema(table_dir)
+    if prev is None:
+        return
+    cur = {fl.name: fl.dataType.simpleString() for fl in df.schema.fields}
+    problems = []
+    for name, old_t in prev.items():
+        if name not in cur:
+            if mode == "enforce":
+                problems.append(f"dropped column {name!r} ({old_t})")
+        elif not _type_change_ok(old_t, cur[name]):
+            problems.append(
+                f"incompatible type change {name!r}: {old_t} -> {cur[name]}"
+            )
+        elif mode == "enforce" and cur[name] != old_t:
+            problems.append(
+                f"type change {name!r}: {old_t} -> {cur[name]} "
+                f"(widening needs schema_mode='evolve')"
+            )
+    if mode == "enforce":
+        for name in cur.keys() - prev.keys():
+            problems.append(
+                f"new column {name!r} ({cur[name]}) "
+                f"(adding needs schema_mode='evolve')"
+            )
+    if problems:
+        raise SchemaEnforcementError(
+            f"append rejected by schema_mode={mode!r} for {table_dir}: "
+            + "; ".join(sorted(problems))
+        )
 
 
 def record_schema(table_dir: str, version: int, df: DataFrame) -> None:
@@ -1474,6 +1815,7 @@ QUERIES = {
     "q_snapshot_diff": q_snapshot_diff,
     "q_stats_prune": q_stats_prune,
     "q_equality_delete": q_equality_delete,
+    "q_positional_delete": q_positional_delete,
     "q_wap_publish": q_wap_publish,
 }
 
@@ -1525,6 +1867,31 @@ ORACLE = {
                TRUE AS delete_shrank_ok
         FROM orders
         WHERE o_orderkey % {DEL_MOD} <> 0 OR o_orderkey % {REINS_MOD} = 0
+        GROUP BY o_orderstatus
+    """,
+    "q_positional_delete": f"""
+        WITH final AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {MERGE_MOD} <> 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus,
+                   o_totalprice + {MERGE_PRICE_BUMP}
+            FROM orders WHERE o_orderkey % {MERGE_MOD} = 0
+            UNION ALL
+            SELECT o_orderkey + {MERGE_KEY_OFFSET}, o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % {MERGE_INS_MOD} = 0
+        )
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key,
+               TRUE AS asof_premerge_ok,
+               TRUE AS no_rewrite_ok,
+               TRUE AS posdelete_present_ok
+        FROM final
         GROUP BY o_orderstatus
     """,
     "q_wap_publish": f"""

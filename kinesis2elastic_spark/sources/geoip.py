@@ -64,6 +64,65 @@ def geoip_enrich(df: DataFrame, dim: DataFrame, ip_col: str = "source.ip") -> Da
     )
 
 
+def write_fixture_mmdb(path: str) -> None:
+    """Build the deterministic test .mmdb (r11 VERDICT #8): the
+    SYNTH_RANGES dimension encoded as a spec-conformant MaxMind DB —
+    records shaped like GeoLite2-City + ASN fields so the dim loader
+    exercises the same key paths a real database needs."""
+    from .mmdb import build_mmdb
+
+    build_mmdb(
+        path,
+        [
+            (
+                lo,
+                hi,
+                {
+                    "country": {"iso_code": c},
+                    "city": {"names": {"en": ci}},
+                    "autonomous_system_number": asn,
+                    "autonomous_system_organization": org,
+                },
+            )
+            for lo, hi, c, ci, asn, org in SYNTH_RANGES
+        ],
+    )
+
+
+def mmdb_geoip_dim(spark: SparkSession, path: str) -> DataFrame:
+    """GeoIP dimension table FROM a .mmdb binary (A28's real-artifact
+    leg): parse the search tree driver-side (the db is metadata-scale),
+    emit one row per stored network with the GeoLite2 field paths
+    flattened to the join schema.  Ranges arrive CIDR-granular — finer
+    than SYNTH_RANGES but covering the identical IP space, so the
+    broadcast range join enriches identically."""
+    from .mmdb import read_mmdb_ranges
+
+    def g(rec: dict, *path_, default=None):
+        cur = rec
+        for p in path_:
+            if not isinstance(cur, dict) or p not in cur:
+                return default
+            cur = cur[p]
+        return cur
+
+    rows = [
+        (
+            lo,
+            hi,
+            g(rec, "country", "iso_code"),
+            g(rec, "city", "names", "en"),
+            g(rec, "autonomous_system_number"),
+            g(rec, "autonomous_system_organization"),
+        )
+        for lo, hi, rec in read_mmdb_ranges(path)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "ip_lo bigint, ip_hi bigint, geo_country string, geo_city string, as_number bigint, as_org string",
+    )
+
+
 # The same dim as an inline SQL VALUES clause, for the DuckDB oracle.
 SQL_VALUES = (
     "(VALUES "
