@@ -664,6 +664,103 @@ def read_changes(
     return reader.parquet(*files)
 
 
+def read_change_feed(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Row-level CHANGE DATA FEED (B171, the Delta CDF / Iceberg
+    changelog shape): every row change between snapshot ``v_from``
+    (exclusive) and ``v_to`` (inclusive, default latest) as data columns
+    plus ``_change_type`` ('insert' | 'delete') and ``_commit_version``
+    — the contract an incremental downstream (a materialized view, a
+    search index, a replica) consumes to stay exact without rescanning
+    the table.  ``read_changes`` (B140) surfaces appended rows only;
+    this leg also RESOLVES deletions to the actual deleted rows:
+
+    - appended data files at v → their rows as 'insert' @ v;
+    - an equality-delete commit at v → the rows VISIBLE at v−1 matching
+      the delete keys (the B152 seq rule makes visible-at-v−1 exactly
+      the seq<v population the delete applies to) as 'delete' @ v;
+    - a positional delete at v → the visible-at-v−1 rows whose
+      (file, row_index) identity matches the pairs, via the same
+      ``_metadata`` position scan the merge writer used;
+    - a MERGE (B169: pairs + appends in one version) yields its deletes
+      AND inserts at the same version — an UPDATE is the delete/insert
+      pair, as in Delta CDF's update_preimage/postimage split.
+
+    Cost: delta-rate — appended files are read directly; each delete
+    commit replays one filtered read of the prior snapshot restricted
+    by keys/pairs (at 100 TB with B150 stats that read prunes to the
+    touched files).  Replace/optimize commits REWRITE rows without
+    changing content, so a feed across one is undefined and fails loud
+    (the documented snapshot_diff_files contract, enforced here)."""
+    vs = [
+        v
+        for v in snapshot_versions(table_dir)
+        if v > v_from and (v_to is None or v <= v_to)
+    ]
+    if not vs:
+        raise ValueError(
+            f"no commits after v{v_from} (<= v{v_to}) in {table_dir}"
+        )
+    out = None
+    for v in vs:
+        entries = manifest_entries(table_dir, v)
+        prev_entries = manifest_entries(table_dir, v - 1)
+        prev_paths = {e["path"] for e in prev_entries}
+        removed = {
+            e["path"] for e in prev_entries if e["kind"] == "data"
+        } - {e["path"] for e in entries if e["kind"] == "data"}
+        if removed:
+            raise ValueError(
+                f"change feed undefined across replace/optimize commit "
+                f"v{v} in {table_dir} (data files were rewritten)"
+            )
+        new = [e for e in entries if e["path"] not in prev_paths]
+        frames: list[DataFrame] = []
+        added = [e["path"] for e in new if e["kind"] == "data"]
+        if added:
+            frames.append(
+                spark.read.parquet(*added).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        eq = [e["path"] for e in new if e["kind"] == "delete"]
+        if eq:
+            keys = spark.read.parquet(*eq).dropDuplicates()
+            frames.append(
+                read_asof(spark, table_dir, v - 1)
+                .join(keys, on=list(keys.columns), how="left_semi")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        pos = [e["path"] for e in new if e["kind"] == "posdelete"]
+        if pos:
+            pairs = (
+                spark.read.parquet(*pos)
+                .dropDuplicates()
+                .select(
+                    F.col("file_path").alias(_POS_PATH),
+                    F.col("row_index").cast("long").alias(_POS_ROW),
+                )
+            )
+            frames.append(
+                _read_asof_impl(spark, table_dir, v - 1, None, with_pos=True)
+                .join(pairs, [_POS_PATH, _POS_ROW], "left_semi")
+                .drop(_POS_PATH, _POS_ROW)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        for f in frames:
+            f = f.withColumn("_commit_version", F.lit(int(v)).cast("long"))
+            out = f if out is None else out.unionByName(f)
+    if out is None:
+        raise ValueError(
+            f"no row changes between v{v_from} and v{v_to} in {table_dir}"
+        )
+    return out
+
+
 def read_asof(
     spark: SparkSession, table_dir: str, version: int | None = None, schema=None
 ) -> DataFrame:
@@ -1275,6 +1372,64 @@ def q_positional_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B171 contract query: base commit (v0) → equality delete of the
+    ``% 5 == 0`` keys (v1) → positional MERGE updating ``% 7 == 0``
+    rows (v2, delete-by-position + re-append with price+1000).  The
+    change feed from v0 must contain EXACTLY: the v1-deleted originals
+    as ('delete', 1), the v2-superseded rows — visible at v1, i.e.
+    ``% 5 <> 0 AND % 7 == 0`` — as ('delete', 2), and every merge
+    source row as ('insert', 2).  DuckDB restates the three legs
+    declaratively; the hashed per-(change, version, status) aggregate
+    catches a feed that misresolves delete rows, leaks the v1-deleted
+    rows into v2's deletes, or drops the update's insert half."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_cdf_")
+    try:
+        commit_snapshot(spark, work, o.repartition(4), 0)
+        commit_delete(
+            spark,
+            work,
+            o.filter(F.col("o_orderkey") % DEL_MOD == 0).select("o_orderkey"),
+            1,
+        )
+        updates = o.filter(F.col("o_orderkey") % MERGE_MOD == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(MERGE_PRICE_BUMP)).alias(
+                "o_totalprice"
+            ),
+        )
+        merge_rows_positional(spark, work, updates, ["o_orderkey"], 2)
+        feed = read_change_feed(spark, work, 0)
+        agg = (
+            feed.groupBy(
+                F.col("_change_type").alias("change"),
+                F.col("_commit_version").alias("commit_v"),
+                F.col("o_orderstatus").alias("status"),
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return agg
+
+
 def clone_table(
     src_dir: str, dst_dir: str, version: int | None = None, deep: bool = False
 ) -> int:
@@ -1816,6 +1971,7 @@ QUERIES = {
     "q_stats_prune": q_stats_prune,
     "q_equality_delete": q_equality_delete,
     "q_positional_delete": q_positional_delete,
+    "q_change_feed": q_change_feed,
     "q_wap_publish": q_wap_publish,
 }
 
@@ -1893,6 +2049,30 @@ ORACLE = {
                TRUE AS posdelete_present_ok
         FROM final
         GROUP BY o_orderstatus
+    """,
+    "q_change_feed": f"""
+        WITH feed AS (
+            SELECT 'delete' AS change, 1 AS commit_v,
+                   o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % {DEL_MOD} = 0
+            UNION ALL
+            SELECT 'delete', 2, o_orderkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderkey % {DEL_MOD} <> 0 AND o_orderkey % {MERGE_MOD} = 0
+            UNION ALL
+            SELECT 'insert', 2, o_orderkey, o_orderstatus,
+                   o_totalprice + {MERGE_PRICE_BUMP}
+            FROM orders WHERE o_orderkey % {MERGE_MOD} = 0
+        )
+        SELECT change, CAST(commit_v AS BIGINT) AS commit_v,
+               o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(min(o_orderkey) AS BIGINT) AS min_key,
+               CAST(max(o_orderkey) AS BIGINT) AS max_key
+        FROM feed
+        GROUP BY change, commit_v, o_orderstatus
     """,
     "q_wap_publish": f"""
         SELECT o_orderstatus AS status,

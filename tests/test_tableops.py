@@ -1386,3 +1386,46 @@ def test_schema_enforcement_on_commit(spark, tmp_path):
         *tt.manifest_files(table)
     )
     assert got.count() == 2 and "extra" in got.columns
+
+
+def test_change_feed_resolves_deletes_and_fails_on_rewrite(spark, tmp_path):
+    """B171: the feed emits resolved delete ROWS (not just keys), scopes
+    each delete to what was visible at its parent version, yields both
+    halves of a merge-update, and fails loud across an optimize commit
+    (rewritten files would re-surface unchanged rows as changes)."""
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], "k long, v long")
+    tt.commit_snapshot(spark, table, df.repartition(2), 0)
+    # v1: delete evens; v2: re-insert k=0; v3: delete {0, 21 (absent)}
+    tt.commit_delete(
+        spark, table, spark.createDataFrame([(i,) for i in range(0, 20, 2)], "k long"), 1
+    )
+    tt.commit_snapshot(spark, table, spark.createDataFrame([(0, -1)], "k long, v long"), 2)
+    tt.commit_delete(
+        spark, table, spark.createDataFrame([(0,), (21,)], "k long"), 3
+    )
+    feed = tt.read_change_feed(spark, table, 0).collect()
+    got = sorted((r._change_type, r._commit_version, r.k, r.v) for r in feed)
+    want = sorted(
+        [("delete", 1, k, k * 10) for k in range(0, 20, 2)]
+        + [("insert", 2, 0, -1)]
+        + [("delete", 3, 0, -1)]  # resolves to the v2 row, NOT the v0 one
+    )
+    assert got == want
+    # windowed feed: only v3's change
+    assert [
+        (r._change_type, r.k) for r in tt.read_change_feed(spark, table, 2).collect()
+    ] == [("delete", 0)]
+    # optimize rewrites files -> feed across it is undefined, fail loud
+    tt.optimize_snapshot(spark, table, 4, target_bytes=1 << 20)
+    with _pytest.raises(ValueError, match="replace/optimize"):
+        tt.read_change_feed(spark, table, 0)
+    # feed strictly after the optimize works again
+    tt.commit_snapshot(spark, table, spark.createDataFrame([(99, 0)], "k long, v long"), 5)
+    assert [
+        (r._change_type, r.k) for r in tt.read_change_feed(spark, table, 4).collect()
+    ] == [("insert", 99)]
