@@ -131,6 +131,9 @@ HEADLINE = [
     "q_stats_prune",
     "q_equality_delete",
     "q_positional_delete",
+    # r12: the point-lookup half of file skipping (per-file bloom index
+    # on a hash-scattered key; commit builds the index, read probes it)
+    "q_bloom_prune",
 ]
 
 

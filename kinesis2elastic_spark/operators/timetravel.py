@@ -177,12 +177,99 @@ class CommitConflict(Exception):
     """Another writer committed this snapshot version first (B149)."""
 
 
+# --- B172: per-file Bloom filters for point-lookup file skipping -----------
+# min/max stats (B150) prune RANGE predicates on clustered keys; a point
+# lookup on a key that is hash-scattered across files (user_id, doc
+# digest, order key in arrival order) matches every file's [min,max] and
+# prunes nothing.  A small per-file Bloom bitmap answers "definitely not
+# in this file" for = predicates — the Delta/Parquet bloom-index shape,
+# recorded in the manifest like stats so pruning stays metadata-rate.
+# Filters are sized per FILE: 16 bits per stored value (fp ~0.1% at
+# k=6), clamped to [1 KiB, 128 KiB] — beyond ~65k values/file the fp
+# rate degrades gracefully (never a false negative); at extreme
+# file-count x file-size products the manifest-embedded form gives way
+# to sidecar filter files, same math (documented caveat, not built).
+_BLOOM_MIN_M = 8192        # 1 KiB floor
+_BLOOM_MAX_M = 1 << 20     # 128 KiB ceiling per (file, column)
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_K = 6               # probes (double hashing off one md5)
+
+
+def _bloom_probes(value, m: int) -> list[int] | None:
+    """Bit indices for a value in an m-bit filter, or None if the type
+    has no canonical cross-engine string form (floats excluded: repr
+    instability)."""
+    import hashlib
+
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _file_bloom_filters(path: str, cols: list[str]) -> dict:
+    """Per-column Bloom bitmaps for one parquet file: a COLUMN-PRUNED
+    scan of the named columns only (write-time, new files only — the
+    same amortization as footer stats).  Returns
+    {col: {"m": bits, "k": probes, "b64": bitmap}}."""
+    import base64
+
+    out = {}
+    cols_present = [c for c in cols if c in pq.read_schema(path).names]
+    if not cols_present:
+        return out
+    t = pq.read_table(path, columns=cols_present)
+    for c in cols_present:
+        vals = [v.as_py() for v in t[c]]
+        vals = [v for v in vals if v is not None]
+        m = _BLOOM_MIN_M
+        while m < _BLOOM_MAX_M and m < _BLOOM_BITS_PER_KEY * len(vals):
+            m <<= 1
+        bits = bytearray(m // 8)
+        ok = True
+        for v in vals:
+            probes = _bloom_probes(v, m)
+            if probes is None:
+                ok = False  # unsupported type: record no filter at all
+                break
+            for p in probes:
+                bits[p >> 3] |= 1 << (p & 7)
+        if ok:
+            out[c] = {
+                "m": m,
+                "k": _BLOOM_K,
+                "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+            }
+    return out
+
+
+def _bloom_may_contain(bloom: dict | None, col: str, value) -> bool:
+    """Three-valued 'is value possibly in this file?' collapsed to bool:
+    no filter / unsupported value type / foreign parameters → True
+    (scan it); only a definite all-k-bits-unset answers False."""
+    import base64
+
+    ent = (bloom or {}).get(col)
+    if not ent or ent.get("k") != _BLOOM_K or not ent.get("m"):
+        return True
+    probes = _bloom_probes(value, int(ent["m"]))
+    if probes is None:
+        return True
+    bits = base64.b64decode(ent["b64"])
+    if len(bits) * 8 != int(ent["m"]):
+        return True  # corrupt/foreign bitmap: cannot trust a negative
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in probes)
+
+
 def _write_manifest(
     table_dir: str,
     version: int,
     live: list[str],
     exclusive: bool = False,
     collect_stats: bool = False,
+    bloom_cols: list[str] | None = None,
 ) -> None:
     """Publish ``live`` as snapshot ``version`` — the commit point is an
     ATOMIC same-directory rename (r11 ADVICE): writing the parquet
@@ -215,6 +302,8 @@ def _write_manifest(
                 r["n_rows"] = int(e["n_rows"])
             if e.get("stats_json"):
                 r["stats_json"] = e["stats_json"]
+            if e.get("bloom_json"):
+                r["bloom_json"] = e["bloom_json"]
         elif isinstance(e, tuple):
             r = {"path": e[0], "kind": e[1], "seq": int(e[2])}
         else:
@@ -245,6 +334,27 @@ def _write_manifest(
                     _file_column_stats(r["path"]), sort_keys=True
                 )
         fields.append(("stats_json", pa.string()))
+    # B172 bloom filters, same sticky discipline: explicit bloom_cols on
+    # this commit, else the union of columns any carried entry indexed —
+    # an append to a bloom-indexed table keeps the index current for its
+    # NEW files only (delete-kind files carry key columns a point lookup
+    # never probes, so only data files are indexed)
+    carried_bloom_cols = sorted(
+        {
+            c
+            for r in rows
+            if r.get("bloom_json")
+            for c in json.loads(r["bloom_json"])
+        }
+    )
+    eff_bloom = sorted(set(bloom_cols or []) | set(carried_bloom_cols))
+    if eff_bloom:
+        for r in rows:
+            if r["kind"] == "data" and not r.get("bloom_json"):
+                r["bloom_json"] = json.dumps(
+                    _file_bloom_filters(r["path"], eff_bloom), sort_keys=True
+                )
+        fields.append(("bloom_json", pa.string()))
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     final = os.path.join(_manifest_dir(table_dir), f"v{int(version)}.parquet")
     # pid alone is NOT unique under same-process multi-writer (threads):
@@ -280,6 +390,7 @@ def commit_snapshot(
     collect_stats: bool = False,
     parent: int | None = None,
     schema_mode: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> list[str]:
     """Commit ``df`` as snapshot ``version``: write data files, then
     publish the manifest.  ``carry_forward=True`` is an APPEND commit
@@ -316,7 +427,12 @@ def commit_snapshot(
         # stats — this commit reads footers only for the NEW files
         live = manifest_entries(table_dir, base) + live
     _write_manifest(
-        table_dir, version, live, exclusive=exclusive, collect_stats=collect_stats
+        table_dir,
+        version,
+        live,
+        exclusive=exclusive,
+        collect_stats=collect_stats,
+        bloom_cols=bloom_cols,
     )
     if schema_mode is not None:
         record_schema(table_dir, int(version), df)
@@ -621,7 +737,25 @@ def optimize_snapshot(
                 .parquet(os.path.join(data_dir, f"bin={i}"))
             )
     live = _list_data_files(data_dir)
-    _write_manifest(table_dir, version, live, collect_stats=collect_stats)
+    # B172: an optimize of a bloom-indexed table must not silently drop
+    # the point-lookup index (the B167 stats-preservation rule applied
+    # to blooms) — rebuild filters for the rewritten files over the same
+    # column set the pre-optimize manifest indexed
+    prior_bloom_cols = sorted(
+        {
+            c
+            for e in entries
+            if e.get("bloom_json")
+            for c in json.loads(e["bloom_json"])
+        }
+    )
+    _write_manifest(
+        table_dir,
+        version,
+        live,
+        collect_stats=collect_stats,
+        bloom_cols=prior_bloom_cols or None,
+    )
     return live
 
 
@@ -924,6 +1058,16 @@ def prune_files(
                 op,
                 val,
             )
+            # B172: a point lookup additionally probes the per-file
+            # Bloom filter — the pruner for keys min/max can't separate
+            and (
+                op != "="
+                or _bloom_may_contain(
+                    json.loads(e["bloom_json"]) if e.get("bloom_json") else None,
+                    c,
+                    val,
+                )
+            )
             for (c, op, val) in filters
         )
     ]
@@ -1166,6 +1310,89 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRUNE_RANGE_PARTS = 8        # range-clustered commit: 8 disjoint key ranges
 PRUNE_LO, PRUNE_HI = 1000, 5000  # the read predicate (non-empty at every sf)
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B172 contract query: commit orders HASH-scattered on
+    ``o_orderkey`` (``repartition(8, o_orderkey)`` — the arrival-order /
+    digest-keyed layout where every file's [min,max] spans the whole key
+    domain, so B150 stats prune NOTHING) with per-file Bloom filters
+    recorded in the manifest; then the point lookup
+    ``o_orderkey = 7`` must (a) return exactly that row and (b) have
+    skipped files purely from the Bloom bitmaps.
+
+    Hashed columns: the looked-up row's exact values (DuckDB recomputes
+    the same lookup — if the bloom ever dropped the key's actual file,
+    the row would vanish and the hash/row-count check itself fails: the
+    no-false-negative contract is on the VALUES, not a flag); two
+    structural flags — ``stats_kept_all`` pins the premise (min/max
+    alone keeps every file: this key IS un-prunable by B150, so the
+    bloom is doing real work, not shadowing stats) and
+    ``bloom_pruned_ok`` pins that bloom skipping actually happened.
+    The probed key is derived identically on both engines — the
+    smallest existing key at or above half the max — so it sits
+    MID-DOMAIN (inside every scattered file's [min,max], making the
+    premise structural) and exists at every scale factor.
+
+    Scale story: the lookup-by-key read a 100 TB table serves
+    constantly (order id, doc digest, user id) — min/max stats answer
+    range scans on CLUSTERED keys; the 1 KiB-per-file bloom answers
+    point probes on SCATTERED keys at the same metadata rate, ~10⁶
+    files → the ~fp-rate share actually scanned."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_bloomprune_")
+    try:
+        commit_snapshot(
+            spark,
+            work,
+            o.repartition(PRUNE_RANGE_PARTS, "o_orderkey"),
+            0,
+            collect_stats=True,
+            bloom_cols=["o_orderkey"],
+        )
+        # mid-domain existing key, BIGINT-exact on both engines
+        half = o.agg(F.expr("max(o_orderkey) div 2").alias("h")).first()["h"]
+        point_key = (
+            o.filter(F.col("o_orderkey") >= half)
+            .agg(F.min("o_orderkey"))
+            .first()[0]
+        )
+        filters = [("o_orderkey", "=", int(point_key))]
+        kept, total = prune_files(work, filters)
+        # stats-only premise: strip bloom decisions by probing stats alone
+        entries = [e for e in manifest_entries(work) if e["kind"] == "data"]
+        stats_kept = [
+            e["path"]
+            for e in entries
+            if e["n_rows"] > 0
+            and _stats_may_satisfy(
+                json.loads(e["stats_json"]) if e.get("stats_json") else None,
+                "o_orderkey",
+                "=",
+                int(point_key),
+            )
+        ]
+        df = read_where(spark, work, filters)
+        agg = (
+            df.select(
+                F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                F.col("o_orderstatus").alias("status"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("price_cents"),
+            )
+            .withColumn("stats_kept_all", F.lit(len(stats_kept) == len(entries)))
+            .withColumn("bloom_pruned_ok", F.lit(0 < len(kept) < total))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return agg
 
 
 def q_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1969,6 +2196,7 @@ QUERIES = {
     "q_time_travel_read": q_time_travel_read,
     "q_snapshot_diff": q_snapshot_diff,
     "q_stats_prune": q_stats_prune,
+    "q_bloom_prune": q_bloom_prune,
     "q_equality_delete": q_equality_delete,
     "q_positional_delete": q_positional_delete,
     "q_change_feed": q_change_feed,
@@ -2011,6 +2239,17 @@ ORACLE = {
         FROM orders
         WHERE o_orderkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
         GROUP BY o_orderstatus
+    """,
+    "q_bloom_prune": f"""
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_orderstatus AS status,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+               TRUE AS stats_kept_all,
+               TRUE AS bloom_pruned_ok
+        FROM orders
+        WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders
+                            WHERE o_orderkey >= (SELECT max(o_orderkey) // 2
+                                                 FROM orders))
     """,
     "q_equality_delete": f"""
         SELECT o_orderstatus AS status,

@@ -1429,3 +1429,57 @@ def test_change_feed_resolves_deletes_and_fails_on_rewrite(spark, tmp_path):
     assert [
         (r._change_type, r.k) for r in tt.read_change_feed(spark, table, 4).collect()
     ] == [("insert", 99)]
+
+
+def test_bloom_index_point_lookup_pruning(spark, tmp_path):
+    """B172: per-file Bloom filters prune point lookups on a
+    hash-scattered key that min/max stats cannot separate; NO false
+    negative over every present key; sticky across appends (new files
+    indexed automatically); optimize rebuilds the index; absent keys
+    usually prune everything; unsupported types scan."""
+    import json as _json
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i * 37 % 1000, f"r{i}") for i in range(500)], "k long, s string"
+    ).dropDuplicates(["k"])
+    keys = sorted(r.k for r in df.collect())
+    tt.commit_snapshot(
+        spark, table, df.repartition(6, "k"), 0,
+        collect_stats=True, bloom_cols=["k"],
+    )
+    # every present key: its row is found through the pruned read
+    pruned_any = 0
+    for k in keys[::37]:
+        kept, total = tt.prune_files(table, [("k", "=", k)])
+        assert kept  # no false negative at file level
+        got = tt.read_where(spark, table, [("k", "=", k)]).collect()
+        assert [r.k for r in got] == [k]
+        pruned_any += total - len(kept)
+    assert pruned_any > 0  # the bloom actually pruned across the sweep
+    # sticky: append WITHOUT bloom_cols -> new file still indexed
+    tt.commit_snapshot(
+        spark, table,
+        spark.createDataFrame([(5000, "new")], "k long, s string").coalesce(1),
+        1,
+    )
+    entries = {e["path"]: e for e in tt.manifest_entries(table, 1)}
+    assert all(
+        _json.loads(e["bloom_json"]).get("k") for e in entries.values()
+        if e["kind"] == "data"
+    )
+    kept, total = tt.prune_files(table, [("k", "=", 5000)])
+    assert len(kept) < total
+    assert [r.s for r in tt.read_where(spark, table, [("k", "=", 5000)]).collect()] == ["new"]
+    # optimize: rewritten files re-indexed over the same column set
+    tt.optimize_snapshot(spark, table, 2, target_bytes=1 << 14)
+    e2 = [e for e in tt.manifest_entries(table, 2) if e["kind"] == "data"]
+    assert e2 and all(_json.loads(e["bloom_json"]).get("k") for e in e2)
+    for k in (keys[3], 5000):
+        got = tt.read_where(spark, table, [("k", "=", k)]).collect()
+        assert len(got) == 1 and got[0].k == k
+    # unsupported value type: pruner keeps everything (scan, never wrong)
+    kept, total = tt.prune_files(table, [("k", "=", 1.5)])
+    assert len(kept) == total
