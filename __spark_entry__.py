@@ -34,6 +34,7 @@ def _collect_modules():
         "corpus",
         "tableops",
         "timetravel",
+        "partitioning",
         "temporal",
         "sequence",
         "skew",

@@ -304,6 +304,8 @@ def _write_manifest(
                 r["stats_json"] = e["stats_json"]
             if e.get("bloom_json"):
                 r["bloom_json"] = e["bloom_json"]
+            if e.get("partition_json"):
+                r["partition_json"] = e["partition_json"]
         elif isinstance(e, tuple):
             r = {"path": e[0], "kind": e[1], "seq": int(e[2])}
         else:
@@ -355,6 +357,11 @@ def _write_manifest(
                     _file_bloom_filters(r["path"], eff_bloom), sort_keys=True
                 )
         fields.append(("bloom_json", pa.string()))
+    # B173 hidden-partition values: per-entry, written by
+    # operators/partitioning.commit_partitioned and carried verbatim
+    # (each file prunes under the spec it was written with)
+    if any("partition_json" in r for r in rows):
+        fields.append(("partition_json", pa.string()))
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     final = os.path.join(_manifest_dir(table_dir), f"v{int(version)}.parquet")
     # pid alone is NOT unique under same-process multi-writer (threads):
