@@ -902,6 +902,56 @@ def read_change_feed(
     return out
 
 
+def apply_change_feed_to_view(
+    view_df: DataFrame,
+    feed_df: DataFrame,
+    group_cols: list[str],
+    sum_col: str,
+    cnt_col: str = "n_rows",
+    sum_out: str = "sum_val",
+) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS (B174): fold a
+    B171 change feed into a stored (group, count, sum) view — inserts
+    add, deletes subtract, groups reaching zero rows drop out.  This is
+    the delete-capable half B126's insert-only delta merge lacks: a
+    CDC-fed 100 TB aggregate stays |delta|+|view|-rate current through
+    upserts and deletes alike, never re-aggregating the base.
+
+    Scope honesty (the standard IVM boundary): count/sum are
+    self-maintainable under deletes; min/max are NOT (retracting the
+    current extremum needs a per-group rescan) — callers needing them
+    recompute flagged groups, so this function deliberately does not
+    pretend to maintain them.  ``sum_col`` should be integer units
+    (cents / micro-units) — the BIGINT-exact doctrine; a float sum
+    drifts from the recompute under long add/subtract chains."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = feed_df.groupBy(*group_cols).agg(
+        F.sum(sign).cast("long").alias("__dn"),
+        F.sum(sign * F.col(sum_col)).cast("long").alias("__ds"),
+    )
+    return (
+        view_df.join(delta, group_cols, "full_outer")
+        .select(
+            *group_cols,
+            (
+                F.coalesce(F.col(cnt_col), F.lit(0))
+                + F.coalesce(F.col("__dn"), F.lit(0))
+            )
+            .cast("long")
+            .alias(cnt_col),
+            (
+                F.coalesce(F.col(sum_out), F.lit(0))
+                + F.coalesce(F.col("__ds"), F.lit(0))
+            )
+            .cast("long")
+            .alias(sum_out),
+        )
+        .filter(F.col(cnt_col) > 0)
+    )
+
+
 def read_asof(
     spark: SparkSession, table_dir: str, version: int | None = None, schema=None
 ) -> DataFrame:
@@ -1664,6 +1714,70 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+def q_matview_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B174 contract query: per-status (count, exact-cents sum) view
+    built from the v0 snapshot, then maintained INCREMENTALLY through
+    the same v1 equality-delete + v2 positional-merge history as
+    q_change_feed — inserts add, deletes subtract, min/max deliberately
+    absent (not self-maintainable under retraction).  The maintained
+    view must equal DuckDB's declarative aggregate of the FINAL state
+    (unmatched-by-anything originals ∪ all merge-source rows), and
+    ``matches_recompute_ok`` pins the in-engine invariant: incremental
+    result == full re-aggregate of read_asof(latest), row for row."""
+    import shutil
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    work = tempfile.mkdtemp(prefix="k2e_matviewcdf_")
+    try:
+        commit_snapshot(spark, work, o.repartition(4), 0)
+        commit_delete(
+            spark,
+            work,
+            o.filter(F.col("o_orderkey") % DEL_MOD == 0).select("o_orderkey"),
+            1,
+        )
+        updates = o.filter(F.col("o_orderkey") % MERGE_MOD == 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + F.lit(MERGE_PRICE_BUMP)).alias(
+                "o_totalprice"
+            ),
+        )
+        merge_rows_positional(spark, work, updates, ["o_orderkey"], 2)
+
+        def agg_of(df: DataFrame) -> DataFrame:
+            return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(cents).cast("long").alias("sum_cents"),
+            )
+
+        view0 = agg_of(read_asof(spark, work, 0))
+        feed = read_change_feed(spark, work, 0).withColumn("__cents", cents)
+        view = apply_change_feed_to_view(
+            view0.withColumnRenamed("status", "status"),
+            feed.withColumnRenamed("o_orderstatus", "status"),
+            ["status"],
+            "__cents",
+            cnt_col="n_rows",
+            sum_out="sum_cents",
+        )
+        recompute = agg_of(read_asof(spark, work))
+        # status is the grouping key (one row per group), so the exact
+        # row-for-row invariant is a bounded sorted-collect compare
+        a = sorted(map(tuple, view.collect()))
+        b = sorted(map(tuple, recompute.collect()))
+        out = view.withColumn(
+            "matches_recompute_ok", F.lit(bool(a == b))
+        ).localCheckpoint(eager=True)  # materialize before the rmtree
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def clone_table(
     src_dir: str, dst_dir: str, version: int | None = None, deep: bool = False
 ) -> int:
@@ -2207,6 +2321,7 @@ QUERIES = {
     "q_equality_delete": q_equality_delete,
     "q_positional_delete": q_positional_delete,
     "q_change_feed": q_change_feed,
+    "q_matview_cdf": q_matview_cdf,
     "q_wap_publish": q_wap_publish,
 }
 
@@ -2319,6 +2434,23 @@ ORACLE = {
                CAST(max(o_orderkey) AS BIGINT) AS max_key
         FROM feed
         GROUP BY change, commit_v, o_orderstatus
+    """,
+    "q_matview_cdf": f"""
+        WITH final AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderkey % {DEL_MOD} <> 0 AND o_orderkey % {MERGE_MOD} <> 0
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice + {MERGE_PRICE_BUMP}
+            FROM orders WHERE o_orderkey % {MERGE_MOD} = 0
+        )
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               TRUE AS matches_recompute_ok
+        FROM final
+        GROUP BY o_orderstatus
     """,
     "q_wap_publish": f"""
         SELECT o_orderstatus AS status,

@@ -1483,3 +1483,38 @@ def test_bloom_index_point_lookup_pruning(spark, tmp_path):
     # unsupported value type: pruner keeps everything (scan, never wrong)
     kept, total = tt.prune_files(table, [("k", "=", 1.5)])
     assert len(kept) == total
+
+
+def test_apply_change_feed_to_view_retractions(spark, tmp_path):
+    """B174: deletes retract counts/sums exactly; a group whose count
+    reaches zero DROPS from the view; a group born in the delta
+    appears; long add/subtract chains stay BIGINT-exact."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    rows = [(i, "g%d" % (i % 3), i * 100) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, g string, cents long")
+    tt.commit_snapshot(spark, table, df.repartition(2), 0)
+    # v1: delete ALL of group g0 (by its keys) -> group must vanish
+    g0_keys = [(i,) for i in range(30) if i % 3 == 0]
+    tt.commit_delete(spark, table, spark.createDataFrame(g0_keys, "k long"), 1)
+    # v2: append a brand-new group
+    tt.commit_snapshot(
+        spark, table,
+        spark.createDataFrame([(100, "g9", 7), (101, "g9", 8)], "k long, g string, cents long"),
+        2,
+    )
+    view0 = (
+        tt.read_asof(spark, table, 0)
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("n_rows"), F.sum("cents").cast("long").alias("sum_val"))
+    )
+    feed = tt.read_change_feed(spark, table, 0)
+    view = tt.apply_change_feed_to_view(view0, feed, ["g"], "cents")
+    got = {r.g: (r.n_rows, r.sum_val) for r in view.collect()}
+    want = {
+        "g1": (10, sum(i * 100 for i in range(30) if i % 3 == 1)),
+        "g2": (10, sum(i * 100 for i in range(30) if i % 3 == 2)),
+        "g9": (2, 15),
+    }
+    assert got == want  # g0 gone, g9 born, values exact
