@@ -622,6 +622,115 @@ def commit_with_retry(
     raise CommitConflict(f"gave up after {max_attempts} attempts in {table_dir}")
 
 
+def describe_history(table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY (B176, the Delta audit surface): one entry per
+    committed snapshot with the OPERATION inferred and its footprint —
+    derived ENTIRELY from the manifests (no write-side logging to drift
+    out of date, and pre-B176 tables get a full history for free):
+
+    - files added/removed vs the previous version, by kind;
+    - inferred op: 'append' (data added, nothing removed), 'delete' /
+      'positional-delete' (only delete-kind files added), 'merge'
+      (posdelete + data in one commit — the B169 signature),
+      'replace-or-optimize' (data files removed: content rewritten, the
+      boundary B171's change feed refuses to cross), 'create' (v has no
+      parent), 'no-op' (nothing changed);
+    - rows/bytes added at metadata rate (manifest n_rows/n_bytes — no
+      footer reads), plus the manifest file's mtime as the commit
+      wall-clock (filesystem truth, the same clock vacuum's age gate
+      uses).
+    Returns ascending version order."""
+    out = []
+    prev: list[dict] = []
+    for v in snapshot_versions(table_dir):
+        cur = manifest_entries(table_dir, v)
+        prev_paths = {e["path"] for e in prev}
+        cur_paths = {e["path"] for e in cur}
+        added = [e for e in cur if e["path"] not in prev_paths]
+        removed = [e for e in prev if e["path"] not in cur_paths]
+        kinds = {e["kind"] for e in added}
+        if not prev:
+            op = "create"
+        elif any(e["kind"] == "data" for e in removed):
+            op = "replace-or-optimize"
+        elif kinds == {"data"}:
+            op = "append"
+        elif kinds == {"delete"}:
+            op = "delete"
+        elif kinds == {"posdelete"}:
+            op = "positional-delete"
+        elif kinds == {"posdelete", "data"}:
+            op = "merge"
+        elif not kinds:
+            op = "no-op"
+        else:
+            op = "mixed"
+        out.append(
+            {
+                "version": v,
+                "operation": op,
+                "n_files_added": len(added),
+                "n_files_removed": len(removed),
+                "rows_added": sum(
+                    e["n_rows"] for e in added if e["kind"] == "data"
+                ),
+                "bytes_added": sum(e["n_bytes"] for e in added),
+                "commit_mtime": os.path.getmtime(
+                    os.path.join(_manifest_dir(table_dir), f"v{v}.parquet")
+                ),
+            }
+        )
+        prev = cur
+    return out
+
+
+def expire_snapshots(
+    table_dir: str, older_than_s: float, keep_last: int = 1
+) -> dict:
+    """Time-based retention (B177): expire every snapshot whose
+    manifest is older than ``older_than_s`` seconds, always keeping the
+    newest ``keep_last`` regardless of age (a quiet table must never
+    expire its only snapshot) — the production retention contract
+    ('30 days of time travel') that vacuum's count-based ``keep_last``
+    cannot express, composed ON vacuum so the orphan-GC and
+    referenced-file disciplines are shared, not re-implemented.
+    Metadata-rate planning; returns vacuum's observability counts plus
+    the expired version list."""
+    import time as _time
+
+    vs = snapshot_versions(table_dir)
+    if not vs:
+        return {"expired_versions": [], "dropped_manifests": [], "removed_files": []}
+    now = _time.time()
+    old = [
+        v
+        for v in vs
+        if now
+        - os.path.getmtime(
+            os.path.join(_manifest_dir(table_dir), f"v{v}.parquet")
+        )
+        >= older_than_s
+    ]
+    # never expire into the newest keep_last, whatever their age
+    protected = set(vs[-max(1, int(keep_last)):])
+    # vacuum keeps a COUNT suffix, so expiry must be a contiguous
+    # PREFIX: stop at the first version that is young or protected
+    # (version order == commit order, so mtimes ascend — a young v
+    # below an old one only under clock skew, and stopping early is
+    # the conservative answer there)
+    old_set = set(old)
+    expire: list[int] = []
+    for v in vs:
+        if v in old_set and v not in protected:
+            expire.append(v)
+        else:
+            break
+    keep_n = len(vs) - len(expire)
+    rep = vacuum(table_dir, keep_last=keep_n, min_age_s=0.0)
+    rep["expired_versions"] = expire
+    return rep
+
+
 def vacuum(
     table_dir: str, keep_last: int = 2, min_age_s: float = 0.0
 ) -> dict:

@@ -1518,3 +1518,67 @@ def test_apply_change_feed_to_view_retractions(spark, tmp_path):
         "g9": (2, 15),
     }
     assert got == want  # g0 gone, g9 born, values exact
+
+
+def test_describe_history_infers_operations(spark, tmp_path):
+    """B176: the derived history names every commit's operation and
+    footprint correctly over a create/append/delete/merge/optimize
+    sequence — with no write-side logging to drift."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i) for i in range(50)], "k long, v long")
+    tt.commit_snapshot(spark, table, df.repartition(2), 0)
+    tt.commit_snapshot(
+        spark, table, spark.createDataFrame([(100, 1)], "k long, v long"), 1
+    )
+    tt.commit_delete(spark, table, spark.createDataFrame([(3,)], "k long"), 2)
+    tt.merge_rows_positional(
+        spark, table,
+        spark.createDataFrame([(5, -5), (200, 0)], "k long, v long"),
+        ["k"], 3,
+    )
+    tt.optimize_snapshot(spark, table, 4, target_bytes=1 << 20)
+    hist = tt.describe_history(table)
+    assert [h["operation"] for h in hist] == [
+        "create", "append", "delete", "merge", "replace-or-optimize",
+    ]
+    assert hist[0]["rows_added"] == 50 and hist[1]["rows_added"] == 1
+    assert hist[3]["rows_added"] == 2  # merge appended 2 source rows
+    assert all(h["bytes_added"] > 0 for h in hist[:4])
+    assert hist[2]["n_files_added"] == 1 and hist[2]["rows_added"] == 0
+    mt = [h["commit_mtime"] for h in hist]
+    assert mt == sorted(mt)
+
+
+def test_expire_snapshots_time_based(spark, tmp_path):
+    """B177: age-based expiry drops only snapshots older than the
+    horizon, always keeps the newest keep_last, reclaims their files
+    through vacuum, and a quiet single-snapshot table never loses its
+    only version however old."""
+    import os
+    import time
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(i,) for i in range(20)], "k long")
+    tt.commit_snapshot(spark, table, df.repartition(2), 0, carry_forward=False)
+    tt.commit_snapshot(spark, table, df.repartition(3), 1, carry_forward=False)
+    tt.commit_snapshot(spark, table, df.repartition(1), 2, carry_forward=False)
+    mdir = tt._manifest_dir(table)
+    # age v0/v1 artificially: 1h old
+    for v in (0, 1):
+        p = os.path.join(mdir, f"v{v}.parquet")
+        os.utime(p, (time.time() - 3600, time.time() - 3600))
+    rep = tt.expire_snapshots(table, older_than_s=1800)
+    assert rep["expired_versions"] == [0, 1]
+    assert tt.snapshot_versions(table) == [2]
+    assert len(rep["removed_files"]) >= 2  # v0+v1 replaced files GC'd
+    assert tt.read_asof(spark, table).count() == 20
+    # single-snapshot table: protected regardless of age
+    p = os.path.join(mdir, "v2.parquet")
+    os.utime(p, (time.time() - 7200, time.time() - 7200))
+    rep2 = tt.expire_snapshots(table, older_than_s=1800)
+    assert rep2["expired_versions"] == []
+    assert tt.snapshot_versions(table) == [2]
