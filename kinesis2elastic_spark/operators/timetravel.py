@@ -798,6 +798,7 @@ def optimize_snapshot(
     target_bytes: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
     collect_stats: bool = False,
+    zorder: bool = False,
 ) -> list[str]:
     """OPTIMIZE as a table commit — the B135 compaction executor joined
     to the snapshot protocol: rewrite the LATEST snapshot's files into
@@ -824,17 +825,45 @@ def optimize_snapshot(
     optimize of a stats-carrying table silently DROPPED its stats and
     pruning with them (the gap this leg closes: compaction must
     preserve, and re-clustering must re-establish, the skipping a
-    clustered write paid for)."""
-    from .layout import plan_compaction_bins
+    clustered write paid for).
+
+    B178 leg: ``zorder=True`` with exactly two ``cluster_by`` columns
+    clusters on the MORTON curve (B79's interleaved-bit value) instead
+    of lexicographic order — lexicographic (a, b) sorting gives the
+    second column useless per-file [min,max] (every file spans b's
+    whole domain), while the z-curve keeps files tight in BOTH
+    dimensions, so B150 stats prune selective predicates on EITHER
+    column — the OPTIMIZE ZORDER BY contract, pytest-measured."""
+    from .layout import plan_compaction_bins, zorder_value
 
     entries = manifest_entries(table_dir)
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}")
     has_deletes = any(e["kind"] in ("delete", "posdelete") for e in entries)
+    if zorder and (not cluster_by or len(cluster_by) != 2):
+        raise ValueError("zorder=True requires exactly two cluster_by columns")
     if cluster_by or has_deletes:
         total = sum(e["n_bytes"] for e in entries if e["kind"] == "data")
         n_bins = int(max(1, total // max(1, target_bytes)))
         df = read_asof(spark, table_dir)
-        if cluster_by:
+        if zorder:
+            a, b = cluster_by
+            st = df.agg(
+                F.min(a).alias("al"), F.max(a).alias("ah"),
+                F.min(b).alias("bl"), F.max(b).alias("bh"),
+            ).first()
+            if st.al is None or st.bl is None:
+                df = df.repartition(n_bins)
+            else:
+                z = zorder_value(
+                    F.col(a), F.col(b), st.al, st.ah, st.bl, st.bh
+                )
+                df = (
+                    df.withColumn("__z", z)
+                    .repartitionByRange(n_bins, "__z")
+                    .sortWithinPartitions("__z")
+                    .drop("__z")
+                )
+        elif cluster_by:
             df = df.repartitionByRange(n_bins, *cluster_by).sortWithinPartitions(
                 *cluster_by
             )

@@ -1582,3 +1582,51 @@ def test_expire_snapshots_time_based(spark, tmp_path):
     rep2 = tt.expire_snapshots(table, older_than_s=1800)
     assert rep2["expired_versions"] == []
     assert tt.snapshot_versions(table) == [2]
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """B178: OPTIMIZE ZORDER BY — after a lexicographic (a, b) sort the
+    second column's per-file [min,max] spans the whole domain (prunes
+    nothing); after the Morton-curve rewrite BOTH columns prune.  The
+    measured contract, not a narrative."""
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    n = 4096
+    rows = [(i, (i * 2654435761) % n, (i * 40503) % n) for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    tt.commit_snapshot(spark, table, df.repartition(4), 0)
+
+    def kept_frac(table_dir, col):
+        lo = n // 2
+        hi = lo + n // 16  # selective 1/16-domain band
+        kept, total = tt.prune_files(table_dir, [(col, "between", (lo, hi))])
+        # correctness alongside: the pruned read is exact
+        want = sorted(r[0] for r in rows if lo <= r[1 if col == "a" else 2] <= hi)
+        got = sorted(
+            r.k for r in tt.read_where(spark, table_dir, [(col, "between", (lo, hi))]).collect()
+        )
+        assert got == want
+        return len(kept) / total
+
+    # lexicographic clustering: a prunes, b does not
+    tt.optimize_snapshot(
+        spark, table, 1, target_bytes=6_000, cluster_by=["a", "b"],
+        collect_stats=True,
+    )
+    lex_a, lex_b = kept_frac(table, "a"), kept_frac(table, "b")
+    assert lex_a <= 0.5 and lex_b == 1.0  # second column blind under lex
+
+    # z-order: BOTH dimensions prune
+    tt.optimize_snapshot(
+        spark, table, 2, target_bytes=6_000, cluster_by=["a", "b"],
+        collect_stats=True, zorder=True,
+    )
+    z_a, z_b = kept_frac(table, "a"), kept_frac(table, "b")
+    assert z_a < 1.0 and z_b < 1.0
+    assert z_b < lex_b  # the whole point: b gains skipping
+    # guard rails
+    with _pytest.raises(ValueError, match="exactly two"):
+        tt.optimize_snapshot(spark, table, 3, cluster_by=["a"], zorder=True)
