@@ -1905,7 +1905,94 @@ def q_stream_cdc_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_cdf_view_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B179 oracle-backed: the full CDC-to-downstream composition —
+    events drive the B155 streaming CDC apply (delete+append commits +
+    ref publish per batch), and AFTER EACH DRAIN a downstream sync
+    (``sync_view_from_feed``) folds the source's row-level change feed
+    (B171) into a per-event-type (count, cents) view with retractions
+    (B174), cursor carried by version alignment.  The final view must
+    equal DuckDB's declarative aggregate of latest-per-key-excluding-
+    tombstones — i.e. the view stayed exact through upserts that MOVED
+    keys between groups (delete old row + insert new row in the feed)
+    and through tombstones that removed them.
+
+    Flags: ``incremental_ok`` pins that the second sync was a DELTA
+    application (its cursor started where the first ended, not at the
+    bootstrap), and ``view_equals_recompute_ok`` pins the view
+    row-for-row against an in-engine full re-aggregate of the CDC
+    state (the B174 invariant, streamed)."""
+    from ..streaming.cdc_stream import (
+        cdc_writer,
+        read_cdc_table,
+        sync_view_from_feed,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    med = ev.agg(
+        F.expr("percentile(cast(ts as bigint), 0.5)").alias("m")
+    ).first()["m"]
+    split = F.col("ts").cast("bigint") <= float(med)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    work = tempfile.mkdtemp(prefix="k2e_stream_cdfview_")
+    try:
+        src, state = os.path.join(work, "src"), os.path.join(work, "state")
+        view = os.path.join(work, "view")
+
+        def start():
+            return (
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string, "
+                    "ts timestamp, value double"
+                )
+                .parquet(src + "/*")
+                .writeStream.foreachBatch(cdc_writer(spark, state))
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        os.makedirs(src, exist_ok=True)
+        ev.filter(split).coalesce(1).write.parquet(src + "/b1")
+        _drain(start())
+        s1 = sync_view_from_feed(spark, state, view, ["event_type"], cents)
+        ev.filter(~split).coalesce(1).write.parquet(src + "/b2")
+        _drain(start())
+        s2 = sync_view_from_feed(spark, state, view, ["event_type"], cents)
+        incremental_ok = bool(
+            s1["applied_to"] is not None
+            and s2["applied_from"] == s1["applied_to"]
+            and s2["applied_from"] > -1
+            and s2["n_changes"] > 0
+        )
+        from ..operators.timetravel import read_asof
+
+        got_view = read_asof(spark, view).localCheckpoint(eager=True)
+        recompute = (
+            read_cdc_table(spark, state)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(cents).cast("long").alias("sum_val"),
+            )
+        )
+        a = sorted(map(tuple, got_view.collect()))
+        b = sorted(map(tuple, recompute.collect()))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return got_view.select(
+        F.col("event_type").alias("last_event_type"),
+        F.col("n_rows").alias("n_keys"),
+        F.col("sum_val").alias("sum_value_cents"),
+        F.lit(incremental_ok).alias("incremental_ok"),
+        F.lit(bool(a == b)).alias("view_equals_recompute_ok"),
+    )
+
+
 QUERIES = {
+    "q_stream_cdf_view_equiv": q_stream_cdf_view_equiv,
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
     "q_stream_rollup_equiv": q_stream_rollup_equiv,
@@ -1964,6 +2051,22 @@ ORACLE = {
                CAST(min(user_id) AS BIGINT) AS min_user,
                CAST(max(user_id) AS BIGINT) AS max_user,
                TRUE AS stream_equals_batch_cdc_ok
+        FROM state GROUP BY event_type
+    """,
+    "q_stream_cdf_view_equiv": """
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events),
+        state AS (
+          SELECT user_id, event_type, value
+          FROM ranked WHERE rn = 1 AND event_type <> 'error')
+        SELECT event_type AS last_event_type,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents,
+               TRUE AS incremental_ok,
+               TRUE AS view_equals_recompute_ok
         FROM state GROUP BY event_type
     """,
     "q_stream_shard_equiv": _shard_manifest_sql(),

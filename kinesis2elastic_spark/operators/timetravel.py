@@ -1006,8 +1006,12 @@ def read_change_feed(
                     "_change_type", F.lit("insert")
                 )
             )
+        prev_has_data = any(e["kind"] == "data" for e in prev_entries)
         eq = [e["path"] for e in new if e["kind"] == "delete"]
-        if eq:
+        # a delete commit whose parent holds no data (e.g. a CDC
+        # stream's very first batch committing its delete leg against
+        # an empty table, or v_from = -1 bootstrap) deletes nothing
+        if eq and prev_has_data:
             keys = spark.read.parquet(*eq).dropDuplicates()
             frames.append(
                 read_asof(spark, table_dir, v - 1)
@@ -1015,7 +1019,7 @@ def read_change_feed(
                 .withColumn("_change_type", F.lit("delete"))
             )
         pos = [e["path"] for e in new if e["kind"] == "posdelete"]
-        if pos:
+        if pos and prev_has_data:
             pairs = (
                 spark.read.parquet(*pos)
                 .dropDuplicates()

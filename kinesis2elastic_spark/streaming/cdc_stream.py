@@ -149,3 +149,68 @@ def gated_cdc_writer(spark: SparkSession, table_dir: str, audit):
             report.append({"batch": b, "published": False})
 
     return fb, report
+
+
+def sync_view_from_feed(
+    spark: SparkSession,
+    src_table: str,
+    view_table: str,
+    group_cols: list[str],
+    sum_col,
+) -> dict:
+    """Downstream incremental sync (B179): maintain a (group, count,
+    sum) VIEW TABLE from a source table's row-level change feed (B171),
+    with the cursor carried BY VERSION ALIGNMENT — the view commits at
+    the source version it reflects, so 'what have I applied?' is the
+    view's own latest snapshot number: no side-channel cursor file, and
+    a replayed sync is structurally idempotent (same source version →
+    same view version, deterministic replace commit).
+
+    Each call: read the feed (applied, latest]; fold it into the stored
+    view via ``apply_change_feed_to_view`` (inserts add, deletes
+    subtract, zero-count groups drop — B174); publish the new view as a
+    REPLACE commit at version == source latest.  Bootstrap is the same
+    code path: an empty view + v_from = −1 makes the source's entire
+    history the first delta.  Cost per sync: |delta| + |view|, never a
+    source rescan — the scheduled-downstream form (search index, BI
+    extract, replica) of the B174 maintenance math.
+
+    ``sum_col`` is a Column in integer units over the feed's columns.
+    Returns {"applied_from", "applied_to", "n_changes"}."""
+    from ..operators.timetravel import (
+        apply_change_feed_to_view,
+        commit_snapshot,
+        read_asof,
+        read_change_feed,
+        snapshot_versions,
+    )
+
+    src_vs = snapshot_versions(src_table)
+    if not src_vs:
+        return {"applied_from": None, "applied_to": None, "n_changes": 0}
+    latest = src_vs[-1]
+    view_vs = snapshot_versions(view_table)
+    applied = view_vs[-1] if view_vs else -1
+    if latest <= applied:
+        return {"applied_from": applied, "applied_to": applied, "n_changes": 0}
+    feed = read_change_feed(spark, src_table, applied, latest).withColumn(
+        "__sum", sum_col
+    )
+    if view_vs:
+        view = read_asof(spark, view_table)
+    else:
+        view = spark.createDataFrame(
+            [],
+            ", ".join([f"{c} string" for c in group_cols])
+            + ", n_rows long, sum_val long",
+        )
+    new_view = apply_change_feed_to_view(view, feed, group_cols, "__sum")
+    n_changes = feed.count()
+    commit_snapshot(
+        spark,
+        view_table,
+        new_view.localCheckpoint(eager=True),
+        latest,
+        carry_forward=False,
+    )
+    return {"applied_from": applied, "applied_to": latest, "n_changes": n_changes}
