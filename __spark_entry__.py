@@ -36,6 +36,7 @@ def _collect_modules():
         "timetravel",
         "partitioning",
         "geo",
+        "governance",
         "temporal",
         "sequence",
         "skew",

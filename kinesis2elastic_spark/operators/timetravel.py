@@ -424,6 +424,9 @@ def commit_snapshot(
     live-file list."""
     if schema_mode is not None:
         check_schema_compatible(table_dir, df, schema_mode)
+    # B184: declared CHECK constraints gate EVERY commit pre-write
+    # (one-pass conditional aggregate; no-op when none are declared)
+    enforce_check_constraints(table_dir, df)
     suffix = f"w{os.getpid()}x{next(_COMMIT_SEQ)}" if exclusive else ""
     data_dir = os.path.join(table_dir, "data", f"c{int(version)}{suffix}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -620,6 +623,76 @@ def commit_with_retry(
         except CommitConflict:
             continue
     raise CommitConflict(f"gave up after {max_attempts} attempts in {table_dir}")
+
+
+def metadata_table(
+    spark: SparkSession,
+    table_dir: str,
+    kind: str = "files",
+    version: int | None = None,
+) -> DataFrame:
+    """Iceberg-style METADATA TABLES (B182): the table's own metadata
+    as queryable DataFrames — ``SELECT * FROM t.files`` parity without
+    a catalog.  Everything is manifest-derived (metadata-rate):
+
+    - ``files``: one row per live manifest entry (path, kind, seq,
+      n_bytes, n_rows, has_stats/has_bloom/has_partition flags + the
+      raw JSON payloads for drill-down);
+    - ``history``: ``describe_history`` as a DataFrame (version,
+      operation, files/rows/bytes added, commit mtime);
+    - ``partitions``: per hidden-partition tuple (B173) the file/row/
+      byte rollup — the 'is my layout balanced' audit.
+    """
+    if kind == "files":
+        rows = [
+            {
+                "path": e["path"],
+                "kind": e["kind"],
+                "seq": int(e["seq"]),
+                "n_bytes": int(e["n_bytes"]),
+                "n_rows": int(e["n_rows"]),
+                "has_stats": bool(e.get("stats_json")),
+                "has_bloom": bool(e.get("bloom_json")),
+                "has_partition": bool(e.get("partition_json")),
+                "stats_json": e.get("stats_json"),
+                "partition_json": e.get("partition_json"),
+            }
+            for e in manifest_entries(table_dir, version)
+        ]
+        schema = (
+            "path string, kind string, seq long, n_bytes long, n_rows long, "
+            "has_stats boolean, has_bloom boolean, has_partition boolean, "
+            "stats_json string, partition_json string"
+        )
+        return spark.createDataFrame(rows, schema)
+    if kind == "history":
+        return spark.createDataFrame(
+            describe_history(table_dir),
+            "version long, operation string, n_files_added long, "
+            "n_files_removed long, rows_added long, bytes_added long, "
+            "commit_mtime double",
+        )
+    if kind == "partitions":
+        agg: dict[str, dict] = {}
+        for e in manifest_entries(table_dir, version):
+            if e["kind"] != "data":
+                continue
+            pj = e.get("partition_json")
+            key = "<unpartitioned>"
+            if pj:
+                vals = json.loads(pj)["values"]
+                key = "/".join(f"{k}={v}" for k, v in sorted(vals.items()))
+            a = agg.setdefault(
+                key, {"partition": key, "n_files": 0, "n_rows": 0, "n_bytes": 0}
+            )
+            a["n_files"] += 1
+            a["n_rows"] += int(e["n_rows"])
+            a["n_bytes"] += int(e["n_bytes"])
+        return spark.createDataFrame(
+            list(agg.values()),
+            "partition string, n_files long, n_rows long, n_bytes long",
+        )
+    raise ValueError(f"unknown metadata table {kind!r} (files|history|partitions)")
 
 
 def describe_history(table_dir: str) -> list[dict]:
@@ -2094,6 +2167,61 @@ def check_schema_compatible(
         raise SchemaEnforcementError(
             f"append rejected by schema_mode={mode!r} for {table_dir}: "
             + "; ".join(sorted(problems))
+        )
+
+
+class CheckConstraintViolation(ValueError):
+    """An append contains rows violating a table CHECK constraint (B184)."""
+
+
+def set_check_constraints(table_dir: str, constraints: list[str]) -> None:
+    """Declare table-level CHECK constraints (B184, the Delta
+    ``ALTER TABLE ADD CONSTRAINT CHECK`` shape): SQL boolean expressions
+    over the row, stored as table metadata (atomic-rename JSON) and
+    enforced by every later ``commit_snapshot`` BEFORE any data is
+    written.  An empty list clears them."""
+    os.makedirs(table_dir, exist_ok=True)
+    final = os.path.join(table_dir, "_constraints.json")
+    tmp = final + f".tmp-{os.getpid()}x{next(_COMMIT_SEQ)}"
+    with open(tmp, "w") as f:
+        json.dump(list(constraints), f)
+    os.replace(tmp, final)
+
+
+def get_check_constraints(table_dir: str) -> list[str]:
+    p = os.path.join(table_dir, "_constraints.json")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def enforce_check_constraints(table_dir: str, df: DataFrame) -> None:
+    """Validate ``df`` against the table's CHECK constraints in ONE
+    pass (violations of every constraint counted in a single
+    conditional aggregate — the B159 compile discipline, never
+    one-scan-per-check) and fail loud pre-write with per-constraint
+    counts.  NULL evaluations count as violations (a constraint must
+    PROVE the row, the SQL CHECK semantics tightened to the ingestion-
+    gate posture)."""
+    constraints = get_check_constraints(table_dir)
+    if not constraints:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(F.expr(c), F.lit(False)), 0).otherwise(1)
+        ).alias(f"c{i}")
+        for i, c in enumerate(constraints)
+    ]
+    row = df.agg(*aggs).first()
+    bad = {
+        c: int(row[f"c{i}"])
+        for i, c in enumerate(constraints)
+        if row[f"c{i}"] and int(row[f"c{i}"]) > 0
+    }
+    if bad:
+        raise CheckConstraintViolation(
+            f"append rejected by CHECK constraints for {table_dir}: {bad}"
         )
 
 

@@ -1630,3 +1630,58 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
     # guard rails
     with _pytest.raises(ValueError, match="exactly two"):
         tt.optimize_snapshot(spark, table, 3, cluster_by=["a"], zorder=True)
+
+
+def test_metadata_tables_files_history_partitions(spark, tmp_path):
+    """B182: the table's own metadata as queryable DataFrames, manifest-
+    derived — files carry flags+payloads, history names operations,
+    partitions roll up the hidden-partition layout."""
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import partitioning as pt
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    rows = [(i, i % 4, i * 10) for i in range(80)]
+    df = spark.createDataFrame(rows, "k long, g long, v long")
+    pt.commit_partitioned(spark, table, df, 0, [("g", "identity")])
+    tt.commit_delete(spark, table, spark.createDataFrame([(1,)], "k long"), 1)
+
+    files = tt.metadata_table(spark, table, "files").collect()
+    assert {r.kind for r in files} == {"data", "delete"}
+    assert all(r.n_bytes > 0 and r.n_rows >= 0 for r in files)
+    assert all(r.has_partition for r in files if r.kind == "data")
+
+    hist = tt.metadata_table(spark, table, "history").collect()
+    assert [h.operation for h in hist] == ["create", "delete"]
+
+    parts = {r.partition: r for r in tt.metadata_table(spark, table, "partitions").collect()}
+    assert set(parts) == {f"g:identity={g}" for g in range(4)}
+    assert all(p.n_rows == 20 for p in parts.values())
+    with _pytest.raises(ValueError, match="unknown metadata table"):
+        tt.metadata_table(spark, table, "nope")
+
+
+def test_check_constraints_gate_commits(spark, tmp_path):
+    """B184: declared CHECK constraints bounce a violating append
+    pre-publish with per-constraint counts (ONE pass for all checks);
+    NULL evaluations violate (must-prove posture); clearing restores."""
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    tt.set_check_constraints(table, ["v >= 0", "k IS NOT NULL"])
+    good = spark.createDataFrame([(1, 5), (2, 0)], "k long, v long")
+    tt.commit_snapshot(spark, table, good, 0)
+    bad = spark.createDataFrame(
+        [(3, -1), (None, 2), (4, None)], "k long, v long"
+    )
+    with _pytest.raises(tt.CheckConstraintViolation) as ei:
+        tt.commit_snapshot(spark, table, bad, 1)
+    msg = str(ei.value)
+    assert "'v >= 0': 2" in msg and "'k IS NOT NULL': 1" in msg
+    assert tt.snapshot_versions(table) == [0]  # nothing published
+    tt.set_check_constraints(table, [])
+    tt.commit_snapshot(spark, table, bad, 1)  # cleared: anything goes
+    assert tt.read_asof(spark, table).count() == 5
