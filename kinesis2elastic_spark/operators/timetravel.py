@@ -1117,6 +1117,57 @@ def read_change_feed(
     return out
 
 
+def version_asof_timestamp(table_dir: str, ts: float) -> int:
+    """TIMESTAMP AS OF resolution (B185): the newest snapshot whose
+    manifest was committed at or before ``ts`` (unix seconds) — the
+    Delta/Iceberg timestamp-travel contract on the same filesystem
+    clock vacuum and expiry use.  Below-horizon timestamps fail loud
+    (the read_asof retention discipline: never silently serve a newer
+    state than asked)."""
+    vs = snapshot_versions(table_dir)
+    ok = [
+        v
+        for v in vs
+        if os.path.getmtime(
+            os.path.join(_manifest_dir(table_dir), f"v{v}.parquet")
+        )
+        <= ts
+    ]
+    if not ok:
+        raise ValueError(
+            f"no snapshot committed at or before ts={ts} in {table_dir} "
+            f"(earliest retained is v{vs[0] if vs else '?'})"
+        )
+    return ok[-1]
+
+
+def read_asof_timestamp(
+    spark: SparkSession, table_dir: str, ts: float, schema=None
+) -> DataFrame:
+    """``SELECT ... TIMESTAMP AS OF`` (B185): resolve then read."""
+    return read_asof(
+        spark, table_dir, version_asof_timestamp(table_dir, ts), schema=schema
+    )
+
+
+def restore_table(spark: SparkSession, table_dir: str, version: int) -> int:
+    """RESTORE TABLE to an older snapshot (B186, the Delta RESTORE
+    shape): publish a NEW version whose manifest carries the target
+    snapshot's entries verbatim — history moves FORWARD (the bad
+    versions stay readable for forensics until retention expires them),
+    no data is copied or rewritten (metadata-rate whatever the table
+    size), and entries keep their original seq numbers so delete-vs-
+    data scoping survives the restore exactly (the B161 clone
+    discipline applied in-place).  Returns the new version id."""
+    target = manifest_entries(table_dir, int(version))
+    if not target:
+        raise ValueError(f"no committed snapshot <= {version} in {table_dir}")
+    vs = snapshot_versions(table_dir)
+    new_v = vs[-1] + 1
+    _write_manifest(table_dir, new_v, target)
+    return new_v
+
+
 def apply_change_feed_to_view(
     view_df: DataFrame,
     feed_df: DataFrame,

@@ -1685,3 +1685,46 @@ def test_check_constraints_gate_commits(spark, tmp_path):
     tt.set_check_constraints(table, [])
     tt.commit_snapshot(spark, table, bad, 1)  # cleared: anything goes
     assert tt.read_asof(spark, table).count() == 5
+
+
+def test_timestamp_travel_and_restore(spark, tmp_path):
+    """B185/B186: TIMESTAMP AS OF resolves by manifest commit time with
+    below-horizon fail-loud; RESTORE publishes a metadata-only forward
+    commit reproducing the target state (deletes scoping intact) while
+    the undone versions stay readable."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    df0 = spark.createDataFrame([(i, "v0") for i in range(10)], "k long, s string")
+    tt.commit_snapshot(spark, table, df0, 0)
+    tt.commit_delete(spark, table, spark.createDataFrame([(0,)], "k long"), 1)
+    tt.commit_snapshot(
+        spark, table, spark.createDataFrame([(0, "re")], "k long, s string"), 2
+    )
+    mdir = tt._manifest_dir(table)
+    # stamp distinct commit times: v0 at t-300, v1 at t-200, v2 at t-100
+    now = time.time()
+    for v, age in ((0, 300), (1, 200), (2, 100)):
+        os.utime(os.path.join(mdir, f"v{v}.parquet"), (now - age, now - age))
+    assert tt.version_asof_timestamp(table, now - 150) == 1
+    assert tt.read_asof_timestamp(spark, table, now - 150).count() == 9
+    assert tt.read_asof_timestamp(spark, table, now).count() == 10
+    with _pytest.raises(ValueError, match="at or before"):
+        tt.version_asof_timestamp(table, now - 400)
+
+    # RESTORE to v1 (post-delete, pre-reinsert): forward commit v3
+    v3 = tt.restore_table(spark, table, 1)
+    assert v3 == 3 and tt.snapshot_versions(table) == [0, 1, 2, 3]
+    got = sorted(r.k for r in tt.read_asof(spark, table).collect())
+    assert got == list(range(1, 10))  # k=0 deleted again, scoping intact
+    # the undone v2 remains readable for forensics
+    assert tt.read_asof(spark, table, 2).count() == 10
+    # restore is metadata-only: no new data files appeared
+    assert set(tt.manifest_files(table, 3, kind=None)) == set(
+        tt.manifest_files(table, 1, kind=None)
+    )
