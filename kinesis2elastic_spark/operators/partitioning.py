@@ -363,3 +363,40 @@ ORACLE = {
 }
 
 ROWS_ONLY: set[str] = set()
+
+
+def partitioned_ingest_writer(
+    spark: SparkSession, table_dir: str, spec: list[tuple[str, str]]
+):
+    """Streaming hidden-partitioned ingest (B187): a foreachBatch body
+    committing each micro-batch THROUGH ``commit_partitioned`` — the
+    event-firehose-to-lakehouse landing path: every batch's files carry
+    their (day, bucket, ...) partition values in the manifest, so
+    ``read_partitioned`` prunes the accumulating table from the first
+    batch on, with no compaction prerequisite.
+
+    Versions derive from the batch id (the B126/B155 replay discipline):
+    a replayed batch rewrites ITS OWN version's manifest and data dir
+    deterministically (non-exclusive atomic-replace publish), so
+    exactly-once lands structurally, not via sink transactions.  The
+    replay contract is CRASH RECOVERY — re-running the LATEST batch
+    after a failed attempt, the only replay Structured Streaming's
+    checkpoint ever issues; reprocessing a HISTORICAL batch id after
+    later versions carried its files forward would orphan those
+    references (their manifests name the overwritten part files) and is
+    out of contract, as in every version-by-batch-id writer here.  The
+    batch frame is materialized before the write because the commit
+    dirs may survive a failed prior attempt of the same batch (the
+    matview_stream discipline)."""
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        commit_partitioned(
+            spark,
+            table_dir,
+            batch_df.localCheckpoint(eager=True),
+            int(batch_id),
+            spec,
+            carry_forward=True,
+        )
+
+    return fb

@@ -117,3 +117,67 @@ def test_hidden_partition_range_ops_monotone(spark, tmp_path):
     got = pt.read_partitioned(spark, table, [("k", ">=", 750)])
     assert got.count() == 250
     assert got.agg(F.min("k")).first()[0] == 750
+
+
+def test_partitioned_streaming_ingest(spark, tmp_path):
+    """B187: two availableNow drains land as hidden-partitioned
+    commits; pruning works across both generations immediately; a
+    failed-attempt replay of the LATEST batch (the crash-recovery
+    contract — fresh checkpoint while only b1 exists) is idempotent:
+    same version id, deterministic rewrite, same content."""
+    import datetime
+    import os
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    work = str(tmp_path)
+    src = os.path.join(work, "src")
+    table = os.path.join(work, "table")
+    os.makedirs(src, exist_ok=True)
+    rows1 = [
+        (i, datetime.datetime(2024, 1, 1 + i % 3, 9, 0, 0), i % 6)
+        for i in range(60)
+    ]
+    rows2 = [
+        (100 + i, datetime.datetime(2024, 1, 1 + i % 3, 21, 0, 0), i % 6)
+        for i in range(60)
+    ]
+    schema = "k long, ts timestamp, uid long"
+    spec = [("ts", "day"), ("uid", "bucket[3]")]
+
+    def drain(ckpt="ckpt"):
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src + "/*")
+            .writeStream.foreachBatch(
+                pt.partitioned_ingest_writer(spark, table, spec)
+            )
+            .option("checkpointLocation", os.path.join(work, ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b1")
+    drain()
+    assert tt.snapshot_versions(table) == [0]
+    # crash-recovery replay: the LATEST (and only) batch re-runs from a
+    # fresh checkpoint — same version id, content unchanged
+    drain(ckpt="ckpt2")
+    assert tt.snapshot_versions(table) == [0]
+    n0 = pt.read_partitioned(spark, table, []).count()
+    assert n0 == len(rows1)
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b2")
+    drain(ckpt="ckpt2")
+    assert tt.snapshot_versions(table) == [0, 1]
+
+    day2 = datetime.datetime(2024, 1, 2)
+    f = [("ts", "between", (day2, day2.replace(hour=23))), ("uid", "=", 4)]
+    kept, total = pt.prune_partitions(table, f)
+    assert 0 < len(kept) < total
+    got = sorted(r.k for r in pt.read_partitioned(spark, table, f).collect())
+    want = sorted(
+        r[0] for r in rows1 + rows2 if r[1].day == 2 and r[2] == 4
+    )
+    assert got == want
