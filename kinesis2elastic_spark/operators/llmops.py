@@ -1823,6 +1823,91 @@ def ann_pq_detail(
     )
 
 
+def ann_sq8_detail(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    margin: int = 64,
+) -> DataFrame:
+    """B188: scalar-quantization (int8) ANN — the fourth compression
+    point on the memory/recall curve (LSH buckets < IVF lists < PQ
+    codes < SQ8 < raw float): 64 float32 dims -> 64 uint8 codes = 4x
+    compression at near-exact recall, the serving-tier default when PQ's
+    32x is more loss than the budget needs.
+
+    Train-free: the "codebook" is one per-dimension affine map from an
+    EXACT corpus pass (per-dim min/max of the normalized vectors — 2·d
+    numbers, one map-combinable aggregate; contrast PQ's sampled Lloyd
+    codebooks).  Score: sim(q, x) ≈ Σ_d q_d·(lo_d + s_d·code_d)
+    = const(q) + <q·s, code> — one integer-matrix matmul per Arrow
+    batch inside ``mapInPandas``, the batch emits only its local
+    top-(k+margin) per query (the PQ shuffle shape: O(batches × queries
+    × k) rows, never vectors).  Exact re-rank on the rounded score with
+    vec_id tie-break (the q_cosine_topk convention)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("vec").first()[0])
+    norm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
+    nv = F.transform("vec", lambda x: x / norm)
+    b = emb.select(nv.alias("nv")).agg(
+        *[F.min(F.col("nv")[i]).alias(f"lo{i}") for i in range(dim)],
+        *[F.max(F.col("nv")[i]).alias(f"hi{i}") for i in range(dim)],
+    ).first()
+    lo = np.array([b[f"lo{i}"] for i in range(dim)])
+    hi = np.array([b[f"hi{i}"] for i in range(dim)])
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec").collect(),
+        key=lambda r: r.vec_id,
+    )
+    Q = np.array([r.vec for r in qrows], dtype=np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.array([r.vec_id for r in qrows])
+    qs = Q * scale[None, :]          # (nq, d): the code-side weights
+    cq = (Q * lo[None, :]).sum(1)    # (nq,): the affine constant
+
+    def encode_score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M_ = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            M_ = M_ / np.linalg.norm(M_, axis=1, keepdims=True)
+            codes = np.clip(np.round((M_ - lo[None, :]) / scale[None, :]), 0, 255)
+            sims = cq[:, None] + qs @ codes.T  # (nq, batch)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(qids)):
+                s = sims[qi]
+                mask = ids != qids[qi]
+                cand = np.nonzero(mask)[0]
+                top = cand[np.argsort(-s[cand])[: k + margin]]
+                out_q.extend([qids[qi]] * len(top))
+                out_id.extend(ids[top])
+                out_sim.extend(s[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "vec_id": np.array(out_id, dtype=np.int64),
+                    "approx_sim": np.round(np.array(out_sim), 4),
+                }
+            )
+
+    scored = emb.select("vec_id", "vec").mapInPandas(
+        encode_score, "query_id long, vec_id long, approx_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_sim", "rank")
+    )
+
+
 def diversity_sample_detail(
     spark: SparkSession, sf_dir: str, k: int = 8, target: int = 100, n_iter: int = 2
 ) -> DataFrame:
@@ -2780,7 +2865,7 @@ def q_curation_pipeline(
 # 4 probes) 0.42-0.46, PQ-ADC (16 x 4-bit) 0.44-0.54.  Floors sit under
 # the observed band so the flag trips on real regressions (a broken hash
 # family / codebook collapses recall to ~1/n), not on noise.
-ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.3, "pq": 0.3}
+ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.3, "pq": 0.3, "sq8": 0.6}
 
 
 def ann_recall_detail(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5) -> DataFrame:
@@ -2861,7 +2946,7 @@ def ann_leg_check(
     - ``recall_floor_ok``: aggregate recall@k vs exact ≥ the same measured
       floor the driver-green q_ann_recall asserts (ANN_RECALL_FLOORS).
     """
-    fn = {"lsh": ann_lsh_detail, "ivf": ann_ivf_detail, "pq": ann_pq_detail}[method]
+    fn = {"lsh": ann_lsh_detail, "ivf": ann_ivf_detail, "pq": ann_pq_detail, "sq8": ann_sq8_detail}[method]
     exact = q_cosine_topk(spark, sf_dir, k=k, n_queries=n_queries).localCheckpoint(
         eager=True
     )
@@ -2953,6 +3038,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34 contract query for the PQ-ADC ANN leg — see ``ann_leg_check``;
     ``ann_pq_detail`` is the production operator."""
     return ann_leg_check(spark, sf_dir, "pq")
+
+
+def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B188 contract query for the int8 scalar-quantization ANN leg —
+    see ``ann_leg_check``; ``ann_sq8_detail`` is the production
+    operator."""
+    return ann_leg_check(spark, sf_dir, "sq8")
 
 
 def dense_rank_by_histogram(df: DataFrame, col: str, out: str) -> DataFrame:
@@ -3050,6 +3142,7 @@ QUERIES = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_pq": q_ann_pq,
+    "q_ann_sq8": q_ann_sq8,
     "q_ann_recall": q_ann_recall,
     "q_kmeans": q_kmeans,
     "q_semantic_dedup": q_semantic_dedup,
@@ -3601,3 +3694,4 @@ ORACLE["q_diversity_sample"] = """
 ORACLE["q_ann_lsh"] = _ANN_LEG_ORACLE
 ORACLE["q_ann_ivf"] = _ANN_LEG_ORACLE
 ORACLE["q_ann_pq"] = _ANN_LEG_ORACLE
+ORACLE["q_ann_sq8"] = _ANN_LEG_ORACLE
