@@ -874,10 +874,49 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+KEYSET_CURSOR_TS = "1998-06-15 00:00:00"  # (date, key) cursor of the "previous page"
+KEYSET_PAGE = 100
+
+
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — the only pagination that survives
+    100 TB: ``OFFSET n`` re-sorts and discards n rows per page (page
+    1000 costs 1000 pages of work, and concurrent inserts shift rows
+    between pages), while the keyset page is a PREDICATE on the unique
+    ordering key — (date, key) > cursor — so the scan prunes straight
+    to the page and a stable cursor never double-serves or skips a row.
+    Plan shape: the composite-cursor disjunction pushes to the scan
+    (the date leg prunes row groups) and ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject — per-partition top-k then one k-row merge,
+    NEVER a global sort (the B16 discipline).  DuckDB restates the same
+    predicate + LIMIT; the unique (date, key) order makes the page
+    boundary engine-stable."""
+    o = load(spark, sf_dir, "orders")
+    cur = F.to_timestamp(F.lit(KEYSET_CURSOR_TS))
+    after = (F.col("o_orderdate") > cur) | (
+        (F.col("o_orderdate") == cur) & (F.col("o_orderkey") > 0)
+    )
+    return (
+        o.filter(after)
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(KEYSET_PAGE)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+
+
 QUERIES = {
     "q_udtf_chunk": q_udtf_chunk,
     "q_ntile_dist": q_ntile_dist,
     "q_running_distinct": q_running_distinct,
+    "q_keyset_page": q_keyset_page,
     "q_grouped_ols": q_grouped_ols,
     "q_quantile_select": q_quantile_select,
     "q_winsorize": q_winsorize,
@@ -1018,6 +1057,17 @@ ORACLE = {
                  AS median_v_micro,
                count(*) AS n_obs
         FROM events GROUP BY user_id
+    """,
+    "q_keyset_page": f"""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_orderstatus,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM orders
+        WHERE o_orderdate > TIMESTAMP '{KEYSET_CURSOR_TS}'
+           OR (o_orderdate = TIMESTAMP '{KEYSET_CURSOR_TS}' AND o_orderkey > 0)
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT {KEYSET_PAGE}
     """,
     "q_running_distinct": """
         WITH flagged AS (

@@ -148,6 +148,9 @@ VETTED_DOUBLE_COLUMNS = {
     ("q_ann_lsh", "exact_kth_sim"),
     ("q_ann_pq", "exact_best_sim"),
     ("q_ann_pq", "exact_kth_sim"),
+    # B188 SQ8: the same shared ann_leg_check envelope (1e-4-snapped sims)
+    ("q_ann_sq8", "exact_best_sim"),
+    ("q_ann_sq8", "exact_kth_sim"),
     ("q_approx_quantile", "exact_med"),
     ("q_approx_quantile", "exact_p90"),
     ("q_asof_join", "day_total"),

@@ -749,3 +749,16 @@ def test_expectations_rowlocal_checks_share_one_scan(spark, sf_dir):
     n_orders_scans = plan.count("orders.parquet")
     assert n_orders_scans <= 2, plan  # 1 aggregate scan + 1 FK join side
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_keyset_page_is_topk_with_pushed_cursor(spark, sf_dir):
+    """B189: the keyset page compiles to TakeOrderedAndProject (never a
+    global sort) and the composite cursor disjunction reaches the
+    parquet scan as a pushed filter."""
+    from kinesis2elastic_spark.operators.relational_ext import q_keyset_page
+
+    plan = formatted_plan(q_keyset_page(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
+    pf = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pf and "o_orderdate" in pf[0], plan
