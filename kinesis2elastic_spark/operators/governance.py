@@ -49,12 +49,21 @@ def apply_read_policy(df: DataFrame, policy: dict) -> DataFrame:
         elif kind == "hash":
             cols.append(F.md5(F.col(c).cast("string").cast("binary")).alias(c))
         elif kind == "partial4":
+            # visible suffix = min(4, length-1): a value of length <= 4
+            # must NOT be displayed in full (r12 ADVICE — the old
+            # greatest(length-4, 0) stars contributed nothing and the
+            # last-4 substring was the whole value).  At least one char
+            # is always starred; the suffix substring uses a POSITIVE
+            # start so Spark and DuckDB agree on short strings.
+            vis = f"greatest(least(4, length(`{c}`) - 1), 0)"
             cols.append(
                 F.when(F.col(c).isNull(), F.lit(None).cast("string"))
                 .otherwise(
                     F.concat(
-                        F.expr(f"repeat('*', greatest(length(`{c}`) - 4, 0))"),
-                        F.substring(F.col(c), -4, 4),
+                        F.expr(f"repeat('*', length(`{c}`) - {vis})"),
+                        F.expr(
+                            f"substring(`{c}`, length(`{c}`) - {vis} + 1, {vis})"
+                        ),
                     )
                 )
                 .alias(c)
@@ -99,8 +108,13 @@ ORACLE = {
     "q_masked_read": """
         SELECT c_custkey,
                md5(CAST(c_name AS VARCHAR)) AS name_token,
-               repeat('*', greatest(length(c_mktsegment) - 4, 0))
-                 || substr(c_mktsegment, length(c_mktsegment) - 3, 4)
+               repeat('*', length(c_mktsegment)
+                           - greatest(least(4, length(c_mktsegment) - 1), 0))
+                 || substr(c_mktsegment,
+                           length(c_mktsegment)
+                             - greatest(least(4, length(c_mktsegment) - 1), 0)
+                             + 1,
+                           greatest(least(4, length(c_mktsegment) - 1), 0))
                  AS segment_masked,
                CAST(NULL AS BIGINT) AS nation_masked
         FROM customer

@@ -128,21 +128,22 @@ def _transform_value(value, t: str):
     return value.strftime(_PY_TIME_FMT[kind])
 
 
-def commit_partitioned(
+def write_partitioned_layout(
     spark: SparkSession,
     table_dir: str,
     df: DataFrame,
     version: int,
     spec: list[tuple[str, str]],
-    carry_forward: bool = True,
-) -> list[str]:
-    """Commit ``df`` partitioned by the hidden spec: derive one column
-    per (source_col, transform), write with ``partitionBy`` on the
-    derived columns (one file group per partition tuple), parse each
-    file's partition values back off its path, and record
-    ``partition_json`` = {"spec": [...], "values": {...}} per manifest
-    entry.  Carried-forward entries keep the partition_json THEY were
-    written with — spec evolution needs no rewrite."""
+    sort_within: list[str] | None = None,
+) -> list[dict]:
+    """Write ``df`` under the hidden spec (one file group per partition
+    tuple) and return the manifest ENTRIES — no manifest publish, so
+    both ``commit_partitioned`` (append path) and
+    ``timetravel.optimize_snapshot`` (rewrite path, r12 ADVICE: an
+    OPTIMIZE of a hidden-partitioned table must re-derive
+    partition_json, not silently drop pruning) share one layout writer.
+    ``sort_within`` additionally sorts rows inside each partition's
+    files (the optimize cluster_by leg)."""
     for col, t in spec:
         _parse_transform(t)  # validate early
         if col not in df.columns:
@@ -152,15 +153,18 @@ def commit_partitioned(
         _transform_col(df, col, t).alias(f"{_PT}{i}")
         for i, (col, t) in enumerate(spec)
     ]
+    out = df.select("*", *derived).repartition(
+        *[F.col(f"{_PT}{i}") for i in range(len(spec))]
+    )
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
     (
-        df.select("*", *derived)
-        .repartition(*[F.col(f"{_PT}{i}") for i in range(len(spec))])
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .partitionBy(*[f"{_PT}{i}" for i in range(len(spec))])
         .parquet(data_dir)
     )
     spec_json = [[c, t] for c, t in spec]
-    live: list = []
+    live: list[dict] = []
     for p in _list_data_files(data_dir):
         values = {}
         for i, (col, t) in enumerate(spec):
@@ -182,6 +186,25 @@ def commit_partitioned(
                 ),
             }
         )
+    return live
+
+
+def commit_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    version: int,
+    spec: list[tuple[str, str]],
+    carry_forward: bool = True,
+) -> list[str]:
+    """Commit ``df`` partitioned by the hidden spec: derive one column
+    per (source_col, transform), write with ``partitionBy`` on the
+    derived columns (one file group per partition tuple), parse each
+    file's partition values back off its path, and record
+    ``partition_json`` = {"spec": [...], "values": {...}} per manifest
+    entry.  Carried-forward entries keep the partition_json THEY were
+    written with — spec evolution needs no rewrite."""
+    live = write_partitioned_layout(spark, table_dir, df, version, spec)
     if carry_forward:
         vs = [v for v in snapshot_versions(table_dir) if v < int(version)]
         if vs:

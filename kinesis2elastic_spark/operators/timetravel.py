@@ -252,12 +252,15 @@ def _bloom_may_contain(bloom: dict | None, col: str, value) -> bool:
     import base64
 
     ent = (bloom or {}).get(col)
-    if not ent or ent.get("k") != _BLOOM_K or not ent.get("m"):
+    if not ent or ent.get("k") != _BLOOM_K or not ent.get("m") or not ent.get("b64"):
         return True
     probes = _bloom_probes(value, int(ent["m"]))
     if probes is None:
         return True
-    bits = base64.b64decode(ent["b64"])
+    try:
+        bits = base64.b64decode(ent["b64"])
+    except Exception:
+        return True  # truncated/corrupt bitmap: degrade to "scan it"
     if len(bits) * 8 != int(ent["m"]):
         return True  # corrupt/foreign bitmap: cannot trust a negative
     return all(bits[p >> 3] & (1 << (p & 7)) for p in probes)
@@ -340,7 +343,15 @@ def _write_manifest(
     # this commit, else the union of columns any carried entry indexed —
     # an append to a bloom-indexed table keeps the index current for its
     # NEW files only (delete-kind files carry key columns a point lookup
-    # never probes, so only data files are indexed)
+    # never probes, so only data files are indexed).  ONLY files entering
+    # at this version (seq == version) are indexed here: building a bloom
+    # is a data-rate column read, and doing it for a carried pre-bloom
+    # entry would turn a metadata-rate append into a full-table pass
+    # (r12 ADVICE).  Carried files without an index simply don't prune
+    # (reader treats a missing/partial bloom as "scan it"); indexing
+    # history is the EXPLICIT ``backfill_bloom_index`` operation.  The
+    # per-file indexed column set is visible as the bloom_json keys, so
+    # a widened bloom_cols leaves an inspectable (not silent) gap.
     carried_bloom_cols = sorted(
         {
             c
@@ -352,7 +363,11 @@ def _write_manifest(
     eff_bloom = sorted(set(bloom_cols or []) | set(carried_bloom_cols))
     if eff_bloom:
         for r in rows:
-            if r["kind"] == "data" and not r.get("bloom_json"):
+            if (
+                r["kind"] == "data"
+                and not r.get("bloom_json")
+                and int(r["seq"]) == int(version)
+            ):
                 r["bloom_json"] = json.dumps(
                     _file_bloom_filters(r["path"], eff_bloom), sort_keys=True
                 )
@@ -914,6 +929,56 @@ def optimize_snapshot(
     has_deletes = any(e["kind"] in ("delete", "posdelete") for e in entries)
     if zorder and (not cluster_by or len(cluster_by) != 2):
         raise ValueError("zorder=True requires exactly two cluster_by columns")
+    # B173 interplay (r12 ADVICE): an OPTIMIZE of a hidden-partitioned
+    # table must preserve the pruning its writes paid for — detect
+    # carried partition specs and route the rewrite through the shared
+    # partitioned-layout writer, re-deriving partition_json for the
+    # compacted files under the LATEST spec (spec-evolved old-spec files
+    # are re-specced forward, which only improves pruning).
+    part_spec_seq: dict[tuple, int] = {}
+    for e in entries:
+        pj = e.get("partition_json")
+        if pj:
+            spec_key = tuple(tuple(x) for x in json.loads(pj)["spec"])
+            part_spec_seq[spec_key] = max(
+                part_spec_seq.get(spec_key, -1), int(e.get("seq", 0))
+            )
+    if part_spec_seq:
+        if zorder:
+            raise ValueError(
+                "zorder optimize of a hidden-partitioned table is not "
+                "supported; use cluster_by (sorts within partitions)"
+            )
+        from .partitioning import write_partitioned_layout
+
+        spec = [
+            (c, t)
+            for c, t in max(part_spec_seq, key=lambda k: part_spec_seq[k])
+        ]
+        live_entries = write_partitioned_layout(
+            spark,
+            table_dir,
+            read_asof(spark, table_dir),
+            version,
+            spec,
+            sort_within=cluster_by,
+        )
+        prior_bloom_cols = sorted(
+            {
+                c
+                for e in entries
+                if e.get("bloom_json")
+                for c in json.loads(e["bloom_json"])
+            }
+        )
+        _write_manifest(
+            table_dir,
+            version,
+            live_entries,
+            collect_stats=collect_stats,
+            bloom_cols=prior_bloom_cols or None,
+        )
+        return [e["path"] for e in live_entries]
     if cluster_by or has_deletes:
         total = sum(e["n_bytes"] for e in entries if e["kind"] == "data")
         n_bins = int(max(1, total // max(1, target_bytes)))
@@ -975,6 +1040,50 @@ def optimize_snapshot(
         bloom_cols=prior_bloom_cols or None,
     )
     return live
+
+
+def backfill_bloom_index(
+    table_dir: str,
+    version: int,
+    bloom_cols: list[str] | None = None,
+    exclusive: bool = False,
+) -> int:
+    """EXPLICIT historical Bloom (re-)indexing (r12 ADVICE): publishes a
+    new metadata-only snapshot in which every live DATA file carries a
+    Bloom filter for ``bloom_cols`` (default: the union of columns any
+    entry already indexes).  This is the deliberately data-rate
+    counterpart of the metadata-rate append — ``_write_manifest`` never
+    backfills carried files, so indexing history (or WIDENING the
+    indexed column set, which leaves carried files partially indexed)
+    is an operation a user schedules, like OPTIMIZE.  Files already
+    indexed over a superset of the requested columns are left alone;
+    partially-indexed files are re-read for the missing columns only.
+    Returns the number of files (re)indexed."""
+    entries = manifest_entries(table_dir)
+    cols = sorted(
+        set(bloom_cols or [])
+        | {
+            c
+            for e in entries
+            if e.get("bloom_json")
+            for c in json.loads(e["bloom_json"])
+        }
+    )
+    if not cols:
+        raise ValueError("no bloom columns: pass bloom_cols or index at commit")
+    n = 0
+    for e in entries:
+        if e.get("kind", "data") != "data":
+            continue
+        have = json.loads(e["bloom_json"]) if e.get("bloom_json") else {}
+        missing = [c for c in cols if c not in have]
+        if not missing:
+            continue
+        have.update(_file_bloom_filters(e["path"], missing))
+        e["bloom_json"] = json.dumps(have, sort_keys=True)
+        n += 1
+    _write_manifest(table_dir, version, entries, exclusive=exclusive)
+    return n
 
 
 def snapshot_diff_files(

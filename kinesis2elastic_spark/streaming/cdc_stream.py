@@ -199,10 +199,22 @@ def sync_view_from_feed(
     if view_vs:
         view = read_asof(spark, view_table)
     else:
+        # Bootstrap view schema derives the group-column types from the
+        # FEED (r12 ADVICE): hardcoding string made the later full_outer
+        # join in apply_change_feed_to_view match a string view key
+        # against the feed's native type — cast-dependent matching (or
+        # analysis failure) on the first numeric-keyed deployment.
+        import pyspark.sql.types as T
+
         view = spark.createDataFrame(
             [],
-            ", ".join([f"{c} string" for c in group_cols])
-            + ", n_rows long, sum_val long",
+            T.StructType(
+                [feed.schema[c] for c in group_cols]
+                + [
+                    T.StructField("n_rows", T.LongType()),
+                    T.StructField("sum_val", T.LongType()),
+                ]
+            ),
         )
     new_view = apply_change_feed_to_view(view, feed, group_cols, "__sum")
     n_changes = feed.count()

@@ -181,3 +181,43 @@ def test_partitioned_streaming_ingest(spark, tmp_path):
         r[0] for r in rows1 + rows2 if r[1].day == 2 and r[2] == 4
     )
     assert got == want
+
+
+def test_optimize_preserves_hidden_partitioning(spark, tmp_path):
+    """r12 ADVICE: OPTIMIZE of a hidden-partitioned table must not drop
+    partition_json — the rewrite routes through the shared partitioned
+    layout writer, so the compacted files re-derive partition values
+    under the latest spec and pruning still works after compaction."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 4, 9, 0, 0), i % 8)
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, uid long")
+    pt.commit_partitioned(spark, table, df, 0, [("ts", "day"), ("uid", "bucket[4]")])
+    before = sorted(r.k for r in pt.read_partitioned(spark, table, []).collect())
+
+    tt.optimize_snapshot(spark, table, 1, target_bytes=1 << 16)
+    entries = [e for e in tt.manifest_entries(table, 1) if e["kind"] == "data"]
+    assert entries and all(e.get("partition_json") for e in entries)
+    # pruning still effective post-optimize
+    day2 = datetime.datetime(2024, 1, 2)
+    f = [("ts", "between", (day2, day2.replace(hour=23))), ("uid", "=", 5)]
+    kept, total = pt.prune_partitions(table, f)
+    assert 0 < len(kept) < total
+    got = sorted(r.k for r in pt.read_partitioned(spark, table, f).collect())
+    want = sorted(r[0] for r in rows if r[1].day == 2 and r[2] == 5)
+    assert got == want and got
+    # logical content unchanged
+    after = sorted(r.k for r in pt.read_partitioned(spark, table, []).collect())
+    assert after == before
+    # old version still prunable under its own manifest
+    kept0, total0 = pt.prune_partitions(table, f, version=0)
+    assert 0 < len(kept0) < total0
+    # zorder + hidden partitioning is an explicit refusal, not silent drop
+    with pytest.raises(ValueError, match="hidden-partitioned"):
+        tt.optimize_snapshot(
+            spark, table, 2, zorder=True, cluster_by=["k", "uid"]
+        )

@@ -801,3 +801,32 @@ def test_gated_cdc_writer_quarantines_bad_batches(spark, tmp_path_factory):
     # forensics: the quarantined snapshot is still as-of readable
     quarantined = tt.read_asof(spark, state, 5)  # batch 2's append version
     assert {r.user_id for r in quarantined.collect()} == {2, 3}
+
+
+def test_sync_view_numeric_group_key_bootstrap(spark, tmp_path_factory):
+    """r12 ADVICE: the bootstrap (empty) view derives its group-column
+    types from the FEED — a numeric group key must join natively on the
+    first sync, not through a hardcoded-string view column."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+    from kinesis2elastic_spark.streaming.cdc_stream import sync_view_from_feed
+
+    src = str(tmp_path_factory.mktemp("sync_src"))
+    view = str(tmp_path_factory.mktemp("sync_view_root")) + "/v"
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(30)], "k long, g long, v long"
+    )
+    tt.commit_snapshot(spark, src, df, 0)
+    s = sync_view_from_feed(spark, src, view, ["g"], F.col("v"))
+    assert s["n_changes"] == 30
+    got = tt.read_asof(spark, view)
+    assert dict(got.dtypes)["g"] == "bigint"  # native type, not string
+    rows = {(r.g, r.n_rows, r.sum_val) for r in got.collect()}
+    assert rows == {(0, 10, 1350), (1, 10, 1450), (2, 10, 1550)}
+    # incremental sync: deletes retract against the typed key
+    tt.commit_delete(
+        spark, src, spark.createDataFrame([(0,), (3,)], "k long"), 1
+    )
+    s2 = sync_view_from_feed(spark, src, view, ["g"], F.col("v"))
+    assert s2["applied_to"] == 1
+    rows2 = {(r.g, r.n_rows, r.sum_val) for r in tt.read_asof(spark, view).collect()}
+    assert rows2 == {(0, 8, 1350 - 0 - 30), (1, 10, 1450), (2, 10, 1550)}

@@ -1728,3 +1728,57 @@ def test_timestamp_travel_and_restore(spark, tmp_path):
     assert set(tt.manifest_files(table, 3, kind=None)) == set(
         tt.manifest_files(table, 1, kind=None)
     )
+
+
+def test_bloom_backfill_is_explicit_not_implicit(spark, tmp_path):
+    """r12 ADVICE: an append never data-reads carried pre-bloom files —
+    enabling blooms at v1 indexes ONLY v1's file; history is indexed by
+    the explicit backfill_bloom_index operation (which also closes a
+    widened-column gap); reads stay correct throughout."""
+    import json as _json
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    table = str(tmp_path / "t")
+    df0 = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(200)], "k long, s string"
+    )
+    tt.commit_snapshot(spark, table, df0.repartition(3, "k"), 0)  # no blooms
+    tt.commit_snapshot(
+        spark, table,
+        spark.createDataFrame([(900, "new")], "k long, s string").coalesce(1),
+        1, bloom_cols=["k"],
+    )
+    ent = {e["path"]: e for e in tt.manifest_entries(table, 1) if e["kind"] == "data"}
+    indexed = [p for p, e in ent.items() if e.get("bloom_json")]
+    assert len(indexed) == 1 and "c1" in indexed[0]  # only the NEW file
+    # carried files unindexed -> point lookup scans them (correct, no prune)
+    assert [r.s for r in tt.read_where(spark, table, [("k", "=", 900)]).collect()] == ["new"]
+    # explicit backfill: every data file indexed, pruning now effective
+    n = tt.backfill_bloom_index(table, 2)
+    assert n == 3
+    e2 = [e for e in tt.manifest_entries(table, 2) if e["kind"] == "data"]
+    assert all(_json.loads(e["bloom_json"]).get("k") for e in e2)
+    kept, total = tt.prune_files(table, [("k", "=", 900)])
+    assert len(kept) < total
+    assert [r.s for r in tt.read_where(spark, table, [("k", "=", 900)]).collect()] == ["new"]
+    # idempotent: nothing left to index
+    assert tt.backfill_bloom_index(table, 3) == 0
+
+
+def test_bloom_malformed_entry_degrades_to_scan():
+    """A truncated/malformed manifest bloom entry must answer 'scan it'
+    (True), never crash the pruned read (r12 ADVICE: missing b64 raised
+    KeyError)."""
+    from kinesis2elastic_spark.operators.timetravel import (
+        _BLOOM_K,
+        _bloom_may_contain,
+    )
+
+    assert _bloom_may_contain({"k": {"k": _BLOOM_K, "m": 64}}, "k", 5) is True
+    assert _bloom_may_contain(
+        {"k": {"k": _BLOOM_K, "m": 64, "b64": ""}}, "k", 5
+    ) is True
+    assert _bloom_may_contain(
+        {"k": {"k": _BLOOM_K, "m": 64, "b64": "!!!not-base64!!!"}}, "k", 5
+    ) is True
