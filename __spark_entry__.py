@@ -35,6 +35,7 @@ def _collect_modules():
         "tableops",
         "timetravel",
         "partitioning",
+        "lakefmt",
         "geo",
         "governance",
         "temporal",

@@ -1,0 +1,251 @@
+"""External lakehouse-format interop queries (B190 Delta, B191 Iceberg).
+
+The repo's own snapshot protocol (operators/timetravel.py) covers
+tables THIS engine writes; a real 100 TB deployment must also READ
+tables that arrive in the open formats.  The parsers live in
+``sources/delta_log.py`` (Delta ``_delta_log`` replay) and
+``sources/iceberg_meta.py`` (Iceberg ``metadata.json``); this module
+holds the driver-contract queries that prove them against DuckDB.
+
+Each query generator-builds a REAL fixture table (multi-commit,
+partitioned, checkpointed, log-cleaned) from the driver's own parquet
+— no vendored data — then reads it back through the interop path and
+aggregates; the oracle restates the surviving row set from the raw
+table.  Cite: reference repo (Go relay, Moulick/kinesis2elastic
+main.go) has no table format at all; this is the extension surface a
+lakehouse user hits first (r12 VERDICT items 2 and 7).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..sources import delta_log as dl
+
+
+def _status_agg(df: DataFrame, leg: str) -> DataFrame:
+    return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    ).select(F.lit(leg).alias("leg"), "*")
+
+
+def q_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B190 contract query: build a real Delta table from orders —
+    v0 append (o_orderkey%3==0, partitioned by o_orderstatus),
+    v1 append (%3==1), v2 remove the status='O' files (file-level
+    delete), v3 append (%3==2), checkpoint at v3, EXPIRE the
+    pre-checkpoint json commits (so the read MUST replay through the
+    checkpoint parquet), v4 append (%3==1 AND status='O' back) — then
+    read latest and AS OF v1 through the interop reader.
+
+    Latest live set = all orders EXCEPT (%3==0 AND status='O'):
+    the v2 remove dropped status-O files from both the %3==0 and %3==1
+    commits, and v4 re-inserted only the %3==1 slice.  As-of v1 =
+    %3 <= 1, all statuses (time travel sees the pre-remove state).
+    ``interop_ok`` pins that the checkpoint was actually used, the log
+    was actually cleaned, and the injected partition column came back
+    typed — flags any of which failing flips every hashed row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k3 = F.col("o_orderkey") % 3
+    work = tempfile.mkdtemp(prefix="k2e_delta_")
+    table = os.path.join(work, "t")
+    try:
+        dl.delta_append(
+            spark, table, o.filter(k3 == 0), partition_by=["o_orderstatus"]
+        )
+        dl.delta_append(
+            spark, table, o.filter(k3 == 1), partition_by=["o_orderstatus"]
+        )
+        dl.delta_remove_where(
+            table,
+            lambda a: a["partitionValues"].get("o_orderstatus") == "O",
+        )
+        dl.delta_append(
+            spark, table, o.filter(k3 == 2), partition_by=["o_orderstatus"]
+        )
+        # time travel BEFORE log cleanup: expiring the pre-checkpoint
+        # commits legitimately loses versions below the checkpoint
+        # (same as real Delta log retention) — the plan resolves its
+        # concrete file list here, so it survives the cleanup
+        asof_v1 = dl.read_delta(spark, table, version=1)
+        ckpt_v = dl.delta_checkpoint(table)
+        n_expired = dl.expire_delta_log(table, before_version=ckpt_v)
+        dl.delta_append(
+            spark,
+            table,
+            o.filter((k3 == 1) & (F.col("o_orderstatus") == "O")),
+            partition_by=["o_orderstatus"],
+        )
+        snap = dl.delta_snapshot(table)
+        latest = dl.read_delta(spark, table)
+        interop_ok = bool(
+            snap["checkpoint_used"]
+            and n_expired > 0
+            and dict(latest.dtypes)["o_orderstatus"] == "string"
+            and snap["version"] == ckpt_v + 1
+        )
+        out = (
+            _status_agg(latest, "latest")
+            .unionByName(_status_agg(asof_v1, "v1"))
+            .withColumn("interop_ok", F.lit(interop_ok))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B191 contract query: build a real Iceberg table from orders —
+    snapshot s1 appends o_orderkey%2==0 under spec [month(o_orderdate)],
+    s2 appends %2==1 under the EVOLVED spec [month, murmur3-bucket[8]
+    (o_custkey)], s3 file-deletes every year-2000 month partition (both spec
+    generations) — then reads three legs through the interop path:
+
+    - ``latest``: all orders except year 2000 (the delete hit files of
+      BOTH specs — month partitions are exact row boundaries);
+    - ``s1``: snapshot time travel to the first append (%2==0, year 2000
+      included — pre-delete state);
+    - ``pruned``: a Feb-2001 month filter through manifest pruning, the
+      residual filter keeping the read exact.
+
+    ``interop_ok`` pins that pruning actually skipped files, that two
+    partition-spec generations coexist, and that the snapshot lineage
+    recorded the delete."""
+    import datetime as _dt
+
+    from ..sources import iceberg_meta as im
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    k2 = F.col("o_orderkey") % 2
+    work = tempfile.mkdtemp(prefix="k2e_iceberg_")
+    table = os.path.join(work, "t")
+    try:
+        s1 = im.iceberg_append(
+            spark, table, o.filter(k2 == 0), spec=[("o_orderdate", "month")]
+        )
+        im.iceberg_append(
+            spark,
+            table,
+            o.filter(k2 == 1),
+            spec=[("o_orderdate", "month"), ("o_custkey", "bucket[8]")],
+        )
+        im.iceberg_delete_files(
+            table,
+            lambda fd: str(fd["partition"].get("o_orderdate_month", "")).startswith(
+                "2000-"
+            ),
+        )
+        snap = im.iceberg_snapshot(table)
+        latest = im.read_iceberg(spark, table)
+        asof_s1 = im.read_iceberg(spark, table, snapshot_id=s1)
+        filt = [
+            (
+                "o_orderdate",
+                "between",
+                (_dt.datetime(2001, 2, 1), _dt.datetime(2001, 2, 28, 23, 59, 59)),
+            )
+        ]
+        kept, total = im.iceberg_prune(table, filt)
+        pruned = im.read_iceberg(spark, table, filters=filt)
+        interop_ok = bool(
+            0 < len(kept) < total
+            and len(snap["specs"]) == 2
+            and len(snap["metadata"]["snapshots"]) == 3
+            and snap["metadata"]["snapshots"][-1]["summary"]["operation"]
+            == "delete"
+        )
+        out = (
+            _status_agg(latest, "latest")
+            .unionByName(_status_agg(asof_s1, "s1"))
+            .unionByName(_status_agg(pruned, "pruned"))
+            .withColumn("interop_ok", F.lit(interop_ok))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+QUERIES = {"q_delta_read": q_delta_read, "q_iceberg_read": q_iceberg_read}
+
+ORACLE = {
+    "q_delta_read": """
+        WITH latest AS (
+            SELECT * FROM orders
+            WHERE NOT (o_orderkey % 3 = 0 AND o_orderstatus = 'O')
+        ), v1 AS (
+            SELECT * FROM orders WHERE o_orderkey % 3 <= 1
+        ), lagg AS (
+            SELECT 'latest' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM latest GROUP BY o_orderstatus
+        ), vagg AS (
+            SELECT 'v1' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM v1 GROUP BY o_orderstatus
+        )
+        SELECT *, TRUE AS interop_ok FROM lagg
+        UNION ALL
+        SELECT *, TRUE AS interop_ok FROM vagg
+    """,
+    "q_iceberg_read": """
+        WITH latest AS (
+            SELECT * FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) <> 2000
+        ), s1 AS (
+            SELECT * FROM orders WHERE o_orderkey % 2 = 0
+        ), pruned AS (
+            SELECT * FROM orders
+            WHERE o_orderdate BETWEEN TIMESTAMP '2001-02-01 00:00:00' AND TIMESTAMP '2001-02-28 23:59:59'
+        ), a1 AS (
+            SELECT 'latest' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM latest GROUP BY o_orderstatus
+        ), a2 AS (
+            SELECT 's1' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM s1 GROUP BY o_orderstatus
+        ), a3 AS (
+            SELECT 'pruned' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM pruned GROUP BY o_orderstatus
+        )
+        SELECT *, TRUE AS interop_ok FROM a1
+        UNION ALL SELECT *, TRUE AS interop_ok FROM a2
+        UNION ALL SELECT *, TRUE AS interop_ok FROM a3
+    """,
+}
+
+ROWS_ONLY: set[str] = set()

@@ -123,6 +123,11 @@ def _transform_value(value, t: str):
         return value[:arg]
     if isinstance(value, str):
         value = _dt.datetime.fromisoformat(value)
+    if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+        # a plain date probe (e.g. o_orderdate filters) floors the same
+        # way midnight does — without this, date-typed predicates
+        # silently never pruned (found building the Iceberg interop)
+        value = _dt.datetime(value.year, value.month, value.day)
     if not isinstance(value, _dt.datetime):
         return None
     return value.strftime(_PY_TIME_FMT[kind])

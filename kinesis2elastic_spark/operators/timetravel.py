@@ -1348,7 +1348,19 @@ def read_asof(
     entered after it, so re-inserted keys survive).  The group count is
     the commit count, not the file count — the plan stays a union of a
     few scans + one broadcast-ish anti-join per group over narrow key
-    columns."""
+    columns.
+
+    Interop (B190/B191): a ``table_dir`` holding a Delta ``_delta_log``
+    or Iceberg ``metadata/*.metadata.json`` routes through the matching
+    external-snapshot reader — same time-travel semantics, that
+    format's versions/snapshot-ids instead of this protocol's."""
+    from ..sources.delta_log import is_delta_table, read_delta
+    from ..sources.iceberg_meta import is_iceberg_table, read_iceberg
+
+    if is_delta_table(table_dir):
+        return read_delta(spark, table_dir, version)
+    if is_iceberg_table(table_dir):
+        return read_iceberg(spark, table_dir, snapshot_id=version)
     return _read_asof_impl(spark, table_dir, version, schema, with_pos=False)
 
 

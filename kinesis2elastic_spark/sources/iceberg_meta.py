@@ -1,0 +1,663 @@
+"""Iceberg ``metadata.json`` interop reader (B191).
+
+Reads Apache Iceberg table metadata — the open specification at
+iceberg.apache.org/spec/ — without the iceberg-spark runtime:
+
+- ``metadata/vN.metadata.json`` (+ ``version-hint.text``): schemas,
+  partition specs (spec EVOLUTION: each manifest prunes under the spec
+  it was written with), snapshot list + current-snapshot-id;
+- snapshot → manifest list (Avro OCF, read via sources/avro_ocf.py)
+  → manifest files (Avro) → live data-file set (``status != 2``);
+- time travel: any snapshot-id in the metadata's snapshot list (the
+  spec's semantics — unlike Delta, ONE metadata file retains the whole
+  snapshot history until expiration);
+- pruning: manifest partition values are probed through the SAME
+  transform mapping as the repo's own hidden partitioning (B173 —
+  identity / truncate[W] / year / month / day / hour), except
+  ``bucket[N]``, which uses Iceberg's mandated murmur3_x86_32 hash
+  (implemented below from the public algorithm, spec Appendix B test
+  vectors in tests) — an md5 bucket probe would silently mis-prune a
+  real Iceberg table.
+
+Data files in Iceberg CONTAIN all columns (identity-partitioned data
+still stores the column), so the read path is a plain pushdown-friendly
+parquet scan over the manifest's explicit file list — no value
+injection, and Catalyst's own pushdown/pruning applies on top of the
+manifest-level file skipping.
+
+Fixture writer (``iceberg_append`` / ``iceberg_delete_files``): builds
+REAL spec-shaped tables (JSON metadata, Avro manifest lists + manifests,
+spec evolution, snapshot lineage) for tests and the oracle query.
+Simplification, documented: manifest ``partition`` values are carried
+in their canonical STRING form (the same cross-engine canonicalization
+B173 records) rather than Iceberg's physical types — the pruner
+normalizes both sides through one transform mapping, so skipping
+semantics are identical; a type-exact manifest would change encoding,
+not decisions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.partitioning import (
+    _MONOTONE,
+    _parse_transform,
+    _transform_col,
+    _transform_value,
+)
+from . import avro_ocf as av
+
+_META = "metadata"
+_PT = "__ipt_"
+
+
+# ------------------------------------------------------------- murmur3
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3_x86_32 (public domain algorithm; Iceberg spec's required
+    bucket hash).  Returns the UNSIGNED 32-bit value."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n & 3)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def iceberg_bucket(value, n: int) -> int | None:
+    """Spec rule: ``(murmur3(serialize(v)) & Integer.MAX_VALUE) % N``;
+    ints/longs serialize as 8-byte little-endian longs, strings as
+    UTF-8.  None → None (null partitions never bucket)."""
+    if value is None:
+        return None
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        return None  # unsupported probe type: caller must scan
+    if isinstance(value, int):
+        data = struct.pack("<q", value)
+    else:
+        data = value.encode("utf-8")
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def _ice_transform_value(value, t: str):
+    """B173's transform mapping with the bucket leg swapped to
+    Iceberg's murmur3 (md5 would mis-prune real tables)."""
+    kind, arg = _parse_transform(t)
+    if kind == "bucket":
+        b = iceberg_bucket(value, arg)
+        return None if b is None else str(b)
+    return _transform_value(value, t)
+
+
+# ------------------------------------------------------------- reading
+def _meta_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, _META)
+
+
+def is_iceberg_table(table_dir: str) -> bool:
+    d = _meta_dir(table_dir)
+    return os.path.isdir(d) and any(
+        f.endswith(".metadata.json") for f in os.listdir(d)
+    )
+
+
+def _metadata_versions(table_dir: str) -> dict[int, str]:
+    d = _meta_dir(table_dir)
+    out: dict[int, str] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        m = re.match(r"^v(\d+)\.metadata\.json$", f)
+        if m:
+            out[int(m.group(1))] = os.path.join(d, f)
+    return out
+
+
+def load_metadata(table_dir: str, metadata_version: int | None = None) -> dict:
+    versions = _metadata_versions(table_dir)
+    if not versions:
+        raise ValueError(f"not an iceberg table (no metadata.json): {table_dir}")
+    if metadata_version is None:
+        hint = os.path.join(_meta_dir(table_dir), "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                metadata_version = int(f.read().strip())
+        else:
+            metadata_version = max(versions)
+    if metadata_version not in versions:
+        raise ValueError(f"no metadata version {metadata_version} in {table_dir}")
+    with open(versions[metadata_version]) as f:
+        meta = json.load(f)
+    if int(meta.get("format-version", 1)) not in (1, 2):
+        raise NotImplementedError(
+            f"iceberg format-version {meta.get('format-version')}"
+        )
+    return meta
+
+
+def _resolve_snapshot(meta: dict, snapshot_id: int | None) -> dict:
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if not snaps:
+        raise ValueError("iceberg table has no snapshots")
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    if sid not in snaps:
+        raise ValueError(f"unknown snapshot-id {sid} (expired or never existed)")
+    return snaps[sid]
+
+
+def iceberg_snapshot(
+    table_dir: str,
+    snapshot_id: int | None = None,
+    metadata_version: int | None = None,
+) -> dict:
+    """Reconstruct one snapshot's live file set — metadata-rate (JSON +
+    Avro manifests, never a data file).  Returns {"snapshot_id",
+    "files": [{path, partition, spec_id}], "schema", "specs",
+    "metadata"}."""
+    meta = load_metadata(table_dir, metadata_version)
+    snap = _resolve_snapshot(meta, snapshot_id)
+    specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+    _schema, mlist = av.read_ocf(snap["manifest-list"])
+    files: list[dict] = []
+    for m in mlist:
+        spec_id = int(m.get("partition_spec_id", 0))
+        _s, entries = av.read_ocf(m["manifest_path"])
+        for e in entries:
+            if int(e.get("status", 0)) == 2:  # deleted
+                continue
+            dfile = e["data_file"]
+            files.append(
+                {
+                    "path": dfile["file_path"],
+                    "partition": dict(dfile.get("partition") or {}),
+                    "spec_id": spec_id,
+                    "record_count": dfile.get("record_count"),
+                }
+            )
+    schemas = {s["schema-id"]: s for s in meta.get("schemas", [])}
+    return {
+        "snapshot_id": snap["snapshot-id"],
+        "files": files,
+        "schema": schemas.get(meta.get("current-schema-id")),
+        "specs": specs,
+        "metadata": meta,
+    }
+
+
+def _file_may_match(f: dict, specs: dict, col: str, op: str, val) -> bool:
+    """One filter probe against one file's recorded partition values,
+    under the spec the file was written with (B173's decision logic,
+    murmur3 bucket).  Unknown/undecidable → True (scan; pruning is an
+    optimization, never a semantics change)."""
+    spec = specs.get(f["spec_id"])
+    if not spec:
+        return True
+    for fld in spec.get("fields", []):
+        if fld.get("source-name") != col:
+            continue
+        t = fld["transform"]
+        try:
+            kind, _arg = _parse_transform(t)
+        except ValueError:
+            return True  # unknown transform: scan
+        fval = f["partition"].get(fld["name"])
+        if fval is None:
+            continue
+        if op == "=":
+            pv = _ice_transform_value(val, t)
+            if pv is not None and fval != pv:
+                return False
+        elif kind in _MONOTONE and op in ("<", "<=", ">", ">=", "between"):
+            lo, hi = (val if op == "between" else (None, None))
+            if op in ("<", "<="):
+                hi = val
+            if op in (">", ">="):
+                lo = val
+            plo = _ice_transform_value(lo, t) if lo is not None else None
+            phi = _ice_transform_value(hi, t) if hi is not None else None
+
+            def norm(x):
+                try:
+                    return (0, int(x))
+                except (TypeError, ValueError):
+                    return (1, x)
+
+            if plo is not None and norm(fval) < norm(plo):
+                return False
+            if phi is not None and norm(fval) > norm(phi):
+                return False
+    return True
+
+
+def iceberg_prune(
+    table_dir: str,
+    filters: list[tuple],
+    snapshot_id: int | None = None,
+) -> tuple[list[str], int]:
+    snap = iceberg_snapshot(table_dir, snapshot_id)
+    kept = [
+        f["path"]
+        for f in snap["files"]
+        if all(
+            _file_may_match(f, snap["specs"], c, op, v) for (c, op, v) in filters
+        )
+    ]
+    return kept, len(snap["files"])
+
+
+def read_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    filters: list[tuple] | None = None,
+) -> DataFrame:
+    """Read a snapshot (manifest-pruned when ``filters`` given, with the
+    residual filter applied — exact either way).  Iceberg data files
+    carry every column, so this is one parquet scan over an explicit
+    file list; Catalyst pushdown applies on top."""
+    from ..operators.timetravel import _filters_to_column
+
+    snap = iceberg_snapshot(table_dir, snapshot_id)
+    if filters:
+        paths = [
+            f["path"]
+            for f in snap["files"]
+            if all(
+                _file_may_match(f, snap["specs"], c, op, v)
+                for (c, op, v) in filters
+            )
+        ]
+    else:
+        paths = [f["path"] for f in snap["files"]]
+    names = [f_["name"] for f_ in (snap["schema"] or {}).get("fields", [])]
+    if not paths:
+        all_paths = [f["path"] for f in snap["files"]]
+        if not all_paths:
+            raise ValueError(f"iceberg snapshot has no data files: {table_dir}")
+        df = spark.read.parquet(all_paths[0]).limit(0)
+    else:
+        df = spark.read.parquet(*paths)
+    if names:
+        df = df.select(*[c for c in names if c in df.columns])
+    if filters:
+        df = df.filter(_filters_to_column(filters))
+    return df
+
+
+# ------------------------------------------------------------- writing
+_MANIFEST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {
+                        "name": "partition",
+                        "type": {"type": "map", "values": ["null", "string"]},
+                    },
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+_ICE_TYPES = {
+    "bigint": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "boolean": "boolean",
+}
+
+
+def _schema_struct(df: DataFrame) -> dict:
+    fields = []
+    for i, (name, dtype) in enumerate(df.dtypes, start=1):
+        fields.append(
+            {
+                "id": i,
+                "name": name,
+                "required": False,
+                "type": _ICE_TYPES.get(dtype, dtype),
+            }
+        )
+    return {"schema-id": 0, "type": "struct", "fields": fields}
+
+
+def _spec_struct(spec: list[tuple[str, str]], spec_id: int, schema: dict) -> dict:
+    ids = {f_["name"]: f_["id"] for f_ in schema["fields"]}
+    return {
+        "spec-id": spec_id,
+        "fields": [
+            {
+                "source-id": ids.get(col, -1),
+                "source-name": col,  # convenience: spec uses ids; the
+                # name is recorded too so the pruner needn't re-derive
+                "field-id": 1000 + i,
+                "name": f"{col}_{_parse_transform(t)[0]}",
+                "transform": t,
+            }
+            for i, (col, t) in enumerate(spec)
+        ],
+    }
+
+
+def _bucket_udf(n: int):
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _b(s):
+        return s.map(
+            lambda v: None
+            if v is None
+            else str(iceberg_bucket(v if isinstance(v, str) else int(v), n))
+        )
+
+    _b.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_b, "string")
+
+
+def _ice_transform_col(df: DataFrame, col: str, t: str):
+    """Write-side partition value: murmur3 bucket via a vectorized
+    pandas UDF (fixture write path only — reads never execute this);
+    every other transform reuses B173's JVM-side expression."""
+    kind, arg = _parse_transform(t)
+    if kind == "bucket":
+        return _bucket_udf(arg)(F.col(col))
+    return _transform_col(df, col, t)
+
+
+def iceberg_append(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    spec: list[tuple[str, str]] | None = None,
+) -> int:
+    """Append ``df`` as a new snapshot.  ``spec`` (None = table's
+    default) may EVOLVE the partition spec: a new spec-id is registered
+    and this snapshot's manifest is written under it, while carried
+    manifests keep their own spec-id (the spec's per-manifest split
+    planning).  Data files keep ALL columns (the derived partition
+    columns exist only as directory names).  Returns the snapshot id."""
+    meta_dir = _meta_dir(table_dir)
+    os.makedirs(meta_dir, exist_ok=True)
+    versions = _metadata_versions(table_dir)
+    if versions:
+        meta = load_metadata(table_dir)
+        schema = {s["schema-id"]: s for s in meta["schemas"]}[
+            meta["current-schema-id"]
+        ]
+    else:
+        meta = None
+        schema = _schema_struct(df)
+    specs = list(meta["partition-specs"]) if meta else []
+    if spec is None:
+        spec_id = meta["default-spec-id"] if meta else 0
+        if not specs:
+            specs = [_spec_struct([], 0, schema)]
+    else:
+        want = _spec_struct(spec, 0, schema)
+        match = next(
+            (
+                s
+                for s in specs
+                if [(f["source-name"], f["transform"]) for f in s["fields"]]
+                == [(f["source-name"], f["transform"]) for f in want["fields"]]
+            ),
+            None,
+        )
+        if match:
+            spec_id = match["spec-id"]
+        else:
+            spec_id = max((s["spec-id"] for s in specs), default=-1) + 1
+            specs.append(_spec_struct(spec, spec_id, schema))
+    spec_fields = next(s for s in specs if s["spec-id"] == spec_id)["fields"]
+
+    seq = (meta.get("last-sequence-number", 0) + 1) if meta else 1
+    snap_id = seq  # deterministic, unique per table (single-writer fixture)
+    sub = os.path.join(table_dir, "data", f"s{seq:05d}")
+    out = df
+    derived = []
+    for i, fld in enumerate(spec_fields):
+        derived.append(
+            _ice_transform_col(df, fld["source-name"], fld["transform"]).alias(
+                f"{_PT}{i}"
+            )
+        )
+    if derived:
+        out = df.select("*", *derived).repartition(
+            *[F.col(f"{_PT}{i}") for i in range(len(derived))]
+        )
+        out.write.mode("overwrite").partitionBy(
+            *[f"{_PT}{i}" for i in range(len(derived))]
+        ).parquet(sub)
+    else:
+        out.write.mode("overwrite").parquet(sub)
+
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote
+
+    entries = []
+    for root, _d, fs in os.walk(sub):
+        for fname in sorted(fs):
+            if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, fname)
+            part = {}
+            rel = os.path.relpath(p, sub)
+            for i, fld in enumerate(spec_fields):
+                m = re.search(rf"(?:^|/){_PT}{i}=([^/]+)/", rel)
+                if not m:
+                    raise ValueError(f"partition dir missing in {rel}")
+                raw = unquote(m.group(1))
+                part[fld["name"]] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                )
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": part,
+                        "record_count": pq.read_metadata(p).num_rows,
+                        "file_size_in_bytes": os.path.getsize(p),
+                    },
+                }
+            )
+    manifest_path = os.path.join(meta_dir, f"manifest-{seq:05d}.avro")
+    av.write_ocf(manifest_path, _MANIFEST_SCHEMA, entries)
+    mlist_rows = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.path.getsize(manifest_path),
+            "partition_spec_id": spec_id,
+            "content": 0,
+            "sequence_number": seq,
+            "added_snapshot_id": snap_id,
+        }
+    ]
+    if meta and meta.get("current-snapshot-id") is not None:
+        prev = _resolve_snapshot(meta, None)
+        _s, carried = av.read_ocf(prev["manifest-list"])
+        mlist_rows = carried + mlist_rows
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    av.write_ocf(mlist_path, _MANIFEST_LIST_SCHEMA, mlist_rows)
+    new_snap = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": meta.get("current-snapshot-id") if meta else None,
+        "sequence-number": seq,
+        "timestamp-ms": 0,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+    }
+    new_meta = {
+        "format-version": 2,
+        "table-uuid": meta["table-uuid"] if meta else str(uuid.uuid4()),
+        "location": table_dir,
+        "last-sequence-number": seq,
+        "last-updated-ms": 0,
+        "last-column-id": len(schema["fields"]),
+        "schemas": [schema],
+        "current-schema-id": 0,
+        "partition-specs": specs,
+        "default-spec-id": spec_id,
+        "properties": {},
+        "current-snapshot-id": snap_id,
+        "snapshots": (meta.get("snapshots", []) if meta else []) + [new_snap],
+        "snapshot-log": (meta.get("snapshot-log", []) if meta else [])
+        + [{"timestamp-ms": 0, "snapshot-id": snap_id}],
+    }
+    _publish_metadata(table_dir, new_meta)
+    return snap_id
+
+
+def iceberg_delete_files(table_dir: str, pred) -> int:
+    """New snapshot dropping every live file whose manifest entry
+    satisfies ``pred({"path", "partition", "spec_id"})`` — file-level
+    delete via a REWRITE manifest per surviving spec (carried entries
+    re-emitted with status=0 existing), the base-format granularity
+    (row-level needs v2 delete files, out of interop scope)."""
+    snap = iceberg_snapshot(table_dir)
+    meta = snap["metadata"]
+    seq = meta["last-sequence-number"] + 1
+    snap_id = seq
+    meta_dir = _meta_dir(table_dir)
+    by_spec: dict[int, list[dict]] = {}
+    n_dropped = 0
+    for f in snap["files"]:
+        if pred(f):
+            n_dropped += 1
+            continue
+        by_spec.setdefault(f["spec_id"], []).append(f)
+    if n_dropped == 0:
+        raise ValueError("delete predicate matched no live files")
+    mlist_rows = []
+    for i, (spec_id, files) in enumerate(sorted(by_spec.items())):
+        entries = [
+            {
+                "status": 0,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f["path"],
+                    "file_format": "PARQUET",
+                    "partition": f["partition"],
+                    "record_count": f.get("record_count") or 0,
+                    "file_size_in_bytes": os.path.getsize(f["path"]),
+                },
+            }
+            for f in files
+        ]
+        mpath = os.path.join(meta_dir, f"manifest-{seq:05d}-{i}.avro")
+        av.write_ocf(mpath, _MANIFEST_SCHEMA, entries)
+        mlist_rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "added_snapshot_id": snap_id,
+            }
+        )
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    av.write_ocf(mlist_path, _MANIFEST_LIST_SCHEMA, mlist_rows)
+    new_snap = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": meta["current-snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": 0,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "delete"},
+        "schema-id": 0,
+    }
+    new_meta = dict(
+        meta,
+        **{
+            "last-sequence-number": seq,
+            "current-snapshot-id": snap_id,
+            "snapshots": meta["snapshots"] + [new_snap],
+            "snapshot-log": meta["snapshot-log"]
+            + [{"timestamp-ms": 0, "snapshot-id": snap_id}],
+        },
+    )
+    _publish_metadata(table_dir, new_meta)
+    return snap_id
+
+
+def _publish_metadata(table_dir: str, meta: dict) -> None:
+    meta_dir = _meta_dir(table_dir)
+    v = max(_metadata_versions(table_dir), default=0) + 1
+    final = os.path.join(meta_dir, f"v{v}.metadata.json")
+    tmp = final + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, final)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp = hint + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, hint)
