@@ -1853,6 +1853,120 @@ def collocations_detail(
     )
 
 
+LANGID_TOPK = 64  # Cavnar-Trenkle profile depth
+
+
+def _char_trigrams(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra, tri) — one row per char trigram of lower(text),
+    the charlm explode shape (q_charlm_score) widened to 3-grams."""
+    return d.filter(F.length("text") >= 3).select(
+        "doc_id",
+        *extra_cols,
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("i"),
+        F.lower(F.col("text")).alias("lt"),
+    ).select(
+        "doc_id", *extra_cols, F.expr("substring(lt, i, 3)").alias("tri")
+    )
+
+
+def langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language rank profile (lang, tri, lrank): the top-LANGID_TOPK
+    char trigrams of each language's training text ranked by frequency
+    (ties by trigram string) — Cavnar & Trenkle 1994, the public
+    n-gram-based text categorization method, FIXTURE-TRAINED on the
+    corpus's own labeled documents (production would load offline
+    profiles).  Integer ranks only — no probability, no transcendental
+    — so the classifier is hash-exact cross-engine.
+
+    Scale shape: the window ranks the per-(lang, tri) AGGREGATE (bounded
+    by languages x distinct trigrams — statistics-sized, never corpus
+    rows), the B157 histogram discipline."""
+    tri = _char_trigrams(load(spark, sf_dir, "documents"), "lang")
+    counts = tri.groupBy("lang", "tri").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri"))
+    return (
+        counts.withColumn("lrank", F.row_number().over(w).cast("long"))
+        .filter(F.col("lrank") <= LANGID_TOPK)
+        .select("lang", "tri", "lrank")
+    )
+
+
+def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, pred, dist): each document's own top-K trigram
+    rank profile is compared to every language profile by the
+    out-of-place measure — sum over the doc's trigrams of
+    |doc_rank - lang_rank|, penalty K when absent — and the argmin
+    (ties by language string) is the prediction.  All-integer.
+
+    Plan: doc profiles are a per-doc window over per-(doc, tri) counts;
+    the candidate cross is docs x 5 langs with the tiny profile table
+    BROADCAST; the argmin is a map-combinable min-struct winner (B142
+    rule — never a row_number over a potentially hot key)."""
+    d = load(spark, sf_dir, "documents")
+    tri = _char_trigrams(d)
+    dcounts = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("n"))
+    wd = W.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("tri"))
+    dp = (
+        dcounts.withColumn("drank", F.row_number().over(wd).cast("long"))
+        .filter(F.col("drank") <= LANGID_TOPK)
+        .select("doc_id", "tri", "drank")
+    )
+    lp = langid_profiles(spark, sf_dir)
+    langs = lp.select(F.col("lang").alias("cand")).distinct()
+    dist = (
+        dp.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(lp),
+            (F.col("cand") == F.col("lang")) & (lp.tri == dp.tri),
+            "left",
+        )
+        .groupBy("doc_id", "cand")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("drank") - F.col("lrank")),
+                    F.lit(LANGID_TOPK),
+                )
+            )
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    win = dist.groupBy("doc_id").agg(
+        F.min(F.struct("dist", "cand")).alias("w")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(
+            win.select(
+                "doc_id",
+                F.col("w.cand").alias("pred"),
+                F.col("w.dist").alias("dist"),
+            ),
+            "doc_id",
+        )
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B193 contract query: the language-ID confusion matrix — one row
+    per (given lang, predicted lang) with doc count and an exact
+    doc-id checksum, plus the per-row agreement flag.  Every number is
+    an integer derived from integer ranks, so DuckDB restates the WHOLE
+    classifier (training included) and the hash pins train + predict
+    end-to-end."""
+    pred = langid_predictions(spark, sf_dir)
+    return pred.groupBy(
+        F.col("lang").alias("given_lang"), F.col("pred").alias("pred_lang")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("docid_sum"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    ).withColumn(
+        "agree", F.col("given_lang") == F.col("pred_lang")
+    )
+
+
 QUERIES = {
     "q_importance_weights": q_importance_weights,
     "q_collocations": q_collocations,
@@ -1880,6 +1994,7 @@ QUERIES = {
     "q_tfidf": q_tfidf,
     "q_char_entropy": q_char_entropy,
     "q_charlm_score": q_charlm_score,
+    "q_langid": q_langid,
     "q_bloom_decontam": q_bloom_decontam,
     "q_vocab_oov": q_vocab_oov,
     "q_bm25": q_bm25,
@@ -2150,6 +2265,44 @@ ORACLE["q_char_entropy"] = """
                  * 1e4 + 0.5) / 1e4
              AS char_entropy
     FROM f GROUP BY doc_id
+"""
+
+ORACLE["q_langid"] = """
+    WITH tri AS (
+      SELECT doc_id, lang, substr(lower(text), CAST(i AS BIGINT), 3) AS tri
+      FROM (SELECT doc_id, lang, text,
+                   unnest(generate_series(1, length(text) - 2)) AS i
+            FROM documents WHERE length(text) >= 3)),
+    lp AS (
+      SELECT lang, tri,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri)
+               AS lrank
+      FROM tri GROUP BY lang, tri
+      QUALIFY lrank <= 64),
+    dp AS (
+      SELECT doc_id, tri,
+             row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, tri)
+               AS drank
+      FROM tri GROUP BY doc_id, tri
+      QUALIFY drank <= 64),
+    langs AS (SELECT DISTINCT lang AS cand FROM documents),
+    dist AS (
+      SELECT dp.doc_id, l.cand,
+             SUM(COALESCE(ABS(dp.drank - lp.lrank), 64)) AS dist
+      FROM dp CROSS JOIN langs l
+      LEFT JOIN lp ON lp.lang = l.cand AND lp.tri = dp.tri
+      GROUP BY dp.doc_id, l.cand),
+    pred AS (
+      SELECT doc_id, cand AS pred
+      FROM dist
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1)
+    SELECT d.lang AS given_lang, p.pred AS pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.doc_id) AS BIGINT) AS docid_sum,
+           CAST(MIN(d.doc_id) AS BIGINT) AS min_doc,
+           d.lang = p.pred AS agree
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
 """
 
 ORACLE["q_charlm_score"] = """

@@ -2923,15 +2923,32 @@ def q_ntile_saturated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B35: corpus statistics per (lang, source)."""
+    """B35: corpus statistics per (lang, source), r13 addition: the
+    inferred-vs-given language agreement count — each doc's lang is
+    re-INFERRED by the B193 rank-profile classifier (corpus.py) and
+    ``n_lang_agree`` counts docs whose inferred language matches the
+    given column, so a mislabeled slice surfaces in the per-source
+    stats instead of being trusted silently."""
+    from .corpus import langid_predictions
+
     d = load(spark, sf_dir, "documents")
     n_words = F.size(F.split("text", " ")).cast("long")
-    return d.groupBy("lang", "source").agg(
-        F.count("*").alias("n_docs"),
-        stable_round(F.avg("n_chars"), 4).alias("avg_chars"),
-        stable_round(F.avg(n_words), 4).alias("avg_words"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
+    agree = langid_predictions(spark, sf_dir).select(
+        "doc_id", (F.col("pred") == F.col("lang")).alias("_agree")
+    )
+    return (
+        d.join(agree, "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            stable_round(F.avg("n_chars"), 4).alias("avg_chars"),
+            stable_round(F.avg(n_words), 4).alias("avg_words"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(F.when(F.col("_agree"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lang_agree"),
+        )
     )
 
 
@@ -3575,12 +3592,43 @@ ORACLE = {
         FROM s
     """,
     "q_text_stats": """
-        SELECT lang, source, count(*) AS n_docs,
-               floor(avg(n_chars) * 1e4 + 0.5) / 1e4 AS avg_chars,
-               floor(avg(len(string_split(text, ' '))) * 1e4 + 0.5) / 1e4 AS avg_words,
-               min(n_chars) AS min_chars,
-               max(n_chars) AS max_chars
-        FROM documents GROUP BY lang, source
+        WITH tri AS (
+          SELECT doc_id, lang, substr(lower(text), CAST(i AS BIGINT), 3) AS tri
+          FROM (SELECT doc_id, lang, text,
+                       unnest(generate_series(1, length(text) - 2)) AS i
+                FROM documents WHERE length(text) >= 3)),
+        lp AS (
+          SELECT lang, tri,
+                 row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri)
+                   AS lrank
+          FROM tri GROUP BY lang, tri
+          QUALIFY lrank <= 64),
+        dp AS (
+          SELECT doc_id, tri,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, tri)
+                   AS drank
+          FROM tri GROUP BY doc_id, tri
+          QUALIFY drank <= 64),
+        langs AS (SELECT DISTINCT lang AS cand FROM documents),
+        dist AS (
+          SELECT dp.doc_id, l.cand,
+                 SUM(COALESCE(ABS(dp.drank - lp.lrank), 64)) AS dist
+          FROM dp CROSS JOIN langs l
+          LEFT JOIN lp ON lp.lang = l.cand AND lp.tri = dp.tri
+          GROUP BY dp.doc_id, l.cand),
+        pred AS (
+          SELECT doc_id, cand AS pred
+          FROM dist
+          QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cand) = 1)
+        SELECT d.lang, d.source, count(*) AS n_docs,
+               floor(avg(d.n_chars) * 1e4 + 0.5) / 1e4 AS avg_chars,
+               floor(avg(len(string_split(d.text, ' '))) * 1e4 + 0.5) / 1e4 AS avg_words,
+               min(d.n_chars) AS min_chars,
+               max(d.n_chars) AS max_chars,
+               CAST(SUM(CASE WHEN p.pred = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lang_agree
+        FROM documents d LEFT JOIN pred p USING (doc_id)
+        GROUP BY d.lang, d.source
     """,
     # Self-verifying contract reductions (est_ok pattern): the oracle
     # recomputes the exact parts (counts, original-space distances) and

@@ -676,3 +676,47 @@ def test_udtf_chunk_windows_exact(spark, tmp_path):
     assert got1[0].last_word == f"w{UDTF_CHUNK_WORDS - 1}"
     assert got1[2].first_word == f"w{2 * UDTF_CHUNK_STRIDE}"
     assert got1[2].last_word == f"w{n - 1}"
+
+
+def test_langid_planted_languages(spark, tmp_path):
+    """B193: on a corpus with genuinely distinct character statistics
+    the rank-profile classifier must be exact; training is supervised
+    by the given lang column; prediction is deterministic (integer
+    distances, lexicographic ties)."""
+    from kinesis2elastic_spark.operators.corpus import (
+        langid_predictions,
+        langid_profiles,
+    )
+
+    def mk(word_pool, n, lang, start):
+        return [
+            (start + i, " ".join(word_pool[(i + j) % len(word_pool)] for j in range(30)), lang, "s", 0)
+            for i in range(n)
+        ]
+
+    rows = (
+        mk(["alpha", "beta", "gamma", "delta"], 8, "aa", 0)
+        + mk(["zonk", "quux", "xyzzy", "wumpus"], 8, "bb", 100)
+        + mk(["neun", "zehn", "elf", "zwoelf"], 8, "cc", 200)
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    pred = langid_predictions(spark, str(tmp_path)).collect()
+    assert len(pred) == 24
+    assert all(r.pred == r.lang for r in pred)  # fully separable corpus
+    # profiles: exactly 3 langs, ranks contiguous from 1, bounded depth
+    prof = langid_profiles(spark, str(tmp_path)).collect()
+    by_lang = {}
+    for r in prof:
+        by_lang.setdefault(r.lang, []).append(r.lrank)
+    assert set(by_lang) == {"aa", "bb", "cc"}
+    for ranks in by_lang.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 64
+    # determinism: a second run predicts identically
+    pred2 = langid_predictions(spark, str(tmp_path)).collect()
+    assert {(r.doc_id, r.pred) for r in pred} == {
+        (r.doc_id, r.pred) for r in pred2
+    }
