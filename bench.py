@@ -134,6 +134,15 @@ HEADLINE = [
     # r12: the point-lookup half of file skipping (per-file bloom index
     # on a hash-scattered key; commit builds the index, read probes it)
     "q_bloom_prune",
+    # r13: the external-format interop reads (each builds a REAL
+    # Delta/Iceberg fixture table per run — commits, checkpoint/manifests,
+    # log cleanup — so the number is write+replay+read end-to-end at this
+    # SF, the q_positional_delete convention), the IVFADC ANN leg, and
+    # the all-integer language-ID classifier (train + predict)
+    "q_delta_read",
+    "q_iceberg_read",
+    "q_ann_ivfpq",
+    "q_langid",
 ]
 
 
@@ -236,16 +245,17 @@ def main() -> None:
         "q_bloom_decontam": _corpus.bloom_decontam_probe_detail,
     }
 
+    # ONE rep per pass (r13): the old 2-reps-inside-each-pass doubled the
+    # pass wall, so the 3-pass protocol floor never fit any sane budget —
+    # the merged MIN over >=3 single-rep passes is the same steady-state
+    # statistic with better pass isolation.
     def _time_headliners() -> dict[str, float]:
         t: dict[str, float] = {}
         for name in HEADLINE:
             fn = production_override.get(name) or queries[name]
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                best = min(best, time.time() - t0)
-            t[name] = round(best, 3)
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t[name] = round(time.time() - t0, 3)
         return t
 
     # Auto-repeat + agreement band (r7 VERDICT #5, r8 redesign): single
@@ -258,12 +268,19 @@ def main() -> None:
     # budget so the driver's bench window is never blown) until two
     # passes AGREE within 2%, report that closest-pair spread as the
     # drift band, and merge per-query minima (the steady-state cost).
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
-    # 240 s keeps the sf0.1 run at <=2 timing passes (~7.5 min total, near
-    # the r7 single-pass runtime) while sf0.01 (~30 s/pass) still gets 3
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "4"))
+    # r13 (r12 VERDICT #1): the 240 s budget cut the r12 run at TWO passes
+    # — below the protocol's own >=3-attempt floor — and published a
+    # noisy=true headline.  600 s fits three sf0.1 passes even on a
+    # 2x-degraded host (the r11/r12 ambient-drift mode); the protocol now
+    # also refuses to settle before three passes unless the budget is
+    # genuinely blown.  Three passes protect BOTH statistics: the merged
+    # per-query minima (steady-state wall) and the in-run spark/duckdb
+    # ratio (a single slow pass inflates the numerator unopposed).
     retry_budget_s = float(
-        os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "240")
+        os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET", "600")
     )
+    min_attempts = 3
     bench_t0 = time.time()
     attempt_log: list[dict] = []
     timings: dict[str, float] = {}
@@ -278,6 +295,19 @@ def main() -> None:
         )
 
     for attempt in range(max_attempts):
+        # release cross-pass state before measuring: drop Python refs so
+        # the ContextCleaner can free checkpointed/cached blocks the
+        # previous pass pinned (graph pin() + fixture localCheckpoints) —
+        # a long-lived cluster's steady state, not any query's cost.
+        # Without this, pass walls GREW monotonically at sf0.1 (134 ->
+        # 162 -> 244 s in the r13 rehearsal) from GC pressure.
+        import gc
+
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         floors.append(_control_floor())
         t_pass = _time_headliners()
         attempt_log.append(
@@ -288,9 +318,9 @@ def main() -> None:
             if not timings
             else {n: min(timings[n], t_pass[n]) for n in t_pass}
         )
-        if len(attempt_log) >= 2 and (
-            _pair_drift() <= 0.02 or time.time() - bench_t0 > retry_budget_s
-        ):
+        if time.time() - bench_t0 > retry_budget_s:
+            break  # budget blown: stop regardless (noisy if <3 passes)
+        if len(attempt_log) >= min_attempts and _pair_drift() <= 0.02:
             break
 
     # q_hll_merge decomposition: the headline form carries an exact-distinct
@@ -370,7 +400,9 @@ def main() -> None:
     # is noisy by definition (no band).  A noisy total must NOT be read as
     # a round-over-round regression signal — BENCH_DETAIL carries the
     # per-attempt totals so the drift is auditable.
-    noisy = unvalidated or floor_drift > 0.05
+    # r13: the protocol's own floor — fewer than three full passes is a
+    # sub-protocol run and must self-flag even if the 2-pass pair agrees
+    noisy = unvalidated or floor_drift > 0.05 or len(attempt_log) < 3
 
     ratios = sorted(ratio.values())
     median = ratios[len(ratios) // 2] if ratios else None
@@ -429,6 +461,18 @@ def main() -> None:
         # scale while DuckDB's per-row cost does not
         "duckdb_total_sec": round(sum(duck.values()), 3),
         "duckdb_n_queries": len(duck),
+        # THE drift-immune headline statistic (r12 VERDICT #1, SCALING
+        # addendum 18): both engines ran in the same process window on the
+        # same box, so host-speed drift cancels in the quotient — compare
+        # THIS round over round, not the raw wall (the spark total over
+        # the subset of headline queries DuckDB also timed)
+        "spark_over_duckdb_total": (
+            round(
+                sum(timings[n] for n in duck) / sum(duck.values()), 3
+            )
+            if duck and sum(duck.values()) > 0
+            else None
+        ),
         "ratio_median": median,
         "control_floor_sec": round(floor, 3),
         "control_floor_shuffle_sec": round(floor_shuffle, 3),

@@ -110,17 +110,23 @@ def q_delta_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B191 contract query: build a real Iceberg table from orders —
-    snapshot s1 appends o_orderkey%2==0 under spec [month(o_orderdate)],
-    s2 appends %2==1 under the EVOLVED spec [month, murmur3-bucket[8]
-    (o_custkey)], s3 file-deletes every year-2000 month partition (both spec
+    snapshot s1 appends o_orderkey%2==0 under spec [year(o_orderdate)],
+    s2 appends %2==1 under the EVOLVED spec [year, murmur3-bucket[8]
+    (o_custkey)], s3 file-deletes the year-2000 partition (both spec
     generations) — then reads three legs through the interop path:
 
     - ``latest``: all orders except year 2000 (the delete hit files of
       BOTH specs — month partitions are exact row boundaries);
     - ``s1``: snapshot time travel to the first append (%2==0, year 2000
       included — pre-delete state);
-    - ``pruned``: a Feb-2001 month filter through manifest pruning, the
-      residual filter keeping the read exact.
+    - ``pruned``: a within-1998 date filter through manifest pruning
+      (the year transform decides the range), the residual filter
+      keeping the read exact.
+
+    Year grain (not month) keeps the fixture at ~7 partitions x 8
+    buckets instead of ~80 x 8 — the bench times this query per round,
+    and the month layout made the partitionBy write + per-file manifest
+    build dominate the measurement.
 
     ``interop_ok`` pins that pruning actually skipped files, that two
     partition-spec generations coexist, and that the snapshot lineage
@@ -138,19 +144,17 @@ def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = os.path.join(work, "t")
     try:
         s1 = im.iceberg_append(
-            spark, table, o.filter(k2 == 0), spec=[("o_orderdate", "month")]
+            spark, table, o.filter(k2 == 0), spec=[("o_orderdate", "year")]
         )
         im.iceberg_append(
             spark,
             table,
             o.filter(k2 == 1),
-            spec=[("o_orderdate", "month"), ("o_custkey", "bucket[8]")],
+            spec=[("o_orderdate", "year"), ("o_custkey", "bucket[8]")],
         )
         im.iceberg_delete_files(
             table,
-            lambda fd: str(fd["partition"].get("o_orderdate_month", "")).startswith(
-                "2000-"
-            ),
+            lambda fd: fd["partition"].get("o_orderdate_year") == "2000",
         )
         snap = im.iceberg_snapshot(table)
         latest = im.read_iceberg(spark, table)
@@ -159,7 +163,7 @@ def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "o_orderdate",
                 "between",
-                (_dt.datetime(2001, 2, 1), _dt.datetime(2001, 2, 28, 23, 59, 59)),
+                (_dt.datetime(1998, 2, 1), _dt.datetime(1998, 11, 30, 23, 59, 59)),
             )
         ]
         kept, total = im.iceberg_prune(table, filt)
@@ -183,7 +187,58 @@ def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-QUERIES = {"q_delta_read": q_delta_read, "q_iceberg_read": q_iceberg_read}
+def q_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B195 contract query: Iceberg v2 merge-on-read — s1 appends all
+    orders, s2 POSITION-deletes rows with o_orderkey%97==0 (row-level,
+    scattered across files, no data rewritten), s3 EQUALITY-deletes the
+    status-'P' key, s4 re-appends the o_orderkey%500==3 slice (whose
+    'P' rows must SURVIVE the earlier equality delete — the spec's
+    strictly-lower-sequence scoping).  Live set = (not %97==0 and not
+    'P' from s1) UNION ALL (%500==3 re-appends); the oracle restates
+    exactly that, so a scoping bug (eq delete leaking onto later data,
+    pos delete missing a file) flips a hashed row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_icemor_")
+    table = os.path.join(work, "t")
+    from ..sources import iceberg_meta as im
+
+    try:
+        im.iceberg_append(spark, table, o)
+        im.iceberg_positional_delete(
+            spark, table, F.col("o_orderkey") % 97 == 0
+        )
+        im.iceberg_equality_delete(
+            spark,
+            table,
+            spark.createDataFrame([("P",)], "o_orderstatus string"),
+            ["o_orderstatus"],
+        )
+        im.iceberg_append(
+            spark, table, o.filter(F.col("o_orderkey") % 500 == 3)
+        )
+        snap = im.iceberg_snapshot(table)
+        mor_ok = bool(
+            len(snap["deletes"]) == 2
+            and {d["kind"] for d in snap["deletes"]} == {"pos", "eq"}
+            and len(snap["metadata"]["snapshots"]) == 4
+        )
+        out = (
+            _status_agg(im.read_iceberg(spark, table), "mor")
+            .withColumn("interop_ok", F.lit(mor_ok))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+QUERIES = {
+    "q_delta_read": q_delta_read,
+    "q_iceberg_read": q_iceberg_read,
+    "q_iceberg_mor": q_iceberg_mor,
+}
 
 ORACLE = {
     "q_delta_read": """
@@ -219,7 +274,7 @@ ORACLE = {
             SELECT * FROM orders WHERE o_orderkey % 2 = 0
         ), pruned AS (
             SELECT * FROM orders
-            WHERE o_orderdate BETWEEN TIMESTAMP '2001-02-01 00:00:00' AND TIMESTAMP '2001-02-28 23:59:59'
+            WHERE o_orderdate BETWEEN TIMESTAMP '1998-02-01 00:00:00' AND TIMESTAMP '1998-11-30 23:59:59'
         ), a1 AS (
             SELECT 'latest' AS leg, o_orderstatus AS status,
                    COUNT(*) AS n_orders,
@@ -247,5 +302,21 @@ ORACLE = {
         UNION ALL SELECT *, TRUE AS interop_ok FROM a3
     """,
 }
+
+ORACLE["q_iceberg_mor"] = """
+    WITH live AS (
+        SELECT * FROM orders
+        WHERE o_orderkey % 97 <> 0 AND o_orderstatus <> 'P'
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey % 500 = 3
+    )
+    SELECT 'mor' AS leg, o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           TRUE AS interop_ok
+    FROM live GROUP BY o_orderstatus
+"""
 
 ROWS_ONLY: set[str] = set()

@@ -184,32 +184,60 @@ def iceberg_snapshot(
 ) -> dict:
     """Reconstruct one snapshot's live file set — metadata-rate (JSON +
     Avro manifests, never a data file).  Returns {"snapshot_id",
-    "files": [{path, partition, spec_id}], "schema", "specs",
-    "metadata"}."""
+    "files": [{path, partition, spec_id, seq}], "deletes":
+    [{path, kind: "pos"|"eq", seq, equality_cols}], "schema", "specs",
+    "metadata"}.  ``seq`` is the v2 data sequence number (entry-level
+    when recorded, else the manifest's) that scopes merge-on-read:
+    a position delete applies to data files with seq <= the delete's,
+    an equality delete to files with seq STRICTLY BELOW its own (the
+    spec's rule — a row re-inserted after the delete must survive)."""
     meta = load_metadata(table_dir, metadata_version)
     snap = _resolve_snapshot(meta, snapshot_id)
     specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
     _schema, mlist = av.read_ocf(snap["manifest-list"])
     files: list[dict] = []
+    deletes: list[dict] = []
     for m in mlist:
         spec_id = int(m.get("partition_spec_id", 0))
+        m_seq = int(m.get("sequence_number", 0))
         _s, entries = av.read_ocf(m["manifest_path"])
         for e in entries:
             if int(e.get("status", 0)) == 2:  # deleted
                 continue
             dfile = e["data_file"]
-            files.append(
-                {
-                    "path": dfile["file_path"],
-                    "partition": dict(dfile.get("partition") or {}),
-                    "spec_id": spec_id,
-                    "record_count": dfile.get("record_count"),
-                }
-            )
+            seq = e.get("sequence_number")
+            seq = m_seq if seq is None else int(seq)
+            content = int(dfile.get("content", 0))
+            if content == 0:
+                files.append(
+                    {
+                        "path": dfile["file_path"],
+                        "partition": dict(dfile.get("partition") or {}),
+                        "spec_id": spec_id,
+                        "record_count": dfile.get("record_count"),
+                        "seq": seq,
+                    }
+                )
+            elif content == 1:
+                deletes.append(
+                    {"path": dfile["file_path"], "kind": "pos", "seq": seq}
+                )
+            elif content == 2:
+                deletes.append(
+                    {
+                        "path": dfile["file_path"],
+                        "kind": "eq",
+                        "seq": seq,
+                        "equality_cols": list(dfile.get("equality_cols") or []),
+                    }
+                )
+            else:
+                raise NotImplementedError(f"data_file content {content}")
     schemas = {s["schema-id"]: s for s in meta.get("schemas", [])}
     return {
         "snapshot_id": snap["snapshot-id"],
         "files": files,
+        "deletes": deletes,
         "schema": schemas.get(meta.get("current-schema-id")),
         "specs": specs,
         "metadata": meta,
@@ -285,30 +313,87 @@ def read_iceberg(
 ) -> DataFrame:
     """Read a snapshot (manifest-pruned when ``filters`` given, with the
     residual filter applied — exact either way).  Iceberg data files
-    carry every column, so this is one parquet scan over an explicit
-    file list; Catalyst pushdown applies on top."""
+    carry every column, so the base read is one parquet scan over an
+    explicit file list; Catalyst pushdown applies on top.
+
+    Merge-on-read (format v2): when the snapshot carries delete files,
+    data files are grouped by data sequence number and each group
+    anti-joins (a) the union of POSITION-delete (file_path, pos) pairs
+    from deletes with seq >= the group's — row identity comes from the
+    ``_metadata`` hidden columns, the same B169 machinery — and (b) the
+    union of EQUALITY-delete keys from deletes with seq STRICTLY above
+    the group's (the spec's scoping: a key re-inserted after the delete
+    survives).  Group count = commit count, so the plan stays a union
+    of a few scans + one anti-join per group over narrow key columns."""
     from ..operators.timetravel import _filters_to_column
 
     snap = iceberg_snapshot(table_dir, snapshot_id)
+    files = snap["files"]
     if filters:
-        paths = [
-            f["path"]
-            for f in snap["files"]
+        files = [
+            f
+            for f in files
             if all(
                 _file_may_match(f, snap["specs"], c, op, v)
                 for (c, op, v) in filters
             )
         ]
-    else:
-        paths = [f["path"] for f in snap["files"]]
     names = [f_["name"] for f_ in (snap["schema"] or {}).get("fields", [])]
-    if not paths:
+    if not files:
         all_paths = [f["path"] for f in snap["files"]]
         if not all_paths:
             raise ValueError(f"iceberg snapshot has no data files: {table_dir}")
         df = spark.read.parquet(all_paths[0]).limit(0)
+    elif not snap["deletes"]:
+        df = spark.read.parquet(*[f["path"] for f in files])
     else:
-        df = spark.read.parquet(*paths)
+        pos_dels = [d for d in snap["deletes"] if d["kind"] == "pos"]
+        eq_dels = [d for d in snap["deletes"] if d["kind"] == "eq"]
+        pos_pairs = None
+        for d in pos_dels:
+            p = spark.read.parquet(d["path"]).select(
+                "file_path", "pos", F.lit(d["seq"]).alias("__dseq")
+            )
+            pos_pairs = p if pos_pairs is None else pos_pairs.unionByName(p)
+        by_seq: dict[int, list[str]] = {}
+        for f in files:
+            by_seq.setdefault(int(f["seq"]), []).append(f["path"])
+        parts = []
+        for seq, paths in sorted(by_seq.items()):
+            part = spark.read.parquet(*paths)
+            if pos_pairs is not None:
+                part = (
+                    part.select(
+                        "*",
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:", ""
+                        ).alias("__fp"),
+                        F.col("_metadata.row_index").cast("long").alias("__ri"),
+                    )
+                    .join(
+                        pos_pairs.filter(F.col("__dseq") >= seq).select(
+                            F.col("file_path").alias("__fp"),
+                            F.col("pos").alias("__ri"),
+                        ),
+                        ["__fp", "__ri"],
+                        "left_anti",
+                    )
+                    .drop("__fp", "__ri")
+                )
+            for d in eq_dels:
+                if d["seq"] > seq:
+                    keys = spark.read.parquet(d["path"]).select(
+                        *d["equality_cols"]
+                    )
+                    part = part.join(
+                        F.broadcast(keys.dropDuplicates()),
+                        d["equality_cols"],
+                        "left_anti",
+                    )
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
     if names:
         df = df.select(*[c for c in names if c in df.columns])
     if filters:
@@ -323,6 +408,9 @@ _MANIFEST_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        # v2 data sequence number, entry-level (scopes merge-on-read;
+        # a rewrite manifest carries each file's ORIGINAL seq here)
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
         {
             "name": "data_file",
             "type": {
@@ -338,6 +426,14 @@ _MANIFEST_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    # equality-delete key columns by NAME (the spec uses
+                    # field ids — names here, documented simplification;
+                    # the scoping and join semantics are identical)
+                    {
+                        "name": "equality_cols",
+                        "type": ["null", {"type": "array", "items": "string"}],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -581,6 +677,11 @@ def iceberg_delete_files(table_dir: str, pred) -> int:
     re-emitted with status=0 existing), the base-format granularity
     (row-level needs v2 delete files, out of interop scope)."""
     snap = iceberg_snapshot(table_dir)
+    if snap["deletes"]:
+        raise NotImplementedError(
+            "file-level rewrite over a table with live delete files would "
+            "drop them and resurrect rows — compact the deletes first"
+        )
     meta = snap["metadata"]
     seq = meta["last-sequence-number"] + 1
     snap_id = seq
@@ -600,6 +701,9 @@ def iceberg_delete_files(table_dir: str, pred) -> int:
             {
                 "status": 0,
                 "snapshot_id": snap_id,
+                # rewrite manifests carry each file's ORIGINAL data
+                # sequence number so delete-file scoping survives
+                "sequence_number": int(f.get("seq", 0)),
                 "data_file": {
                     "content": 0,
                     "file_path": f["path"],
@@ -646,6 +750,138 @@ def iceberg_delete_files(table_dir: str, pred) -> int:
     )
     _publish_metadata(table_dir, new_meta)
     return snap_id
+
+
+def _publish_delete_snapshot(
+    table_dir: str, delete_file: str, content: int, equality_cols=None
+) -> int:
+    """Shared v2 merge-on-read commit: a new snapshot whose manifest
+    list = the parent's manifests (carried verbatim, original seqs) +
+    one delete manifest holding ``delete_file`` at the NEW sequence
+    number."""
+    snap = iceberg_snapshot(table_dir)
+    meta = snap["metadata"]
+    seq = meta["last-sequence-number"] + 1
+    snap_id = seq
+    meta_dir = _meta_dir(table_dir)
+    entry = {
+        "status": 1,
+        "snapshot_id": snap_id,
+        "sequence_number": seq,
+        "data_file": {
+            "content": content,
+            "file_path": delete_file,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": 0,
+            "file_size_in_bytes": os.path.getsize(delete_file),
+            "equality_cols": list(equality_cols) if equality_cols else None,
+        },
+    }
+    mpath = os.path.join(meta_dir, f"manifest-{seq:05d}-del.avro")
+    av.write_ocf(mpath, _MANIFEST_SCHEMA, [entry])
+    prev = _resolve_snapshot(meta, None)
+    _s, carried = av.read_ocf(prev["manifest-list"])
+    mlist_rows = carried + [
+        {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": meta["default-spec-id"],
+            "content": 1,
+            "sequence_number": seq,
+            "added_snapshot_id": snap_id,
+        }
+    ]
+    mlist_path = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    av.write_ocf(mlist_path, _MANIFEST_LIST_SCHEMA, mlist_rows)
+    new_snap = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": meta["current-snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": 0,
+        "manifest-list": mlist_path,
+        "summary": {"operation": "delete"},
+        "schema-id": 0,
+    }
+    new_meta = dict(
+        meta,
+        **{
+            "last-sequence-number": seq,
+            "current-snapshot-id": snap_id,
+            "snapshots": meta["snapshots"] + [new_snap],
+            "snapshot-log": meta["snapshot-log"]
+            + [{"timestamp-ms": 0, "snapshot-id": snap_id}],
+        },
+    )
+    _publish_metadata(table_dir, new_meta)
+    return snap_id
+
+
+def iceberg_positional_delete(
+    spark: SparkSession, table_dir: str, predicate
+) -> int:
+    """ROW-level delete via a v2 POSITION-delete file: scan the live
+    snapshot with the ``_metadata`` row identity, keep (file_path, pos)
+    of rows matching ``predicate`` (a Column), write them as a delete
+    parquet, and commit it at the next sequence number — the read side
+    anti-joins pairs at merge time (no data rewritten; pairs-rate
+    bytes, the Iceberg v2 MOR shape; same discipline as the repo's own
+    B169)."""
+    snap = iceberg_snapshot(table_dir)
+    if not snap["files"]:
+        raise ValueError("no data files to delete from")
+    victims = None
+    for f in snap["files"]:
+        part = (
+            spark.read.parquet(f["path"])
+            .select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:", ""
+                ).alias("file_path"),
+                F.col("_metadata.row_index").cast("long").alias("pos"),
+            )
+            .filter(predicate)
+            .select("file_path", "pos")
+        )
+        victims = part if victims is None else victims.unionByName(part)
+    seq = snap["metadata"]["last-sequence-number"] + 1
+    out_dir = os.path.join(table_dir, "data", f"del-{seq:05d}")
+    victims.coalesce(1).write.mode("overwrite").parquet(out_dir)
+    dfiles = [
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    if len(dfiles) != 1:
+        raise ValueError(f"expected one delete file, got {dfiles}")
+    return _publish_delete_snapshot(table_dir, dfiles[0], content=1)
+
+
+def iceberg_equality_delete(
+    spark: SparkSession, table_dir: str, keys, equality_cols: list[str]
+) -> int:
+    """ROW-level delete via a v2 EQUALITY-delete file: ``keys`` (a
+    DataFrame of the key columns) lands as a delete parquet scoped to
+    apply to data files with a STRICTLY lower sequence number — rows
+    with those keys appended AFTER this delete survive (the spec's
+    re-insert semantics, pytest-pinned)."""
+    snap = iceberg_snapshot(table_dir)
+    seq = snap["metadata"]["last-sequence-number"] + 1
+    out_dir = os.path.join(table_dir, "data", f"eqdel-{seq:05d}")
+    keys.select(*equality_cols).dropDuplicates().coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    dfiles = [
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    if len(dfiles) != 1:
+        raise ValueError(f"expected one delete file, got {dfiles}")
+    return _publish_delete_snapshot(
+        table_dir, dfiles[0], content=2, equality_cols=equality_cols
+    )
 
 
 def _publish_metadata(table_dir: str, meta: dict) -> None:

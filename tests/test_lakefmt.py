@@ -305,3 +305,43 @@ def test_read_asof_dispatches_to_iceberg(spark, tmp_path):
     im.iceberg_append(spark, t, df2)
     assert sorted(r.k for r in tt.read_asof(spark, t).collect()) == [1, 2]
     assert sorted(r.k for r in tt.read_asof(spark, t, s1).collect()) == [1]
+
+
+def test_iceberg_v2_merge_on_read_deletes(spark, tmp_path):
+    """Iceberg v2 MOR: position deletes remove exact rows, equality
+    deletes remove keys but only from data with a STRICTLY lower
+    sequence number (re-inserted keys survive), both survive appends
+    and snapshot time travel; file-level rewrite over a MOR table
+    refuses instead of resurrecting rows."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.sources import iceberg_meta as im
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)], "k long, g long, v double"
+    )
+    s1 = im.iceberg_append(spark, t, df)
+    # position-delete rows k in {3, 17, 41}
+    s2 = im.iceberg_positional_delete(spark, t, F.col("k").isin(3, 17, 41))
+    got = {r.k for r in im.read_iceberg(spark, t).collect()}
+    assert got == set(range(50)) - {3, 17, 41}
+    # time travel to the pre-delete snapshot still sees everything
+    assert len(im.read_iceberg(spark, t, snapshot_id=s1).collect()) == 50
+    # equality-delete g = 2 (removes 10 rows minus the pos-deleted 17)
+    im.iceberg_equality_delete(
+        spark, t, spark.createDataFrame([(2,)], "g long"), ["g"]
+    )
+    got2 = {r.k for r in im.read_iceberg(spark, t).collect()}
+    assert got2 == {k for k in range(50) if k % 5 != 2} - {3, 41}
+    # re-insert two g=2 rows AFTER the delete: they must survive
+    im.iceberg_append(
+        spark, t, spark.createDataFrame([(100, 2, 1.0), (101, 2, 2.0)], "k long, g long, v double")
+    )
+    got3 = {r.k for r in im.read_iceberg(spark, t).collect()}
+    assert got3 == got2 | {100, 101}
+    # pos-deleted rows stay dead across the append too
+    assert 3 not in got3 and 17 not in got3
+    # file-level rewrite over live deletes: loud refusal
+    with pytest.raises(NotImplementedError, match="resurrect"):
+        im.iceberg_delete_files(t, lambda fd: True)
