@@ -234,10 +234,58 @@ def q_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B196 contract query: three snapshot-protocol commits (orders split
+    by o_orderkey%3, version = remainder) are EXPORTED as a Delta table
+    (metadata-only — the add actions reference the original parquet),
+    then read back through the Delta replay at latest AND as of delta
+    version 1.  Latest must equal ALL orders; v1 must equal the first
+    two commits (%3 <= 1) — any export defect (missed add, wrong remove
+    delta, broken version mapping) flips a hashed row.  ``export_ok``
+    pins metadata-rate: the export wrote zero data files."""
+    import glob as _glob
+
+    from ..operators.timetravel import commit_snapshot
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_dexport_")
+    src = os.path.join(work, "src")
+    dst = os.path.join(work, "dst")
+    try:
+        for v in range(3):
+            commit_snapshot(
+                spark, src, o.filter(F.col("o_orderkey") % 3 == v), v
+            )
+        n_before = len(_glob.glob(os.path.join(dst, "**", "*.parquet"), recursive=True))
+        n_commits = dl.export_delta_log(spark, src, dst)
+        data_written = [
+            f
+            for f in _glob.glob(os.path.join(dst, "**", "*"), recursive=True)
+            if f.endswith(".parquet") and "_delta_log" not in f
+        ]
+        export_ok = bool(
+            n_commits == 3 and n_before == 0 and not data_written
+        )
+        latest = dl.read_delta(spark, dst)
+        asof_v1 = dl.read_delta(spark, dst, version=1)
+        out = (
+            _status_agg(latest, "latest")
+            .unionByName(_status_agg(asof_v1, "v1"))
+            .withColumn("interop_ok", F.lit(export_ok))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "q_delta_read": q_delta_read,
     "q_iceberg_read": q_iceberg_read,
     "q_iceberg_mor": q_iceberg_mor,
+    "q_delta_export": q_delta_export,
 }
 
 ORACLE = {
@@ -302,6 +350,28 @@ ORACLE = {
         UNION ALL SELECT *, TRUE AS interop_ok FROM a3
     """,
 }
+
+ORACLE["q_delta_export"] = """
+    WITH latest AS (SELECT * FROM orders),
+    v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 <= 1),
+    a1 AS (
+        SELECT 'latest' AS leg, o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM latest GROUP BY o_orderstatus
+    ), a2 AS (
+        SELECT 'v1' AS leg, o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM v1 GROUP BY o_orderstatus
+    )
+    SELECT *, TRUE AS interop_ok FROM a1
+    UNION ALL SELECT *, TRUE AS interop_ok FROM a2
+"""
 
 ORACLE["q_iceberg_mor"] = """
     WITH live AS (

@@ -203,22 +203,106 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
     }
 
 
+def _norm_probe(x):
+    """Order-normalize a pruning probe: numeric strings compare as
+    numbers, everything else as text (the B173 norm rule)."""
+    try:
+        return (0, float(x))
+    except (TypeError, ValueError):
+        return (1, str(x))
+
+
+def _delta_file_may_match(
+    f: dict, pcols: list[str], col: str, op: str, val
+) -> bool:
+    """Can this add-entry's file contain a row with ``col <op> val``,
+    judged by its partitionValues (identity semantics) and its
+    ``stats`` minValues/maxValues when the writer recorded them?
+    Unknown/undecidable → True (scan; pruning is an optimization,
+    never a semantics change)."""
+    lo = hi = None
+    if op == "=":
+        lo = hi = val
+    elif op in ("<", "<="):
+        hi = val
+    elif op in (">", ">="):
+        lo = val
+    elif op == "between":
+        lo, hi = val
+    else:
+        return True
+    if col in pcols:
+        pv = (f.get("partitionValues") or {}).get(col)
+        if pv is not None and pv != _HIVE_NULL:
+            if lo is not None and _norm_probe(pv) < _norm_probe(lo):
+                return False
+            if hi is not None and _norm_probe(pv) > _norm_probe(hi):
+                return False
+    stats = f.get("stats")
+    if stats:
+        try:
+            st = json.loads(stats) if isinstance(stats, str) else stats
+        except ValueError:
+            return True
+        mn = (st.get("minValues") or {}).get(col)
+        mx = (st.get("maxValues") or {}).get(col)
+        if mn is not None and hi is not None and _norm_probe(mn) > _norm_probe(hi):
+            return False
+        if mx is not None and lo is not None and _norm_probe(mx) < _norm_probe(lo):
+            return False
+    return True
+
+
+def delta_prune(
+    table_dir: str, filters: list[tuple], version: int | None = None
+) -> tuple[list[str], int]:
+    """Manifest-rate file skipping for Delta tables (B197): keep files
+    whose partitionValues / recorded stats MAY satisfy every filter.
+    Returns (kept paths, total live files)."""
+    snap = delta_snapshot(table_dir, version)
+    pcols = snap["partition_columns"]
+    kept = [
+        f["path"]
+        for f in snap["files"]
+        if all(
+            _delta_file_may_match(f, pcols, c, op, v) for (c, op, v) in filters
+        )
+    ]
+    return kept, len(snap["files"])
+
+
 def read_delta(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Delta table as of ``version`` through the log replay:
     grouped-by-partition-tuple parquet scans with the partition columns
     injected as typed literals from ``partitionValues`` (the spec's
     source of truth — dir layout is only a convention), unioned and
-    projected to the declared schema's column order and types."""
+    projected to the declared schema's column order and types.
+    ``filters`` additionally SKIPS files at metadata rate (B197:
+    partitionValues + per-file stats) with the residual filter applied
+    — exact either way."""
     snap = delta_snapshot(table_dir, version)
     schema: StructType = snap["schema"]
     pcols: list[str] = snap["partition_columns"]
     dtypes = {f.name: f.dataType for f in schema.fields}
-    if not snap["files"]:
+    files = snap["files"]
+    if filters:
+        files = [
+            f_
+            for f_ in files
+            if all(
+                _delta_file_may_match(f_, pcols, c, op, v)
+                for (c, op, v) in filters
+            )
+        ]
+    if not files:
         return spark.createDataFrame([], schema)
     groups: dict[tuple, list[str]] = {}
-    for f_ in snap["files"]:
+    for f_ in files:
         key = tuple((f_["partitionValues"] or {}).get(c) for c in pcols)
         groups.setdefault(key, []).append(f_["path"])
     parts: list[DataFrame] = []
@@ -233,9 +317,14 @@ def read_delta(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.select(
+    out = out.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+    if filters:
+        from ..operators.timetravel import _filters_to_column
+
+        out = out.filter(_filters_to_column(filters))
+    return out
 
 
 # ----------------------------------------------------------------- writer
@@ -282,11 +371,16 @@ def delta_append(
     table_dir: str,
     df: DataFrame,
     partition_by: list[str] | None = None,
+    collect_stats: bool = False,
 ) -> int:
     """Append ``df`` as one delta commit; first commit also writes the
     protocol + metaData actions.  Data files land under a
     commit-unique subdir (path uniqueness — the spec requires add paths
-    never be reused), partition dirs inside it when partitioned."""
+    never be reused), partition dirs inside it when partitioned.
+    ``collect_stats`` records the spec's per-file ``stats`` JSON
+    (numRecords + minValues/maxValues from the parquet FOOTER — the
+    B150 statistic in Delta's encoding) so ``delta_prune``/B197 file
+    skipping works on the written table."""
     version = _next_version(table_dir)
     pcols = list(partition_by or [])
     sub = f"part-c{version:05d}"
@@ -320,17 +414,26 @@ def delta_append(
             raw = unquote(m.group(1))
             pv[c] = None if raw == _HIVE_NULL else raw
         abspath = os.path.join(table_dir, rel)
-        actions.append(
-            {
-                "add": {
-                    "path": quote(rel),
-                    "partitionValues": pv,
-                    "size": os.path.getsize(abspath),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                }
-            }
-        )
+        add = {
+            "path": quote(rel),
+            "partitionValues": pv,
+            "size": os.path.getsize(abspath),
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if collect_stats:
+            from ..operators.timetravel import _file_column_stats
+
+            col_stats = _file_column_stats(abspath)
+            add["stats"] = json.dumps(
+                {
+                    "numRecords": pq.read_metadata(abspath).num_rows,
+                    "minValues": {c: s["min"] for c, s in col_stats.items()},
+                    "maxValues": {c: s["max"] for c, s in col_stats.items()},
+                },
+                sort_keys=True,
+            )
+        actions.append({"add": add})
     _write_commit(table_dir, version, actions)
     return version
 
@@ -448,6 +551,96 @@ def delta_checkpoint(table_dir: str) -> int:
         json.dump({"version": v, "size": table.num_rows}, f)
     os.replace(tmp, lc)
     return v
+
+
+def export_delta_log(
+    spark,
+    table_dir: str,
+    dest_dir: str,
+) -> int:
+    """B196: publish a timetravel-protocol table (operators/timetravel)
+    AS a Delta table — the UniForm/XTable direction: METADATA-ONLY (no
+    data copied; add actions carry the existing parquet files' absolute
+    paths, which the Delta spec allows for converted tables), full
+    version history (each snapshot becomes one commit of remove+add
+    deltas vs its parent), per-file ``stats`` with numRecords from the
+    manifest so Delta readers get row counts for free.
+
+    Refusals (loud, not lossy): a snapshot carrying delete-kind files
+    (B152/B169 merge-on-read debt) cannot be expressed in base Delta —
+    OPTIMIZE first; hidden-partitioned layouts export as UNPARTITIONED
+    Delta (the files physically lack the derived dirs' columns only in
+    their paths — all source columns are present, so reads are exact;
+    Delta-side partition pruning is not carried over, documented).
+
+    Returns the number of Delta commits written."""
+    from ..operators.timetravel import manifest_entries, snapshot_versions
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed snapshot in {table_dir}")
+    os.makedirs(dest_dir, exist_ok=True)
+    if os.path.isdir(_log_dir(dest_dir)) and os.listdir(_log_dir(dest_dir)):
+        raise ValueError(f"destination already has a _delta_log: {dest_dir}")
+    prev: dict[str, dict] = {}
+    schema_json: str | None = None
+    n_commits = 0
+    for dv, v in enumerate(versions):
+        entries = manifest_entries(table_dir, v)
+        if any(e["kind"] != "data" for e in entries):
+            raise ValueError(
+                f"snapshot v{v} carries delete files (merge-on-read debt) "
+                "— base Delta cannot express them; OPTIMIZE first"
+            )
+        live = {e["path"]: e for e in entries}
+        actions: list[dict] = []
+        if dv == 0:
+            first = spark.read.parquet(next(iter(live)))
+            schema_json = first.schema.json()
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": [],
+                        "configuration": {},
+                    }
+                }
+            )
+        for p in prev:
+            if p not in live:
+                actions.append(
+                    {
+                        "remove": {
+                            "path": quote(p),
+                            "deletionTimestamp": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        for p, e in live.items():
+            if p not in prev:
+                stats = {"numRecords": int(e.get("n_rows") or 0)}
+                actions.append(
+                    {
+                        "add": {
+                            "path": quote(p),
+                            "partitionValues": {},
+                            "size": int(e.get("n_bytes") or 0),
+                            "modificationTime": 0,
+                            "dataChange": True,
+                            "stats": json.dumps(stats),
+                        }
+                    }
+                )
+        _write_commit(dest_dir, dv, actions)
+        prev = live
+        n_commits += 1
+    return n_commits
 
 
 def expire_delta_log(table_dir: str, before_version: int) -> int:

@@ -151,6 +151,9 @@ VETTED_DOUBLE_COLUMNS = {
     # B188 SQ8: the same shared ann_leg_check envelope (1e-4-snapped sims)
     ("q_ann_sq8", "exact_best_sim"),
     ("q_ann_sq8", "exact_kth_sim"),
+    # B192 IVFADC: same shared envelope
+    ("q_ann_ivfpq", "exact_best_sim"),
+    ("q_ann_ivfpq", "exact_kth_sim"),
     ("q_approx_quantile", "exact_med"),
     ("q_approx_quantile", "exact_p90"),
     ("q_asof_join", "day_total"),

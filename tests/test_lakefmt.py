@@ -345,3 +345,82 @@ def test_iceberg_v2_merge_on_read_deletes(spark, tmp_path):
     # file-level rewrite over live deletes: loud refusal
     with pytest.raises(NotImplementedError, match="resurrect"):
         im.iceberg_delete_files(t, lambda fd: True)
+
+
+def test_export_delta_log_metadata_only(spark, tmp_path):
+    """B196: snapshot-protocol history exports as a Delta log without
+    copying data; every original version maps to a Delta version with
+    identical content; MOR debt and double-export refuse loudly."""
+    import glob
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tt.commit_snapshot(spark, src, _mk(spark, [(1, "a", 1.0), (2, "a", 2.0)]), 0)
+    tt.commit_snapshot(spark, src, _mk(spark, [(3, "b", 3.0)]), 1)
+    tt.optimize_snapshot(spark, src, 2, target_bytes=1 << 14)  # rewrite
+    n = dl.export_delta_log(spark, src, dst)
+    assert n == 3
+    # no data parquet under dst (metadata-only)
+    assert not [
+        f
+        for f in glob.glob(dst + "/**/*.parquet", recursive=True)
+        if "_delta_log" not in f
+    ]
+    # per-version content equality incl. across the optimize rewrite
+    for dv, v in enumerate([0, 1, 2]):
+        want = sorted(r.k for r in tt.read_asof(spark, src, v).collect())
+        got = _keys(dl.read_delta(spark, dst, version=dv))
+        assert got == want
+    # numRecords stats survived into the add actions
+    snap = dl.delta_snapshot(dst)
+    assert all(
+        json.loads(f["stats"])["numRecords"] > 0 for f in snap["files"]
+    )
+    # refuse a second export into the same log
+    with pytest.raises(ValueError, match="already has a _delta_log"):
+        dl.export_delta_log(spark, src, dst)
+    # refuse merge-on-read debt
+    tt.commit_delete(spark, src, spark.createDataFrame([(3,)], "k long"), 3)
+    with pytest.raises(ValueError, match="OPTIMIZE first"):
+        dl.export_delta_log(spark, src, str(tmp_path / "dst2"))
+
+
+def test_delta_prune_partition_and_stats(spark, tmp_path):
+    """B197: delta reads skip files at metadata rate — by identity
+    partitionValues and by per-file stats minValues/maxValues — with
+    the residual filter keeping results exact; undecidable filters
+    scan (never a false negative)."""
+    t = str(tmp_path / "t")
+    rows = [(i, f"g{i % 4}", float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    # partitioned by g, stats on k: both pruning axes live
+    dl.delta_append(
+        spark, t, df.repartition(4, "k"), partition_by=["g"], collect_stats=True
+    )
+    dl.delta_append(
+        spark,
+        t,
+        spark.createDataFrame([(1000, "g9", 1.0)], "k long, g string, v double"),
+        partition_by=["g"],
+        collect_stats=True,
+    )
+    # partition pruning: one partition value
+    kept, total = dl.delta_prune(t, [("g", "=", "g2")])
+    assert 0 < len(kept) < total
+    got = _keys(dl.read_delta(spark, t, filters=[("g", "=", "g2")]))
+    assert got == [i for i in range(400) if i % 4 == 2]
+    # stats pruning on the non-partition column
+    kept2, total2 = dl.delta_prune(t, [("k", "=", 1000)])
+    assert 0 < len(kept2) < total2
+    assert _keys(dl.read_delta(spark, t, filters=[("k", "=", 1000)])) == [1000]
+    # range filter across both axes
+    f = [("k", "between", (100, 110)), ("g", "=", "g1")]
+    got3 = _keys(dl.read_delta(spark, t, filters=f))
+    assert got3 == [i for i in range(100, 111) if i % 4 == 1]
+    # no false negative over every row (spot sweep)
+    for probe in (0, 7, 399, 1000):
+        assert _keys(dl.read_delta(spark, t, filters=[("k", "=", probe)])) == (
+            [probe] if probe in {*range(400), 1000} else []
+        )
