@@ -104,21 +104,53 @@ def _read_checkpoint_actions(path: str) -> list[dict]:
     return out
 
 
-def _check_protocol(protocol: dict | None) -> None:
+def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
+    """Reader-version gate.  v1 always ok; v2 = column mapping, which
+    this reader SUPPORTS in ``name`` mode (physical->logical rename via
+    the schemaString field metadata) and rejects in ``id`` mode
+    (parquet-field-id resolution — a silent misread risk without it);
+    v3 features beyond columnMapping/timestampNtz reject loudly."""
     if not protocol:
         return
     v = int(protocol.get("minReaderVersion", 1))
     feats = protocol.get("readerFeatures") or []
-    if v > 1 and not feats:
+    mode = _mapping_mode(metadata)
+    if v == 2 and mode not in ("none", "name"):
         raise NotImplementedError(
-            f"delta reader protocol v{v} (column mapping / deletion "
-            "vectors) not supported by this interop reader"
+            f"delta columnMapping mode {mode!r} not supported (only 'name')"
         )
-    unsupported = [f_ for f_ in feats if f_ not in ("timestampNtz",)]
+    if v > 2 and not feats:
+        raise NotImplementedError(
+            f"delta reader protocol v{v} not supported by this interop reader"
+        )
+    unsupported = [
+        f_ for f_ in feats if f_ not in ("timestampNtz", "columnMapping")
+    ]
     if unsupported:
         raise NotImplementedError(
             f"unsupported delta readerFeatures: {unsupported}"
         )
+    if ("columnMapping" in feats or v == 2) and mode == "id":
+        raise NotImplementedError("delta columnMapping mode 'id' not supported")
+
+
+def _mapping_mode(metadata: dict | None) -> str:
+    return (
+        (metadata or {}).get("configuration", {}) or {}
+    ).get("delta.columnMapping.mode", "none")
+
+
+def _physical_map(metadata: dict) -> dict[str, str]:
+    """logical name -> physical name from the schemaString field
+    metadata (the spec's delta.columnMapping.physicalName key)."""
+    fields = json.loads(metadata["schemaString"]).get("fields", [])
+    out = {}
+    for f in fields:
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        )
+        out[f["name"]] = phys or f["name"]
+    return out
 
 
 def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
@@ -176,7 +208,7 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
             live[add["path"]] = add
         elif "remove" in a:
             live.pop(a["remove"]["path"], None)
-    _check_protocol(protocol)
+    _check_protocol(protocol, metadata)
     if metadata is None:
         raise ValueError(f"no metaData action found in {table_dir}")
     fmt = (metadata.get("format") or {}).get("provider", "parquet")
@@ -200,6 +232,8 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
         "metadata": metadata,
         "protocol": protocol,
         "checkpoint_used": checkpoint_used,
+        "column_mapping": _mapping_mode(metadata),
+        "physical_names": _physical_map(metadata),
     }
 
 
@@ -213,7 +247,7 @@ def _norm_probe(x):
 
 
 def _delta_file_may_match(
-    f: dict, pcols: list[str], col: str, op: str, val
+    f: dict, pcols: list[str], col: str, op: str, val, pmap: dict | None = None
 ) -> bool:
     """Can this add-entry's file contain a row with ``col <op> val``,
     judged by its partitionValues (identity semantics) and its
@@ -231,8 +265,9 @@ def _delta_file_may_match(
         lo, hi = val
     else:
         return True
+    phys = (pmap or {}).get(col, col)
     if col in pcols:
-        pv = (f.get("partitionValues") or {}).get(col)
+        pv = (f.get("partitionValues") or {}).get(phys)
         if pv is not None and pv != _HIVE_NULL:
             if lo is not None and _norm_probe(pv) < _norm_probe(lo):
                 return False
@@ -244,8 +279,8 @@ def _delta_file_may_match(
             st = json.loads(stats) if isinstance(stats, str) else stats
         except ValueError:
             return True
-        mn = (st.get("minValues") or {}).get(col)
-        mx = (st.get("maxValues") or {}).get(col)
+        mn = (st.get("minValues") or {}).get(phys)
+        mx = (st.get("maxValues") or {}).get(phys)
         if mn is not None and hi is not None and _norm_probe(mn) > _norm_probe(hi):
             return False
         if mx is not None and lo is not None and _norm_probe(mx) < _norm_probe(lo):
@@ -261,11 +296,13 @@ def delta_prune(
     Returns (kept paths, total live files)."""
     snap = delta_snapshot(table_dir, version)
     pcols = snap["partition_columns"]
+    pmap = snap.get("physical_names") or {}
     kept = [
         f["path"]
         for f in snap["files"]
         if all(
-            _delta_file_may_match(f, pcols, c, op, v) for (c, op, v) in filters
+            _delta_file_may_match(f, pcols, c, op, v, pmap)
+            for (c, op, v) in filters
         )
     ]
     return kept, len(snap["files"])
@@ -288,6 +325,7 @@ def read_delta(
     snap = delta_snapshot(table_dir, version)
     schema: StructType = snap["schema"]
     pcols: list[str] = snap["partition_columns"]
+    pmap: dict = snap.get("physical_names") or {}
     dtypes = {f.name: f.dataType for f in schema.fields}
     files = snap["files"]
     if filters:
@@ -295,7 +333,7 @@ def read_delta(
             f_
             for f_ in files
             if all(
-                _delta_file_may_match(f_, pcols, c, op, v)
+                _delta_file_may_match(f_, pcols, c, op, v, pmap)
                 for (c, op, v) in filters
             )
         ]
@@ -303,11 +341,20 @@ def read_delta(
         return spark.createDataFrame([], schema)
     groups: dict[tuple, list[str]] = {}
     for f_ in files:
-        key = tuple((f_["partitionValues"] or {}).get(c) for c in pcols)
+        # partitionValues are keyed by PHYSICAL name under column mapping
+        key = tuple(
+            (f_["partitionValues"] or {}).get(pmap.get(c, c)) for c in pcols
+        )
         groups.setdefault(key, []).append(f_["path"])
     parts: list[DataFrame] = []
     for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.parquet(*paths)
+        # column mapping (reader v2, 'name' mode): data files carry the
+        # PHYSICAL names; rename them back to the logical schema before
+        # projection, so renamed/dropped-column tables read correctly
+        for logical, phys in pmap.items():
+            if phys != logical and phys in df.columns:
+                df = df.withColumnRenamed(phys, logical)
         for c, raw in zip(pcols, key):
             if raw is None or raw == _HIVE_NULL:
                 df = df.withColumn(c, F.lit(None).cast(dtypes[c]))

@@ -98,10 +98,15 @@ def test_partition_values_injected_typed(spark, tmp_path):
 def test_protocol_gate_fails_loud(spark, tmp_path):
     t = str(tmp_path / "t")
     dl.delta_append(spark, t, _mk(spark, [(1, "a", 1.0)]))
-    # forge a protocol upgrade the reader does not support
+    # v2 with identity mapping (mode none) reads fine (r13: column
+    # mapping 'name' mode is supported; see the dedicated test)
     with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
         f.write(json.dumps({"protocol": {"minReaderVersion": 2}}) + "\n")
-    with pytest.raises(NotImplementedError, match="protocol v2"):
+    assert dl.delta_snapshot(t)["version"] == 1
+    # v4 without readerFeatures: unknown capability, loud
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 4}}) + "\n")
+    with pytest.raises(NotImplementedError, match="protocol v4"):
         dl.delta_snapshot(t)
     with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
         f.write(
@@ -424,3 +429,75 @@ def test_delta_prune_partition_and_stats(spark, tmp_path):
         assert _keys(dl.read_delta(spark, t, filters=[("k", "=", probe)])) == (
             [probe] if probe in {*range(400), 1000} else []
         )
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """Reader protocol v2 columnMapping 'name' mode: data files carry
+    PHYSICAL column names (col-uuid style); the reader renames them to
+    the logical schema, partitionValues stay keyed physically, and
+    pruning works on logical filters; 'id' mode still refuses."""
+    t = str(tmp_path / "t")
+    os.makedirs(t)
+    # physical files: columns phys_k, phys_v; partition dir phys_g
+    df = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "a")],
+        "phys_k long, phys_v double, phys_g string",
+    )
+    df.write.partitionBy("phys_g").parquet(t + "/files")
+    import glob
+
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "phys_k",
+                          "delta.columnMapping.id": 1}},
+            {"name": "v", "type": "double", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "phys_v",
+                          "delta.columnMapping.id": 2}},
+            {"name": "g", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "phys_g",
+                          "delta.columnMapping.id": 3}},
+        ],
+    }
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "m1",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["g"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }},
+    ]
+    for p in sorted(glob.glob(t + "/files/phys_g=*/*.parquet")):
+        rel = os.path.relpath(p, t)
+        gval = rel.split("phys_g=")[1].split("/")[0]
+        actions.append({"add": {
+            "path": rel, "partitionValues": {"phys_g": gval},
+            "size": os.path.getsize(p), "modificationTime": 0,
+            "dataChange": True,
+        }})
+    os.makedirs(t + "/_delta_log")
+    with open(t + f"/_delta_log/{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+    got = dl.read_delta(spark, t)
+    assert got.columns == ["k", "v", "g"]
+    assert {(r.k, r.g) for r in got.collect()} == {(1, "a"), (2, "b"), (3, "a")}
+    # logical-name pruning reaches the physical partitionValues
+    kept, total = dl.delta_prune(t, [("g", "=", "a")])
+    assert 0 < len(kept) < total
+    assert _keys(
+        dl.read_delta(spark, t, filters=[("g", "=", "a")]).selectExpr("k as k")
+    ) == [1, 3]
+    # id mode refuses
+    with open(t + f"/_delta_log/{1:020d}.json", "w") as f:
+        f.write(json.dumps({"metaData": {
+            "id": "m1", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema), "partitionColumns": ["g"],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }}) + "\n")
+    with pytest.raises(NotImplementedError, match="'id' not supported"):
+        dl.delta_snapshot(t)
