@@ -39,6 +39,7 @@ reader hands Spark explicit file lists per partition group.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import re
@@ -100,6 +101,10 @@ def _read_checkpoint_actions(path: str) -> list[dict]:
                 ):
                     # pyarrow renders map<string,string> as (k, v) pairs
                     v = dict(v, partitionValues=dict(v["partitionValues"]))
+                if key == "metaData" and isinstance(
+                    v.get("configuration"), list
+                ):
+                    v = dict(v, configuration=dict(v["configuration"]))
                 out.append({key: v})
     return out
 
@@ -168,7 +173,12 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
     latest = max(list(commits) + list(ckpts))
     target = latest if version is None else int(version)
     if target > latest:
-        target = latest
+        # delta-spark raises here too: a version above the log is a
+        # mistyped or not-yet-replicated request, not "latest, please"
+        raise ValueError(
+            f"version {target} is beyond the latest committed version "
+            f"{latest} in {table_dir}"
+        )
     known = sorted(set(commits) | set(ckpts))
     if target not in set(known) and target < known[0]:
         raise ValueError(
@@ -237,13 +247,62 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
     }
 
 
-def _norm_probe(x):
-    """Order-normalize a pruning probe: numeric strings compare as
-    numbers, everything else as text (the B173 norm rule)."""
+_DT_FORMATS = (
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d",
+)
+
+
+def _parse_dt(s: str):
+    """Parse a Delta partition-value / stats string into a datetime
+    (the spec serializes date as ``yyyy-MM-dd`` and timestamp as
+    ``yyyy-MM-dd HH:mm:ss[.S]``), or None if it is not one."""
+    for fmt in _DT_FORMATS:
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except (TypeError, ValueError):
+            pass
+    return None
+
+
+def _cmp_probe(file_val, probe):
+    """Three-way compare a file's recorded partition value / stat
+    (a string, per the Delta serialization) against a pruning probe of
+    whatever Python type the caller used.  Returns -1/0/+1, or None
+    when the pair is not comparable at the same grain — None means
+    UNDECIDABLE and the caller must scan, never prune.
+
+    Date/datetime probes are compared at datetime grain by parsing the
+    file-side string (a raw ``str()`` comparison would rank
+    ``'1998-01-01 00:00:00'`` above ``'1998-01-01'`` and mis-prune the
+    exactly-matching file)."""
+    if isinstance(probe, (_dt.date, _dt.datetime)):
+        p = (
+            probe
+            if isinstance(probe, _dt.datetime)
+            else _dt.datetime(probe.year, probe.month, probe.day)
+        )
+        if isinstance(probe, _dt.datetime) and probe.tzinfo is not None:
+            return None  # tz-aware vs naive file strings: undecidable
+        f = _parse_dt(str(file_val))
+        if f is None:
+            return None
+        return (f > p) - (f < p)
+    if isinstance(probe, bool) or isinstance(file_val, bool):
+        f, p = str(file_val).lower(), str(probe).lower()
+        return (f > p) - (f < p)
     try:
-        return (0, float(x))
+        f, p = float(file_val), float(probe)
+        return (f > p) - (f < p)
     except (TypeError, ValueError):
-        return (1, str(x))
+        pass
+    if isinstance(probe, str):
+        f = str(file_val)
+        return (f > probe) - (f < probe)
+    return None  # probe of a type this grain table doesn't know: scan
 
 
 def _delta_file_may_match(
@@ -269,9 +328,11 @@ def _delta_file_may_match(
     if col in pcols:
         pv = (f.get("partitionValues") or {}).get(phys)
         if pv is not None and pv != _HIVE_NULL:
-            if lo is not None and _norm_probe(pv) < _norm_probe(lo):
+            c = _cmp_probe(pv, lo) if lo is not None else None
+            if c is not None and c < 0:
                 return False
-            if hi is not None and _norm_probe(pv) > _norm_probe(hi):
+            c = _cmp_probe(pv, hi) if hi is not None else None
+            if c is not None and c > 0:
                 return False
     stats = f.get("stats")
     if stats:
@@ -281,10 +342,14 @@ def _delta_file_may_match(
             return True
         mn = (st.get("minValues") or {}).get(phys)
         mx = (st.get("maxValues") or {}).get(phys)
-        if mn is not None and hi is not None and _norm_probe(mn) > _norm_probe(hi):
-            return False
-        if mx is not None and lo is not None and _norm_probe(mx) < _norm_probe(lo):
-            return False
+        if mn is not None and hi is not None:
+            c = _cmp_probe(mn, hi)
+            if c is not None and c > 0:
+                return False
+        if mx is not None and lo is not None:
+            c = _cmp_probe(mx, lo)
+            if c is not None and c < 0:
+                return False
     return True
 
 
@@ -528,6 +593,9 @@ def delta_checkpoint(table_dir: str) -> int:
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            # per-file stats JSON must survive compaction or every
+            # pre-checkpoint file permanently loses B197 file skipping
+            ("stats", pa.string()),
         ]
     )
     meta_t = pa.struct(
@@ -536,6 +604,10 @@ def delta_checkpoint(table_dir: str) -> int:
             ("format", pa.struct([("provider", pa.string())])),
             ("schemaString", pa.string()),
             ("partitionColumns", pa.list_(pa.string())),
+            # configuration carries protocol-relevant keys (e.g.
+            # delta.columnMapping.mode) — dropping it would silently
+            # weaken the reader-version gate after a checkpoint
+            ("configuration", pv_type),
         ]
     )
     proto_t = pa.struct(
@@ -561,11 +633,18 @@ def delta_checkpoint(table_dir: str) -> int:
                 "format": {"provider": "parquet"},
                 "schemaString": snap["metadata"]["schemaString"],
                 "partitionColumns": snap["partition_columns"],
+                "configuration": [
+                    (k, v)
+                    for k, v in (
+                        snap["metadata"].get("configuration") or {}
+                    ).items()
+                ],
             },
             "add": None,
         },
     ]
     for f_ in snap["files"]:
+        stats = f_.get("stats")
         rows.append(
             {
                 "protocol": None,
@@ -578,6 +657,11 @@ def delta_checkpoint(table_dir: str) -> int:
                     "size": int(f_["size"] or 0),
                     "modificationTime": 0,
                     "dataChange": True,
+                    "stats": (
+                        stats
+                        if isinstance(stats, (str, type(None)))
+                        else json.dumps(stats, sort_keys=True)
+                    ),
                 },
             }
         )
@@ -630,7 +714,15 @@ def export_delta_log(
     if os.path.isdir(_log_dir(dest_dir)) and os.listdir(_log_dir(dest_dir)):
         raise ValueError(f"destination already has a _delta_log: {dest_dir}")
     prev: dict[str, dict] = {}
-    schema_json: str | None = None
+    table_id = str(uuid.uuid4())
+    emitted_fp: str | None = None  # pyarrow-schema fingerprint last emitted
+    fp_cache: dict[str, str] = {}  # file path -> footer schema fingerprint
+
+    def _footer_fp(path: str) -> str:
+        if path not in fp_cache:
+            fp_cache[path] = str(pq.read_schema(path))
+        return fp_cache[path]
+
     n_commits = 0
     for dv, v in enumerate(versions):
         entries = manifest_entries(table_dir, v)
@@ -641,16 +733,33 @@ def export_delta_log(
             )
         live = {e["path"]: e for e in entries}
         actions: list[dict] = []
+        # schema drift: every exported commit must advertise the schema
+        # its snapshot actually reads with (last metaData wins on replay,
+        # so time travel to any version sees ITS schema, not v0's).
+        # Fingerprints come from parquet footers (metadata-rate); the
+        # emitted schemaString is Spark's, read once per distinct schema.
+        fps = {_footer_fp(p) for p in live}
+        if len(fps) > 1:
+            raise ValueError(
+                f"snapshot v{v} mixes {len(fps)} parquet schemas across its "
+                "live files — not expressible as one Delta metaData action"
+            )
         if dv == 0:
-            first = spark.read.parquet(next(iter(live)))
-            schema_json = first.schema.json()
+            if not fps:
+                raise ValueError(
+                    f"first snapshot v{v} has no data files — cannot derive "
+                    "a Delta schema to export"
+                )
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
+        if fps and next(iter(fps)) != emitted_fp:
+            emitted_fp = next(iter(fps))
+            schema_json = spark.read.parquet(next(iter(live))).schema.json()
             actions.append(
                 {
                     "metaData": {
-                        "id": str(uuid.uuid4()),
+                        "id": table_id,
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_json,
                         "partitionColumns": [],

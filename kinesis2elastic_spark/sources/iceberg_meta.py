@@ -194,6 +194,14 @@ def iceberg_snapshot(
     meta = load_metadata(table_dir, metadata_version)
     snap = _resolve_snapshot(meta, snapshot_id)
     specs = {s["spec-id"]: s for s in meta.get("partition-specs", [])}
+    # field-id -> name over EVERY schema version (externally-written v2
+    # equality deletes carry equality_ids, not names; an id minted under
+    # an older schema must still resolve)
+    id_to_name: dict[int, str] = {}
+    for s in meta.get("schemas", []):
+        for fld in s.get("fields", []):
+            if "id" in fld and "name" in fld:
+                id_to_name[int(fld["id"])] = fld["name"]
     _schema, mlist = av.read_ocf(snap["manifest-list"])
     files: list[dict] = []
     deletes: list[dict] = []
@@ -223,12 +231,32 @@ def iceberg_snapshot(
                     {"path": dfile["file_path"], "kind": "pos", "seq": seq}
                 )
             elif content == 2:
+                # fixture manifests carry column NAMES (equality_cols);
+                # real Iceberg v2 manifests carry FIELD IDS (the spec's
+                # equality_ids, field 135) — resolve ids via the schemas.
+                cols = list(dfile.get("equality_cols") or [])
+                if not cols:
+                    ids = [int(i) for i in (dfile.get("equality_ids") or [])]
+                    unknown = [i for i in ids if i not in id_to_name]
+                    if unknown:
+                        raise NotImplementedError(
+                            f"equality-delete file {dfile['file_path']!r} "
+                            f"references field ids {unknown} not present in "
+                            "any table schema"
+                        )
+                    cols = [id_to_name[i] for i in ids]
+                if not cols:
+                    raise NotImplementedError(
+                        f"equality-delete file {dfile['file_path']!r} carries "
+                        "no equality_ids/equality_cols — cannot apply it "
+                        "soundly, refusing instead of mis-reading"
+                    )
                 deletes.append(
                     {
                         "path": dfile["file_path"],
                         "kind": "eq",
                         "seq": seq,
-                        "equality_cols": list(dfile.get("equality_cols") or []),
+                        "equality_cols": cols,
                     }
                 )
             else:
@@ -426,12 +454,20 @@ _MANIFEST_SCHEMA = {
                     },
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
-                    # equality-delete key columns by NAME (the spec uses
-                    # field ids — names here, documented simplification;
-                    # the scoping and join semantics are identical)
+                    # equality-delete key columns by NAME (fixture
+                    # convenience; scoping/join semantics identical)
                     {
                         "name": "equality_cols",
                         "type": ["null", {"type": "array", "items": "string"}],
+                        "default": None,
+                    },
+                    # ... and by FIELD ID — the spec's equality_ids
+                    # (field 135); the reader resolves ids via the
+                    # table schemas, so externally-written v2 tables
+                    # that only carry ids read correctly
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "long"}],
                         "default": None,
                     },
                 ],
@@ -753,7 +789,11 @@ def iceberg_delete_files(table_dir: str, pred) -> int:
 
 
 def _publish_delete_snapshot(
-    table_dir: str, delete_file: str, content: int, equality_cols=None
+    table_dir: str,
+    delete_file: str,
+    content: int,
+    equality_cols=None,
+    equality_ids=None,
 ) -> int:
     """Shared v2 merge-on-read commit: a new snapshot whose manifest
     list = the parent's manifests (carried verbatim, original seqs) +
@@ -776,6 +816,7 @@ def _publish_delete_snapshot(
             "record_count": 0,
             "file_size_in_bytes": os.path.getsize(delete_file),
             "equality_cols": list(equality_cols) if equality_cols else None,
+            "equality_ids": list(equality_ids) if equality_ids else None,
         },
     }
     mpath = os.path.join(meta_dir, f"manifest-{seq:05d}-del.avro")
@@ -859,13 +900,20 @@ def iceberg_positional_delete(
 
 
 def iceberg_equality_delete(
-    spark: SparkSession, table_dir: str, keys, equality_cols: list[str]
+    spark: SparkSession,
+    table_dir: str,
+    keys,
+    equality_cols: list[str],
+    write_field_ids: bool = False,
 ) -> int:
     """ROW-level delete via a v2 EQUALITY-delete file: ``keys`` (a
     DataFrame of the key columns) lands as a delete parquet scoped to
     apply to data files with a STRICTLY lower sequence number — rows
     with those keys appended AFTER this delete survive (the spec's
-    re-insert semantics, pytest-pinned)."""
+    re-insert semantics, pytest-pinned).  ``write_field_ids=True``
+    records the spec's ``equality_ids`` (field ids resolved from the
+    current schema) INSTEAD of names — the form real Iceberg writers
+    emit."""
     snap = iceberg_snapshot(table_dir)
     seq = snap["metadata"]["last-sequence-number"] + 1
     out_dir = os.path.join(table_dir, "data", f"eqdel-{seq:05d}")
@@ -879,6 +927,21 @@ def iceberg_equality_delete(
     ]
     if len(dfiles) != 1:
         raise ValueError(f"expected one delete file, got {dfiles}")
+    if write_field_ids:
+        name_to_id = {
+            f_["name"]: int(f_["id"])
+            for s in snap["metadata"].get("schemas", [])
+            for f_ in s.get("fields", [])
+        }
+        missing = [c for c in equality_cols if c not in name_to_id]
+        if missing:
+            raise ValueError(f"no schema field id for columns {missing}")
+        return _publish_delete_snapshot(
+            table_dir,
+            dfiles[0],
+            content=2,
+            equality_ids=[name_to_id[c] for c in equality_cols],
+        )
     return _publish_delete_snapshot(
         table_dir, dfiles[0], content=2, equality_cols=equality_cols
     )

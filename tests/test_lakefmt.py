@@ -501,3 +501,182 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
         }}) + "\n")
     with pytest.raises(NotImplementedError, match="'id' not supported"):
         dl.delta_snapshot(t)
+
+
+def test_delta_prune_date_grain_probes(spark, tmp_path):
+    """r13 advice (high): a date/datetime probe against Delta's STRING
+    partitionValues must compare at datetime grain — raw str() ranked
+    '1998-01-01 00:00:00' above '1998-01-01' and pruned the exactly-
+    matching file.  Undecidable pairs scan; results stay exact."""
+    import datetime as dt
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, dt.date(1998, 1, 1 + i % 3), float(i)) for i in range(30)],
+        "k long, d date, v double",
+    )
+    dl.delta_append(spark, t, df, partition_by=["d"])
+    # the repo's own probe idiom (cf. q_iceberg_read): datetime at
+    # midnight against a date-partitioned column — must keep the file
+    for probe in (dt.datetime(1998, 1, 2), dt.date(1998, 1, 2)):
+        kept, total = dl.delta_prune(t, [("d", "=", probe)])
+        assert 0 < len(kept) < total
+        got = _keys(dl.read_delta(spark, t, filters=[("d", "=", probe)]))
+        assert got == [i for i in range(30) if i % 3 == 1]
+    # range probes at date grain
+    got = _keys(
+        dl.read_delta(
+            spark, t, filters=[("d", "<=", dt.datetime(1998, 1, 2, 12))]
+        )
+    )
+    assert got == [i for i in range(30) if i % 3 in (0, 1)]
+    got = _keys(
+        dl.read_delta(
+            spark,
+            t,
+            filters=[
+                ("d", "between", (dt.date(1998, 1, 2), dt.date(1998, 1, 3)))
+            ],
+        )
+    )
+    assert got == [i for i in range(30) if i % 3 in (1, 2)]
+    # no-match probe still prunes everything without error
+    assert (
+        _keys(dl.read_delta(spark, t, filters=[("d", "=", dt.date(2001, 1, 1))]))
+        == []
+    )
+    # tz-aware probe: undecidable → full scan, exact result via residual
+    aware = dt.datetime(1998, 1, 2, tzinfo=dt.timezone.utc)
+    kept, total = dl.delta_prune(t, [("d", "<", aware)])
+    assert len(kept) == total
+
+
+def test_delta_version_beyond_latest_raises(spark, tmp_path):
+    """r13 advice (medium): time travel to a version above the log is a
+    mistyped / not-yet-replicated request — raise like delta-spark does
+    instead of silently serving the latest."""
+    t = str(tmp_path / "t")
+    dl.delta_append(spark, t, _mk(spark, [(1, "a", 1.0)]))
+    dl.delta_append(spark, t, _mk(spark, [(2, "b", 2.0)]))
+    with pytest.raises(ValueError, match="beyond the latest"):
+        dl.delta_snapshot(t, 5)
+    with pytest.raises(ValueError, match="beyond the latest"):
+        dl.read_delta(spark, t, version=3)
+    assert dl.delta_snapshot(t, 1)["version"] == 1
+
+
+def test_checkpoint_preserves_configuration_and_stats(spark, tmp_path):
+    """r13 advice (low): checkpoint compaction must carry
+    metaData.configuration (columnMapping mode gates the protocol) and
+    per-file stats (B197 skipping) — not silently erase them."""
+    t = str(tmp_path / "t")
+    rows = [(i, f"g{i % 4}", float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    dl.delta_append(spark, t, df.repartition(4, "k"), collect_stats=True)
+    before_kept, total = dl.delta_prune(t, [("k", "=", 7)])
+    assert 0 < len(before_kept) < total
+    ck = dl.delta_checkpoint(t)
+    dl.expire_delta_log(t, before_version=ck + 1)
+    snap = dl.delta_snapshot(t)
+    assert snap["checkpoint_used"] is True
+    # stats survived compaction: pruning is as sharp as pre-checkpoint
+    after_kept, total2 = dl.delta_prune(t, [("k", "=", 7)])
+    assert sorted(after_kept) == sorted(before_kept) and total2 == total
+    assert _keys(dl.read_delta(spark, t, filters=[("k", "=", 7)])) == [7]
+    # configuration survives: a columnMapping 'name' table keeps its
+    # mode through a checkpoint (previously read back 'none')
+    with open(os.path.join(t, "_delta_log", f"{ck + 1:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "metaData": dict(
+                        snap["metadata"],
+                        configuration={"delta.columnMapping.mode": "name"},
+                    )
+                }
+            )
+            + "\n"
+        )
+    ck2 = dl.delta_checkpoint(t)
+    dl.expire_delta_log(t, before_version=ck2 + 1)
+    snap2 = dl.delta_snapshot(t)
+    assert snap2["checkpoint_used"] is True
+    assert snap2["column_mapping"] == "name"
+
+
+def test_export_delta_log_schema_drift(spark, tmp_path):
+    """r13 advice (low): export must emit a fresh metaData action when
+    the snapshot-protocol schema changed between versions (replace
+    commits), and refuse loudly when ONE snapshot mixes schemas."""
+    from kinesis2elastic_spark.operators import timetravel as tt
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    tt.commit_snapshot(
+        spark, src, _mk(spark, [(1, "a", 1.0)]), 0, carry_forward=False
+    )
+    # v1 REPLACES with a widened schema (extra column w)
+    df2 = spark.createDataFrame(
+        [(2, "b", 2.0, 9), (3, "b", 3.0, 9)], "k long, g string, v double, w long"
+    )
+    tt.commit_snapshot(spark, src, df2, 1, carry_forward=False)
+    assert dl.export_delta_log(spark, src, dst) == 2
+    v0 = dl.read_delta(spark, dst, version=0)
+    v1 = dl.read_delta(spark, dst, version=1)
+    assert v0.columns == ["k", "g", "v"]
+    assert v1.columns == ["k", "g", "v", "w"]
+    assert _keys(v0) == [1] and _keys(v1) == [2, 3]
+    assert {r.w for r in v1.collect()} == {9}
+    # APPEND of a different schema → one snapshot mixes files: refuse
+    src2 = str(tmp_path / "src2")
+    tt.commit_snapshot(spark, src2, _mk(spark, [(1, "a", 1.0)]), 0)
+    tt.commit_snapshot(spark, src2, df2, 1)  # carry_forward append
+    with pytest.raises(ValueError, match="mixes"):
+        dl.export_delta_log(spark, src2, str(tmp_path / "dst2"))
+
+
+def test_iceberg_equality_ids_resolution(spark, tmp_path):
+    """r13 advice (low): real Iceberg v2 manifests carry equality_ids
+    (field ids), not names — the reader resolves them through the table
+    schemas; an id missing from every schema, or a delete entry with
+    neither ids nor names, refuses loudly instead of an opaque
+    IndexError."""
+    from kinesis2elastic_spark.sources import avro_ocf as av
+    from kinesis2elastic_spark.sources import iceberg_meta as im
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)], "k long, g long, v double"
+    )
+    im.iceberg_append(spark, t, df)
+    # spec-shaped delete: field ids only (g is field id 2)
+    im.iceberg_equality_delete(
+        spark,
+        t,
+        spark.createDataFrame([(2,)], "g long"),
+        ["g"],
+        write_field_ids=True,
+    )
+    snap = im.iceberg_snapshot(t)
+    eq = [d for d in snap["deletes"] if d["kind"] == "eq"]
+    assert eq and eq[0]["equality_cols"] == ["g"]
+    got = {r.k for r in im.read_iceberg(spark, t).collect()}
+    assert got == {k for k in range(50) if k % 5 != 2}
+    # corrupt the delete manifest: unknown field id → loud refusal
+    meta = im.load_metadata(t)
+    mlist = im._resolve_snapshot(meta, None)["manifest-list"]
+    _s, rows = av.read_ocf(mlist)
+    del_manifest = [
+        r["manifest_path"] for r in rows if int(r.get("content", 0)) == 1
+    ][0]
+    _s2, entries = av.read_ocf(del_manifest)
+    entries[0]["data_file"]["equality_ids"] = [999]
+    av.write_ocf(del_manifest, im._MANIFEST_SCHEMA, entries)
+    with pytest.raises(NotImplementedError, match="field ids \\[999\\]"):
+        im.iceberg_snapshot(t)
+    # neither ids nor names → loud refusal, not IndexError
+    entries[0]["data_file"]["equality_ids"] = None
+    entries[0]["data_file"]["equality_cols"] = None
+    av.write_ocf(del_manifest, im._MANIFEST_SCHEMA, entries)
+    with pytest.raises(NotImplementedError, match="no equality_ids"):
+        im.iceberg_snapshot(t)
