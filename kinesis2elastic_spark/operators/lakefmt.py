@@ -281,14 +281,133 @@ def q_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B198 contract query: row-level deletes via deletion vectors —
+    build a real Delta table from orders (two appends split by
+    o_orderkey%2, partitioned by o_orderstatus, per-file stats), then:
+
+    - v2: DELETE WHERE o_orderkey%7==3 with ``inline_max_bytes=0`` —
+      every touched file gets an ON-DISK DV ('u', shared
+      ``deletion_vector_<uuid>.bin`` sidecar, offset-addressed);
+    - v3: DELETE WHERE o_orderkey%7==5 AND status='O' with a large
+      inline budget — the 'O' files' DVs MERGE (new bitmap contains
+      the old positions, the spec's replacement rule) and come back
+      INLINE ('i', Z85 in the log), so the live state mixes both
+      storage types;
+    - checkpoint at v3 + expire the pre-checkpoint commits — the
+      latest read must replay DV descriptors out of the checkpoint
+      parquet (dropping them there would resurrect deleted rows).
+
+    Legs: latest (both deletes), v2 (first delete only), v1
+    (pre-delete) — time travel pins that DVs version correctly.
+    ``interop_ok`` additionally pins the protocol upgrade
+    (readerFeatures=[deletionVectors]), the mixed 'u'+'i' storage
+    state, and that the live DV cardinalities sum to the exact
+    deleted-row count."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k2 = F.col("o_orderkey") % 2
+    k7 = F.col("o_orderkey") % 7
+    work = tempfile.mkdtemp(prefix="k2e_dv_")
+    table = os.path.join(work, "t")
+    try:
+        dl.delta_append(
+            spark, table, o.filter(k2 == 0),
+            partition_by=["o_orderstatus"], collect_stats=True,
+        )
+        dl.delta_append(
+            spark, table, o.filter(k2 == 1),
+            partition_by=["o_orderstatus"], collect_stats=True,
+        )
+        v2 = dl.delta_delete_where(
+            spark, table, k7 == 3, inline_max_bytes=0
+        )
+        dl.delta_delete_where(
+            spark,
+            table,
+            (k7 == 5) & (F.col("o_orderstatus") == "O"),
+            inline_max_bytes=1 << 20,
+        )
+        asof_v1 = dl.read_delta(spark, table, version=1)
+        asof_v2 = dl.read_delta(spark, table, version=v2)
+        ckpt_v = dl.delta_checkpoint(table)
+        n_expired = dl.expire_delta_log(table, before_version=ckpt_v)
+        snap = dl.delta_snapshot(table)
+        latest = dl.read_delta(spark, table)
+        dvs = [
+            f_["deletionVector"]
+            for f_ in snap["files"]
+            if f_.get("deletionVector")
+        ]
+        n_deleted_expected = o.filter(
+            (k7 == 3) | ((k7 == 5) & (F.col("o_orderstatus") == "O"))
+        ).count()
+        interop_ok = bool(
+            snap["checkpoint_used"]
+            and n_expired > 0
+            and "deletionVectors"
+            in (snap["protocol"] or {}).get("readerFeatures", [])
+            and {d["storageType"] for d in dvs} == {"u", "i"}
+            and sum(int(d["cardinality"]) for d in dvs)
+            == n_deleted_expected
+        )
+        out = (
+            _status_agg(latest, "latest")
+            .unionByName(_status_agg(asof_v2, "v2"))
+            .unionByName(_status_agg(asof_v1, "v1"))
+            .withColumn("interop_ok", F.lit(interop_ok))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "q_delta_read": q_delta_read,
+    "q_delta_dv": q_delta_dv,
     "q_iceberg_read": q_iceberg_read,
     "q_iceberg_mor": q_iceberg_mor,
     "q_delta_export": q_delta_export,
 }
 
 ORACLE = {
+    "q_delta_dv": """
+        WITH latest AS (
+            SELECT * FROM orders
+            WHERE o_orderkey % 7 <> 3
+              AND NOT (o_orderkey % 7 = 5 AND o_orderstatus = 'O')
+        ), v2 AS (
+            SELECT * FROM orders WHERE o_orderkey % 7 <> 3
+        ), lagg AS (
+            SELECT 'latest' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM latest GROUP BY o_orderstatus
+        ), v2agg AS (
+            SELECT 'v2' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM v2 GROUP BY o_orderstatus
+        ), v1agg AS (
+            SELECT 'v1' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT *, TRUE AS interop_ok FROM lagg
+        UNION ALL
+        SELECT *, TRUE AS interop_ok FROM v2agg
+        UNION ALL
+        SELECT *, TRUE AS interop_ok FROM v1agg
+    """,
     "q_delta_read": """
         WITH latest AS (
             SELECT * FROM orders

@@ -114,7 +114,8 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
     this reader SUPPORTS in ``name`` mode (physical->logical rename via
     the schemaString field metadata) and rejects in ``id`` mode
     (parquet-field-id resolution — a silent misread risk without it);
-    v3 features beyond columnMapping/timestampNtz reject loudly."""
+    v3 features beyond columnMapping/timestampNtz/deletionVectors
+    (B198) reject loudly."""
     if not protocol:
         return
     v = int(protocol.get("minReaderVersion", 1))
@@ -129,7 +130,9 @@ def _check_protocol(protocol: dict | None, metadata: dict | None) -> None:
             f"delta reader protocol v{v} not supported by this interop reader"
         )
     unsupported = [
-        f_ for f_ in feats if f_ not in ("timestampNtz", "columnMapping")
+        f_
+        for f_ in feats
+        if f_ not in ("timestampNtz", "columnMapping", "deletionVectors")
     ]
     if unsupported:
         raise NotImplementedError(
@@ -231,6 +234,10 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
             "partitionValues": add.get("partitionValues") or {},
             "size": add.get("size"),
             "stats": add.get("stats"),
+            # B198: row-level deletes — an add that replaces a path
+            # replaces its DV too (the spec's replay rule; the log keys
+            # file state by path, so last add wins wholesale)
+            "deletionVector": add.get("deletionVector"),
         }
         for p, add in live.items()
     ]
@@ -386,7 +393,16 @@ def read_delta(
     projected to the declared schema's column order and types.
     ``filters`` additionally SKIPS files at metadata rate (B197:
     partitionValues + per-file stats) with the residual filter applied
-    — exact either way."""
+    — exact either way.
+
+    B198 deletion vectors: a file whose add action carries a
+    ``deletionVector`` descriptor is read WITH Spark's hidden
+    ``_metadata.row_index`` and anti-joined against the decoded bitmap
+    (driver-side decode — DVs are metadata-rate compressed bitmaps by
+    construction; the join side is only (file, row_index) longs and is
+    broadcast).  Stats-based skipping stays sound because DV'd stats
+    are wide bounds over ALL physical rows (the spec's
+    tightBounds=false) and the residual filter always applies."""
     snap = delta_snapshot(table_dir, version)
     schema: StructType = snap["schema"]
     pcols: list[str] = snap["partition_columns"]
@@ -404,16 +420,58 @@ def read_delta(
         ]
     if not files:
         return spark.createDataFrame([], schema)
-    groups: dict[tuple, list[str]] = {}
+    from . import dvectors as _dv
+
+    dv_positions: dict[str, list[int]] = {}
+    for f_ in files:
+        if f_.get("deletionVector"):
+            dv_positions[f_["path"]] = _dv.decode_descriptor(
+                table_dir, f_["deletionVector"]
+            )
+    pos_df = None
+    if dv_positions:
+        import pandas as _pd
+
+        pos_df = spark.createDataFrame(
+            _pd.DataFrame(
+                [
+                    (p, int(i))
+                    for p, poss in dv_positions.items()
+                    for i in poss
+                ],
+                columns=["__dvf", "__dvp"],
+            )
+        )
+    groups: dict[tuple, list[dict]] = {}
     for f_ in files:
         # partitionValues are keyed by PHYSICAL name under column mapping
         key = tuple(
             (f_["partitionValues"] or {}).get(pmap.get(c, c)) for c in pcols
         )
-        groups.setdefault(key, []).append(f_["path"])
+        groups.setdefault(key, []).append(f_)
     parts: list[DataFrame] = []
-    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.parquet(*paths)
+    for key, fgroup in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        clean = [f["path"] for f in fgroup if f["path"] not in dv_positions]
+        dirty = [f["path"] for f in fgroup if f["path"] in dv_positions]
+        legs: list[DataFrame] = []
+        if clean:
+            legs.append(spark.read.parquet(*clean))
+        if dirty:
+            legs.append(
+                spark.read.parquet(*dirty)
+                .select(
+                    "*",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/*", "/"
+                    ).alias("__dvf"),
+                    F.col("_metadata.row_index").cast("long").alias("__dvp"),
+                )
+                .join(F.broadcast(pos_df), ["__dvf", "__dvp"], "left_anti")
+                .drop("__dvf", "__dvp")
+            )
+        df = legs[0]
+        for leg in legs[1:]:
+            df = df.unionByName(leg)
         # column mapping (reader v2, 'name' mode): data files carry the
         # PHYSICAL names; rename them back to the logical schema before
         # projection, so renamed/dropped-column tables read correctly
@@ -554,8 +612,8 @@ def delta_remove_where(table_dir: str, pred) -> int:
     """Logical delete: one commit of ``remove`` actions for every live
     file whose add entry satisfies ``pred(add_action_dict)`` (e.g. by
     partitionValues) — file-level deletion, the granularity the base
-    protocol supports (row-level needs deletion vectors, which this
-    reader intentionally rejects)."""
+    protocol supports (row-level = deletion vectors, B198:
+    :func:`delta_delete_where`)."""
     snap = delta_snapshot(table_dir)
     version = _next_version(table_dir)
     actions = []
@@ -577,6 +635,135 @@ def delta_remove_where(table_dir: str, pred) -> int:
     return version
 
 
+def delta_delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    pred,
+    inline_max_bytes: int = 512,
+) -> int:
+    """B198 row-level DELETE via deletion vectors: scan the live files
+    with Spark's hidden ``_metadata`` row identity (partition columns
+    injected from partitionValues so ``pred`` may reference them),
+    collect the matching (file, row_index) positions — BOUNDED: only
+    the rows deleted by THIS commit, never the table — and commit one
+    remove+add pair per touched file whose new add carries a
+    ``deletionVector`` descriptor.
+
+    Spec semantics honored: a new DV REPLACES the file's old one and
+    must contain it, so existing deleted positions are merged in;
+    small bitmaps inline in the log (storageType 'i', Z85), larger
+    ones share ONE ``deletion_vector_<uuid>.bin`` sidecar per commit
+    (storageType 'u', offset-addressed); the first DV commit upgrades
+    the protocol to readerVersion 3 / writerVersion 7 with the
+    ``deletionVectors`` table feature (carrying ``columnMapping``
+    forward when the table already used it); ``stats`` keep their
+    physical-row bounds (tightBounds=false semantics — pruning stays
+    conservative and the reader's residual filter keeps reads exact).
+    """
+    from . import dvectors as _dv
+
+    snap = delta_snapshot(table_dir)
+    pcols: list[str] = snap["partition_columns"]
+    pmap: dict = snap.get("physical_names") or {}
+    dtypes = {f.name: f.dataType for f in snap["schema"].fields}
+    files = snap["files"]
+    groups: dict[tuple, list[dict]] = {}
+    for f_ in files:
+        key = tuple(
+            (f_["partitionValues"] or {}).get(pmap.get(c, c)) for c in pcols
+        )
+        groups.setdefault(key, []).append(f_)
+    scan = None
+    for key, fgroup in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.parquet(*[f["path"] for f in fgroup]).select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/*", "/"
+            ).alias("__dvf"),
+            F.col("_metadata.row_index").cast("long").alias("__dvp"),
+        )
+        for logical, phys in pmap.items():
+            if phys != logical and phys in df.columns:
+                df = df.withColumnRenamed(phys, logical)
+        for c, raw in zip(pcols, key):
+            if raw is None or raw == _HIVE_NULL:
+                df = df.withColumn(c, F.lit(None).cast(dtypes[c]))
+            else:
+                df = df.withColumn(c, F.lit(raw).cast(dtypes[c]))
+        scan = df if scan is None else scan.unionByName(df)
+    hits = (
+        scan.filter(pred).select("__dvf", "__dvp").collect()
+    )  # bounded collect: positions of THIS delete only
+    if not hits:
+        raise ValueError("delete predicate matched no live rows")
+    new_pos: dict[str, set[int]] = {}
+    for r in hits:
+        new_pos.setdefault(r["__dvf"], set()).add(int(r["__dvp"]))
+    by_path = {f["path"]: f for f in files}
+    version = _next_version(table_dir)
+    actions: list[dict] = []
+    proto = snap["protocol"] or {}
+    feats = set(proto.get("readerFeatures") or [])
+    if "deletionVectors" not in feats or int(
+        proto.get("minReaderVersion", 1)
+    ) < 3:
+        feats.add("deletionVectors")
+        if (
+            int(proto.get("minReaderVersion", 1)) >= 2
+            or _mapping_mode(snap["metadata"]) != "none"
+        ):
+            feats.add("columnMapping")
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(feats),
+                    "writerFeatures": sorted(feats),
+                }
+            }
+        )
+    sidecar = _dv.new_sidecar(table_dir)
+    touched: list[tuple[dict, dict]] = []
+    for path, pos in sorted(new_pos.items()):
+        f_ = by_path.get(path)
+        if f_ is None:
+            raise ValueError(f"delete hit unknown file {path}")
+        if f_.get("deletionVector"):
+            pos = pos | set(
+                _dv.decode_descriptor(table_dir, f_["deletionVector"])
+            )
+        desc = _dv.make_descriptor(
+            table_dir, sorted(pos), inline_max_bytes, sidecar
+        )
+        touched.append((f_, desc))
+    _dv.flush_sidecar(sidecar)
+    for f_, desc in touched:
+        rel = quote(os.path.relpath(f_["path"], table_dir))
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+        add = {
+            "path": rel,
+            "partitionValues": f_["partitionValues"] or {},
+            "size": f_["size"],
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": desc,
+        }
+        if f_.get("stats"):
+            add["stats"] = f_["stats"]
+        actions.append({"add": add})
+    _write_commit(table_dir, version, actions)
+    return version
+
+
 def delta_checkpoint(table_dir: str) -> int:
     """Write a checkpoint parquet of the CURRENT state (adds +
     metaData + protocol as nullable structs) and the
@@ -586,6 +773,15 @@ def delta_checkpoint(table_dir: str) -> int:
     snap = delta_snapshot(table_dir)
     v = snap["version"]
     pv_type = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -596,6 +792,9 @@ def delta_checkpoint(table_dir: str) -> int:
             # per-file stats JSON must survive compaction or every
             # pre-checkpoint file permanently loses B197 file skipping
             ("stats", pa.string()),
+            # B198: losing the DV descriptor at checkpoint would
+            # RESURRECT deleted rows — carried as the spec's struct
+            ("deletionVector", dv_t),
         ]
     )
     meta_t = pa.struct(
@@ -611,7 +810,14 @@ def delta_checkpoint(table_dir: str) -> int:
         ]
     )
     proto_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            # table features must survive compaction or a checkpointed
+            # DV/columnMapping table loses its reader gate (B198)
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     rows: list[dict] = [
         {
@@ -621,6 +827,12 @@ def delta_checkpoint(table_dir: str) -> int:
                 ),
                 "minWriterVersion": int(
                     (snap["protocol"] or {}).get("minWriterVersion", 2)
+                ),
+                "readerFeatures": (snap["protocol"] or {}).get(
+                    "readerFeatures"
+                ),
+                "writerFeatures": (snap["protocol"] or {}).get(
+                    "writerFeatures"
                 ),
             },
             "metaData": None,
@@ -645,6 +857,7 @@ def delta_checkpoint(table_dir: str) -> int:
     ]
     for f_ in snap["files"]:
         stats = f_.get("stats")
+        dv = f_.get("deletionVector")
         rows.append(
             {
                 "protocol": None,
@@ -661,6 +874,17 @@ def delta_checkpoint(table_dir: str) -> int:
                         stats
                         if isinstance(stats, (str, type(None)))
                         else json.dumps(stats, sort_keys=True)
+                    ),
+                    "deletionVector": (
+                        {
+                            "storageType": dv["storageType"],
+                            "pathOrInlineDv": dv["pathOrInlineDv"],
+                            "offset": dv.get("offset"),
+                            "sizeInBytes": int(dv["sizeInBytes"]),
+                            "cardinality": int(dv["cardinality"]),
+                        }
+                        if dv
+                        else None
                     ),
                 },
             }

@@ -680,3 +680,164 @@ def test_iceberg_equality_ids_resolution(spark, tmp_path):
     av.write_ocf(del_manifest, im._MANIFEST_SCHEMA, entries)
     with pytest.raises(NotImplementedError, match="no equality_ids"):
         im.iceberg_snapshot(t)
+
+
+# ------------------------------------------------------------ B198: DVs
+
+
+def test_dv_codec_roundtrips():
+    """Z85 + roaring portable + RoaringBitmapArray round-trips across
+    every container type (array / bitmap / run) and 32-bit boundaries."""
+    import random
+
+    from kinesis2elastic_spark.sources import dvectors as dv
+
+    assert dv.z85_decode(dv.z85_encode(bytes(range(16)))) == bytes(range(16))
+    rnd = random.Random(11)
+    cases = [
+        [],
+        [0],
+        [2**32 - 1, 2**32, 2**33 + 5],                    # bitmap boundary
+        sorted(rnd.sample(range(300000), 4000)),           # array containers
+        sorted(set(rnd.sample(range(65536), 60000))),      # bitmap container
+        list(range(1000, 90000)),                          # run containers
+        sorted(set(rnd.sample(range(20000), 15000))) ,     # mixed density
+    ]
+    for c in cases:
+        assert dv.deserialize_positions(dv.serialize_positions(c)) == sorted(
+            set(c)
+        )
+
+
+def test_dv_sidecar_layout_and_corruption(tmp_path):
+    """On-disk DV layout: version byte, BE size, CRC-32 — checksum and
+    size mismatches fail loud; two DVs share one sidecar by offset."""
+    import struct
+
+    import pytest as _pytest
+
+    from kinesis2elastic_spark.sources import dvectors as dv
+
+    td = str(tmp_path)
+    sc = dv.new_sidecar(td)
+    d1 = dv.make_descriptor(td, list(range(500)), 8, sc)
+    d2 = dv.make_descriptor(td, [7, 2**32 + 7], 8, sc)
+    dv.flush_sidecar(sc)
+    assert dv.decode_descriptor(td, d1) == list(range(500))
+    assert dv.decode_descriptor(td, d2) == [7, 2**32 + 7]
+    path = dv.dv_uuid_path(td, d1["pathOrInlineDv"])
+    with open(path, "rb") as f:
+        raw = bytearray(f.read())
+    assert raw[0] == dv.DV_FORMAT_VERSION
+    (sz,) = struct.unpack_from(">i", raw, d1["offset"])
+    assert sz == d1["sizeInBytes"]
+    # flip one bitmap byte → CRC failure
+    raw[d1["offset"] + 4] ^= 0xFF
+    with open(path, "wb") as f:
+        f.write(raw)
+    with _pytest.raises(ValueError, match="checksum"):
+        dv.decode_descriptor(td, d1)
+    # descriptor cardinality lies → loud
+    d3 = dv.make_descriptor(td, [1, 2, 3], 512)
+    d3["cardinality"] = 99
+    with _pytest.raises(ValueError, match="cardinality"):
+        dv.decode_descriptor(td, d3)
+
+
+def test_dv_uuid_path_prefix():
+    from uuid import UUID
+
+    from kinesis2elastic_spark.sources import dvectors as dv
+
+    u = UUID("00112233-4455-6677-8899-aabbccddeeff")
+    enc = dv.z85_encode(u.bytes)
+    assert dv.dv_uuid_path("/t", "ab/" + enc) == (
+        f"/t/ab/deletion_vector_{u}.bin"
+    )
+    assert dv.dv_uuid_path("/t", enc) == f"/t/deletion_vector_{u}.bin"
+
+
+def test_delta_delete_where_row_level(spark, tmp_path):
+    """DV delete: row-level semantics, merge-on-second-delete, time
+    travel, and replay through a checkpoint (descriptor carried)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    dl.delta_append(
+        spark,
+        t,
+        _mk(spark, [(i, "a" if i % 2 else "b", float(i)) for i in range(40)]),
+        partition_by=["g"],
+    )
+    v1 = dl.delta_delete_where(spark, t, F.col("k") % 5 == 0)
+    assert _keys(dl.read_delta(spark, t)) == [
+        i for i in range(40) if i % 5
+    ]
+    # second delete MERGES into the existing DVs (pred over partition col)
+    dl.delta_delete_where(
+        spark, t, (F.col("k") % 5 == 1) & (F.col("g") == "a")
+    )
+    expect = [i for i in range(40) if i % 5 and not (i % 5 == 1 and i % 2)]
+    assert _keys(dl.read_delta(spark, t)) == expect
+    # travel: v0 = pre-delete, v1 = first delete only
+    assert _keys(dl.read_delta(spark, t, version=0)) == list(range(40))
+    assert _keys(dl.read_delta(spark, t, version=v1)) == [
+        i for i in range(40) if i % 5
+    ]
+    # protocol upgraded with the table feature
+    proto = dl.delta_snapshot(t)["protocol"]
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    # checkpoint + expire: DV descriptors and features survive compaction
+    cv = dl.delta_checkpoint(t)
+    assert dl.expire_delta_log(t, before_version=cv) > 0
+    snap = dl.delta_snapshot(t)
+    assert snap["checkpoint_used"]
+    assert "deletionVectors" in snap["protocol"]["readerFeatures"]
+    assert any(f.get("deletionVector") for f in snap["files"])
+    assert _keys(dl.read_delta(spark, t)) == expect
+
+
+def test_delta_delete_where_inline_and_filters(spark, tmp_path):
+    """Inline ('i') DVs round-trip through the log; B197 file skipping
+    composes with DV application (pruned-or-not, reads stay exact)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    dl.delta_append(
+        spark,
+        t,
+        _mk(spark, [(i, chr(97 + i % 3), float(i)) for i in range(30)]),
+        partition_by=["g"],
+        collect_stats=True,
+    )
+    dl.delta_delete_where(spark, t, F.col("k") < 6, inline_max_bytes=1 << 16)
+    snap = dl.delta_snapshot(t)
+    dvs = [f["deletionVector"] for f in snap["files"] if f.get("deletionVector")]
+    assert dvs and all(d["storageType"] == "i" for d in dvs)
+    got = _keys(dl.read_delta(spark, t, filters=[("g", "=", "a")]))
+    assert got == [i for i in range(6, 30) if i % 3 == 0]
+    # no rows match → loud
+    with pytest.raises(ValueError, match="matched no live rows"):
+        dl.delta_delete_where(spark, t, F.col("k") > 10**9)
+
+
+def test_protocol_gate_still_refuses_unknown_v3_features(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.delta_append(spark, t, _mk(spark, [(1, "a", 1.0)]))
+    log = os.path.join(t, "_delta_log", f"{1:020d}.json")
+    with open(log, "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
+        dl.read_delta(spark, t)
