@@ -364,15 +364,141 @@ def q_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B199 contract query: snapshot-to-Iceberg export WITH
+    merge-on-read debt — the direction B196's Delta export refuses.
+    Build a timetravel-protocol table from orders:
+
+    - v0/v1: appends split by o_orderkey%2;
+    - v2: EQUALITY delete (keys = o_orderkey where %7==3 — B152
+      merge-on-read, no data rewrite);
+    - v3: POSITIONAL delete of the physical rows where %11==5 (B169
+      pairs via the ``_metadata`` scan);
+    - v4: re-insert the %7==3 AND %13==0 slice — rows that must
+      SURVIVE the v2 equality delete under the sequence-number rule.
+
+    Export to Iceberg v2 (data files referenced in place; equality
+    deletes in place with footer-derived key columns + schema-resolved
+    field ids; position-delete pairs rewritten pairs-rate to the
+    spec's (file_path, pos) names) and read back three legs through
+    the interop reader: latest (all debt applied + re-insert), s2
+    (equality delete only), s1 (pre-delete).  ``interop_ok`` pins
+    metadata-only-ness (no data parquet under the destination beyond
+    the converted pairs), both delete manifest kinds present, and
+    full snapshot-history travel."""
+    import glob as _glob
+
+    from ..operators import timetravel as tt
+    from ..sources import iceberg_meta as im
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k2, k7, k11, k13 = (F.col("o_orderkey") % n for n in (2, 7, 11, 13))
+    work = tempfile.mkdtemp(prefix="k2e_iexp_")
+    src = os.path.join(work, "src")
+    dst = os.path.join(work, "dst")
+    try:
+        tt.commit_snapshot(spark, src, o.filter(k2 == 0), 0)
+        tt.commit_snapshot(spark, src, o.filter(k2 == 1), 1)
+        tt.commit_delete(
+            spark, src, o.filter(k7 == 3).select("o_orderkey"), 2
+        )
+        data_paths = [
+            e["path"]
+            for e in tt.manifest_entries(src, 2)
+            if e["kind"] == "data"
+        ]
+        pairs = (
+            spark.read.parquet(*data_paths)
+            .select(
+                "o_orderkey",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:", ""
+                ).alias("file_path"),
+                F.col("_metadata.row_index").cast("long").alias("row_index"),
+            )
+            .filter(k11 == 5)
+            .select("file_path", "row_index")
+        )
+        tt.commit_positional_delete(spark, src, pairs, 3)
+        tt.commit_snapshot(
+            spark, src, o.filter((k7 == 3) & (k13 == 0)), 4
+        )
+        n_snaps = im.export_iceberg_meta(spark, src, dst)
+        data_under_dst = [
+            f
+            for f in _glob.glob(os.path.join(dst, "**", "*.parquet"), recursive=True)
+            if "/deletes/" not in f
+        ]
+        snap = im.iceberg_snapshot(dst)
+        kinds = {d["kind"] for d in snap["deletes"]}
+        latest = im.read_iceberg(spark, dst)
+        s2 = im.read_iceberg(spark, dst, snapshot_id=2)
+        s1 = im.read_iceberg(spark, dst, snapshot_id=1)
+        interop_ok = bool(
+            n_snaps == 5
+            and not data_under_dst
+            and kinds == {"pos", "eq"}
+            and len(snap["metadata"]["snapshots"]) == 5
+        )
+        out = (
+            _status_agg(latest, "latest")
+            .unionByName(_status_agg(s2, "s2"))
+            .unionByName(_status_agg(s1, "s1"))
+            .withColumn("interop_ok", F.lit(interop_ok))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "q_delta_read": q_delta_read,
     "q_delta_dv": q_delta_dv,
+    "q_iceberg_export": q_iceberg_export,
     "q_iceberg_read": q_iceberg_read,
     "q_iceberg_mor": q_iceberg_mor,
     "q_delta_export": q_delta_export,
 }
 
 ORACLE = {
+    "q_iceberg_export": """
+        WITH latest AS (
+            SELECT * FROM orders
+            WHERE (o_orderkey % 7 <> 3 AND o_orderkey % 11 <> 5)
+               OR (o_orderkey % 7 = 3 AND o_orderkey % 13 = 0)
+        ), s2 AS (
+            SELECT * FROM orders WHERE o_orderkey % 7 <> 3
+        ), lagg AS (
+            SELECT 'latest' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM latest GROUP BY o_orderstatus
+        ), s2agg AS (
+            SELECT 's2' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM s2 GROUP BY o_orderstatus
+        ), s1agg AS (
+            SELECT 's1' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT *, TRUE AS interop_ok FROM lagg
+        UNION ALL
+        SELECT *, TRUE AS interop_ok FROM s2agg
+        UNION ALL
+        SELECT *, TRUE AS interop_ok FROM s1agg
+    """,
     "q_delta_dv": """
         WITH latest AS (
             SELECT * FROM orders

@@ -338,6 +338,7 @@ def read_iceberg(
     table_dir: str,
     snapshot_id: int | None = None,
     filters: list[tuple] | None = None,
+    metadata_version: int | None = None,
 ) -> DataFrame:
     """Read a snapshot (manifest-pruned when ``filters`` given, with the
     residual filter applied — exact either way).  Iceberg data files
@@ -355,7 +356,7 @@ def read_iceberg(
     of a few scans + one anti-join per group over narrow key columns."""
     from ..operators.timetravel import _filters_to_column
 
-    snap = iceberg_snapshot(table_dir, snapshot_id)
+    snap = iceberg_snapshot(table_dir, snapshot_id, metadata_version)
     files = snap["files"]
     if filters:
         files = [
@@ -960,3 +961,251 @@ def _publish_metadata(table_dir: str, meta: dict) -> None:
     with open(tmp, "w") as f:
         f.write(str(v))
     os.replace(tmp, hint)
+
+
+def export_iceberg_meta(
+    spark: SparkSession,
+    table_dir: str,
+    dest_dir: str,
+) -> int:
+    """B199: publish a timetravel-protocol table (operators/timetravel)
+    AS an Apache Iceberg v2 table — the UniForm/XTable direction,
+    symmetric to B196's Delta export but STRICTLY more expressive:
+    Iceberg v2 can carry the snapshot protocol's merge-on-read debt
+    (B152 equality-delete and B169 position-delete files) as real
+    DELETE manifests, which base Delta cannot.
+
+    Metadata-only for data: every data file is referenced in place by
+    absolute path with its manifest row count; per exported snapshot
+    one data manifest (status 1 = entered at this version, 0 =
+    carried; entry-level ``sequence_number`` = the version the file
+    ENTERED, preserving the scoping the reader groups by) plus one
+    delete manifest when MOR debt exists.  Delete-file translation:
+
+    - equality deletes (kind="delete"): referenced in place; the key
+      columns ARE the file's own columns (read footer-rate) and are
+      recorded as ``equality_cols`` + schema-resolved
+      ``equality_ids``;
+    - position deletes (kind="posdelete"): the pairs parquet is
+      REWRITTEN (pairs-rate, never data-rate) because Iceberg mandates
+      the (file_path, pos) column names while the snapshot protocol
+      stores (file_path, row_index) — the one non-metadata write, and
+      it is bounded by delete cardinality.
+
+    Each snapshot version becomes one ``vN.metadata.json`` whose
+    snapshot list grows monotonically, so BOTH travel modes work on
+    the export: ``snapshot_id=`` against the final metadata and
+    ``metadata_version=`` against history.  Refusals (loud, not
+    lossy): schema drift across versions (footer fingerprints — the
+    B196 rule; the interop reader resolves names via
+    current-schema-id, so one exported schema must serve every
+    version) and a destination that is already an Iceberg table.
+
+    Returns the number of snapshots exported."""
+    import pyarrow.parquet as _pq
+
+    from ..operators.timetravel import manifest_entries, snapshot_versions
+
+    versions = snapshot_versions(table_dir)
+    if not versions:
+        raise ValueError(f"no committed snapshot in {table_dir}")
+    if is_iceberg_table(dest_dir):
+        raise ValueError(f"destination already has iceberg metadata: {dest_dir}")
+    meta_dir = _meta_dir(dest_dir)
+    os.makedirs(meta_dir, exist_ok=True)
+
+    fp_cache: dict[str, str] = {}
+
+    def _fp(p: str) -> str:
+        if p not in fp_cache:
+            fp_cache[p] = str(_pq.read_schema(p))
+        return fp_cache[p]
+
+    schema: dict | None = None
+    schema_fp: str | None = None
+    table_uuid = str(uuid.uuid4())
+    snapshots: list[dict] = []
+    snap_log: list[dict] = []
+    pos_converted: dict[str, str] = {}  # source pairs file -> rewritten
+    prev_paths: set[str] = set()
+    n = 0
+    for v in versions:
+        entries = manifest_entries(table_dir, v)
+        data_entries = [e for e in entries if e["kind"] == "data"]
+        fps = {_fp(e["path"]) for e in data_entries}
+        if len(fps) > 1:
+            raise ValueError(
+                f"snapshot v{v} mixes {len(fps)} parquet schemas across its "
+                "live data files — one Iceberg schema cannot serve them"
+            )
+        if schema is None and data_entries:
+            schema = _schema_struct(
+                spark.read.parquet(data_entries[0]["path"])
+            )
+            schema_fp = next(iter(fps))
+        elif fps and next(iter(fps)) != schema_fp:
+            raise ValueError(
+                f"snapshot v{v} drifts from the exported schema — "
+                "Iceberg schema evolution is not carried by this export"
+            )
+        if schema is None:
+            raise ValueError(
+                f"first snapshot v{v} has no data files — cannot derive "
+                "an Iceberg schema to export"
+            )
+        col_ids = {f_["name"]: int(f_["id"]) for f_ in schema["fields"]}
+        seen_before = prev_paths
+        data_rows, delete_rows = [], []
+        for e in entries:
+            seq = int(e.get("seq") or 0)
+            status = 0 if e["path"] in seen_before else 1
+            n_rows = e.get("n_rows")
+            if n_rows is None:
+                n_rows = _pq.read_metadata(e["path"]).num_rows
+            base = {
+                "status": status,
+                "snapshot_id": v,
+                "sequence_number": seq,
+            }
+            if e["kind"] == "data":
+                data_rows.append(
+                    dict(
+                        base,
+                        data_file={
+                            "content": 0,
+                            "file_path": e["path"],
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": int(n_rows),
+                            "file_size_in_bytes": os.path.getsize(e["path"]),
+                        },
+                    )
+                )
+            elif e["kind"] == "posdelete":
+                if e["path"] not in pos_converted:
+                    t = _pq.read_table(e["path"])
+                    if sorted(t.column_names) != ["file_path", "row_index"]:
+                        raise ValueError(
+                            f"position-delete file {e['path']!r} has columns "
+                            f"{t.column_names}, expected (file_path, row_index)"
+                        )
+                    t = t.rename_columns(
+                        [
+                            "pos" if c == "row_index" else c
+                            for c in t.column_names
+                        ]
+                    )
+                    dst = os.path.join(
+                        dest_dir,
+                        "deletes",
+                        f"pos-{len(pos_converted):05d}.parquet",
+                    )
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    _pq.write_table(t, dst)
+                    pos_converted[e["path"]] = dst
+                delete_rows.append(
+                    dict(
+                        base,
+                        data_file={
+                            "content": 1,
+                            "file_path": pos_converted[e["path"]],
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": int(n_rows),
+                            "file_size_in_bytes": os.path.getsize(
+                                pos_converted[e["path"]]
+                            ),
+                        },
+                    )
+                )
+            elif e["kind"] == "delete":
+                cols = list(_pq.read_schema(e["path"]).names)
+                unknown = [c for c in cols if c not in col_ids]
+                if unknown:
+                    raise ValueError(
+                        f"equality-delete file {e['path']!r} keys on columns "
+                        f"{unknown} absent from the exported schema"
+                    )
+                delete_rows.append(
+                    dict(
+                        base,
+                        data_file={
+                            "content": 2,
+                            "file_path": e["path"],
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": int(n_rows),
+                            "file_size_in_bytes": os.path.getsize(e["path"]),
+                            "equality_cols": cols,
+                            "equality_ids": [col_ids[c] for c in cols],
+                        },
+                    )
+                )
+            else:
+                raise NotImplementedError(
+                    f"manifest kind {e['kind']!r} in snapshot v{v}"
+                )
+        mlist_rows = []
+        man_path = os.path.join(meta_dir, f"xmanifest-{v:05d}.avro")
+        av.write_ocf(man_path, _MANIFEST_SCHEMA, data_rows)
+        mlist_rows.append(
+            {
+                "manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": int(v),
+                "added_snapshot_id": int(v),
+            }
+        )
+        if delete_rows:
+            dman_path = os.path.join(meta_dir, f"xmanifest-d{v:05d}.avro")
+            av.write_ocf(dman_path, _MANIFEST_SCHEMA, delete_rows)
+            mlist_rows.append(
+                {
+                    "manifest_path": dman_path,
+                    "manifest_length": os.path.getsize(dman_path),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": int(v),
+                    "added_snapshot_id": int(v),
+                }
+            )
+        mlist_path = os.path.join(meta_dir, f"xsnap-{v}.avro")
+        av.write_ocf(mlist_path, _MANIFEST_LIST_SCHEMA, mlist_rows)
+        snapshots.append(
+            {
+                "snapshot-id": int(v),
+                "parent-snapshot-id": (
+                    snapshots[-1]["snapshot-id"] if snapshots else None
+                ),
+                "sequence-number": int(v),
+                "timestamp-ms": 0,
+                "manifest-list": mlist_path,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        )
+        snap_log.append({"timestamp-ms": 0, "snapshot-id": int(v)})
+        prev_paths = {e["path"] for e in entries}
+        _publish_metadata(
+            dest_dir,
+            {
+                "format-version": 2,
+                "table-uuid": table_uuid,
+                "location": dest_dir,
+                "last-sequence-number": int(v),
+                "last-updated-ms": 0,
+                "last-column-id": len(schema["fields"]),
+                "schemas": [schema],
+                "current-schema-id": 0,
+                "partition-specs": [_spec_struct([], 0, schema)],
+                "default-spec-id": 0,
+                "properties": {},
+                "current-snapshot-id": int(v),
+                "snapshots": list(snapshots),
+                "snapshot-log": list(snap_log),
+            },
+        )
+        n += 1
+    return n

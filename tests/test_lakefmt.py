@@ -841,3 +841,82 @@ def test_protocol_gate_still_refuses_unknown_v3_features(spark, tmp_path):
         )
     with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         dl.read_delta(spark, t)
+
+
+# ------------------------------------------------- B199: iceberg export
+
+
+def test_export_iceberg_meta_with_mor_debt(spark, tmp_path):
+    """Timetravel -> Iceberg export carries equality AND position
+    deletes as real v2 delete manifests; re-inserted keys survive the
+    sequence rule; both travel modes work on the export."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+    from kinesis2elastic_spark.sources import iceberg_meta as im
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") % 6).alias("g")
+    )
+    tt.commit_snapshot(spark, src, df.filter("k < 30"), 0)
+    tt.commit_snapshot(spark, src, df.filter("k >= 30"), 1)
+    tt.commit_delete(spark, src, df.filter("g = 2").select("g"), 2)
+    paths = [
+        e["path"] for e in tt.manifest_entries(src, 2) if e["kind"] == "data"
+    ]
+    pairs = (
+        spark.read.parquet(*paths)
+        .select(
+            "k",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:", ""
+            ).alias("file_path"),
+            F.col("_metadata.row_index").cast("long").alias("row_index"),
+        )
+        .filter(F.col("k").isin(7, 8))
+        .select("file_path", "row_index")
+    )
+    tt.commit_positional_delete(spark, src, pairs, 3)
+    tt.commit_snapshot(spark, src, df.filter("g = 2 AND k >= 50"), 4)
+    assert im.export_iceberg_meta(spark, src, dst) == 5
+    exp = sorted(
+        (set(range(60)) - {k for k in range(60) if k % 6 == 2} - {7, 8})
+        | {k for k in range(60) if k % 6 == 2 and k >= 50}
+    )
+    assert sorted(r.k for r in im.read_iceberg(spark, dst).collect()) == exp
+    # snapshot travel: s2 = equality delete only
+    assert sorted(
+        r.k for r in im.read_iceberg(spark, dst, snapshot_id=2).collect()
+    ) == [k for k in range(60) if k % 6 != 2]
+    # metadata-version travel: v1 metadata = first snapshot
+    assert sorted(
+        r.k for r in im.read_iceberg(spark, dst, metadata_version=1).collect()
+    ) == list(range(30))
+    # delete manifests carry schema-resolved equality ids
+    snap = im.iceberg_snapshot(dst)
+    eq = [d for d in snap["deletes"] if d["kind"] == "eq"]
+    assert eq and eq[0]["equality_cols"] == ["g"]
+    # double export refuses
+    with pytest.raises(ValueError, match="already"):
+        im.export_iceberg_meta(spark, src, dst)
+
+
+def test_export_iceberg_meta_refuses_schema_drift(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.operators import timetravel as tt
+    from kinesis2elastic_spark.sources import iceberg_meta as im
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    tt.commit_snapshot(spark, src, df, 0)
+    tt.commit_snapshot(
+        spark,
+        src,
+        df.withColumn("extra", F.lit("x")),
+        1,
+        carry_forward=False,
+    )
+    with pytest.raises(ValueError, match="drifts|mixes"):
+        im.export_iceberg_meta(spark, src, dst)
