@@ -912,7 +912,87 @@ def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B200: the VARIANT semi-structured type (Spark 4.0's open binary
+    JSON encoding — also the format Delta/Iceberg shredding targets):
+    parse ONCE per document into the variant binary, then extract many
+    typed paths — the 100 TB-relevant contrast to
+    ``get_json_object``-style extraction (q_json_scalar), which
+    re-tokenizes the JSON text for EVERY path it pulls.
+
+    Fixture: a nested per-order document built from orders x lineitem
+    (object, nested object, array of objects — all three access shapes)
+    via ``to_json``; then the variant surface end-to-end:
+
+    - ``parse_json`` -> VariantType column (binary, parsed once);
+    - ``variant_get`` typed extraction: nested scalar (``$.o.status``),
+      int (``$.o.key``), double (``$.price``), array element
+      (``$.lines[0].qty``);
+    - array cardinality via ``variant_get($.lines, array<variant>)`` +
+      ``size``;
+    - ``try_variant_get`` with an impossible cast (string->bigint) and
+      ``variant_get`` on a missing path — both must yield SQL NULL, and
+      their zero counts are hashed so a semantics change flips the row.
+
+    Everything stays JVM-side whole-stage codegen (no UDF); the DuckDB
+    oracle restates the result RELATIONALLY from the base tables (the
+    doc is built from table columns, so the JSON layer must be the
+    identity — any parse/extract/cast defect breaks the hash).  Doubles
+    survive because ``to_json`` prints shortest round-trip reprs."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").alias("n"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_returnflag").alias("ret"),
+                )
+            )
+        ).alias("lines")
+    )
+    docs = o.join(lines, o.o_orderkey == lines.l_orderkey).select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("o_orderkey").alias("key"),
+                    F.col("o_orderstatus").alias("status"),
+                ).alias("o"),
+                F.col("lines"),
+                F.col("o_totalprice").alias("price"),
+            )
+        ).alias("doc")
+    )
+    v = F.parse_json(F.col("doc"))
+    sel = docs.select(
+        F.variant_get(v, "$.o.status", "string").alias("status"),
+        F.variant_get(v, "$.o.key", "bigint").alias("okey"),
+        F.variant_get(v, "$.price", "double").alias("price"),
+        F.variant_get(v, "$.lines[0].qty", "double").alias("qty1"),
+        F.size(F.variant_get(v, "$.lines", "array<variant>")).alias(
+            "n_lines"
+        ),
+        F.try_variant_get(v, "$.o.status", "bigint").alias("bad_cast"),
+        F.variant_get(v, "$.missing", "string").alias("missing"),
+    )
+    return sel.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.sum(F.floor(F.col("qty1")).cast("long"))
+        .cast("long")
+        .alias("sum_qty1"),
+        F.sum("n_lines").cast("long").alias("n_lines_total"),
+        F.count("bad_cast").cast("long").alias("n_bad_cast"),
+        F.count("missing").cast("long").alias("n_missing"),
+        F.min("okey").cast("long").alias("min_key"),
+    )
+
+
 QUERIES = {
+    "q_variant": q_variant,
     "q_udtf_chunk": q_udtf_chunk,
     "q_ntile_dist": q_ntile_dist,
     "q_running_distinct": q_running_distinct,
@@ -949,6 +1029,33 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_variant": """
+        WITH lm AS (
+            SELECT l_orderkey, COUNT(*) AS n_lines,
+                   MIN(l_linenumber) AS n0
+            FROM lineitem GROUP BY l_orderkey
+        ), la AS (
+            -- first element of the (n, qty, ret)-sorted array: the
+            -- min-linenumber line, min-qty tiebreak (struct sort order)
+            SELECT l.l_orderkey, ANY_VALUE(lm.n_lines) AS n_lines,
+                   MIN(l.l_quantity) AS qty1
+            FROM lineitem l
+            JOIN lm ON lm.l_orderkey = l.l_orderkey
+                   AND l.l_linenumber = lm.n0
+            GROUP BY l.l_orderkey
+        )
+        SELECT o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(SUM(CAST(floor(qty1) AS BIGINT)) AS BIGINT) AS sum_qty1,
+               CAST(SUM(n_lines) AS BIGINT) AS n_lines_total,
+               CAST(0 AS BIGINT) AS n_bad_cast,
+               CAST(0 AS BIGINT) AS n_missing,
+               MIN(o_orderkey) AS min_key
+        FROM orders JOIN la ON la.l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
     "q_udtf_chunk": f"""
         WITH w AS (
           SELECT doc_id, string_split(text, ' ') AS ws

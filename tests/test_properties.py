@@ -598,3 +598,37 @@ def test_lpa_random_digraphs_match_python(spark):
         assert got == set(_py_lpa(edges, rounds).items())
 
     check()
+
+
+def test_variant_semantics(spark):
+    """B200 VARIANT surface: typed extraction, missing-path NULL,
+    try-cast NULL, variant-null detection, schema inference."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"a": {"b": 7}, "xs": [1, 2, 3], "s": "hi", "z": null}',)],
+        "doc string",
+    )
+    v = F.parse_json(F.col("doc"))
+    row = df.select(
+        F.variant_get(v, "$.a.b", "bigint").alias("b"),
+        F.variant_get(v, "$.xs[2]", "int").alias("x2"),
+        F.size(F.variant_get(v, "$.xs", "array<variant>")).alias("nx"),
+        F.variant_get(v, "$.nope", "string").alias("missing"),
+        F.try_variant_get(v, "$.s", "bigint").alias("bad_cast"),
+        F.is_variant_null(F.variant_get(v, "$.z", "variant")).alias("z_is_null"),
+        F.is_variant_null(F.variant_get(v, "$.s", "variant")).alias("s_is_null"),
+        F.schema_of_variant(v).alias("schema"),
+    ).collect()[0]
+    assert row.b == 7 and row.x2 == 3 and row.nx == 3
+    assert row.missing is None and row.bad_cast is None
+    assert row.z_is_null is True and row.s_is_null is False
+    assert "a: OBJECT" in row.schema and "xs: ARRAY" in row.schema
+    # malformed input: parse_json raises at execution, try_parse_json -> NULL
+    bad = spark.createDataFrame([("{not json",)], "doc string")
+    assert (
+        bad.select(F.try_parse_json("doc").alias("v"))
+        .filter(F.col("v").isNull())
+        .count()
+        == 1
+    )
