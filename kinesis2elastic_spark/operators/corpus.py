@@ -1880,8 +1880,17 @@ def langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the window ranks the per-(lang, tri) AGGREGATE (bounded
     by languages x distinct trigrams — statistics-sized, never corpus
-    rows), the B157 histogram discipline."""
-    tri = _char_trigrams(load(spark, sf_dir, "documents"), "lang")
+    rows), the B157 histogram discipline.  The scan is spread to full
+    parallelism first (r14: the testdata is ONE parquet split, which
+    serialized the whole 1.5M-trigram explode onto a single core —
+    measured 3.3 s -> ~0.7 s at sf0.1; real corpora arrive pre-split,
+    making the tiny doc-row shuffle a no-op by comparison)."""
+    tri = _char_trigrams(
+        load(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "lang",
+    )
     counts = tri.groupBy("lang", "tri").agg(F.count("*").alias("n"))
     w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri"))
     return (
@@ -1901,9 +1910,13 @@ def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: doc profiles are a per-doc window over per-(doc, tri) counts;
     the candidate cross is docs x 5 langs with the tiny profile table
     BROADCAST; the argmin is a map-combinable min-struct winner (B142
-    rule — never a row_number over a potentially hot key)."""
+    rule — never a row_number over a potentially hot key).  Trigram
+    generation runs on the full-parallelism spread (r14, see
+    langid_profiles — the single-split testdata scan serialized it)."""
     d = load(spark, sf_dir, "documents")
-    tri = _char_trigrams(d)
+    tri = _char_trigrams(
+        d.repartition(spark.sparkContext.defaultParallelism)
+    )
     dcounts = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("n"))
     wd = W.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("tri"))
     dp = (
