@@ -991,8 +991,79 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REC_CTE_SQL = """
+    WITH RECURSIVE anc(k, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+      UNION ALL
+      SELECT CAST(p.p_partkey AS BIGINT) AS k, a.depth + 1 AS depth
+      FROM anc a JOIN part p
+        ON CAST(floor(p.p_partkey / 2) AS BIGINT) = a.k
+      WHERE p.p_partkey > 1
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(k) AS BIGINT) AS key_sum,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM anc GROUP BY depth
+"""
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B201: native SQL recursion — ``WITH RECURSIVE`` (Spark 4.1's
+    ANSI recursive CTE).  The graph family (B114/B137) re-expressed
+    recursion as DataFrame fixpoint loops because SQL recursion didn't
+    exist on Spark; now the classic hierarchy-explosion shape (BOM /
+    org-chart / ancestor chain) runs as ONE SQL text — and that same
+    text runs VERBATIM on DuckDB, the strongest oracle form this repo
+    has (no restatement at all).
+
+    Fixture: the implicit binary hierarchy over partkeys (parent of k
+    is floor(k/2)) — every node has exactly ONE parent, so the
+    mandatory ``UNION ALL`` semantics (Spark rejects dedup UNION in
+    recursion) produce each part exactly once: no multiplicity, no
+    cycle risk, depth = ceil(log2 N) iterations.  Per-depth aggregate
+    with exact key checksums pins every level.
+
+    Scale shape: each iteration is one broadcast-able equi-join of the
+    previous level (frontier-sized) against part — semi-naive
+    evaluation, the same per-round plan the hand-built BFS kernel
+    uses; Spark's implementation unions the per-step results, so the
+    plan is a K-level join DAG with the frontier always on the small
+    side.  The DataFrame kernels stay the right tool for
+    data-dependent deep graphs (diameter >> iteration cap, pinning
+    discipline); the rCTE is the right tool for schema-shaped
+    hierarchies."""
+    register_views(spark, sf_dir)
+    return spark.sql(REC_CTE_SQL)
+
+
+def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B202: SQL pipe syntax (Spark 4.0's ``|>`` operator chaining —
+    the GoogleSQL pipe-flow form): the TPC-H Q1 pricing-summary shape
+    written as a linear pipeline FROM -> WHERE -> EXTEND (computed
+    columns) -> AGGREGATE ... GROUP BY.  Pipe stages compile to the
+    exact same logical plan as the nested-SELECT form (Catalyst sees
+    no difference — pinned by the oracle hash matching the plain-SQL
+    restatement), so the surface is free at any scale; it exists
+    because linear pipelines are how 100-TB ETL reads."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE
+             CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(floor(disc_price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_disc_cents,
+             CAST(COUNT(*) AS BIGINT) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+    """)
+
+
 QUERIES = {
     "q_variant": q_variant,
+    "q_recursive_cte": q_recursive_cte,
+    "q_pipe_sql": q_pipe_sql,
     "q_udtf_chunk": q_udtf_chunk,
     "q_ntile_dist": q_ntile_dist,
     "q_running_distinct": q_running_distinct,
@@ -1029,6 +1100,19 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_recursive_cte": REC_CTE_SQL,
+    "q_pipe_sql": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS sum_qty,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_disc_cents,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
     "q_variant": """
         WITH lm AS (
             SELECT l_orderkey, COUNT(*) AS n_lines,

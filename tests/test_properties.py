@@ -632,3 +632,51 @@ def test_variant_semantics(spark):
         .count()
         == 1
     )
+
+
+def test_recursive_cte_hierarchy_depths(spark):
+    """B201: WITH RECURSIVE over the unique-parent binary hierarchy —
+    every k reached exactly once at depth floor(log2 k)."""
+    import math
+
+    spark.createDataFrame(
+        [(k,) for k in range(1, 64)], "p_partkey long"
+    ).createOrReplaceTempView("part")
+    rows = spark.sql(
+        """
+        WITH RECURSIVE anc(k, depth) AS (
+          SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT CAST(p.p_partkey AS BIGINT), a.depth + 1
+          FROM anc a JOIN part p
+            ON CAST(floor(p.p_partkey / 2) AS BIGINT) = a.k
+          WHERE p.p_partkey > 1
+        )
+        SELECT k, depth FROM anc
+        """
+    ).collect()
+    got = {r.k: r.depth for r in rows}
+    assert len(rows) == len(got) == 63  # exactly once each
+    assert got == {k: int(math.log2(k)) for k in range(1, 64)}
+
+
+def test_pipe_sql_matches_nested_form(spark):
+    """B202: a |> pipeline and its nested-SELECT form agree row-for-row."""
+    spark.range(100).selectExpr(
+        "id", "id % 7 AS g", "id * 1.5 AS v"
+    ).createOrReplaceTempView("t_pipe")
+    piped = spark.sql(
+        """
+        FROM t_pipe
+        |> WHERE id >= 10
+        |> EXTEND v * 2 AS v2
+        |> AGGREGATE SUM(v2) AS s, COUNT(*) AS n GROUP BY g
+        """
+    )
+    plain = spark.sql(
+        "SELECT g, SUM(v * 2) AS s, COUNT(*) AS n FROM t_pipe "
+        "WHERE id >= 10 GROUP BY g"
+    )
+    assert sorted(map(tuple, piped.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
