@@ -454,9 +454,73 @@ def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B203 contract query: the change data feed derived from Delta log
+    replay + deletion-vector diffs (no CDC sidecar files needed) —
+    fixture: v0/v1 appends split by o_orderkey%2 (partitioned by
+    status), v2 row-level DV delete (%7==3), v3 FILE-level remove of
+    the 'O' partition, v4 re-append of the (odd, 'O') slice; then
+    ``delta_changes(1, latest)`` must report exactly
+
+    - v2: deletes = rows %7==3 (the DV-diff position-keep leg),
+    - v3: deletes = surviving 'O' rows (%7<>3 — the removed-file leg
+      reads LIVE rows as of v2, so already-DV-dead rows must NOT
+      re-report),
+    - v4: inserts = the re-appended slice,
+
+    aggregated per (_commit_version, _change_type, status) with exact
+    key checksums.  The v3 leg is the sharp edge: a reader that scans
+    removed files without applying their prior deletion vectors
+    double-reports the %7==3 'O' rows and flips two rows' hashes."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k2 = F.col("o_orderkey") % 2
+    k7 = F.col("o_orderkey") % 7
+    work = tempfile.mkdtemp(prefix="k2e_cdf_")
+    table = os.path.join(work, "t")
+    try:
+        dl.delta_append(
+            spark, table, o.filter(k2 == 0), partition_by=["o_orderstatus"]
+        )
+        dl.delta_append(
+            spark, table, o.filter(k2 == 1), partition_by=["o_orderstatus"]
+        )
+        dl.delta_delete_where(spark, table, k7 == 3)
+        dl.delta_remove_where(
+            table,
+            lambda a: a["partitionValues"].get("o_orderstatus") == "O",
+        )
+        dl.delta_append(
+            spark,
+            table,
+            o.filter((k2 == 1) & (F.col("o_orderstatus") == "O")),
+            partition_by=["o_orderstatus"],
+        )
+        ch = dl.delta_changes(spark, table, 1)
+        out = (
+            ch.groupBy(
+                "_commit_version",
+                "_change_type",
+                F.col("o_orderstatus").alias("status"),
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "q_delta_read": q_delta_read,
     "q_delta_dv": q_delta_dv,
+    "q_delta_cdf": q_delta_cdf,
     "q_iceberg_export": q_iceberg_export,
     "q_iceberg_read": q_iceberg_read,
     "q_iceberg_mor": q_iceberg_mor,
@@ -464,6 +528,27 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_delta_cdf": """
+        WITH ch AS (
+            SELECT CAST(2 AS BIGINT) AS _commit_version,
+                   'delete' AS _change_type, o_orderstatus AS status,
+                   o_orderkey
+            FROM orders WHERE o_orderkey % 7 = 3
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'delete', o_orderstatus, o_orderkey
+            FROM orders
+            WHERE o_orderstatus = 'O' AND o_orderkey % 7 <> 3
+            UNION ALL
+            SELECT CAST(4 AS BIGINT), 'insert', o_orderstatus, o_orderkey
+            FROM orders
+            WHERE o_orderkey % 2 = 1 AND o_orderstatus = 'O'
+        )
+        SELECT _commit_version, _change_type, status,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM ch GROUP BY _commit_version, _change_type, status
+    """,
     "q_iceberg_export": """
         WITH latest AS (
             SELECT * FROM orders

@@ -218,9 +218,13 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
             protocol = a["protocol"]
         elif "add" in a:
             add = a["add"]
-            live[add["path"]] = add
+            # file identity is the DECODED path (the spec's add.path is
+            # URL-encoded; two writers may quote differently — keying
+            # by the raw string would let a remove miss its add and
+            # resurrect/duplicate the file)
+            live[unquote(add["path"])] = add
         elif "remove" in a:
-            live.pop(a["remove"]["path"], None)
+            live.pop(unquote(a["remove"]["path"]), None)
     _check_protocol(protocol, metadata)
     if metadata is None:
         raise ValueError(f"no metaData action found in {table_dir}")
@@ -230,7 +234,7 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
     schema = StructType.fromJson(json.loads(metadata["schemaString"]))
     files = [
         {
-            "path": os.path.join(table_dir, unquote(p)),
+            "path": os.path.join(table_dir, p),  # key is already decoded
             "partitionValues": add.get("partitionValues") or {},
             "size": add.get("size"),
             "stats": add.get("stats"),
@@ -404,11 +408,9 @@ def read_delta(
     are wide bounds over ALL physical rows (the spec's
     tightBounds=false) and the residual filter always applies."""
     snap = delta_snapshot(table_dir, version)
-    schema: StructType = snap["schema"]
+    files = snap["files"]
     pcols: list[str] = snap["partition_columns"]
     pmap: dict = snap.get("physical_names") or {}
-    dtypes = {f.name: f.dataType for f in schema.fields}
-    files = snap["files"]
     if filters:
         files = [
             f_
@@ -418,25 +420,56 @@ def read_delta(
                 for (c, op, v) in filters
             )
         ]
+    out = _scan_delta_files(spark, table_dir, snap, files)
+    if filters:
+        from ..operators.timetravel import _filters_to_column
+
+        out = out.filter(_filters_to_column(filters))
+    return out
+
+
+def _scan_delta_files(
+    spark: SparkSession,
+    table_dir: str,
+    snap: dict,
+    files: list[dict],
+    positions_mode: str = "drop",
+    positions: dict[str, list[int]] | None = None,
+) -> DataFrame:
+    """Scan an explicit subset of a snapshot's files with partition
+    injection, column-mapping rename, and schema projection.
+
+    ``positions_mode`` controls row-position handling against
+    ``positions`` (file path -> sorted row indexes; default = each
+    file's decoded deletion vector): ``drop`` anti-joins them away
+    (live-row semantics, the read_delta path) while ``keep``
+    semi-joins so ONLY those physical rows survive (the CDF path —
+    "the rows a DV delete touched").  The join side is broadcast
+    (file, row_index) longs — metadata-rate, decoded driver-side."""
+    schema: StructType = snap["schema"]
+    pcols: list[str] = snap["partition_columns"]
+    pmap: dict = snap.get("physical_names") or {}
+    dtypes = {f.name: f.dataType for f in schema.fields}
     if not files:
         return spark.createDataFrame([], schema)
     from . import dvectors as _dv
 
-    dv_positions: dict[str, list[int]] = {}
-    for f_ in files:
-        if f_.get("deletionVector"):
-            dv_positions[f_["path"]] = _dv.decode_descriptor(
-                table_dir, f_["deletionVector"]
-            )
+    if positions is None:
+        positions = {}
+        for f_ in files:
+            if f_.get("deletionVector"):
+                positions[f_["path"]] = _dv.decode_descriptor(
+                    table_dir, f_["deletionVector"]
+                )
     pos_df = None
-    if dv_positions:
+    if positions:
         import pandas as _pd
 
         pos_df = spark.createDataFrame(
             _pd.DataFrame(
                 [
                     (p, int(i))
-                    for p, poss in dv_positions.items()
+                    for p, poss in positions.items()
                     for i in poss
                 ],
                 columns=["__dvf", "__dvp"],
@@ -450,11 +483,12 @@ def read_delta(
         )
         groups.setdefault(key, []).append(f_)
     parts: list[DataFrame] = []
+    join_how = "left_anti" if positions_mode == "drop" else "left_semi"
     for key, fgroup in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        clean = [f["path"] for f in fgroup if f["path"] not in dv_positions]
-        dirty = [f["path"] for f in fgroup if f["path"] in dv_positions]
+        clean = [f["path"] for f in fgroup if f["path"] not in positions]
+        dirty = [f["path"] for f in fgroup if f["path"] in positions]
         legs: list[DataFrame] = []
-        if clean:
+        if clean and positions_mode == "drop":
             legs.append(spark.read.parquet(*clean))
         if dirty:
             legs.append(
@@ -466,9 +500,11 @@ def read_delta(
                     ).alias("__dvf"),
                     F.col("_metadata.row_index").cast("long").alias("__dvp"),
                 )
-                .join(F.broadcast(pos_df), ["__dvf", "__dvp"], "left_anti")
+                .join(F.broadcast(pos_df), ["__dvf", "__dvp"], join_how)
                 .drop("__dvf", "__dvp")
             )
+        if not legs:
+            continue
         df = legs[0]
         for leg in legs[1:]:
             df = df.unionByName(leg)
@@ -484,16 +520,149 @@ def read_delta(
             else:
                 df = df.withColumn(c, F.lit(raw).cast(dtypes[c]))
         parts.append(df)
+    if not parts:
+        return spark.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    out = out.select(
+    return out.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
-    if filters:
-        from ..operators.timetravel import _filters_to_column
 
-        out = out.filter(_filters_to_column(filters))
+
+def delta_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """B203: the change data feed DERIVED from log replay — row-level
+    changes between ``from_version`` (exclusive) and ``to_version``
+    (inclusive, None = latest) as the table schema plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version`` —
+    the CDC contract Delta's readChangeFeed exposes, computed here
+    without requiring CDC sidecar files, by diffing consecutive
+    snapshots:
+
+    - a file path present in v but not v-1: its LIVE rows (own DV
+      applied) are inserts at v;
+    - a path present in v-1 but not v: its live rows AS OF v-1 are
+      deletes at v;
+    - a path in both whose deletion vector GREW (B198): exactly the
+      newly-dead positions are deletes at v (position-keep scan —
+      metadata-rate join keys, only the touched rows read); a DV that
+      SHRANK (RESTORE) emits the revived positions as inserts.
+
+    Updates therefore appear as delete+insert pairs (exactly what
+    Delta reports for tables without CDC files).  Known divergence
+    from delta-spark, documented: the ``dataChange=false`` flag is not
+    tracked, so a pure compaction rewrite would surface as
+    delete+insert pairs of identical rows rather than silence —
+    OPTIMIZE the range away or filter pairs downstream.
+
+    Scale shape: per version the diff is computed on the FILE LIST
+    (metadata-rate); each leg is an explicit-file-list scan, so the
+    union reads added/removed/touched files only, never the table."""
+    latest = delta_snapshot(table_dir)["version"]
+    to_v = latest if to_version is None else int(to_version)
+    if int(from_version) > to_v:
+        raise ValueError(
+            f"from_version {from_version} is beyond to_version {to_v}"
+        )
+    from . import dvectors as _dv
+
+    def _dvmap(snap: dict) -> dict[str, set[int]]:
+        out = {}
+        for f_ in snap["files"]:
+            if f_.get("deletionVector"):
+                out[f_["path"]] = set(
+                    _dv.decode_descriptor(table_dir, f_["deletionVector"])
+                )
+        return out
+
+    prev = delta_snapshot(table_dir, from_version)
+    prev_by = {f_["path"]: f_ for f_ in prev["files"]}
+    prev_dv = _dvmap(prev)
+    schema: StructType = prev["schema"]
+    legs: list[DataFrame] = []
+
+    def _tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+        return df.select(
+            "*",
+            F.lit(kind).alias("_change_type"),
+            F.lit(int(v)).cast("long").alias("_commit_version"),
+        )
+
+    for v in range(int(from_version) + 1, to_v + 1):
+        cur = delta_snapshot(table_dir, v)
+        cur_by = {f_["path"]: f_ for f_ in cur["files"]}
+        cur_dv = _dvmap(cur)
+        added = [f_ for p, f_ in cur_by.items() if p not in prev_by]
+        removed = [f_ for p, f_ in prev_by.items() if p not in cur_by]
+        if added:
+            legs.append(
+                _tag(
+                    _scan_delta_files(spark, table_dir, cur, added),
+                    "insert",
+                    v,
+                )
+            )
+        if removed:
+            legs.append(
+                _tag(
+                    _scan_delta_files(spark, table_dir, prev, removed),
+                    "delete",
+                    v,
+                )
+            )
+        new_dead: dict[str, list[int]] = {}
+        revived: dict[str, list[int]] = {}
+        for p in cur_by:
+            if p not in prev_by:
+                continue
+            grew = cur_dv.get(p, set()) - prev_dv.get(p, set())
+            shrank = prev_dv.get(p, set()) - cur_dv.get(p, set())
+            if grew:
+                new_dead[p] = sorted(grew)
+            if shrank:
+                revived[p] = sorted(shrank)
+        if new_dead:
+            legs.append(
+                _tag(
+                    _scan_delta_files(
+                        spark,
+                        table_dir,
+                        cur,
+                        [cur_by[p] for p in new_dead],
+                        positions_mode="keep",
+                        positions=new_dead,
+                    ),
+                    "delete",
+                    v,
+                )
+            )
+        if revived:
+            legs.append(
+                _tag(
+                    _scan_delta_files(
+                        spark,
+                        table_dir,
+                        cur,
+                        [cur_by[p] for p in revived],
+                        positions_mode="keep",
+                        positions=revived,
+                    ),
+                    "insert",
+                    v,
+                )
+            )
+        prev, prev_by, prev_dv = cur, cur_by, cur_dv
+    if not legs:
+        empty = spark.createDataFrame([], schema)
+        return _tag(empty, "insert", to_v).limit(0)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
     return out
 
 

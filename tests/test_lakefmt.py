@@ -108,6 +108,7 @@ def test_protocol_gate_fails_loud(spark, tmp_path):
         f.write(json.dumps({"protocol": {"minReaderVersion": 4}}) + "\n")
     with pytest.raises(NotImplementedError, match="protocol v4"):
         dl.delta_snapshot(t)
+    # v3 with deletionVectors: SUPPORTED since B198 (r14) — reads fine
     with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
         f.write(
             json.dumps(
@@ -120,7 +121,21 @@ def test_protocol_gate_fails_loud(spark, tmp_path):
             )
             + "\n"
         )
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    assert dl.delta_snapshot(t)["version"] == 1
+    # ... but an unknown v3 feature still refuses loudly
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "readerFeatures": ["v2Checkpoint"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(NotImplementedError, match="v2Checkpoint"):
         dl.delta_snapshot(t)
 
 
@@ -920,3 +935,74 @@ def test_export_iceberg_meta_refuses_schema_drift(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="drifts|mixes"):
         im.export_iceberg_meta(spark, src, dst)
+
+
+# ----------------------------------------------------- B203: CDF derive
+
+
+def test_delta_changes_dv_diff_and_revive(spark, tmp_path):
+    """CDF from log replay: DV-growth deletes report ONLY newly-dead
+    positions; a hand-rolled DV shrink (RESTORE) reports revived rows
+    as inserts; removed files report live-rows-as-of-prior (their DV
+    applied, no double-report)."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    dl.delta_append(
+        spark,
+        t,
+        _mk(spark, [(i, "a" if i % 2 else "b", float(i)) for i in range(20)]),
+        partition_by=["g"],
+    )
+    dl.delta_delete_where(spark, t, F.col("k") < 5)          # v1: DV delete
+    dl.delta_delete_where(spark, t, F.col("k").isin(5, 6))   # v2: DV grows
+    ch = dl.delta_changes(spark, t, 0)
+    got = sorted(
+        (r._commit_version, r._change_type, r.k) for r in ch.collect()
+    )
+    assert got == sorted(
+        [(1, "delete", k) for k in range(5)]
+        + [(2, "delete", 5), (2, "delete", 6)]
+    )
+    # RESTORE: rewrite v2's DVs back to v1's state (shrink) as v3
+    snap1 = dl.delta_snapshot(t, 1)
+    v1_dv = {
+        os.path.relpath(f["path"], t): f["deletionVector"]
+        for f in snap1["files"]
+        if f.get("deletionVector")
+    }
+    snap2 = dl.delta_snapshot(t)
+    actions = []
+    for f in snap2["files"]:
+        rel = os.path.relpath(f["path"], t)
+        want = v1_dv.get(rel)
+        if f.get("deletionVector") != want:
+            actions.append({"remove": {"path": rel, "dataChange": True}})
+            add = {
+                "path": rel,
+                "partitionValues": f["partitionValues"],
+                "size": f["size"],
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if want:
+                add["deletionVector"] = want
+            actions.append({"add": add})
+    assert actions  # v2 touched at least one file's DV state
+    dl._write_commit(t, 3, actions)
+    revived = sorted(
+        r.k
+        for r in dl.delta_changes(spark, t, 2).collect()
+        if r._change_type == "insert"
+    )
+    assert revived == [5, 6]
+    # file-level remove after DV deletes: only live rows report
+    dl.delta_remove_where(t, lambda a: a["partitionValues"].get("g") == "b")
+    last = dl.delta_changes(spark, t, 3)
+    dels = sorted(r.k for r in last.collect() if r._change_type == "delete")
+    # g='b' = even keys; live as of v3 = k >= 5 (restore revived 5, 6)
+    assert dels == [k for k in range(20) if k % 2 == 0 and k >= 5]
+    # empty range
+    assert dl.delta_changes(spark, t, 4).count() == 0
+    with pytest.raises(ValueError, match="beyond"):
+        dl.delta_changes(spark, t, 9)
