@@ -1208,3 +1208,82 @@ def expire_delta_log(table_dir: str, before_version: int) -> int:
             os.remove(p)
             n += 1
     return n
+
+
+def vacuum_delta(
+    table_dir: str,
+    retain_versions: int = 1,
+    dry_run: bool = False,
+) -> list[str]:
+    """B204: VACUUM — physically delete data files and DV sidecars no
+    longer referenced by any RETAINED snapshot (the newest
+    ``retain_versions`` replayable versions; default 1 = current state
+    only, the aggressive `RETAIN 0 HOURS` shape).  Returns the deleted
+    paths (``dry_run`` lists without deleting — delta-spark's DRY RUN).
+
+    Safety rules, all loud:
+    - at least one version is always retained;
+    - the live set is the UNION over every retained snapshot of its
+      data files AND the sidecars its deletion-vector descriptors
+      reference ('u' storage — deleting a referenced sidecar would
+      resurrect rows on the next read... by crashing it; inline DVs
+      live in the log and need no protection);
+    - time travel BELOW the retained horizon is lost — that is the
+      point of vacuum — but the log itself is untouched (pair with
+      ``expire_delta_log`` + ``delta_checkpoint`` for full cleanup;
+      a later read of a vacuumed version fails at scan time, same as
+      delta-spark);
+    - unknown files outside the table's ``part-c*``/DV layout are NOT
+      touched (a foreign file in the table dir is someone else's).
+
+    Scale shape: pure metadata work — the candidate set comes from the
+    directory listing, the live set from manifest replay; no data file
+    is ever read."""
+    from . import dvectors as _dv
+
+    commits, ckpts = _list_log(_log_dir(table_dir))
+    latest = max(list(commits) + list(ckpts))
+    if retain_versions < 1:
+        raise ValueError("vacuum must retain at least the current version")
+    keep: set[str] = set()
+    kept = 0
+    for v in range(latest, -1, -1):
+        if kept >= retain_versions:
+            break
+        try:
+            snap = delta_snapshot(table_dir, v)
+        except ValueError:
+            break  # below the replayable horizon (expired log)
+        kept += 1
+        for f_ in snap["files"]:
+            keep.add(os.path.abspath(f_["path"]))
+            dv = f_.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                keep.add(
+                    os.path.abspath(
+                        _dv.dv_uuid_path(table_dir, dv["pathOrInlineDv"])
+                    )
+                )
+    if not kept:
+        raise ValueError(f"no replayable snapshot to retain in {table_dir}")
+    victims: list[str] = []
+    for root, dirs, fs in os.walk(table_dir):
+        if _LOG in root:
+            continue
+        rel_root = os.path.relpath(root, table_dir)
+        for fname in fs:
+            p = os.path.abspath(os.path.join(root, fname))
+            if p in keep:
+                continue
+            is_data = fname.endswith(".parquet") and (
+                rel_root.startswith("part-c") or rel_root == "."
+            )
+            is_dv = fname.startswith("deletion_vector_") and fname.endswith(
+                ".bin"
+            )
+            if is_data or is_dv:
+                victims.append(p)
+    if not dry_run:
+        for p in victims:
+            os.remove(p)
+    return sorted(victims)

@@ -1006,3 +1006,60 @@ def test_delta_changes_dv_diff_and_revive(spark, tmp_path):
     assert dl.delta_changes(spark, t, 4).count() == 0
     with pytest.raises(ValueError, match="beyond"):
         dl.delta_changes(spark, t, 9)
+
+
+# --------------------------------------------------------- B204: vacuum
+
+
+def test_vacuum_delta_keeps_referenced_dvs(spark, tmp_path):
+    """VACUUM deletes only unreferenced data files; DV sidecars
+    referenced by retained snapshots survive; retained reads stay
+    exact; dry_run lists without deleting."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    dl.delta_append(
+        spark,
+        t,
+        _mk(spark, [(i, "a" if i % 2 else "b", float(i)) for i in range(30)]),
+        partition_by=["g"],
+    )
+    # row-level delete with an on-disk DV sidecar
+    dl.delta_delete_where(spark, t, F.col("k") < 4, inline_max_bytes=0)
+    # rewrite: file-level remove of partition 'b', re-append its live rows
+    live_b = dl.read_delta(spark, t).filter("g = 'b'")
+    rows_b = [(r.k, r.g, r.v) for r in live_b.collect()]
+    dl.delta_remove_where(t, lambda a: a["partitionValues"].get("g") == "b")
+    dl.delta_append(spark, t, _mk(spark, rows_b), partition_by=["g"])
+    expect = sorted(
+        r.k for r in dl.read_delta(spark, t).collect()
+    )
+    # dry run lists the replaced 'b' files but deletes nothing
+    listed = dl.vacuum_delta(t, retain_versions=1, dry_run=True)
+    assert listed and all(os.path.exists(p) for p in listed)
+    assert all("/g=b/" in p for p in listed if p.endswith(".parquet"))
+    victims = dl.vacuum_delta(t, retain_versions=1)
+    assert victims == listed
+    assert not any(os.path.exists(p) for p in victims)
+    # the retained snapshot still reads exactly; its DV sidecar survived
+    assert sorted(r.k for r in dl.read_delta(spark, t).collect()) == expect
+    sidecars = _glob.glob(os.path.join(t, "deletion_vector_*.bin"))
+    assert sidecars  # referenced by the live 'a' files
+    # guard rails
+    with pytest.raises(ValueError, match="retain"):
+        dl.vacuum_delta(t, retain_versions=0)
+
+
+def test_vacuum_delta_retain_two_versions(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.delta_append(spark, t, _mk(spark, [(1, "a", 1.0)]))
+    dl.delta_append(spark, t, _mk(spark, [(2, "a", 2.0)]))
+    dl.delta_remove_where(t, lambda a: a["path"].startswith("part-c00000"))
+    # retaining 2 versions (v2 and v1) keeps v0's file (live at v1)
+    assert dl.vacuum_delta(t, retain_versions=2) == []
+    # retaining only v2 deletes it
+    victims = dl.vacuum_delta(t, retain_versions=1)
+    assert victims and all("part-c00000" in p for p in victims)
+    assert _keys(dl.read_delta(spark, t)) == [2]
