@@ -1991,7 +1991,88 @@ def q_stream_cdf_view_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_delta_src_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B205 streaming leg, oracle-backed: a DELTA TABLE as the stream
+    SOURCE (``sources/delta_stream.py`` — the interop-log twin of
+    delta-spark's readStream): orders land in the Delta table as two
+    append commits split by o_orderkey parity, and the stream drains
+    each across a CHECKPOINT RESTART (two availableNow runs — the
+    second must emit ONLY commit 2's rows, pinning the version-offset
+    resume contract), one InputPartition per added data file, partition
+    values typed worker-side.
+
+    Hashed columns: per-status count / exact cents / min-max key over
+    the SINK parquet, so a dropped file partition, a re-emitted commit
+    (offset regression), or a mistyped injected partition column flips
+    the hash; ``exactly_once_ok`` additionally pins sink rows == source
+    rows.  DuckDB recomputes from raw orders."""
+    from ..sources import delta_log as dl
+    from ..sources.delta_stream import DeltaStreamDataSource
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    try:
+        spark.dataSource.register(DeltaStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    work = tempfile.mkdtemp(prefix="k2e_stream_dsrc_")
+    try:
+        table = os.path.join(work, "t")
+        out = os.path.join(work, "out")
+        ck = os.path.join(work, "ckpt")
+        k2 = F.col("o_orderkey") % 2
+
+        def drain():
+            _drain(
+                spark.readStream.format("delta_interop")
+                .option("path", table)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        dl.delta_append(
+            spark, table, o.filter(k2 == 0), partition_by=["o_orderstatus"]
+        )
+        drain()
+        n_first = spark.read.parquet(out).count()
+        dl.delta_append(
+            spark, table, o.filter(k2 == 1), partition_by=["o_orderstatus"]
+        )
+        drain()
+        sink = spark.read.parquet(out)
+        n_total = sink.count()
+        exactly_once = bool(
+            n_first == o.filter(k2 == 0).count() and n_total == o.count()
+        )
+        got = (
+            sink.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .withColumn("exactly_once_ok", F.lit(exactly_once))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return got
+
+
 QUERIES = {
+    "q_stream_delta_src_equiv": q_stream_delta_src_equiv,
     "q_stream_cdf_view_equiv": q_stream_cdf_view_equiv,
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -2036,6 +2117,15 @@ def _shard_manifest_sql() -> str:
 
 
 ORACLE = {
+    "q_stream_delta_src_equiv": """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+               TRUE AS exactly_once_ok
+        FROM orders GROUP BY o_orderstatus
+    """,
     "q_stream_cdc_equiv": """
         WITH ranked AS (
           SELECT *, row_number() OVER (PARTITION BY user_id
