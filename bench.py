@@ -143,6 +143,16 @@ HEADLINE = [
     "q_iceberg_read",
     "q_ann_ivfpq",
     "q_langid",
+    # r14: the new interop legs (deletion-vector row-level deletes,
+    # CDF-from-log-replay, the MOR-carrying Iceberg export — each a
+    # fixture-build + read end-to-end, the r13 convention), the native
+    # recursive CTE (SAME SQL text runs on DuckDB — the purest twin in
+    # the set), and the VARIANT parse-once/extract-many shape
+    "q_delta_dv",
+    "q_delta_cdf",
+    "q_iceberg_export",
+    "q_recursive_cte",
+    "q_variant",
 ]
 
 

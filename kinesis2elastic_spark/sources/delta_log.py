@@ -554,11 +554,13 @@ def delta_changes(
       SHRANK (RESTORE) emits the revived positions as inserts.
 
     Updates therefore appear as delete+insert pairs (exactly what
-    Delta reports for tables without CDC files).  Known divergence
-    from delta-spark, documented: the ``dataChange=false`` flag is not
-    tracked, so a pure compaction rewrite would surface as
-    delete+insert pairs of identical rows rather than silence —
-    OPTIMIZE the range away or filter pairs downstream.
+    Delta reports for tables without CDC files).  A version whose
+    json commit carries ONLY ``dataChange: false`` file actions (an
+    OPTIMIZE/compaction rewrite, B206) is SKIPPED — no phantom
+    delete+insert pairs, matching delta-spark.  The flag is only
+    visible while the commit json survives; once a checkpoint+expire
+    erased it the version diffs as data change (conservative: extra
+    pairs, never lost changes — documented residual divergence).
 
     Scale shape: per version the diff is computed on the FILE LIST
     (metadata-rate); each leg is an explicit-file-list scan, so the
@@ -593,10 +595,25 @@ def delta_changes(
             F.lit(int(v)).cast("long").alias("_commit_version"),
         )
 
+    commits, _ckpts = _list_log(_log_dir(table_dir))
     for v in range(int(from_version) + 1, to_v + 1):
         cur = delta_snapshot(table_dir, v)
         cur_by = {f_["path"]: f_ for f_ in cur["files"]}
         cur_dv = _dvmap(cur)
+        if v in commits:
+            file_actions = [
+                a[k]
+                for a in _read_commit_actions(commits[v])
+                for k in ("add", "remove")
+                if k in a
+            ]
+            if file_actions and all(
+                a.get("dataChange") is False for a in file_actions
+            ):
+                # pure compaction (OPTIMIZE, B206): same logical rows,
+                # new physical layout — no change rows to report
+                prev, prev_by, prev_dv = cur, cur_by, cur_dv
+                continue
         added = [f_ for p, f_ in cur_by.items() if p not in prev_by]
         removed = [f_ for p, f_ in prev_by.items() if p not in cur_by]
         if added:
@@ -1287,3 +1304,110 @@ def vacuum_delta(
         for p in victims:
             os.remove(p)
     return sorted(victims)
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table_dir: str,
+) -> dict:
+    """B206: OPTIMIZE — compact the current snapshot into fresh files
+    and RETIRE merge-on-read debt: deletion vectors are folded in (the
+    rewrite reads live rows only), small files collapse to one file
+    per partition tuple, and the whole swap lands as ONE atomic commit
+    of removes + adds (readers replaying any version never see a
+    half-optimized state — the commit is the atom, exactly the spec's
+    OPTIMIZE shape).
+
+    Partition-preserving: each partition tuple rewrites independently
+    and keeps its partitionValues, so partition pruning (B197) is
+    unaffected; per-file stats are re-collected footer-rate on the new
+    files, RESTORING stats-based skipping that DV'd files had
+    wide-bounds-weakened (tightBounds back to true in spirit).
+
+    Returns {"version", "files_removed", "files_added",
+    "dv_cardinality_retired"}.  The old files stay on disk for time
+    travel until :func:`vacuum_delta` reclaims them — OPTIMIZE is a
+    logical rewrite, never a delete.
+
+    Scale shape: one read of live rows + one partitioned write — the
+    same cost envelope as any copy-on-write compaction; at 100 TB you
+    run it per-partition-predicate (read_delta(filters=...) keeps the
+    scan pruned), not table-wide."""
+    snap = delta_snapshot(table_dir)
+    version = _next_version(table_dir)
+    pcols: list[str] = snap["partition_columns"]
+    if snap.get("column_mapping", "none") != "none":
+        raise NotImplementedError(
+            "optimize_delta does not support column-mapped tables"
+        )
+    live = read_delta(spark, table_dir)
+    sub = f"part-c{version:05d}"
+    dest = os.path.join(table_dir, sub)
+    w = live.coalesce(1) if not pcols else live.repartition(
+        *[F.col(c) for c in pcols]
+    )
+    writer = w.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(dest)
+    actions: list[dict] = []
+    dv_retired = 0
+    for f_ in snap["files"]:
+        dv = f_.get("deletionVector")
+        if dv:
+            dv_retired += int(dv.get("cardinality") or 0)
+        actions.append(
+            {
+                "remove": {
+                    "path": quote(os.path.relpath(f_["path"], table_dir)),
+                    "deletionTimestamp": 0,
+                    "dataChange": False,
+                }
+            }
+        )
+    n_added = 0
+    from ..operators.timetravel import _file_column_stats
+
+    for rel in _rel_files(table_dir, sub):
+        pv = {}
+        for c in pcols:
+            m = re.search(rf"(?:^|/){re.escape(c)}=([^/]+)/", rel)
+            if not m:
+                raise ValueError(f"partition dir for {c!r} missing in {rel}")
+            raw = unquote(m.group(1))
+            pv[c] = None if raw == _HIVE_NULL else raw
+        abspath = os.path.join(table_dir, rel)
+        col_stats = _file_column_stats(abspath)
+        actions.append(
+            {
+                "add": {
+                    "path": quote(rel),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(abspath),
+                    "modificationTime": 0,
+                    "dataChange": False,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": pq.read_metadata(abspath).num_rows,
+                            "minValues": {
+                                c: s["min"] for c, s in col_stats.items()
+                            },
+                            "maxValues": {
+                                c: s["max"] for c, s in col_stats.items()
+                            },
+                        },
+                        sort_keys=True,
+                    ),
+                }
+            }
+        )
+        n_added += 1
+    if not n_added:
+        raise ValueError(f"optimize produced no files for {table_dir}")
+    _write_commit(table_dir, version, actions)
+    return {
+        "version": version,
+        "files_removed": len(snap["files"]),
+        "files_added": n_added,
+        "dv_cardinality_retired": dv_retired,
+    }

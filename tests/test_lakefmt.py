@@ -1063,3 +1063,62 @@ def test_vacuum_delta_retain_two_versions(spark, tmp_path):
     victims = dl.vacuum_delta(t, retain_versions=1)
     assert victims and all("part-c00000" in p for p in victims)
     assert _keys(dl.read_delta(spark, t)) == [2]
+
+
+# ------------------------------------------------------- B206: optimize
+
+
+def test_optimize_delta_retires_dv_debt(spark, tmp_path):
+    """OPTIMIZE folds deletion vectors into a compacted rewrite as one
+    atomic commit: live rows unchanged, DVs gone, per-file stats
+    restored, partition pruning preserved, and time travel below the
+    rewrite still sees the DV'd state."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    dl.delta_append(
+        spark,
+        t,
+        _mk(spark, [(i, "a" if i % 2 else "b", float(i)) for i in range(40)]),
+        partition_by=["g"],
+        collect_stats=True,
+    )
+    dl.delta_append(
+        spark,
+        t,
+        _mk(spark, [(i, "a" if i % 2 else "b", float(i)) for i in range(40, 60)]),
+        partition_by=["g"],
+        collect_stats=True,
+    )
+    dl.delta_delete_where(spark, t, F.col("k") % 5 == 0)
+    expect = [i for i in range(60) if i % 5]
+    n_files_before = len(dl.delta_snapshot(t)["files"])
+    res = dl.optimize_delta(spark, t)
+    assert res["files_removed"] == n_files_before
+    assert res["files_added"] == 2  # one per partition tuple
+    assert res["dv_cardinality_retired"] == 12
+    snap = dl.delta_snapshot(t)
+    assert not any(f.get("deletionVector") for f in snap["files"])
+    assert all(f.get("stats") for f in snap["files"])
+    assert _keys(dl.read_delta(spark, t)) == expect
+    # partition pruning still exact on the rewritten layout
+    got = _keys(dl.read_delta(spark, t, filters=[("g", "=", "a")]))
+    assert got == [i for i in expect if i % 2 == 1]
+    # travel below the rewrite: DV'd state intact
+    assert _keys(dl.read_delta(spark, t, version=res["version"] - 1)) == expect
+    assert _keys(dl.read_delta(spark, t, version=1)) == list(range(60))
+
+
+def test_optimize_delta_invisible_to_cdf(spark, tmp_path):
+    """delta_changes skips the dataChange=false rewrite — no phantom
+    delete+insert pairs — while real changes around it still report."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    dl.delta_append(spark, t, _mk(spark, [(i, "a", 1.0) for i in range(10)]))
+    dl.delta_delete_where(spark, t, F.col("k") == 0)      # v1: real delete
+    dl.optimize_delta(spark, t)                            # v2: compaction
+    dl.delta_append(spark, t, _mk(spark, [(99, "a", 9.0)]))  # v3: insert
+    ch = dl.delta_changes(spark, t, 0)
+    got = sorted((r._commit_version, r._change_type, r.k) for r in ch.collect())
+    assert got == [(1, "delete", 0), (3, "insert", 99)]
