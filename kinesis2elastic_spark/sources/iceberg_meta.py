@@ -1209,3 +1209,86 @@ def export_iceberg_meta(
         )
         n += 1
     return n
+
+
+def expire_iceberg_snapshots(table_dir: str, retain: int = 1) -> list[int]:
+    """B207: expireSnapshots — publish a new metadata version whose
+    snapshot list keeps only the newest ``retain`` snapshots (the
+    current one always survives; spec: expiration is a metadata
+    operation, file deletion is the separate orphan sweep below).
+    Returns the expired snapshot ids.  Time travel to an expired
+    snapshot id then fails loud at resolve time — exactly the
+    spec-described behavior."""
+    if retain < 1:
+        raise ValueError("must retain at least the current snapshot")
+    meta = load_metadata(table_dir)
+    snaps = sorted(
+        meta.get("snapshots", []), key=lambda s: s["sequence-number"]
+    )
+    if len(snaps) <= retain:
+        return []
+    keep = snaps[-retain:]
+    if meta.get("current-snapshot-id") not in {
+        s["snapshot-id"] for s in keep
+    }:
+        raise ValueError("cannot expire the current snapshot")
+    expired = [s["snapshot-id"] for s in snaps[:-retain]]
+    keep_ids = {s["snapshot-id"] for s in keep}
+    new_meta = dict(
+        meta,
+        snapshots=keep,
+        **{
+            "snapshot-log": [
+                e
+                for e in meta.get("snapshot-log", [])
+                if e["snapshot-id"] in keep_ids
+            ]
+        },
+    )
+    _publish_metadata(table_dir, new_meta)
+    return expired
+
+
+def vacuum_iceberg(table_dir: str, dry_run: bool = False) -> list[str]:
+    """B207, sweep half: delete data files, delete files, manifests and
+    manifest lists unreferenced by ANY snapshot of the CURRENT
+    metadata version (run :func:`expire_iceberg_snapshots` first to
+    shrink that set).  Old ``vN.metadata.json`` files are also pruned
+    (they reference the swept snapshots).  Only paths under the table
+    dir are candidates — an export's in-place absolute references to
+    foreign files are never touched, and foreign files inside the
+    table dir don't match the layout patterns.  Metadata-rate: listing
+    + manifest walks, no data reads."""
+    meta = load_metadata(table_dir)
+    keep: set[str] = set()
+    for s in meta.get("snapshots", []):
+        mlist = s["manifest-list"]
+        keep.add(os.path.abspath(mlist))
+        _sch, rows = av.read_ocf(mlist)
+        for m in rows:
+            keep.add(os.path.abspath(m["manifest_path"]))
+            _s2, entries = av.read_ocf(m["manifest_path"])
+            for e in entries:
+                keep.add(os.path.abspath(e["data_file"]["file_path"]))
+    meta_dir = _meta_dir(table_dir)
+    versions = _metadata_versions(table_dir)
+    current_v = max(versions)
+    victims: list[str] = []
+    for v, p in versions.items():
+        if v != current_v:
+            victims.append(os.path.abspath(p))
+    for root, _dirs, fs in os.walk(table_dir):
+        for fname in fs:
+            p = os.path.abspath(os.path.join(root, fname))
+            if p in keep or p in victims:
+                continue
+            base = os.path.basename(p)
+            in_meta = os.path.dirname(p) == os.path.abspath(meta_dir)
+            is_manifest = in_meta and base.endswith(".avro")
+            is_data = (not in_meta) and base.endswith(".parquet")
+            if is_manifest or is_data:
+                victims.append(p)
+    if not dry_run:
+        for p in victims:
+            os.remove(p)
+    return sorted(victims)

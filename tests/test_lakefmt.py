@@ -1122,3 +1122,41 @@ def test_optimize_delta_invisible_to_cdf(spark, tmp_path):
     ch = dl.delta_changes(spark, t, 0)
     got = sorted((r._commit_version, r._change_type, r.k) for r in ch.collect())
     assert got == [(1, "delete", 0), (3, "insert", 99)]
+
+
+# --------------------------------------------- B207: iceberg lifecycle
+
+
+def test_iceberg_expire_and_vacuum(spark, tmp_path):
+    """expireSnapshots shrinks the snapshot list (travel to expired ids
+    fails loud); the orphan sweep then deletes exactly the files only
+    expired snapshots referenced, and retained reads stay exact."""
+    from kinesis2elastic_spark.sources import iceberg_meta as im
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k long, g long"
+    )
+    s1 = im.iceberg_append(spark, t, df.filter("k < 10"))
+    s2 = im.iceberg_append(spark, t, df.filter("k >= 10 AND k < 20"))
+    s3 = im.iceberg_append(spark, t, df.filter("k >= 20"))
+    # file-level delete makes s1's file unreferenced by the final state
+    im.iceberg_delete_files(t, lambda f: f["path"].endswith(".parquet") and "/s00001/" in f["path"])
+    expired = im.expire_iceberg_snapshots(t, retain=1)
+    assert set(expired) == {s1, s2, s3}
+    with pytest.raises(ValueError, match="expired|unknown"):
+        im.read_iceberg(spark, t, snapshot_id=s1)
+    keep_rows = sorted(
+        r.k for r in im.read_iceberg(spark, t).collect()
+    )
+    listed = im.vacuum_iceberg(t, dry_run=True)
+    assert listed and all(os.path.exists(p) for p in listed)
+    victims = im.vacuum_iceberg(t)
+    assert victims == listed
+    assert not any(os.path.exists(p) for p in victims)
+    # s1's data files are gone, retained read unchanged
+    assert any("/s00001/" in p for p in victims)
+    assert sorted(r.k for r in im.read_iceberg(spark, t).collect()) == keep_rows
+    # guard rails
+    with pytest.raises(ValueError, match="retain"):
+        im.expire_iceberg_snapshots(t, retain=0)
