@@ -517,17 +517,100 @@ def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_uniform_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B208: UniForm dual-publish parity — ONE timetravel-protocol
+    table (three %3 order slices) exported METADATA-ONLY to BOTH open
+    formats (B196 Delta log + B199 Iceberg metadata, over the same
+    physical parquet), then every leg read back through the respective
+    interop reader: latest and v1 through Delta, latest and snapshot-1
+    through Iceberg.  The oracle emits each (leg, status) row TWICE —
+    once per format — so ANY cross-format divergence (a version map
+    off-by-one, a file list drift, a schema cast difference) flips the
+    hash.  ``parity_ok`` additionally pins that neither export copied
+    a data file: both tables reference the source parquet in place."""
+    import glob as _glob
+
+    from ..operators.timetravel import commit_snapshot
+    from ..sources import iceberg_meta as im
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_uniform_")
+    src = os.path.join(work, "src")
+    d_dst = os.path.join(work, "delta")
+    i_dst = os.path.join(work, "iceberg")
+    try:
+        for v in range(3):
+            commit_snapshot(
+                spark, src, o.filter(F.col("o_orderkey") % 3 == v), v
+            )
+        n_delta = dl.export_delta_log(spark, src, d_dst)
+        n_ice = im.export_iceberg_meta(spark, src, i_dst)
+        copied = [
+            f
+            for dst in (d_dst, i_dst)
+            for f in _glob.glob(os.path.join(dst, "**", "*.parquet"), recursive=True)
+            if "_delta_log" not in f and f"{os.sep}metadata{os.sep}" not in f
+        ]
+        parity_ok = bool(n_delta == 3 and n_ice == 3 and not copied)
+        legs = [
+            ("delta", _status_agg(dl.read_delta(spark, d_dst), "latest")),
+            ("delta", _status_agg(dl.read_delta(spark, d_dst, version=1), "v1")),
+            ("iceberg", _status_agg(im.read_iceberg(spark, i_dst), "latest")),
+            (
+                "iceberg",
+                _status_agg(
+                    im.read_iceberg(spark, i_dst, snapshot_id=1), "v1"
+                ),
+            ),
+        ]
+        out = None
+        for fmt, df in legs:
+            df = df.withColumn("fmt", F.lit(fmt))
+            out = df if out is None else out.unionByName(df)
+        out = out.withColumn(
+            "parity_ok", F.lit(parity_ok)
+        ).localCheckpoint(eager=True)  # materialize before the rmtree
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "q_delta_read": q_delta_read,
     "q_delta_dv": q_delta_dv,
     "q_delta_cdf": q_delta_cdf,
     "q_iceberg_export": q_iceberg_export,
+    "q_uniform_parity": q_uniform_parity,
     "q_iceberg_read": q_iceberg_read,
     "q_iceberg_mor": q_iceberg_mor,
     "q_delta_export": q_delta_export,
 }
 
 ORACLE = {
+    "q_uniform_parity": """
+        WITH fmts AS (SELECT 'delta' AS fmt UNION ALL SELECT 'iceberg'),
+        lagg AS (
+            SELECT 'latest' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderstatus
+        ), vagg AS (
+            SELECT 'v1' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM orders WHERE o_orderkey % 3 <= 1 GROUP BY o_orderstatus
+        ), both_legs AS (
+            SELECT * FROM lagg UNION ALL SELECT * FROM vagg
+        )
+        SELECT b.*, f.fmt, TRUE AS parity_ok
+        FROM both_legs b CROSS JOIN fmts f
+    """,
     "q_delta_cdf": """
         WITH ch AS (
             SELECT CAST(2 AS BIGINT) AS _commit_version,
