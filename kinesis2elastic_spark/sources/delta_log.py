@@ -384,11 +384,43 @@ def delta_prune(
     return kept, len(snap["files"])
 
 
+def delta_version_asof_timestamp(table_dir: str, ts: float) -> int:
+    """B209: TIMESTAMP AS OF resolution for the interop reader — the
+    newest commit whose timestamp is <= ``ts`` (unix seconds).  Per the
+    spec a commit's timestamp is its ``commitInfo.inCommitTimestamp``
+    when the writer records one (honored first — it is monotone by
+    construction), else the log file's modification time (delta-spark's
+    fallback, clock-skew caveats and all).  Only SURVIVING json commits
+    resolve: once ``expire_delta_log`` removed a commit its timestamp
+    is gone, so timestamp travel reaches at most as far back as the log
+    itself — the same horizon delta-spark exposes."""
+    commits, _ckpts = _list_log(_log_dir(table_dir))
+    if not commits:
+        raise ValueError(f"no json commits to resolve a timestamp in {table_dir}")
+    times: dict[int, float] = {}
+    for v, p in commits.items():
+        ict = None
+        for a in _read_commit_actions(p):
+            ci = a.get("commitInfo")
+            if ci and ci.get("inCommitTimestamp") is not None:
+                ict = float(ci["inCommitTimestamp"]) / 1000.0
+        times[v] = ict if ict is not None else os.path.getmtime(p)
+    eligible = [v for v, t in times.items() if t <= ts]
+    if not eligible:
+        earliest = min(times.values())
+        raise ValueError(
+            f"timestamp {ts} predates the earliest surviving commit "
+            f"({earliest}) in {table_dir}"
+        )
+    return max(eligible)
+
+
 def read_delta(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     filters: list[tuple] | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Read a Delta table as of ``version`` through the log replay:
     grouped-by-partition-tuple parquet scans with the partition columns
@@ -407,6 +439,10 @@ def read_delta(
     broadcast).  Stats-based skipping stays sound because DV'd stats
     are wide bounds over ALL physical rows (the spec's
     tightBounds=false) and the residual filter always applies."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = delta_version_asof_timestamp(table_dir, timestamp)
     snap = delta_snapshot(table_dir, version)
     files = snap["files"]
     pcols: list[str] = snap["partition_columns"]
@@ -482,6 +518,20 @@ def _scan_delta_files(
             (f_["partitionValues"] or {}).get(pmap.get(c, c)) for c in pcols
         )
         groups.setdefault(key, []).append(f_)
+    # explicit PHYSICAL-name read schema (B210): a mixed-evolution file
+    # group must not inherit the first file's footer — declaring the
+    # schema makes the parquet reader null-fill added columns natively
+    # (and keeps pushdown), exactly delta-spark's read semantics
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    phys_schema = _ST(
+        [
+            _SF(pmap.get(f.name, f.name), f.dataType, True)
+            for f in schema.fields
+            if f.name not in pcols
+        ]
+    )
     parts: list[DataFrame] = []
     join_how = "left_anti" if positions_mode == "drop" else "left_semi"
     for key, fgroup in sorted(groups.items(), key=lambda kv: str(kv[0])):
@@ -489,10 +539,10 @@ def _scan_delta_files(
         dirty = [f["path"] for f in fgroup if f["path"] in positions]
         legs: list[DataFrame] = []
         if clean and positions_mode == "drop":
-            legs.append(spark.read.parquet(*clean))
+            legs.append(spark.read.schema(phys_schema).parquet(*clean))
         if dirty:
             legs.append(
-                spark.read.parquet(*dirty)
+                spark.read.schema(phys_schema).parquet(*dirty)
                 .select(
                     "*",
                     F.regexp_replace(
@@ -728,6 +778,7 @@ def delta_append(
     df: DataFrame,
     partition_by: list[str] | None = None,
     collect_stats: bool = False,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` as one delta commit; first commit also writes the
     protocol + metaData actions.  Data files land under a
@@ -736,7 +787,16 @@ def delta_append(
     ``collect_stats`` records the spec's per-file ``stats`` JSON
     (numRecords + minValues/maxValues from the parquet FOOTER — the
     B150 statistic in Delta's encoding) so ``delta_prune``/B197 file
-    skipping works on the written table."""
+    skipping works on the written table.
+
+    B210 ``merge_schema``: an append whose frame ADDS columns emits a
+    new metaData action carrying the widened schema (last-metaData-wins
+    replay — the spec's schema evolution); existing columns must keep
+    their types (loud on mismatch), and the reader back-fills the new
+    columns with typed NULLs for pre-evolution files, exactly
+    delta-spark's ``mergeSchema`` contract.  Without the flag a
+    schema-changing append refuses (the default ``overwriteSchema``
+    guard)."""
     version = _next_version(table_dir)
     pcols = list(partition_by or [])
     sub = f"part-c{version:05d}"
@@ -761,6 +821,42 @@ def delta_append(
                 }
             }
         )
+    else:
+        prev_meta = delta_snapshot(table_dir, version - 1)["metadata"]
+        prev_fields = json.loads(prev_meta["schemaString"]).get("fields", [])
+        prev_by = {f_["name"]: f_ for f_ in prev_fields}
+        new_fields = json.loads(df.schema.json()).get("fields", [])
+        mismatched = [
+            f_["name"]
+            for f_ in new_fields
+            if f_["name"] in prev_by
+            and prev_by[f_["name"]]["type"] != f_["type"]
+        ]
+        if mismatched:
+            raise ValueError(
+                f"append changes column types {mismatched} — delta schema "
+                "evolution only ADDS columns"
+            )
+        added = [f_ for f_ in new_fields if f_["name"] not in prev_by]
+        if added:
+            if not merge_schema:
+                raise ValueError(
+                    f"append adds columns {[f_['name'] for f_ in added]} — "
+                    "pass merge_schema=True to evolve the table schema"
+                )
+            actions.append(
+                {
+                    "metaData": dict(
+                        prev_meta,
+                        schemaString=json.dumps(
+                            {
+                                "type": "struct",
+                                "fields": prev_fields + added,
+                            }
+                        ),
+                    )
+                }
+            )
     for rel in _rel_files(table_dir, sub):
         pv = {}
         for c in pcols:

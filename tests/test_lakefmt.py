@@ -1160,3 +1160,60 @@ def test_iceberg_expire_and_vacuum(spark, tmp_path):
     # guard rails
     with pytest.raises(ValueError, match="retain"):
         im.expire_iceberg_snapshots(t, retain=0)
+
+
+# ----------------------------------- B209/B210: ts travel + evolution
+
+
+def test_delta_timestamp_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: inCommitTimestamp honored first, file mtime as
+    the fallback; pre-history timestamps fail loud."""
+    t = str(tmp_path / "t")
+    dl.delta_append(spark, t, _mk(spark, [(1, "a", 1.0)]))
+    dl.delta_append(spark, t, _mk(spark, [(2, "a", 2.0)]))
+    dl.delta_append(spark, t, _mk(spark, [(3, "a", 3.0)]))
+    log = os.path.join(t, "_delta_log")
+    # deterministic mtimes: v0 @1000s, v1 @2000s, v2 @3000s
+    for v, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        os.utime(os.path.join(log, f"{v:020d}.json"), (ts, ts))
+    assert dl.delta_version_asof_timestamp(t, 2500) == 1
+    assert _keys(dl.read_delta(spark, t, timestamp=2500)) == [1, 2]
+    assert _keys(dl.read_delta(spark, t, timestamp=99999)) == [1, 2, 3]
+    with pytest.raises(ValueError, match="predates"):
+        dl.delta_version_asof_timestamp(t, 10)
+    with pytest.raises(ValueError, match="not both"):
+        dl.read_delta(spark, t, version=1, timestamp=2500)
+    # inCommitTimestamp wins over mtime: stamp v2's commit as 1500s
+    p2 = os.path.join(log, f"{2:020d}.json")
+    with open(p2) as f:
+        lines = f.read()
+    with open(p2, "w") as f:
+        f.write(
+            json.dumps({"commitInfo": {"inCommitTimestamp": 1500_000}})
+            + "\n"
+            + lines
+        )
+    os.utime(p2, (3000, 3000))
+    assert dl.delta_version_asof_timestamp(t, 1600) == 2
+
+
+def test_delta_schema_evolution_merge_schema(spark, tmp_path):
+    """B210: merge_schema appends widen the schema via a new metaData
+    action; pre-evolution files read back with typed NULLs; type
+    changes and un-flagged adds refuse loudly."""
+    t = str(tmp_path / "t")
+    dl.delta_append(spark, t, _mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    wide = spark.createDataFrame(
+        [(3, "c", 3.0, 30)], "k long, g string, v double, extra long"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        dl.delta_append(spark, t, wide)
+    dl.delta_append(spark, t, wide, merge_schema=True)
+    got = {(r.k, r.extra) for r in dl.read_delta(spark, t).collect()}
+    assert got == {(1, None), (2, None), (3, 30)}
+    # time travel below the evolution sees the OLD schema
+    assert "extra" not in dl.read_delta(spark, t, version=0).columns
+    # type change refuses regardless of the flag
+    bad = spark.createDataFrame([(9, "z", 9.0)], "k int, g string, v double")
+    with pytest.raises(ValueError, match="changes column types"):
+        dl.delta_append(spark, t, bad, merge_schema=True)
