@@ -333,6 +333,45 @@ def iceberg_prune(
     return kept, len(snap["files"])
 
 
+_ICE_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+    "boolean": "boolean",
+}
+
+
+def _spark_read_schema(schema_struct: dict | None):
+    """B211: the Iceberg schema as an explicit Spark read schema, so a
+    schema-EVOLVED table (added columns) reads with native null-fill
+    instead of inheriting the first file's footer (which silently
+    dropped post-evolution columns from mixed file sets).  Returns None
+    when any field's type has no clean Spark mapping — the caller then
+    falls back to footer inference (conservative: old behavior)."""
+    from pyspark.sql.types import StructType as _ST
+
+    if not schema_struct:
+        return None
+    parts = []
+    for f_ in schema_struct.get("fields", []):
+        t = f_.get("type")
+        if not isinstance(t, str):
+            return None  # nested struct/list/map: fall back
+        spark_t = _ICE_TO_SPARK.get(t, t if t.startswith("decimal") else None)
+        if spark_t is None:
+            return None
+        parts.append(f"`{f_['name']}` {spark_t}")
+    try:
+        return _ST.fromDDL(", ".join(parts))
+    except Exception:
+        return None
+
+
 def read_iceberg(
     spark: SparkSession,
     table_dir: str,
@@ -368,13 +407,19 @@ def read_iceberg(
             )
         ]
     names = [f_["name"] for f_ in (snap["schema"] or {}).get("fields", [])]
+    rschema = _spark_read_schema(snap["schema"])
+
+    def _scan(*paths):
+        r = spark.read.schema(rschema) if rschema is not None else spark.read
+        return r.parquet(*paths)
+
     if not files:
         all_paths = [f["path"] for f in snap["files"]]
         if not all_paths:
             raise ValueError(f"iceberg snapshot has no data files: {table_dir}")
-        df = spark.read.parquet(all_paths[0]).limit(0)
+        df = _scan(all_paths[0]).limit(0)
     elif not snap["deletes"]:
-        df = spark.read.parquet(*[f["path"] for f in files])
+        df = _scan(*[f["path"] for f in files])
     else:
         pos_dels = [d for d in snap["deletes"] if d["kind"] == "pos"]
         eq_dels = [d for d in snap["deletes"] if d["kind"] == "eq"]
@@ -389,7 +434,7 @@ def read_iceberg(
             by_seq.setdefault(int(f["seq"]), []).append(f["path"])
         parts = []
         for seq, paths in sorted(by_seq.items()):
-            part = spark.read.parquet(*paths)
+            part = _scan(*paths)
             if pos_pairs is not None:
                 part = (
                     part.select(
@@ -564,6 +609,7 @@ def iceberg_append(
     table_dir: str,
     df: DataFrame,
     spec: list[tuple[str, str]] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` as a new snapshot.  ``spec`` (None = table's
     default) may EVOLVE the partition spec: a new spec-id is registered
@@ -579,6 +625,56 @@ def iceberg_append(
         schema = {s["schema-id"]: s for s in meta["schemas"]}[
             meta["current-schema-id"]
         ]
+        # B211 schema evolution: an append ADDING columns registers a
+        # new schema version with FRESH field ids (the spec forbids id
+        # reuse) and makes it current; type changes refuse loudly.
+        cur_by = {f_["name"]: f_ for f_ in schema["fields"]}
+        new_cols = dict(df.dtypes)
+        mismatched = [
+            n
+            for n, t in new_cols.items()
+            if n in cur_by and cur_by[n]["type"] != _ICE_TYPES.get(t, t)
+        ]
+        if mismatched:
+            raise ValueError(
+                f"append changes column types {mismatched} — iceberg "
+                "schema evolution only ADDS columns"
+            )
+        added = [
+            (n, t) for n, t in df.dtypes if n not in cur_by
+        ]
+        if added:
+            if not merge_schema:
+                raise ValueError(
+                    f"append adds columns {[n for n, _ in added]} — pass "
+                    "merge_schema=True to evolve the table schema"
+                )
+            next_id = int(meta.get("last-column-id", len(cur_by)))
+            new_fields = list(schema["fields"])
+            for n, t in added:
+                next_id += 1
+                new_fields.append(
+                    {
+                        "id": next_id,
+                        "name": n,
+                        "required": False,
+                        "type": _ICE_TYPES.get(t, t),
+                    }
+                )
+            schema = {
+                "schema-id": max(s_["schema-id"] for s_ in meta["schemas"])
+                + 1,
+                "type": "struct",
+                "fields": new_fields,
+            }
+            meta = dict(
+                meta,
+                schemas=meta["schemas"] + [schema],
+                **{
+                    "current-schema-id": schema["schema-id"],
+                    "last-column-id": next_id,
+                },
+            )
     else:
         meta = None
         schema = _schema_struct(df)
@@ -684,7 +780,7 @@ def iceberg_append(
         "timestamp-ms": 0,
         "manifest-list": mlist_path,
         "summary": {"operation": "append"},
-        "schema-id": 0,
+        "schema-id": schema["schema-id"],
     }
     new_meta = {
         "format-version": 2,
@@ -692,9 +788,13 @@ def iceberg_append(
         "location": table_dir,
         "last-sequence-number": seq,
         "last-updated-ms": 0,
-        "last-column-id": len(schema["fields"]),
-        "schemas": [schema],
-        "current-schema-id": 0,
+        # evolution (B211): carry EVERY schema version forward — a
+        # one-schema rewrite here would orphan older snapshots' ids
+        "last-column-id": (
+            meta["last-column-id"] if meta else len(schema["fields"])
+        ),
+        "schemas": (meta["schemas"] if meta else [schema]),
+        "current-schema-id": schema["schema-id"],
         "partition-specs": specs,
         "default-spec-id": spec_id,
         "properties": {},

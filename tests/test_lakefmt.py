@@ -1217,3 +1217,40 @@ def test_delta_schema_evolution_merge_schema(spark, tmp_path):
     bad = spark.createDataFrame([(9, "z", 9.0)], "k int, g string, v double")
     with pytest.raises(ValueError, match="changes column types"):
         dl.delta_append(spark, t, bad, merge_schema=True)
+
+
+# ------------------------------------------- B211: iceberg evolution
+
+
+def test_iceberg_schema_evolution(spark, tmp_path):
+    """merge_schema append registers a NEW schema version with fresh
+    field ids and makes it current; pre-evolution files read back with
+    typed NULLs (explicit read schema — footer inference dropped the
+    added column on mixed file sets); type changes refuse."""
+    from kinesis2elastic_spark.sources import iceberg_meta as im
+
+    t = str(tmp_path / "t")
+    im.iceberg_append(
+        spark, t, spark.createDataFrame([(1, "a"), (2, "b")], "k long, g string")
+    )
+    wide = spark.createDataFrame([(3, "c", 30)], "k long, g string, extra long")
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        im.iceberg_append(spark, t, wide)
+    im.iceberg_append(spark, t, wide, merge_schema=True)
+    got = {(r.k, r.extra) for r in im.read_iceberg(spark, t).collect()}
+    assert got == {(1, None), (2, None), (3, 30)}
+    meta = im.load_metadata(t)
+    assert len(meta["schemas"]) == 2
+    cur = {s["schema-id"]: s for s in meta["schemas"]}[
+        meta["current-schema-id"]
+    ]
+    ids = [f["id"] for f in cur["fields"]]
+    assert ids == sorted(set(ids))  # fresh, never-reused field ids
+    assert meta["last-column-id"] == max(ids)
+    with pytest.raises(ValueError, match="changes column types"):
+        im.iceberg_append(
+            spark,
+            t,
+            spark.createDataFrame([(9, 5)], "k long, g long"),
+            merge_schema=True,
+        )
