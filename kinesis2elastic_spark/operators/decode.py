@@ -734,6 +734,111 @@ def q_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+
+XML_SLICE_MOD = 101
+
+
+def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B212: native XML source AND sink (Spark 4's built-in
+    ``format("xml")`` — previously the external spark-xml package),
+    round-tripped: the o_orderkey%101 slice becomes nested documents
+    via the XML WRITER (``rootTag``/``rowTag``, ``_``-prefixed struct
+    fields emitted as ATTRIBUTES — each output file is one well-formed
+    document; rootless row-tag streams are rejected by the reader,
+    measured), then read back with ``rowTag`` + an EXPLICIT schema
+    exercising the XML mappings that differ from JSON: attributes land
+    as ``_name`` fields, repeated child elements nest as
+    struct-of-array, element text round-trips numerics shortest-repr.
+
+    The aggregate hashes per-status order counts, exact price cents,
+    line counts and floored-qty sums — a mis-mapped attribute, dropped
+    repeated element, or numeric re-parse drift flips the row.  DuckDB
+    has no XML reader, so the oracle restates RELATIONALLY from
+    orders x lineitem (the fixture is built from table columns, so the
+    XML layer must be the identity — the q_variant doctrine).
+
+    Scale note: XML is an EDGE format — the reader splits per FILE
+    (each file one document), so ingest parallelism = file count; the
+    posture is convert-once-to-parquet.  The writer side is file-per-
+    partition, so generation is fully distributed."""
+    import tempfile as _tf
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sl = o.filter(F.col("o_orderkey") % XML_SLICE_MOD == 0)
+    lines = (
+        li.join(
+            sl.select(F.col("o_orderkey").alias("__k")),
+            F.col("l_orderkey") == F.col("__k"),
+            "left_semi",
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("_n"),
+                        F.col("l_quantity").alias("_qty"),
+                    )
+                )
+            ).alias("line")
+        )
+    )
+    docs = sl.join(lines, sl.o_orderkey == lines.l_orderkey).select(
+        F.col("o_orderkey").alias("_id"),
+        F.col("o_orderstatus").alias("_status"),
+        F.col("o_totalprice").alias("price"),
+        F.struct(F.col("line")).alias("lines"),
+    )
+    work = _tf.mkdtemp(prefix="k2e_xml_")
+    try:
+        (
+            docs.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "orders")
+            .option("rowTag", "order")
+            .save(work)
+        )
+        xml = (
+            spark.read.format("xml")
+            .option("rowTag", "order")
+            .schema(
+                "_id bigint, _status string, price double, "
+                "lines struct<line: array<struct<_n: bigint, _qty: double>>>"
+            )
+            .load(work)
+        )
+        out = (
+            xml.groupBy(F.col("_status").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.sum(F.size("lines.line")).cast("long").alias("n_lines"),
+                F.sum(
+                    F.aggregate(
+                        "lines.line",
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.floor(x["_qty"]).cast("long"),
+                    )
+                )
+                .cast("long")
+                .alias("qty_floor_sum"),
+                F.min("_id").cast("long").alias("min_key"),
+            )
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "q_base64": q_base64,
     "q_binary_source": q_binary_source,
@@ -751,6 +856,7 @@ QUERIES = {
     "q_udf_gunzip": q_udf_gunzip,
     "q_spool_flatten": q_spool_flatten,
     "q_csv_source": q_csv_source,
+    "q_xml_source": q_xml_source,
 }
 
 ORACLE = {
@@ -837,6 +943,27 @@ ORACLE["q_spool_flatten"] = f"""
                    columns={{'requestId': 'VARCHAR',
                              'timestamp': 'BIGINT',
                              'records': 'STRUCT(data VARCHAR)[]'}})
+"""
+
+ORACLE["q_xml_source"] = f"""
+    WITH sl AS (
+        SELECT * FROM orders WHERE o_orderkey % {XML_SLICE_MOD} = 0
+    ), la AS (
+        SELECT l_orderkey, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qf
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM sl)
+        GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(qf) AS BIGINT) AS qty_floor_sum,
+           MIN(o_orderkey) AS min_key
+    FROM sl JOIN la ON la.l_orderkey = sl.o_orderkey
+    GROUP BY o_orderstatus
 """
 
 ORACLE["q_csv_source"] = f"""
