@@ -1060,10 +1060,87 @@ def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_udtf_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B213: Python UDTF with a TABLE argument and PARTITION BY /
+    ORDER BY (Spark 4's table-function surface beyond B-scalar UDTFs
+    like q_udtf_chunk): the 30-min-gap sessionizer re-expressed as a
+    STATEFUL per-partition table function invoked from SQL —
+    ``FROM gap_sessions(TABLE(...) PARTITION BY user_id ORDER BY ...)``
+    — the SQL-native form of applyInPandas-style grouped processing.
+
+    State is O(1) per partition (current session's counters; rows
+    stream through eval in order, terminate flushes the last session),
+    so a hot user costs memory proportional to ONE session, never the
+    user's history — the property that matters when a bot account has
+    10^8 events.  All-integer output (epoch-us bounds, per-event
+    floored cents summed — order-independent), so the DuckDB oracle
+    (the shared B25 session CTE) hashes exactly.
+
+    Scale note: PARTITION BY shuffles once on user_id and sorts within
+    partitions — the same exchange the window-function sessionizer
+    (B25) pays; the UDTF trades whole-stage codegen for arbitrary
+    Python state, so B25 stays the default and this surface exists for
+    logic a lag/cumsum window cannot express."""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    from ..functions.sessions import SESSION_GAP_MIN
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    class GapSessions:
+        def __init__(self):
+            self._cur = None  # (user, sid, n, start, end, cents)
+
+        def _flush(self):
+            u, sid, n, st, en, cents = self._cur
+            return (u, sid, n, st, en, cents)
+
+        def eval(self, row):
+            ts = int(row.ts_us)
+            cents = math.floor(row.value * 100 + 0.5)
+            if self._cur is None:
+                self._cur = [row.user_id, 1, 1, ts, ts, cents]
+                return
+            if ts - self._cur[4] > gap_us:
+                out = self._flush()
+                self._cur = [row.user_id, out[1] + 1, 1, ts, ts, cents]
+                yield out
+            else:
+                self._cur[2] += 1
+                self._cur[4] = ts
+                self._cur[5] += cents
+
+        def terminate(self):
+            if self._cur is not None:
+                yield self._flush()
+
+    G = udtf(
+        GapSessions,
+        returnType=(
+            "user_id bigint, session_id bigint, n_events bigint, "
+            "start_us bigint, end_us bigint, value_cents bigint"
+        ),
+    )
+    spark.udtf.register("gap_sessions", G)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM gap_sessions(
+          TABLE(SELECT user_id, unix_micros(ts) AS ts_us, event_id, value
+                FROM events)
+          PARTITION BY user_id ORDER BY (ts_us, event_id)
+        )
+        """
+    )
+
+
 QUERIES = {
     "q_variant": q_variant,
     "q_recursive_cte": q_recursive_cte,
     "q_pipe_sql": q_pipe_sql,
+    "q_udtf_sessions": q_udtf_sessions,
     "q_udtf_chunk": q_udtf_chunk,
     "q_ntile_dist": q_ntile_dist,
     "q_running_distinct": q_running_distinct,
@@ -1099,7 +1176,19 @@ QUERIES = {
     "q_date_arith": q_date_arith,
 }
 
+from ..functions.sessions import session_cte_sql as _session_cte_sql
+
 ORACLE = {
+    "q_udtf_sessions": f"""
+        WITH {_session_cte_sql("user_id, ts, event_id, value")}
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS end_us,
+               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM sessioned GROUP BY user_id, session_id
+    """,
     "q_recursive_cte": REC_CTE_SQL,
     "q_pipe_sql": """
         SELECT l_returnflag, l_linestatus,

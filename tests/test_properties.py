@@ -680,3 +680,29 @@ def test_pipe_sql_matches_nested_form(spark):
     assert sorted(map(tuple, piped.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_udtf_polymorphic_analyze(spark):
+    """B213 companion: a UDTF whose OUTPUT SCHEMA is computed at
+    plan time from its arguments (Spark 4's analyze() static method) —
+    the n-wide expansion gets n columns, checked for two widths."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ExpandN:
+        @staticmethod
+        def analyze(n: AnalyzeArgument) -> AnalyzeResult:
+            width = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"c{i}", LongType()) for i in range(width)]
+                )
+            )
+
+        def eval(self, n: int):
+            yield tuple(range(int(n)))
+
+    spark.udtf.register("expand_n", udtf(ExpandN))
+    assert spark.sql("SELECT * FROM expand_n(2)").columns == ["c0", "c1"]
+    assert spark.sql("SELECT * FROM expand_n(4)").collect()[0][3] == 3
