@@ -1136,11 +1136,73 @@ def q_udtf_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_PARAMS_QMAX = 30
+SQL_PARAMS_DMAX = "1998-09-02"
+_PARAMS_BODY = """
+    SELECT {leg} AS leg, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM lineitem
+    WHERE l_quantity <= {qmax} AND l_shipdate <= {dmax}
+    GROUP BY l_returnflag
+"""
+
+
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B214: SQL parameterization, all four public Spark 4 binding
+    paths computing the SAME filtered aggregate — named parameter
+    markers (``:qmax``, bound via ``spark.sql(args={...})``),
+    positional markers (``?``), SQL session VARIABLES
+    (``DECLARE``/``SET VAR``, referenced bare in the query), and
+    ``EXECUTE IMMEDIATE ... USING`` (dynamic SQL with bound args) —
+    one leg each, unioned.  The oracle restates every leg with
+    LITERALS, so a mis-bound, mis-cast, or mis-scoped parameter on any
+    path flips that leg's rows.
+
+    Parameter markers matter at 100 TB for plan-cache reuse and
+    injection safety (values never enter the SQL text); session
+    variables are the scripting surface (thresholds set once, read by
+    every statement in a session)."""
+    register_views(spark, sf_dir)
+    named = spark.sql(
+        _PARAMS_BODY.format(leg="'named'", qmax=":qmax", dmax=":dmax"),
+        args={"qmax": SQL_PARAMS_QMAX, "dmax": SQL_PARAMS_DMAX},
+    )
+    positional = spark.sql(
+        _PARAMS_BODY.format(leg="'positional'", qmax="?", dmax="?"),
+        args=[SQL_PARAMS_QMAX, SQL_PARAMS_DMAX],
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE vqmax INT DEFAULT 0")
+    spark.sql("DECLARE OR REPLACE VARIABLE vdmax STRING DEFAULT ''")
+    spark.sql(f"SET VAR vqmax = {SQL_PARAMS_QMAX}")
+    spark.sql(f"SET VAR vdmax = '{SQL_PARAMS_DMAX}'")
+    variable = spark.sql(
+        _PARAMS_BODY.format(leg="'variable'", qmax="vqmax", dmax="vdmax")
+    )
+    exec_imm = spark.sql(
+        "EXECUTE IMMEDIATE :q USING :a AS qmax, :b AS dmax",
+        args={
+            "q": _PARAMS_BODY.format(
+                leg="'exec_imm'", qmax=":qmax", dmax=":dmax"
+            ),
+            "a": SQL_PARAMS_QMAX,
+            "b": SQL_PARAMS_DMAX,
+        },
+    )
+    return (
+        named.unionByName(positional)
+        .unionByName(variable)
+        .unionByName(exec_imm)
+    )
+
+
 QUERIES = {
     "q_variant": q_variant,
     "q_recursive_cte": q_recursive_cte,
     "q_pipe_sql": q_pipe_sql,
     "q_udtf_sessions": q_udtf_sessions,
+    "q_sql_params": q_sql_params,
     "q_udtf_chunk": q_udtf_chunk,
     "q_ntile_dist": q_ntile_dist,
     "q_running_distinct": q_running_distinct,
@@ -1179,6 +1241,23 @@ QUERIES = {
 from ..functions.sessions import session_cte_sql as _session_cte_sql
 
 ORACLE = {
+    "q_sql_params": f"""
+        WITH one AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM lineitem
+            WHERE l_quantity <= {SQL_PARAMS_QMAX}
+              AND l_shipdate <= DATE '{SQL_PARAMS_DMAX}'
+            GROUP BY l_returnflag
+        )
+        SELECT legs.leg, one.* FROM one
+        CROSS JOIN (
+            SELECT 'named' AS leg UNION ALL SELECT 'positional'
+            UNION ALL SELECT 'variable' UNION ALL SELECT 'exec_imm'
+        ) legs
+    """,
     "q_udtf_sessions": f"""
         WITH {_session_cte_sql("user_id, ts, event_id, value")}
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
