@@ -2071,8 +2071,77 @@ def q_stream_delta_src_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got
 
 
+def q_stream_delta_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B215 streaming leg, oracle-backed: the exactly-once Delta SINK
+    (``delta_stream_sink`` — foreachBatch + the spec's setTransaction
+    idempotence token): orders stream from a parquet source in two
+    micro-batches across a CHECKPOINT RESTART into a Delta table, one
+    txn-stamped commit per batch; the table is then read back through
+    the interop reader and hashed per status.  ``exactly_once_ok``
+    pins sink rows == source rows AND that the txn watermark equals
+    the last batch id (a replayed batch that re-appended would flip
+    both the counts and the hash)."""
+    from ..sources import delta_log as dl
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="k2e_stream_dsink_")
+    try:
+        src = os.path.join(work, "src")
+        table = os.path.join(work, "t")
+        ck = os.path.join(work, "ckpt")
+
+        def drain():
+            _drain(
+                spark.readStream.schema(
+                    "o_orderkey long, o_orderstatus string, o_totalprice double"
+                )
+                .parquet(src + "/*")
+                .writeStream.foreachBatch(
+                    dl.delta_stream_sink(
+                        table, "k2e-sink", partition_by=["o_orderstatus"]
+                    )
+                )
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        _two_batch_source(o, "o_orderkey", src)
+        drain()
+        _write_second_batch(o, "o_orderkey", src)
+        drain()
+        sink = dl.read_delta(spark, table)
+        txns = dl.delta_snapshot(table)["txns"]
+        exactly_once = bool(
+            sink.count() == o.count() and txns.get("k2e-sink") == 1
+        )
+        got = (
+            sink.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .withColumn("exactly_once_ok", F.lit(exactly_once))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return got
+
+
 QUERIES = {
     "q_stream_delta_src_equiv": q_stream_delta_src_equiv,
+    "q_stream_delta_sink_equiv": q_stream_delta_sink_equiv,
     "q_stream_cdf_view_equiv": q_stream_cdf_view_equiv,
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -2117,6 +2186,15 @@ def _shard_manifest_sql() -> str:
 
 
 ORACLE = {
+    "q_stream_delta_sink_equiv": """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+               TRUE AS exactly_once_ok
+        FROM orders GROUP BY o_orderstatus
+    """,
     "q_stream_delta_src_equiv": """
         SELECT o_orderstatus AS status,
                CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -211,11 +211,19 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
     live: dict[str, dict] = {}
     metadata: dict | None = None
     protocol: dict | None = None
+    txns: dict[str, int] = {}  # appId -> latest txn version (B215)
     for a in actions:
         if "metaData" in a:
             metadata = a["metaData"]
         elif "protocol" in a:
             protocol = a["protocol"]
+        elif "txn" in a:
+            t = a["txn"]
+            if t and t.get("appId") is not None:
+                txns[t["appId"]] = max(
+                    int(t.get("version", -1)),
+                    txns.get(t["appId"], -1),
+                )
         elif "add" in a:
             add = a["add"]
             # file identity is the DECODED path (the spec's add.path is
@@ -255,6 +263,7 @@ def delta_snapshot(table_dir: str, version: int | None = None) -> dict:
         "checkpoint_used": checkpoint_used,
         "column_mapping": _mapping_mode(metadata),
         "physical_names": _physical_map(metadata),
+        "txns": txns,
     }
 
 
@@ -779,6 +788,7 @@ def delta_append(
     partition_by: list[str] | None = None,
     collect_stats: bool = False,
     merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Append ``df`` as one delta commit; first commit also writes the
     protocol + metaData actions.  Data files land under a
@@ -886,8 +896,71 @@ def delta_append(
                 sort_keys=True,
             )
         actions.append({"add": add})
+    if txn is not None:
+        # B215: the spec's setTransaction action — (appId, version)
+        # recorded atomically WITH the adds, the idempotence token
+        # streaming sinks key their replay-skip on
+        actions.append(
+            {"txn": {"appId": str(txn[0]), "version": int(txn[1])}}
+        )
     _write_commit(table_dir, version, actions)
     return version
+
+
+def delta_append_txn(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    app_id: str,
+    txn_version: int,
+    partition_by: list[str] | None = None,
+    collect_stats: bool = False,
+) -> int | None:
+    """B215: idempotent append — the spec's streaming-sink contract: if
+    the table has already recorded ``txn {appId, version >= this}``,
+    the append is a REPLAY (a foreachBatch retry, a restarted query
+    re-delivering a committed epoch) and is SKIPPED (returns None);
+    otherwise the data and the setTransaction action commit atomically
+    in one log entry, so a crash between them is impossible."""
+    if is_delta_table(table_dir):
+        try:
+            last = delta_snapshot(table_dir)["txns"].get(str(app_id), -1)
+        except ValueError:
+            last = -1  # empty log
+        if last >= int(txn_version):
+            return None
+    return delta_append(
+        spark,
+        table_dir,
+        df,
+        partition_by=partition_by,
+        collect_stats=collect_stats,
+        txn=(str(app_id), int(txn_version)),
+    )
+
+
+def delta_stream_sink(
+    table_dir: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+):
+    """B215: exactly-once Delta streaming SINK — a ``foreachBatch``
+    function writing each micro-batch as one idempotent txn commit
+    (version = the Structured Streaming batch id, which the engine
+    guarantees replays with identical content).  Pair with B205's
+    source for end-to-end delta-to-delta pipelines."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        delta_append_txn(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            app_id,
+            int(batch_id),
+            partition_by=partition_by,
+        )
+
+    return _write
 
 
 def delta_remove_where(table_dir: str, pred) -> int:
@@ -1091,6 +1164,7 @@ def delta_checkpoint(table_dir: str) -> int:
             ("configuration", pv_type),
         ]
     )
+    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
     proto_t = pa.struct(
         [
             ("minReaderVersion", pa.int32()),
@@ -1119,6 +1193,7 @@ def delta_checkpoint(table_dir: str) -> int:
             },
             "metaData": None,
             "add": None,
+            "txn": None,
         },
         {
             "protocol": None,
@@ -1135,8 +1210,20 @@ def delta_checkpoint(table_dir: str) -> int:
                 ],
             },
             "add": None,
+            "txn": None,
         },
     ]
+    # B215: app transaction watermarks must survive compaction or a
+    # restarted streaming sink re-appends every pre-checkpoint batch
+    for app_id, v_ in sorted((snap.get("txns") or {}).items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app_id, "version": int(v_)},
+            }
+        )
     for f_ in snap["files"]:
         stats = f_.get("stats")
         dv = f_.get("deletionVector")
@@ -1144,6 +1231,7 @@ def delta_checkpoint(table_dir: str) -> int:
             {
                 "protocol": None,
                 "metaData": None,
+                "txn": None,
                 "add": {
                     "path": quote(os.path.relpath(f_["path"], table_dir)),
                     "partitionValues": [
@@ -1174,7 +1262,12 @@ def delta_checkpoint(table_dir: str) -> int:
     table = pa.Table.from_pylist(
         rows,
         schema=pa.schema(
-            [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+            [
+                ("protocol", proto_t),
+                ("metaData", meta_t),
+                ("add", add_t),
+                ("txn", txn_t),
+            ]
         ),
     )
     log_dir = _log_dir(table_dir)

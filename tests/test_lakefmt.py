@@ -1254,3 +1254,55 @@ def test_iceberg_schema_evolution(spark, tmp_path):
             spark.createDataFrame([(9, 5)], "k long, g long"),
             merge_schema=True,
         )
+
+
+# -------------------------------------------------- B215: txn sink
+
+
+def test_delta_txn_idempotent_append(spark, tmp_path):
+    """setTransaction: a replayed (appId, version) append is skipped;
+    higher versions commit; the watermark survives a checkpoint."""
+    t = str(tmp_path / "t")
+    assert dl.delta_append_txn(spark, t, _mk(spark, [(1, "a", 1.0)]), "app1", 0) == 0
+    # replay of batch 0: skipped
+    assert dl.delta_append_txn(spark, t, _mk(spark, [(1, "a", 1.0)]), "app1", 0) is None
+    assert dl.delta_append_txn(spark, t, _mk(spark, [(2, "a", 2.0)]), "app1", 1) == 1
+    # a different app is independent
+    assert dl.delta_append_txn(spark, t, _mk(spark, [(3, "a", 3.0)]), "app2", 0) == 2
+    assert _keys(dl.read_delta(spark, t)) == [1, 2, 3]
+    assert dl.delta_snapshot(t)["txns"] == {"app1": 1, "app2": 0}
+    # checkpoint + expire: the txn watermark must survive compaction
+    cv = dl.delta_checkpoint(t)
+    dl.expire_delta_log(t, before_version=cv)
+    assert dl.delta_snapshot(t)["txns"] == {"app1": 1, "app2": 0}
+    assert dl.delta_append_txn(spark, t, _mk(spark, [(9, "a", 9.0)]), "app1", 1) is None
+    assert _keys(dl.read_delta(spark, t)) == [1, 2, 3]
+
+
+def test_delta_stream_sink_exactly_once(spark, tmp_path):
+    """foreachBatch sink: two availableNow drains across a restart
+    write each source batch exactly once into the Delta table."""
+    src, t, ck = (str(tmp_path / d) for d in ("src", "t", "ck"))
+    os.makedirs(src)
+    _mk(spark, [(i, "a", float(i)) for i in range(5)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("k long, g string, v double")
+            .parquet(src)
+            .writeStream.foreachBatch(dl.delta_stream_sink(t, "sink-test"))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert _keys(dl.read_delta(spark, t)) == list(range(5))
+    _mk(spark, [(9, "b", 9.0)]).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert _keys(dl.read_delta(spark, t)) == list(range(5)) + [9]
+    # txn versions recorded per batch id
+    assert dl.delta_snapshot(t)["txns"]["sink-test"] >= 1
