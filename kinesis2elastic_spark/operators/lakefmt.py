@@ -577,10 +577,73 @@ def q_uniform_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B216 contract query: MERGE INTO via merge-on-read deletion
+    vectors — the delta-spark upsert shape on an interop table: two
+    appends (o_orderkey%2, partitioned by status), then ONE atomic
+    merge whose source carries the %9==4 slice doubled in price
+    (matched -> DV-delete + re-land) plus the same slice re-keyed
+    +10^7 (not matched -> insert).  Legs: latest (upsert applied) and
+    v1 (pre-merge — time travel must see the original prices, so a
+    merge that rewrote files in place instead of DV'ing them flips
+    this leg).  ``merge_ok`` pins the matched/written counts and that
+    the touched files carry DVs rather than having been rewritten."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k2, k9 = F.col("o_orderkey") % 2, F.col("o_orderkey") % 9
+    work = tempfile.mkdtemp(prefix="k2e_merge_")
+    table = os.path.join(work, "t")
+    try:
+        dl.delta_append(
+            spark, table, o.filter(k2 == 0),
+            partition_by=["o_orderstatus"], collect_stats=True,
+        )
+        dl.delta_append(
+            spark, table, o.filter(k2 == 1),
+            partition_by=["o_orderstatus"], collect_stats=True,
+        )
+        upd = o.filter(k9 == 4).select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        )
+        ins = o.filter(k9 == 4).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        res = dl.delta_merge(
+            spark, table, upd.unionByName(ins), ["o_orderkey"]
+        )
+        n_slice = o.filter(k9 == 4).count()
+        snap = dl.delta_snapshot(table)
+        n_dv = sum(
+            1 for f_ in snap["files"] if f_.get("deletionVector")
+        )
+        merge_ok = bool(
+            res["n_matched"] == n_slice
+            and res["n_written"] >= 1
+            and n_dv >= 1
+        )
+        latest = dl.read_delta(spark, table)
+        asof_v1 = dl.read_delta(spark, table, version=1)
+        out = (
+            _status_agg(latest, "latest")
+            .unionByName(_status_agg(asof_v1, "v1"))
+            .withColumn("interop_ok", F.lit(merge_ok))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "q_delta_read": q_delta_read,
     "q_delta_dv": q_delta_dv,
     "q_delta_cdf": q_delta_cdf,
+    "q_delta_merge": q_delta_merge,
     "q_iceberg_export": q_iceberg_export,
     "q_uniform_parity": q_uniform_parity,
     "q_iceberg_read": q_iceberg_read,
@@ -589,6 +652,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q_delta_merge": """
+        WITH latest AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 9 = 4 THEN o_totalprice * 2
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 9 = 4
+        ), lagg AS (
+            SELECT 'latest' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM latest GROUP BY o_orderstatus
+        ), v1agg AS (
+            SELECT 'v1' AS leg, o_orderstatus AS status,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderstatus
+        )
+        SELECT *, TRUE AS interop_ok FROM lagg
+        UNION ALL
+        SELECT *, TRUE AS interop_ok FROM v1agg
+    """,
     "q_uniform_parity": """
         WITH fmts AS (SELECT 'delta' AS fmt UNION ALL SELECT 'iceberg'),
         lagg AS (

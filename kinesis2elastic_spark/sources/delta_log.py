@@ -990,6 +990,120 @@ def delta_remove_where(table_dir: str, pred) -> int:
     return version
 
 
+def _identity_scan(spark: SparkSession, table_dir: str, snap: dict) -> DataFrame:
+    """Live-file scan with row identity (__dvf, __dvp) and partition
+    columns injected — the shared front half of row-level writers
+    (DELETE, MERGE).  NOTE: existing DVs are NOT applied here; callers
+    that must exclude already-dead rows anti-join them explicitly."""
+    pcols: list[str] = snap["partition_columns"]
+    pmap: dict = snap.get("physical_names") or {}
+    dtypes = {f.name: f.dataType for f in snap["schema"].fields}
+    groups: dict[tuple, list[dict]] = {}
+    for f_ in snap["files"]:
+        key = tuple(
+            (f_["partitionValues"] or {}).get(pmap.get(c, c)) for c in pcols
+        )
+        groups.setdefault(key, []).append(f_)
+    scan = None
+    for key, fgroup in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.parquet(*[f["path"] for f in fgroup]).select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/*", "/"
+            ).alias("__dvf"),
+            F.col("_metadata.row_index").cast("long").alias("__dvp"),
+        )
+        for logical, phys in pmap.items():
+            if phys != logical and phys in df.columns:
+                df = df.withColumnRenamed(phys, logical)
+        for c, raw in zip(pcols, key):
+            if raw is None or raw == _HIVE_NULL:
+                df = df.withColumn(c, F.lit(None).cast(dtypes[c]))
+            else:
+                df = df.withColumn(c, F.lit(raw).cast(dtypes[c]))
+        scan = df if scan is None else scan.unionByName(df)
+    return scan
+
+
+def _dv_protocol_actions(snap: dict) -> list[dict]:
+    """The protocol-upgrade action for a first DV commit, else []."""
+    proto = snap["protocol"] or {}
+    feats = set(proto.get("readerFeatures") or [])
+    if "deletionVectors" in feats and int(
+        proto.get("minReaderVersion", 1)
+    ) >= 3:
+        return []
+    feats.add("deletionVectors")
+    if (
+        int(proto.get("minReaderVersion", 1)) >= 2
+        or _mapping_mode(snap["metadata"]) != "none"
+    ):
+        feats.add("columnMapping")
+    return [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(feats),
+                "writerFeatures": sorted(feats),
+            }
+        }
+    ]
+
+
+def _dv_remove_add_actions(
+    table_dir: str,
+    snap: dict,
+    new_pos: dict[str, set[int]],
+    inline_max_bytes: int,
+) -> list[dict]:
+    """remove+add pairs replacing each touched file's DV with the merge
+    of its old positions and ``new_pos`` (the spec's replacement rule);
+    one shared sidecar per call for the on-disk descriptors."""
+    from . import dvectors as _dv
+
+    by_path = {f["path"]: f for f in snap["files"]}
+    sidecar = _dv.new_sidecar(table_dir)
+    touched: list[tuple[dict, dict]] = []
+    for path, pos in sorted(new_pos.items()):
+        f_ = by_path.get(path)
+        if f_ is None:
+            raise ValueError(f"row-level write hit unknown file {path}")
+        if f_.get("deletionVector"):
+            pos = pos | set(
+                _dv.decode_descriptor(table_dir, f_["deletionVector"])
+            )
+        desc = _dv.make_descriptor(
+            table_dir, sorted(pos), inline_max_bytes, sidecar
+        )
+        touched.append((f_, desc))
+    _dv.flush_sidecar(sidecar)
+    actions: list[dict] = []
+    for f_, desc in touched:
+        rel = quote(os.path.relpath(f_["path"], table_dir))
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+        add = {
+            "path": rel,
+            "partitionValues": f_["partitionValues"] or {},
+            "size": f_["size"],
+            "modificationTime": 0,
+            "dataChange": True,
+            "deletionVector": desc,
+        }
+        if f_.get("stats"):
+            add["stats"] = f_["stats"]
+        actions.append({"add": add})
+    return actions
+
+
 def delta_delete_where(
     spark: SparkSession,
     table_dir: str,
@@ -1015,37 +1129,8 @@ def delta_delete_where(
     physical-row bounds (tightBounds=false semantics — pruning stays
     conservative and the reader's residual filter keeps reads exact).
     """
-    from . import dvectors as _dv
-
     snap = delta_snapshot(table_dir)
-    pcols: list[str] = snap["partition_columns"]
-    pmap: dict = snap.get("physical_names") or {}
-    dtypes = {f.name: f.dataType for f in snap["schema"].fields}
-    files = snap["files"]
-    groups: dict[tuple, list[dict]] = {}
-    for f_ in files:
-        key = tuple(
-            (f_["partitionValues"] or {}).get(pmap.get(c, c)) for c in pcols
-        )
-        groups.setdefault(key, []).append(f_)
-    scan = None
-    for key, fgroup in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.parquet(*[f["path"] for f in fgroup]).select(
-            "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/*", "/"
-            ).alias("__dvf"),
-            F.col("_metadata.row_index").cast("long").alias("__dvp"),
-        )
-        for logical, phys in pmap.items():
-            if phys != logical and phys in df.columns:
-                df = df.withColumnRenamed(phys, logical)
-        for c, raw in zip(pcols, key):
-            if raw is None or raw == _HIVE_NULL:
-                df = df.withColumn(c, F.lit(None).cast(dtypes[c]))
-            else:
-                df = df.withColumn(c, F.lit(raw).cast(dtypes[c]))
-        scan = df if scan is None else scan.unionByName(df)
+    scan = _identity_scan(spark, table_dir, snap)
     hits = (
         scan.filter(pred).select("__dvf", "__dvp").collect()
     )  # bounded collect: positions of THIS delete only
@@ -1054,69 +1139,131 @@ def delta_delete_where(
     new_pos: dict[str, set[int]] = {}
     for r in hits:
         new_pos.setdefault(r["__dvf"], set()).add(int(r["__dvp"]))
-    by_path = {f["path"]: f for f in files}
     version = _next_version(table_dir)
-    actions: list[dict] = []
-    proto = snap["protocol"] or {}
-    feats = set(proto.get("readerFeatures") or [])
-    if "deletionVectors" not in feats or int(
-        proto.get("minReaderVersion", 1)
-    ) < 3:
-        feats.add("deletionVectors")
-        if (
-            int(proto.get("minReaderVersion", 1)) >= 2
-            or _mapping_mode(snap["metadata"]) != "none"
-        ):
-            feats.add("columnMapping")
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 3,
-                    "minWriterVersion": 7,
-                    "readerFeatures": sorted(feats),
-                    "writerFeatures": sorted(feats),
-                }
-            }
-        )
-    sidecar = _dv.new_sidecar(table_dir)
-    touched: list[tuple[dict, dict]] = []
-    for path, pos in sorted(new_pos.items()):
-        f_ = by_path.get(path)
-        if f_ is None:
-            raise ValueError(f"delete hit unknown file {path}")
-        if f_.get("deletionVector"):
-            pos = pos | set(
-                _dv.decode_descriptor(table_dir, f_["deletionVector"])
-            )
-        desc = _dv.make_descriptor(
-            table_dir, sorted(pos), inline_max_bytes, sidecar
-        )
-        touched.append((f_, desc))
-    _dv.flush_sidecar(sidecar)
-    for f_, desc in touched:
-        rel = quote(os.path.relpath(f_["path"], table_dir))
-        actions.append(
-            {
-                "remove": {
-                    "path": rel,
-                    "deletionTimestamp": 0,
-                    "dataChange": True,
-                }
-            }
-        )
-        add = {
-            "path": rel,
-            "partitionValues": f_["partitionValues"] or {},
-            "size": f_["size"],
-            "modificationTime": 0,
-            "dataChange": True,
-            "deletionVector": desc,
-        }
-        if f_.get("stats"):
-            add["stats"] = f_["stats"]
-        actions.append({"add": add})
+    actions = _dv_protocol_actions(snap) + _dv_remove_add_actions(
+        table_dir, snap, new_pos, inline_max_bytes
+    )
     _write_commit(table_dir, version, actions)
     return version
+
+
+def delta_merge(
+    spark: SparkSession,
+    table_dir: str,
+    source_df: DataFrame,
+    key_cols: list[str],
+    when_matched: str = "update",
+    partition_by: list[str] | None = None,
+    inline_max_bytes: int = 512,
+) -> dict:
+    """B216: MERGE INTO via merge-on-read — delta-spark's DV-backed
+    upsert shape on the interop table, ONE atomic commit:
+
+    - ``when_matched="update"``: target rows whose ``key_cols`` match
+      a source row are DV-deleted (position bitmaps, no data rewrite)
+      and EVERY source row (updates + brand-new keys) lands in fresh
+      data files — standard ``WHEN MATCHED UPDATE SET * / WHEN NOT
+      MATCHED INSERT *`` semantics;
+    - ``when_matched="delete"``: matched target rows are DV-deleted,
+      nothing is written (``WHEN MATCHED DELETE``; source carries only
+      the key columns).
+
+    Cost shape = what makes MOR the 100 TB default: touched files get
+    a bitmap, not a rewrite; the write side is source-sized, never
+    table-sized; the matched-position collect is bounded by the
+    source's match count.  Duplicate source keys refuse loudly (the
+    same multiple-matches error delta-spark raises — applying two
+    updates to one row is order-undefined).  Already-DV-dead rows are
+    excluded from matching (they are not live, so they neither update
+    nor count).  Returns {"version", "n_matched", "n_written"}."""
+    snap = delta_snapshot(table_dir)
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    dup = (
+        source_df.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"source has duplicate merge keys (e.g. "
+            f"{tuple(dup[0][k] for k in key_cols)}) — a row cannot be "
+            "updated twice in one MERGE"
+        )
+    scan = _identity_scan(spark, table_dir, snap)
+    # exclude already-dead rows from matching
+    from . import dvectors as _dv
+
+    dead: list[tuple[str, int]] = []
+    for f_ in snap["files"]:
+        if f_.get("deletionVector"):
+            for p_ in _dv.decode_descriptor(table_dir, f_["deletionVector"]):
+                dead.append((f_["path"], int(p_)))
+    if dead:
+        import pandas as _pd
+
+        dead_df = spark.createDataFrame(
+            _pd.DataFrame(dead, columns=["__dvf", "__dvp"])
+        )
+        scan = scan.join(F.broadcast(dead_df), ["__dvf", "__dvp"], "left_anti")
+    keys = source_df.select(*key_cols).dropDuplicates()
+    hits = (
+        scan.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("__dvf", "__dvp")
+        .collect()
+    )  # bounded: matched target rows only
+    new_pos: dict[str, set[int]] = {}
+    for r in hits:
+        new_pos.setdefault(r["__dvf"], set()).add(int(r["__dvp"]))
+    version = _next_version(table_dir)
+    actions: list[dict] = []
+    if new_pos:
+        actions += _dv_protocol_actions(snap)
+        actions += _dv_remove_add_actions(
+            table_dir, snap, new_pos, inline_max_bytes
+        )
+    n_written = 0
+    if when_matched == "update":
+        pcols = list(partition_by or snap["partition_columns"])
+        sub = f"part-c{version:05d}"
+        dest = os.path.join(table_dir, sub)
+        w = source_df.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(dest)
+        for rel in _rel_files(table_dir, sub):
+            pv = {}
+            for c in pcols:
+                m = re.search(rf"(?:^|/){re.escape(c)}=([^/]+)/", rel)
+                if not m:
+                    raise ValueError(
+                        f"partition dir for {c!r} missing in {rel}"
+                    )
+                raw = unquote(m.group(1))
+                pv[c] = None if raw == _HIVE_NULL else raw
+            abspath = os.path.join(table_dir, rel)
+            actions.append(
+                {
+                    "add": {
+                        "path": quote(rel),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(abspath),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+            n_written += 1
+    if not actions:
+        raise ValueError("merge matched no rows and wrote no rows")
+    _write_commit(table_dir, version, actions)
+    return {
+        "version": version,
+        "n_matched": len(hits),
+        "n_written": n_written,
+    }
 
 
 def delta_checkpoint(table_dir: str) -> int:

@@ -1306,3 +1306,56 @@ def test_delta_stream_sink_exactly_once(spark, tmp_path):
     assert _keys(dl.read_delta(spark, t)) == list(range(5)) + [9]
     # txn versions recorded per batch id
     assert dl.delta_snapshot(t)["txns"]["sink-test"] >= 1
+
+
+# ---------------------------------------------------- B216: MERGE INTO
+
+
+def test_delta_merge_update_and_delete(spark, tmp_path):
+    """MOR MERGE: matched rows DV-delete + re-land from source, new
+    keys insert, delete-mode removes without writing, dup source keys
+    refuse, already-dead rows don't match."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    dl.delta_append(
+        spark,
+        t,
+        _mk(spark, [(i, "a" if i % 2 else "b", float(i)) for i in range(10)]),
+        partition_by=["g"],
+    )
+    # upsert: update k in {2,3} (v *= 100), insert k=50
+    src = _mk(spark, [(2, "b", 200.0), (3, "a", 300.0), (50, "b", 50.0)])
+    res = dl.delta_merge(spark, t, src, ["k"])
+    assert res["n_matched"] == 2 and res["n_written"] >= 1
+    got = {(r.k, r.v) for r in dl.read_delta(spark, t).collect()}
+    expect = {(i, float(i)) for i in range(10) if i not in (2, 3)} | {
+        (2, 200.0),
+        (3, 300.0),
+        (50, 50.0),
+    }
+    assert got == expect
+    # time travel below the merge: original state
+    assert _keys(dl.read_delta(spark, t, version=0)) == list(range(10))
+    # dup source keys refuse
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        dl.delta_merge(spark, t, _mk(spark, [(7, "a", 1.0), (7, "a", 2.0)]), ["k"])
+    # delete-mode: matched rows vanish, nothing written
+    res2 = dl.delta_merge(
+        spark,
+        t,
+        spark.createDataFrame([(2,), (50,)], "k long"),
+        ["k"],
+        when_matched="delete",
+    )
+    assert res2["n_matched"] == 2 and res2["n_written"] == 0
+    assert _keys(dl.read_delta(spark, t)) == [0, 1, 3, 4, 5, 6, 7, 8, 9]
+    # a second merge against the SAME already-deleted key matches nothing
+    with pytest.raises(ValueError, match="matched no rows"):
+        dl.delta_merge(
+            spark,
+            t,
+            spark.createDataFrame([(2,)], "k long"),
+            ["k"],
+            when_matched="delete",
+        )
