@@ -2139,9 +2139,79 @@ def q_stream_delta_sink_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got
 
 
+def q_stream_iceberg_src_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B217 streaming leg, oracle-backed: an ICEBERG TABLE as the
+    stream source (``sources/iceberg_stream.py`` — the B205 twin over
+    snapshot lineage): orders land as two append snapshots and the
+    stream drains each across a CHECKPOINT RESTART (sequence-number
+    offset resume), one InputPartition per added data file.
+    ``exactly_once_ok`` pins sink rows == source rows after both
+    drains."""
+    from ..sources import iceberg_meta as im
+    from ..sources.iceberg_stream import IcebergStreamDataSource
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    try:
+        spark.dataSource.register(IcebergStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    work = tempfile.mkdtemp(prefix="k2e_stream_isrc_")
+    try:
+        table = os.path.join(work, "t")
+        out = os.path.join(work, "out")
+        ck = os.path.join(work, "ckpt")
+        k2 = F.col("o_orderkey") % 2
+
+        def drain():
+            _drain(
+                spark.readStream.format("iceberg_interop")
+                .option("path", table)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        im.iceberg_append(spark, table, o.filter(k2 == 0))
+        drain()
+        n_first = spark.read.parquet(out).count()
+        im.iceberg_append(spark, table, o.filter(k2 == 1))
+        drain()
+        sink = spark.read.parquet(out)
+        exactly_once = bool(
+            n_first == o.filter(k2 == 0).count()
+            and sink.count() == o.count()
+        )
+        got = (
+            sink.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("sum_cents"),
+                F.min("o_orderkey").cast("long").alias("min_key"),
+                F.max("o_orderkey").cast("long").alias("max_key"),
+            )
+            .withColumn("exactly_once_ok", F.lit(exactly_once))
+            .localCheckpoint(eager=True)  # materialize before the rmtree
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return got
+
+
 QUERIES = {
     "q_stream_delta_src_equiv": q_stream_delta_src_equiv,
     "q_stream_delta_sink_equiv": q_stream_delta_sink_equiv,
+    "q_stream_iceberg_src_equiv": q_stream_iceberg_src_equiv,
     "q_stream_cdf_view_equiv": q_stream_cdf_view_equiv,
     "q_stream_shard_equiv": q_stream_shard_equiv,
     "q_stream_dedup_equiv": q_stream_dedup_equiv,
@@ -2186,6 +2256,15 @@ def _shard_manifest_sql() -> str:
 
 
 ORACLE = {
+    "q_stream_iceberg_src_equiv": """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+               TRUE AS exactly_once_ok
+        FROM orders GROUP BY o_orderstatus
+    """,
     "q_stream_delta_sink_equiv": """
         SELECT o_orderstatus AS status,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
