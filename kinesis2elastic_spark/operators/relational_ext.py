@@ -1197,12 +1197,94 @@ def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B218: the Arrow-native Python execution surface — the two paths
+    that SKIP pandas entirely:
+
+    - ``mapInArrow``: the function receives raw ``pyarrow.RecordBatch``
+      objects and answers with batches — zero pandas conversion, zero
+      per-row Python; the per-doc statistics here are computed with
+      ``pyarrow.compute`` kernels (C++ vectorized) on the Arrow
+      buffers as shipped;
+    - ``useArrow=True`` scalar UDFs: row-at-a-time Python semantics
+      with Arrow-batched transfer (the migration path for legacy UDFs
+      that can't vectorize).
+
+    Outputs are INTEGER per-doc statistics (byte length, char length,
+    space count, whitespace-word count) so the DuckDB restatement
+    hashes exactly; the real-world payload of this surface is float
+    kernels (the ANN legs' envelope checks cover those) — this query
+    pins the PLUMBING: batch iteration, schema contract, and the
+    arrow-UDF execution mode, not numerics.
+
+    Scale note: mapInArrow is the lowest-overhead Python escape hatch
+    Spark has — one (de)serialization per BATCH, C++ kernels inside —
+    and still loses to built-in ``F.*`` expressions (whole-stage
+    codegen, no IPC at all); the B36 hierarchy stands: built-ins >
+    pandas/arrow batches > row Python, and this query is the measured
+    middle rung."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from pyspark.sql.functions import udf
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", "text")
+    )
+
+    def _stats(batches):
+        for b in batches:
+            texts = b.column("text")
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    b.column("lang"),
+                    _pc.cast(_pc.binary_length(texts), _pa.int64()),
+                    _pc.cast(_pc.utf8_length(texts), _pa.int64()),
+                    _pc.cast(
+                        _pc.count_substring(texts, " "), _pa.int64()
+                    ),
+                ],
+                names=[
+                    "doc_id",
+                    "lang",
+                    "n_bytes",
+                    "n_chars",
+                    "n_spaces",
+                ],
+            )
+
+    stats = d.mapInArrow(
+        _stats,
+        "doc_id long, lang string, n_bytes long, n_chars long, n_spaces long",
+    )
+    n_words = udf(
+        lambda s: len(s.split(" ")) if s is not None else None,
+        "long",
+        useArrow=True,
+    )
+    joined = stats.join(
+        d.select("doc_id", n_words("text").alias("n_words")), "doc_id"
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("bytes_sum"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+        F.sum("n_spaces").cast("long").alias("spaces_sum"),
+        F.sum("n_words").cast("long").alias("words_sum"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
+
+
 QUERIES = {
     "q_variant": q_variant,
     "q_recursive_cte": q_recursive_cte,
     "q_pipe_sql": q_pipe_sql,
     "q_udtf_sessions": q_udtf_sessions,
     "q_sql_params": q_sql_params,
+    "q_arrow_native": q_arrow_native,
     "q_udtf_chunk": q_udtf_chunk,
     "q_ntile_dist": q_ntile_dist,
     "q_running_distinct": q_running_distinct,
@@ -1241,6 +1323,19 @@ QUERIES = {
 from ..functions.sessions import session_cte_sql as _session_cte_sql
 
 ORACLE = {
+    "q_arrow_native": """
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
+                 AS bytes_sum,
+               CAST(SUM(length(text)) AS BIGINT) AS chars_sum,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')))
+                    AS BIGINT) AS spaces_sum,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 AS words_sum,
+               MIN(doc_id) AS min_doc
+        FROM documents GROUP BY lang
+    """,
     "q_sql_params": f"""
         WITH one AS (
             SELECT l_returnflag,
