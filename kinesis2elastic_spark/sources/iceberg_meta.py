@@ -610,6 +610,7 @@ def iceberg_append(
     df: DataFrame,
     spec: list[tuple[str, str]] | None = None,
     merge_schema: bool = False,
+    summary_props: dict | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot.  ``spec`` (None = table's
     default) may EVOLVE the partition spec: a new spec-id is registered
@@ -779,7 +780,7 @@ def iceberg_append(
         "sequence-number": seq,
         "timestamp-ms": 0,
         "manifest-list": mlist_path,
-        "summary": {"operation": "append"},
+        "summary": dict({"operation": "append"}, **(summary_props or {})),
         "schema-id": schema["schema-id"],
     }
     new_meta = {
@@ -1392,3 +1393,64 @@ def vacuum_iceberg(table_dir: str, dry_run: bool = False) -> list[str]:
         for p in victims:
             os.remove(p)
     return sorted(victims)
+
+
+def iceberg_last_epoch(table_dir: str, app_id: str) -> int:
+    """B219: the highest streaming epoch this app has committed, from
+    snapshot SUMMARY properties (iceberg-spark's exactly-once pattern:
+    the writer stamps each commit with its query id + epoch and skips
+    replays) — metadata-rate scan of the snapshot list.  -1 = none."""
+    meta = load_metadata(table_dir)
+    best = -1
+    for s_ in meta.get("snapshots", []):
+        summ = s_.get("summary") or {}
+        if summ.get("k2e.app-id") == str(app_id):
+            try:
+                best = max(best, int(summ.get("k2e.epoch-id", -1)))
+            except (TypeError, ValueError):
+                pass
+    return best
+
+
+def iceberg_append_epoch(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    app_id: str,
+    epoch_id: int,
+    spec: list[tuple[str, str]] | None = None,
+) -> int | None:
+    """B219: idempotent append — skipped (None) when the table already
+    records this app at an equal-or-later epoch (a foreachBatch retry
+    or restarted query re-delivering a committed batch); otherwise one
+    snapshot whose summary carries the (app, epoch) stamp atomically
+    with the data (the summary lives in the same metadata.json publish
+    as the manifest list — one rename, no window for a stamped-but-
+    dataless or data-but-unstamped state)."""
+    if is_iceberg_table(table_dir):
+        if iceberg_last_epoch(table_dir, app_id) >= int(epoch_id):
+            return None
+    return iceberg_append(
+        spark,
+        table_dir,
+        df,
+        spec=spec,
+        summary_props={
+            "k2e.app-id": str(app_id),
+            "k2e.epoch-id": str(int(epoch_id)),
+        },
+    )
+
+
+def iceberg_stream_sink(table_dir: str, app_id: str):
+    """B219: exactly-once Iceberg streaming SINK — a ``foreachBatch``
+    function committing each micro-batch as one epoch-stamped
+    snapshot.  Pair with B217's source for iceberg-to-iceberg
+    pipelines."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        iceberg_append_epoch(
+            batch_df.sparkSession, table_dir, batch_df, app_id, int(batch_id)
+        )
+
+    return _write

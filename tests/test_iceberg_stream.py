@@ -76,3 +76,44 @@ def test_iceberg_stream_expired_checkpoint_fails_loud(spark, tmp_path):
     im.expire_iceberg_snapshots(t, retain=1)
     with pytest.raises(Exception, match="expired"):
         _drain(spark, t, out, ck)
+
+
+# --------------------------------------------------- B219: epoch sink
+
+
+def test_iceberg_epoch_sink_exactly_once(spark, tmp_path):
+    """Epoch-stamped snapshots: replayed (app, epoch) appends skip;
+    two availableNow drains across a restart write each batch once."""
+    from kinesis2elastic_spark.sources import iceberg_meta as im2
+
+    src, t, ck = (str(tmp_path / d) for d in ("src", "t", "ck"))
+    os.makedirs(src)
+    df = spark.createDataFrame([(i, 0) for i in range(5)], "k long, g long")
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema("k long, g long")
+            .parquet(src)
+            .writeStream.foreachBatch(im2.iceberg_stream_sink(t, "isink"))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    assert sorted(
+        r.k for r in im2.read_iceberg(spark, t).collect()
+    ) == list(range(5))
+    # manual replay of a committed epoch: skipped
+    assert im2.iceberg_append_epoch(spark, t, df, "isink", 0) is None
+    spark.createDataFrame([(9, 1)], "k long, g long").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert sorted(
+        r.k for r in im2.read_iceberg(spark, t).collect()
+    ) == list(range(5)) + [9]
+    assert im2.iceberg_last_epoch(t, "isink") >= 1
+    assert im2.iceberg_last_epoch(t, "other") == -1
