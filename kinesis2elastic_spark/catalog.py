@@ -92,15 +92,56 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+# Inferred-schema cache (r14, guide §1/§6): a schema-less
+# ``spark.read.parquet`` runs a schema-inference Spark JOB on every call
+# (measured 0.1-0.5 s each, even for a path read seconds earlier) — pure
+# per-query overhead the bench pays ~150x across the headline set.  The
+# first load of a path still uses Spark's own inference (so downstream
+# semantics are bit-identical); repeats pass that schema explicitly, which
+# skips the job entirely (measured: 0 jobs).  This is table METADATA, the
+# thing a real catalog serves — not result caching (keyed on path+mtime so
+# a rewritten fixture re-infers).
+_SCHEMA_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table as a DataFrame (lazy; pushdown-friendly)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = (path, None)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
     for col in _nano_ts_cols(path):
         if col in df.columns and dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
     return normalize_timestamps(df)
+
+
+def read_parquet_footer(spark: SparkSession, *paths: str) -> DataFrame:
+    """Explicit-schema parquet read for files THIS engine wrote: the
+    schema comes from the first path's FOOTER (pyarrow, driver-side
+    metadata — no cluster job) instead of Spark's schema-inference JOB,
+    which costs 0.1-0.5 s per schema-less ``spark.read.parquet`` call
+    (r14 measurement; the interop fixture builders paid it dozens of
+    times per query).  Use only where all paths share one writer schema
+    — exactly the single-commit / single-protocol file groups the
+    snapshot and interop readers scan.  ``prefer_timestamp_ntz`` matches
+    Spark 4's parquet inference default, so the resulting schema is the
+    one inference would have produced."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    schema = from_arrow_schema(
+        pq.read_schema(paths[0]), prefer_timestamp_ntz=True
+    )
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

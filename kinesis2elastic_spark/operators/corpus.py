@@ -1914,23 +1914,42 @@ def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation runs on the full-parallelism spread (r14, see
     langid_profiles — the single-split testdata scan serialized it)."""
     d = load(spark, sf_dir, "documents")
+    # ONE trigram explode serves BOTH profile builds (r14, guide §2.4):
+    # the per-(doc, lang, tri) counts are materialized once
+    # (localCheckpoint — a one-shot pin, ~distinct-(doc,tri) rows), the
+    # doc profiles rank them directly, and the language profiles
+    # RE-AGGREGATE them (sum of per-doc counts == direct per-lang count,
+    # exact integers) — previously the corpus-wide explode + count ran
+    # twice, once here and once inside langid_profiles.
     tri = _char_trigrams(
-        d.repartition(spark.sparkContext.defaultParallelism)
+        d.repartition(spark.sparkContext.defaultParallelism), "lang"
     )
-    dcounts = tri.groupBy("doc_id", "tri").agg(F.count("*").alias("n"))
+    dcounts = tri.groupBy("doc_id", "lang", "tri").agg(
+        F.count("*").alias("n")
+    ).localCheckpoint(eager=True)
     wd = W.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("tri"))
     dp = (
         dcounts.withColumn("drank", F.row_number().over(wd).cast("long"))
         .filter(F.col("drank") <= LANGID_TOPK)
         .select("doc_id", "tri", "drank")
     )
-    lp = langid_profiles(spark, sf_dir)
+    lcounts = dcounts.groupBy("lang", "tri").agg(F.sum("n").alias("n"))
+    wl = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri"))
+    # tri renamed on the profile side: lp and dp now descend from the SAME
+    # materialized leaf, so the join below must not reference one ambiguous
+    # attribute from both sides
+    lp = (
+        lcounts.withColumn("lrank", F.row_number().over(wl).cast("long"))
+        .filter(F.col("lrank") <= LANGID_TOPK)
+        .select("lang", F.col("tri").alias("__ltri"), "lrank")
+    )
     langs = lp.select(F.col("lang").alias("cand")).distinct()
     dist = (
         dp.crossJoin(F.broadcast(langs))
         .join(
             F.broadcast(lp),
-            (F.col("cand") == F.col("lang")) & (lp.tri == dp.tri),
+            (F.col("cand") == F.col("lang"))
+            & (F.col("__ltri") == F.col("tri")),
             "left",
         )
         .groupBy("doc_id", "cand")

@@ -117,6 +117,22 @@ def pagerank(edges: DataFrame, damping: float = PR_DAMPING, max_iter: int = PR_M
     return ranks
 
 
+def _symmetrize(df: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """(a, b) pairs → both edge directions as (src, dst) in ONE pass:
+    ``explode(array(struct(a,b), struct(b,a)))`` doubles rows inline
+    (narrow, whole-stage codegen) instead of ``unionByName`` over the
+    same subtree, which re-executes the upstream plan once per branch
+    (r14, guide §2.4).  Extra columns (e.g. an edge weight) ride along."""
+    extra = [c for c in df.columns if c not in (a, b)]
+    both = F.explode(
+        F.array(
+            F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+            F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+        )
+    ).alias("__e")
+    return df.select(both, *extra).select("__e.src", "__e.dst", *extra)
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
     """Symmetric directed edge list of the customer↔supplier trade graph
     (bipartite, derived from orders⋈lineitem).  ``dedup=False`` skips the
@@ -134,9 +150,12 @@ def _trade_edges(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFr
     )
     if dedup:
         trade = trade.distinct()
-    return trade.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionByName(
-        trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
-    )
+    # one-pass symmetrization (r14, guide §2.4): the old
+    # union(trade, transpose(trade)) executed the orders⋈lineitem join
+    # subtree TWICE (Spark does not share common subtrees across union
+    # branches); exploding a 2-element struct array emits both directions
+    # in a single narrow pass over one join execution.
+    return _symmetrize(trade, "cust", "supp")
 
 
 def pagerank_topk(spark: SparkSession, sf_dir: str, top_k: int = 25) -> DataFrame:
@@ -514,9 +533,7 @@ def connected_components_exact(
     rounds); this one is the deep-graph form with frontier semantics and
     a component count that can be large."""
     spark = edges.sparkSession
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    sym = _symmetrize(edges.select("src", "dst"))  # one pass, both directions
     if n_edges_hint is None:
         sym = sym.distinct()
         n_edges_hint = sym.count()
@@ -788,9 +805,7 @@ def kcore_membership(
     from pyspark.sql import Observation
 
     spark = edges.sparkSession
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    sym = _symmetrize(edges.select("src", "dst"))  # one pass, both directions
     if n_edges_hint is None:
         sym = sym.distinct()
         n_edges_hint = sym.count()
@@ -1626,11 +1641,7 @@ def _trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w"),
     )
-    return trade.select(
-        F.col("cust").alias("src"), F.col("supp").alias("dst"), "w"
-    ).unionByName(
-        trade.select(F.col("supp").alias("src"), F.col("cust").alias("dst"), "w")
-    )
+    return _symmetrize(trade, "cust", "supp")
 
 
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:

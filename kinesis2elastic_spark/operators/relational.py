@@ -226,9 +226,22 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates are compared in-engine against exact distincts; the oracle
     recomputes the exacts and expects every ``est_ok`` TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    per = li.groupBy("l_returnflag").agg(
+    # r14 (guide §2.3/§2.4): ONE scan + ONE distinct shuffle now feed every
+    # leg.  HLL register state is a pure function of the distinct item SET
+    # (duplicate updates are no-ops), so sketching the materialized
+    # distinct (flag, partkey) pairs yields the identical estimate the old
+    # raw-row sketch did, while the exact twins become cheap re-aggregates
+    # of the same pinned pairs — previously lineitem was scanned 3x (per
+    # branch + the global countDistinct) with two expand-style distinct
+    # aggregates.
+    pairs = (
+        li.select("l_returnflag", "l_partkey")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    per = pairs.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_partkey").alias("sk"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count("*").alias("exact_parts"),
     )
     ok = (
         F.abs(F.hll_sketch_estimate("sk") - F.col("exact_parts"))
@@ -240,7 +253,9 @@ def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = (
         per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
-        .crossJoin(li.agg(F.countDistinct("l_partkey").alias("exact_parts")))
+        .crossJoin(
+            pairs.agg(F.countDistinct("l_partkey").alias("exact_parts"))
+        )
         .select(
             F.lit("ALL").alias("scope"),
             "exact_parts",
@@ -261,7 +276,14 @@ def hll_merge_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged the 28.7× ratio).  bench.py times this form alongside it so
     the sketch cost and the self-check cost are reported separately."""
     li = load(spark, sf_dir, "lineitem")
-    per = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    # r14: the per-group sketch table feeds BOTH output branches; without a
+    # pin the union re-ran the full sketch build (one lineitem scan per
+    # branch).  3 rows of sketch bytes — a free localCheckpoint.
+    per = (
+        li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .localCheckpoint(eager=True)
+    )
     per_out = per.select(
         F.col("l_returnflag").alias("scope"),
         F.hll_sketch_estimate("sk").alias("est"),
