@@ -409,8 +409,10 @@ def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             for e in tt.manifest_entries(src, 2)
             if e["kind"] == "data"
         ]
+        from ..catalog import read_parquet_footer
+
         pairs = (
-            spark.read.parquet(*data_paths)
+            read_parquet_footer(spark, *data_paths)
             .select(
                 "o_orderkey",
                 F.regexp_replace(

@@ -603,8 +603,13 @@ def merge_rows_positional(
         + [(p, "data", int(version)) for p in _list_data_files(a_dir)]
     )
     _write_manifest(table_dir, version, live)
-    n_del = spark.read.parquet(pd_dir).count()
-    n_ins = spark.read.parquet(a_dir).count()
+    # r14: the just-written files' exact row counts come from their parquet
+    # FOOTERS (metadata-only) — the two count() jobs re-scanned what this
+    # commit just wrote
+    import pyarrow.parquet as _pq
+
+    n_del = sum(_pq.read_metadata(p).num_rows for p in _list_data_files(pd_dir))
+    n_ins = sum(_pq.read_metadata(p).num_rows for p in _list_data_files(a_dir))
     return {"n_deleted_pos": n_del, "n_inserted": n_ins, "version": int(version)}
 
 
@@ -1013,8 +1018,10 @@ def optimize_snapshot(
         manifest = [(p, os.path.getsize(p)) for p in src_files]
         bins = plan_compaction_bins(manifest, target_bytes)
         for i, bin_files in enumerate(bins):
+            from ..catalog import read_parquet_footer
+
             (
-                spark.read.parquet(*bin_files)
+                read_parquet_footer(spark, *bin_files)
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(os.path.join(data_dir, f"bin={i}"))
@@ -1121,8 +1128,11 @@ def read_changes(
                 f"no files added between v{v_from} and v{v_to} in {table_dir}"
             )
         return spark.createDataFrame([], schema)
-    reader = spark.read if schema is None else spark.read.schema(schema)
-    return reader.parquet(*files)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*files)
+    from ..catalog import read_parquet_footer
+
+    return read_parquet_footer(spark, *files)
 
 
 def read_change_feed(
@@ -1183,8 +1193,10 @@ def read_change_feed(
         frames: list[DataFrame] = []
         added = [e["path"] for e in new if e["kind"] == "data"]
         if added:
+            from ..catalog import read_parquet_footer
+
             frames.append(
-                spark.read.parquet(*added).withColumn(
+                read_parquet_footer(spark, *added).withColumn(
                     "_change_type", F.lit("insert")
                 )
             )
@@ -1194,7 +1206,9 @@ def read_change_feed(
         # stream's very first batch committing its delete leg against
         # an empty table, or v_from = -1 bootstrap) deletes nothing
         if eq and prev_has_data:
-            keys = spark.read.parquet(*eq).dropDuplicates()
+            from ..catalog import read_parquet_footer
+
+            keys = read_parquet_footer(spark, *eq).dropDuplicates()
             frames.append(
                 read_asof(spark, table_dir, v - 1)
                 .join(keys, on=list(keys.columns), how="left_semi")
@@ -1202,8 +1216,10 @@ def read_change_feed(
             )
         pos = [e["path"] for e in new if e["kind"] == "posdelete"]
         if pos and prev_has_data:
+            from ..catalog import read_parquet_footer
+
             pairs = (
-                spark.read.parquet(*pos)
+                read_parquet_footer(spark, *pos)
                 .dropDuplicates()
                 .select(
                     F.col("file_path").alias(_POS_PATH),
@@ -1403,7 +1419,18 @@ def _read_asof_impl(
         if schema is None:
             raise ValueError(f"no committed snapshot <= {version} in {table_dir}")
         return spark.createDataFrame([], schema)
-    reader = spark.read if schema is None else spark.read.schema(schema)
+
+    # r14: schema-less spark.read.parquet pays a schema-inference JOB per
+    # call (guide §1 measurement); these are engine-written files, so the
+    # footer schema (driver-side, no job) is identical to what inference
+    # would produce.
+    def _read(*paths):
+        if schema is not None:
+            return spark.read.schema(schema).parquet(*paths)
+        from ..catalog import read_parquet_footer
+
+        return read_parquet_footer(spark, *paths)
+
     deletes = sorted(
         (e for e in entries if e["kind"] == "delete"), key=lambda e: e["seq"]
     )
@@ -1413,24 +1440,28 @@ def _read_asof_impl(
     posdeletes = [e["path"] for e in entries if e["kind"] == "posdelete"]
     need_pos = with_pos or bool(posdeletes)
     if not deletes and not need_pos:
-        return reader.parquet(*files)
+        return _read(*files)
     by_seq: dict[int, list[str]] = {}
     for e in entries:
         if e["kind"] == "data":
             by_seq.setdefault(e["seq"], []).append(e["path"])
     out = None
     for s, paths in sorted(by_seq.items()):
-        part = reader.parquet(*paths)
+        part = _read(*paths)
         if need_pos:
             part = _with_pos_cols(part)
         applicable = [d["path"] for d in deletes if d["seq"] > s]
         if applicable:
-            keys = spark.read.parquet(*applicable).dropDuplicates()
+            from ..catalog import read_parquet_footer
+
+            keys = read_parquet_footer(spark, *applicable).dropDuplicates()
             part = part.join(keys, on=keys.columns, how="left_anti")
         out = part if out is None else out.unionByName(part)
     if posdeletes:
+        from ..catalog import read_parquet_footer
+
         pd_keys = (
-            spark.read.parquet(*posdeletes)
+            read_parquet_footer(spark, *posdeletes)
             .dropDuplicates()
             .select(
                 F.col("file_path").alias(_POS_PATH),
@@ -1579,11 +1610,24 @@ def read_where(
     if not kept:
         # every file provably disjoint from the predicate: empty result,
         # schema from ONE live file's footer (no data pages read)
+        from ..catalog import read_parquet_footer
+
         one = manifest_files(table_dir, version)[0]
-        reader = spark.read if schema is None else spark.read.schema(schema)
-        return reader.parquet(one).filter(_filters_to_column(filters)).limit(0)
-    reader = spark.read if schema is None else spark.read.schema(schema)
-    return reader.parquet(*kept).filter(_filters_to_column(filters))
+        reader = (
+            spark.read.schema(schema).parquet(one)
+            if schema is not None
+            else read_parquet_footer(spark, one)
+        )
+        return reader.filter(_filters_to_column(filters)).limit(0)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*kept).filter(
+            _filters_to_column(filters)
+        )
+    from ..catalog import read_parquet_footer
+
+    return read_parquet_footer(spark, *kept).filter(
+        _filters_to_column(filters)
+    )
 
 
 def _refs_dir(table_dir: str) -> str:
@@ -2669,7 +2713,9 @@ def audit_erasure(
         files.update(manifest_files(table_dir, v))
     if not files:
         return 0
-    data = spark.read.parquet(*sorted(files))
+    from ..catalog import read_parquet_footer
+
+    data = read_parquet_footer(spark, *sorted(files))
     keys = keys_df.dropDuplicates()
     return data.join(keys, on=keys.columns, how="left_semi").count()
 

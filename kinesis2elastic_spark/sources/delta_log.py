@@ -568,17 +568,22 @@ def _scan_delta_files(
         for leg in legs[1:]:
             df = df.unionByName(leg)
         # column mapping (reader v2, 'name' mode): data files carry the
-        # PHYSICAL names; rename them back to the logical schema before
-        # projection, so renamed/dropped-column tables read correctly
-        for logical, phys in pmap.items():
-            if phys != logical and phys in df.columns:
-                df = df.withColumnRenamed(phys, logical)
-        for c, raw in zip(pcols, key):
-            if raw is None or raw == _HIVE_NULL:
-                df = df.withColumn(c, F.lit(None).cast(dtypes[c]))
+        # PHYSICAL names; ONE select maps them back to the logical schema
+        # and injects the partition literals (r14: the old
+        # withColumnRenamed/withColumn chains each built + analyzed a new
+        # Dataset driver-side — measured ~0.3-1 s of pure plan
+        # construction per read on multi-group tables)
+        cols = []
+        for f in schema.fields:
+            if f.name in pcols:
+                raw = key[pcols.index(f.name)]
+                if raw is None or raw == _HIVE_NULL:
+                    cols.append(F.lit(None).cast(dtypes[f.name]).alias(f.name))
+                else:
+                    cols.append(F.lit(raw).cast(dtypes[f.name]).alias(f.name))
             else:
-                df = df.withColumn(c, F.lit(raw).cast(dtypes[c]))
-        parts.append(df)
+                cols.append(F.col(pmap.get(f.name, f.name)).alias(f.name))
+        parts.append(df.select(*cols))
     if not parts:
         return spark.createDataFrame([], schema)
     out = parts[0]
@@ -1004,23 +1009,35 @@ def _identity_scan(spark: SparkSession, table_dir: str, snap: dict) -> DataFrame
             (f_["partitionValues"] or {}).get(pmap.get(c, c)) for c in pcols
         )
         groups.setdefault(key, []).append(f_)
+    from ..catalog import read_parquet_footer
+
+    # r14 (guide §1/§7.3): explicit footer schema (no per-group schema-
+    # inference JOB) and ONE select per group instead of the
+    # withColumnRenamed/withColumn chains — each chained call built and
+    # analyzed a fresh Dataset driver-side, dominating the delete path's
+    # wall at metadata-rate file counts.
+    phys_by_logical = {c: pmap.get(c, c) for c in dtypes}
     scan = None
     for key, fgroup in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.parquet(*[f["path"] for f in fgroup]).select(
-            "*",
+        df = read_parquet_footer(spark, *[f["path"] for f in fgroup])
+        present = set(df.columns)
+        cols = []
+        for c, dt in dtypes.items():
+            if c in pcols:
+                raw = key[pcols.index(c)]
+                if raw is None or raw == _HIVE_NULL:
+                    cols.append(F.lit(None).cast(dt).alias(c))
+                else:
+                    cols.append(F.lit(raw).cast(dt).alias(c))
+            elif phys_by_logical[c] in present:
+                cols.append(F.col(phys_by_logical[c]).alias(c))
+        cols.append(
             F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:/*", "/"
-            ).alias("__dvf"),
-            F.col("_metadata.row_index").cast("long").alias("__dvp"),
+            ).alias("__dvf")
         )
-        for logical, phys in pmap.items():
-            if phys != logical and phys in df.columns:
-                df = df.withColumnRenamed(phys, logical)
-        for c, raw in zip(pcols, key):
-            if raw is None or raw == _HIVE_NULL:
-                df = df.withColumn(c, F.lit(None).cast(dtypes[c]))
-            else:
-                df = df.withColumn(c, F.lit(raw).cast(dtypes[c]))
+        cols.append(F.col("_metadata.row_index").cast("long").alias("__dvp"))
+        df = df.select(*cols)
         scan = df if scan is None else scan.unionByName(df)
     return scan
 
@@ -1501,7 +1518,14 @@ def export_delta_log(
             )
         if fps and next(iter(fps)) != emitted_fp:
             emitted_fp = next(iter(fps))
-            schema_json = spark.read.parquet(next(iter(live))).schema.json()
+            # footer-derived schema (no inference job, r14): identical
+            # StructType to what Spark's own parquet inference produced
+            import pyarrow.parquet as _pq
+            from pyspark.sql.pandas.types import from_arrow_schema as _fas
+
+            schema_json = _fas(
+                _pq.read_schema(next(iter(live))), prefer_timestamp_ntz=True
+            ).json()
             actions.append(
                 {
                     "metaData": {

@@ -423,9 +423,11 @@ def read_iceberg(
     else:
         pos_dels = [d for d in snap["deletes"] if d["kind"] == "pos"]
         eq_dels = [d for d in snap["deletes"] if d["kind"] == "eq"]
+        from ..catalog import read_parquet_footer
+
         pos_pairs = None
         for d in pos_dels:
-            p = spark.read.parquet(d["path"]).select(
+            p = read_parquet_footer(spark, d["path"]).select(
                 "file_path", "pos", F.lit(d["seq"]).alias("__dseq")
             )
             pos_pairs = p if pos_pairs is None else pos_pairs.unionByName(p)
@@ -456,7 +458,7 @@ def read_iceberg(
                 )
             for d in eq_dels:
                 if d["seq"] > seq:
-                    keys = spark.read.parquet(d["path"]).select(
+                    keys = read_parquet_footer(spark, d["path"]).select(
                         *d["equality_cols"]
                     )
                     part = part.join(
@@ -973,10 +975,23 @@ def iceberg_positional_delete(
     snap = iceberg_snapshot(table_dir)
     if not snap["files"]:
         raise ValueError("no data files to delete from")
-    victims = None
+    # r14: ONE scan per distinct footer schema instead of one
+    # (schema-inference job + plan leg) per FILE — same per-file "*"
+    # projection semantics, since files inside a group share a schema
+    # and the legs are reduced to (file_path, pos) before the union.
+    import pyarrow.parquet as _pq
+
+    from ..catalog import read_parquet_footer
+
+    by_schema: dict[str, list[str]] = {}
     for f in snap["files"]:
+        by_schema.setdefault(str(_pq.read_schema(f["path"])), []).append(
+            f["path"]
+        )
+    victims = None
+    for _, paths in sorted(by_schema.items()):
         part = (
-            spark.read.parquet(f["path"])
+            read_parquet_footer(spark, *paths)
             .select(
                 "*",
                 F.regexp_replace(
@@ -1140,8 +1155,10 @@ def export_iceberg_meta(
                 "live data files — one Iceberg schema cannot serve them"
             )
         if schema is None and data_entries:
+            from ..catalog import read_parquet_footer
+
             schema = _schema_struct(
-                spark.read.parquet(data_entries[0]["path"])
+                read_parquet_footer(spark, data_entries[0]["path"])
             )
             schema_fp = next(iter(fps))
         elif fps and next(iter(fps)) != schema_fp:
