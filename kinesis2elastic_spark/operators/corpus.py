@@ -917,15 +917,38 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bc = _bloom_bitmap_broadcast(spark, bench)
     train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-    flagged = _bloom_doc_flags(train, bc)
-    exact = (
-        train.join(F.broadcast(bench), "gram")
-        .select("doc_id")
-        .distinct()
-        .withColumn("exact_flag", F.lit(True))
-    )
-    per_doc = flagged.join(exact, "doc_id", "left").select(
-        "bloom_flag", F.coalesce("exact_flag", F.lit(False)).alias("exact_flag")
+    # r14 (guide §2.4): ONE train-gram pass computes BOTH flags — the
+    # bitmap probe and the exact membership ride the same explode, the
+    # exact set arrives as a broadcast left-join marker (bench grams are
+    # distinct, so the join is 1:<=1 — no fan-out), and a single
+    # groupBy(doc_id) OR-reduces both.  Previously the corpus was
+    # exploded twice (probe leg + exact-verify leg) and the two per-doc
+    # tables were joined back — two extra shuffles and a full re-scan.
+    import numpy as np
+
+    def _probe_all(*probes: pd.Series) -> pd.Series:
+        bm = bc.value
+        out = np.ones(len(probes[0]), dtype=bool)
+        for s in probes:
+            p = s.to_numpy()
+            out &= (bm[p // 8] >> (p % 8)) & 1 == 1
+        return pd.Series(out)
+
+    bloom_maybe = F.pandas_udf(_probe_all, "boolean")
+    per_doc = (
+        train.join(
+            F.broadcast(bench.withColumn("__hit", F.lit(True))), "gram", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("__hit", F.lit(False)).alias("__hit"),
+            bloom_maybe(*_bloom_pos_cols()).alias("__maybe"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("__maybe").alias("bloom_flag"),
+            F.max("__hit").alias("exact_flag"),
+        )
     )
     n_clean = F.sum((~F.col("exact_flag")).cast("long"))
     n_fp = F.sum((F.col("bloom_flag") & ~F.col("exact_flag")).cast("long"))

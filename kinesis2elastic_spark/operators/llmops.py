@@ -1641,15 +1641,15 @@ def ann_ivf_detail(
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.col("embedding").cast("array<double>")
     )
-    # bounded driver collects: centroid seeds + query vectors (small by
-    # definition; production would load a trained coarse quantizer)
+    # bounded driver collect: centroid seeds + query vectors in ONE job
+    # (r14, guide §1.3 — each filter-collect was a separate Spark job
+    # over the same scan; both row sets are disjoint vec_id ranges, so
+    # one filtered collect split driver-side returns bit-identical rows)
+    rows = emb.filter(F.col("vec_id") < n_queries + n_centroids).select(
+        "vec_id", "vec"
+    ).collect()
     seeds = sorted(
-        emb.filter(
-            (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
-        )
-        .select("vec_id", "vec")
-        .collect(),
-        key=lambda r: r.vec_id,
+        (r for r in rows if r.vec_id >= n_queries), key=lambda r: r.vec_id
     )
     C = np.array([r.vec for r in seeds], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -1673,8 +1673,7 @@ def ann_ivf_detail(
     )
 
     qrows = sorted(
-        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec").collect(),
-        key=lambda r: r.vec_id,
+        (r for r in rows if r.vec_id < n_queries), key=lambda r: r.vec_id
     )
     Q = np.array([r.vec for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -1743,14 +1742,21 @@ def ann_pq_detail(
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.col("embedding").cast("array<double>")
     )
-    # bounded driver collects: training sample + query vectors
-    sample = (
-        emb.filter(F.col("vec_id") >= n_queries)
-        .orderBy("vec_id")
-        .limit(train_n)
-        .select("vec")
+    # bounded driver collect (r14, guide §1.3): training sample + query
+    # vectors in ONE TakeOrdered job.  Queries are the vec_ids < n_queries
+    # (always the smallest ids, so always inside the limit) and the
+    # training sample is the first train_n rows with vec_id >= n_queries —
+    # the prefix split below reproduces both original row sets exactly
+    # for ANY vec_id distribution.
+    rows = (
+        emb.orderBy("vec_id")
+        .limit(n_queries + train_n)
+        .select("vec_id", "vec")
         .collect()
     )
+    sample = sorted(
+        (r for r in rows if r.vec_id >= n_queries), key=lambda r: r.vec_id
+    )[:train_n]
     X = np.array([r.vec for r in sample], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     n, d = X.shape
@@ -1770,8 +1776,7 @@ def ann_pq_detail(
         books[j] = C
 
     qrows = sorted(
-        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec").collect(),
-        key=lambda r: r.vec_id,
+        (r for r in rows if r.vec_id < n_queries), key=lambda r: r.vec_id
     )
     Q = np.array([r.vec for r in qrows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -1850,7 +1855,14 @@ def ann_sq8_detail(
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.col("embedding").cast("array<double>")
     )
-    dim = len(emb.select("vec").first()[0])
+    # r14 (guide §1.3): the query collect runs first so the embedding
+    # dimensionality comes from its rows — the previous standalone
+    # ``first()`` dim probe was a whole extra Spark job over the scan.
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec").collect(),
+        key=lambda r: r.vec_id,
+    )
+    dim = len(qrows[0].vec)
     norm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
     nv = F.transform("vec", lambda x: x / norm)
     b = emb.select(nv.alias("nv")).agg(
@@ -1861,10 +1873,6 @@ def ann_sq8_detail(
     hi = np.array([b[f"hi{i}"] for i in range(dim)])
     scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
 
-    qrows = sorted(
-        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec").collect(),
-        key=lambda r: r.vec_id,
-    )
     Q = np.array([r.vec for r in qrows], dtype=np.float64)
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     qids = np.array([r.vec_id for r in qrows])
@@ -1950,25 +1958,28 @@ def ann_ivfpq_detail(
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "vec", F.col("embedding").cast("array<double>")
     )
-    seeds = sorted(
-        emb.filter(
-            (F.col("vec_id") >= n_queries)
-            & (F.col("vec_id") < n_queries + n_centroids)
-        )
+    # ONE bounded TakeOrdered collect serves seeds + training sample +
+    # query vectors (r14, guide §1.3 — was three separate jobs).  The
+    # prefix splits below reproduce each original row set exactly for
+    # ANY vec_id distribution: queries are the ids < n_queries (always
+    # the smallest, inside any limit), the sample is the first train_n
+    # rows with id >= n_queries, and the seeds (ids in [n_queries,
+    # n_queries + n_centroids), n_centroids <= train_n) are the smallest
+    # ids >= n_queries — a subset of the sample prefix by construction.
+    rows = (
+        emb.orderBy("vec_id")
+        .limit(n_queries + train_n)
         .select("vec_id", "vec")
-        .collect(),
-        key=lambda r: r.vec_id,
+        .collect()
     )
+    rest = sorted(
+        (r for r in rows if r.vec_id >= n_queries), key=lambda r: r.vec_id
+    )
+    seeds = [r for r in rest if r.vec_id < n_queries + n_centroids]
     C = np.array([r.vec for r in seeds], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    sample = (
-        emb.filter(F.col("vec_id") >= n_queries)
-        .orderBy("vec_id")
-        .limit(train_n)
-        .select("vec")
-        .collect()
-    )
+    sample = rest[:train_n]
     X = np.array([r.vec for r in sample], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     res = X - Cn[np.argmax(X @ Cn.T, axis=1)]  # residuals to train on
@@ -1989,8 +2000,7 @@ def ann_ivfpq_detail(
         books[j] = Cb
 
     qrows = sorted(
-        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "vec").collect(),
-        key=lambda r: r.vec_id,
+        (r for r in rows if r.vec_id < n_queries), key=lambda r: r.vec_id
     )
     Q = np.array([r.vec for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
