@@ -1196,8 +1196,8 @@ def read_change_feed(
             from ..catalog import read_parquet_footer
 
             frames.append(
-                read_parquet_footer(spark, *added).withColumn(
-                    "_change_type", F.lit("insert")
+                read_parquet_footer(spark, *added).selectExpr(
+                    "*", "'insert' AS _change_type"
                 )
             )
         prev_has_data = any(e["kind"] == "data" for e in prev_entries)
@@ -1212,7 +1212,7 @@ def read_change_feed(
             frames.append(
                 read_asof(spark, table_dir, v - 1)
                 .join(keys, on=list(keys.columns), how="left_semi")
-                .withColumn("_change_type", F.lit("delete"))
+                .selectExpr("*", "'delete' AS _change_type")
             )
         pos = [e["path"] for e in new if e["kind"] == "posdelete"]
         if pos and prev_has_data:
@@ -1221,19 +1221,21 @@ def read_change_feed(
             pairs = (
                 read_parquet_footer(spark, *pos)
                 .dropDuplicates()
-                .select(
-                    F.col("file_path").alias(_POS_PATH),
-                    F.col("row_index").cast("long").alias(_POS_ROW),
+                .selectExpr(
+                    f"file_path AS {_POS_PATH}",
+                    f"CAST(row_index AS BIGINT) AS {_POS_ROW}",
                 )
             )
             frames.append(
                 _read_asof_impl(spark, table_dir, v - 1, None, with_pos=True)
                 .join(pairs, [_POS_PATH, _POS_ROW], "left_semi")
                 .drop(_POS_PATH, _POS_ROW)
-                .withColumn("_change_type", F.lit("delete"))
+                .selectExpr("*", "'delete' AS _change_type")
             )
         for f in frames:
-            f = f.withColumn("_commit_version", F.lit(int(v)).cast("long"))
+            f = f.selectExpr(
+                "*", f"CAST({int(v)} AS BIGINT) AS _commit_version"
+            )
             out = f if out is None else out.unionByName(f)
     if out is None:
         raise ValueError(
@@ -1391,12 +1393,12 @@ def _with_pos_cols(part: DataFrame) -> DataFrame:
     Iceberg-v2 positional-delete key.  ``file_path`` is normalized to
     the plain absolute path the manifest records (the scan reports a
     ``file:`` URI)."""
-    return part.select(
+    # r14: selectExpr — per-Column py4j round-trips dominate interop
+    # construct walls (tools/r14_dvread_sections.py); same expressions
+    return part.selectExpr(
         "*",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:", "").alias(
-            _POS_PATH
-        ),
-        F.col("_metadata.row_index").cast("long").alias(_POS_ROW),
+        f"regexp_replace(_metadata.file_path, '^file:', '') AS {_POS_PATH}",
+        f"CAST(_metadata.row_index AS BIGINT) AS {_POS_ROW}",
     )
 
 
@@ -1463,9 +1465,9 @@ def _read_asof_impl(
         pd_keys = (
             read_parquet_footer(spark, *posdeletes)
             .dropDuplicates()
-            .select(
-                F.col("file_path").alias(_POS_PATH),
-                F.col("row_index").cast("long").alias(_POS_ROW),
+            .selectExpr(
+                f"file_path AS {_POS_PATH}",
+                f"CAST(row_index AS BIGINT) AS {_POS_ROW}",
             )
         )
         out = out.join(pd_keys, [_POS_PATH, _POS_ROW], "left_anti")

@@ -58,6 +58,18 @@ _JSON_RE = re.compile(r"^(\d{20})\.json$")
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _qid(name: str) -> str:
+    """Backtick-quote an identifier for selectExpr (column-mapping
+    physical names contain '-')."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal (backslash escaping is on by
+    default in Spark's SQL parser)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _log_dir(table_dir: str) -> str:
     return os.path.join(table_dir, _LOG)
 
@@ -518,7 +530,8 @@ def _scan_delta_files(
                     for i in poss
                 ],
                 columns=["__dvf", "__dvp"],
-            )
+            ),
+            schema="__dvf string, __dvp bigint",
         )
     groups: dict[tuple, list[dict]] = {}
     for f_ in files:
@@ -550,14 +563,18 @@ def _scan_delta_files(
         if clean and positions_mode == "drop":
             legs.append(spark.read.schema(phys_schema).parquet(*clean))
         if dirty:
+            # r14: selectExpr, not per-column F.col/cast/alias chains —
+            # each Column op costs ~14 py4j round-trips (~0.9 ms quiet,
+            # 4 ms+ loaded; measured with tools/r14_dvread_sections.py),
+            # and the construct wall of a DV read was ~90 % socket wait.
+            # Expression trees are identical.
             legs.append(
                 spark.read.schema(phys_schema).parquet(*dirty)
-                .select(
+                .selectExpr(
                     "*",
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:/*", "/"
-                    ).alias("__dvf"),
-                    F.col("_metadata.row_index").cast("long").alias("__dvp"),
+                    "regexp_replace(_metadata.file_path, '^file:/*', '/')"
+                    " AS __dvf",
+                    "CAST(_metadata.row_index AS BIGINT) AS __dvp",
                 )
                 .join(F.broadcast(pos_df), ["__dvf", "__dvp"], join_how)
                 .drop("__dvf", "__dvp")
@@ -573,24 +590,33 @@ def _scan_delta_files(
         # withColumnRenamed/withColumn chains each built + analyzed a new
         # Dataset driver-side — measured ~0.3-1 s of pure plan
         # construction per read on multi-group tables)
-        cols = []
+        exprs = []
         for f in schema.fields:
+            ddl = dtypes[f.name].simpleString()
             if f.name in pcols:
                 raw = key[pcols.index(f.name)]
                 if raw is None or raw == _HIVE_NULL:
-                    cols.append(F.lit(None).cast(dtypes[f.name]).alias(f.name))
+                    exprs.append(f"CAST(NULL AS {ddl}) AS {_qid(f.name)}")
                 else:
-                    cols.append(F.lit(raw).cast(dtypes[f.name]).alias(f.name))
+                    exprs.append(
+                        f"CAST({_sql_str(raw)} AS {ddl}) AS {_qid(f.name)}"
+                    )
             else:
-                cols.append(F.col(pmap.get(f.name, f.name)).alias(f.name))
-        parts.append(df.select(*cols))
+                exprs.append(
+                    f"{_qid(pmap.get(f.name, f.name))} AS {_qid(f.name)}"
+                )
+        parts.append(df.selectExpr(*exprs))
     if not parts:
         return spark.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    return out.selectExpr(
+        *[
+            f"CAST({_qid(f.name)} AS {f.dataType.simpleString()})"
+            f" AS {_qid(f.name)}"
+            for f in schema.fields
+        ]
     )
 
 
@@ -1021,23 +1047,24 @@ def _identity_scan(spark: SparkSession, table_dir: str, snap: dict) -> DataFrame
     for key, fgroup in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = read_parquet_footer(spark, *[f["path"] for f in fgroup])
         present = set(df.columns)
-        cols = []
+        exprs = []
         for c, dt in dtypes.items():
+            ddl = dt.simpleString()
             if c in pcols:
                 raw = key[pcols.index(c)]
                 if raw is None or raw == _HIVE_NULL:
-                    cols.append(F.lit(None).cast(dt).alias(c))
+                    exprs.append(f"CAST(NULL AS {ddl}) AS {_qid(c)}")
                 else:
-                    cols.append(F.lit(raw).cast(dt).alias(c))
+                    exprs.append(
+                        f"CAST({_sql_str(raw)} AS {ddl}) AS {_qid(c)}"
+                    )
             elif phys_by_logical[c] in present:
-                cols.append(F.col(phys_by_logical[c]).alias(c))
-        cols.append(
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/*", "/"
-            ).alias("__dvf")
+                exprs.append(f"{_qid(phys_by_logical[c])} AS {_qid(c)}")
+        exprs.append(
+            "regexp_replace(_metadata.file_path, '^file:/*', '/') AS __dvf"
         )
-        cols.append(F.col("_metadata.row_index").cast("long").alias("__dvp"))
-        df = df.select(*cols)
+        exprs.append("CAST(_metadata.row_index AS BIGINT) AS __dvp")
+        df = df.selectExpr(*exprs)
         scan = df if scan is None else scan.unionByName(df)
     return scan
 

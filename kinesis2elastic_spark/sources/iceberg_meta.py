@@ -427,8 +427,11 @@ def read_iceberg(
 
         pos_pairs = None
         for d in pos_dels:
-            p = read_parquet_footer(spark, d["path"]).select(
-                "file_path", "pos", F.lit(d["seq"]).alias("__dseq")
+            # r14: selectExpr — each F.col/lit/alias Column op costs
+            # ~14 py4j round-trips (tools/r14_dvread_sections.py);
+            # expression trees are identical
+            p = read_parquet_footer(spark, d["path"]).selectExpr(
+                "file_path", "pos", f"{int(d['seq'])} AS __dseq"
             )
             pos_pairs = p if pos_pairs is None else pos_pairs.unionByName(p)
         by_seq: dict[int, list[str]] = {}
@@ -439,17 +442,15 @@ def read_iceberg(
             part = _scan(*paths)
             if pos_pairs is not None:
                 part = (
-                    part.select(
+                    part.selectExpr(
                         "*",
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), "^file:", ""
-                        ).alias("__fp"),
-                        F.col("_metadata.row_index").cast("long").alias("__ri"),
+                        "regexp_replace(_metadata.file_path, '^file:', '')"
+                        " AS __fp",
+                        "CAST(_metadata.row_index AS BIGINT) AS __ri",
                     )
                     .join(
-                        pos_pairs.filter(F.col("__dseq") >= seq).select(
-                            F.col("file_path").alias("__fp"),
-                            F.col("pos").alias("__ri"),
+                        pos_pairs.filter(f"__dseq >= {int(seq)}").selectExpr(
+                            "file_path AS __fp", "pos AS __ri"
                         ),
                         ["__fp", "__ri"],
                         "left_anti",
@@ -992,12 +993,11 @@ def iceberg_positional_delete(
     for _, paths in sorted(by_schema.items()):
         part = (
             read_parquet_footer(spark, *paths)
-            .select(
+            .selectExpr(
                 "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:", ""
-                ).alias("file_path"),
-                F.col("_metadata.row_index").cast("long").alias("pos"),
+                "regexp_replace(_metadata.file_path, '^file:', '')"
+                " AS file_path",
+                "CAST(_metadata.row_index AS BIGINT) AS pos",
             )
             .filter(predicate)
             .select("file_path", "pos")
