@@ -405,9 +405,22 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("token") != "")
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # ONE tokenize pass (r14, guide §2.4): tf, df and N were three
+    # separate consumers of the explode subtree, so the corpus was
+    # tokenized 3× per run.  tf has exactly one row per (doc, token),
+    # so df = COUNT(*) per token over tf ≡ COUNT(DISTINCT doc_id) over
+    # the token stream, and N = COUNT(DISTINCT doc_id) over tf ≡ over
+    # the stream (a doc with ≥1 token contributes ≥1 tf row) — both are
+    # exact-integer re-aggregations of the materialized posting list,
+    # which is the query's own working set (never larger than the tf
+    # shuffle it already paid for).
+    tf = (
+        toks.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     return (
         tf.filter(F.col("tf") >= TFIDF_MIN_TF)
         .join(dfreq, "token")
@@ -1129,7 +1142,14 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("freq"))
     )
-    total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    # total token count WITHOUT a third explode pass (r14, guide §2.4):
+    # COUNT(*) over the exploded stream ≡ SUM(size(split(...))) on the
+    # un-exploded rows (explode emits exactly size(array) rows; split
+    # never yields an empty array), so the total rides a narrow scan-agg
+    # instead of re-tokenizing the corpus.
+    total = d.agg(
+        F.sum(F.size(F.split("text", " "))).cast("double").alias("n_total")
+    )
     return (
         counts.join(F.broadcast(total))
         .filter(F.col("freq") > F.col("n_total") / HH_CAPACITY)
@@ -1586,9 +1606,21 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserves the token-share order (rank by weight == rank by token
     count) with upsampling monotone the other way."""
     d = load(spark, sf_dir, "documents")
-    src = d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    # materialize the |sources|-row aggregate ONCE (r14, guide §2.4):
+    # every downstream branch (total, z, norm, the two rank windows and
+    # the final projection) re-derived this subtree — Spark shares no
+    # common subtrees across crossJoin/union branches, so the corpus
+    # scan + agg executed 16× per run (16 `Scan parquet` nodes in the
+    # r13 plan).  One localCheckpoint of the tiny per-source counts
+    # collapses that to ONE corpus scan; every value downstream is the
+    # same exact-integer re-aggregation.
+    src = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = src.agg(
         F.sum("n_tokens").cast("long").alias("n_total_tokens"),

@@ -37,41 +37,72 @@ PR_MAX_ITER = 20
 PR_TOL = 1e-6
 
 
-def pagerank(edges: DataFrame, damping: float = PR_DAMPING, max_iter: int = PR_MAX_ITER, tol: float = PR_TOL) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    damping: float = PR_DAMPING,
+    max_iter: int = PR_MAX_ITER,
+    tol: float = PR_TOL,
+    n_edges_hint: int | None = None,
+) -> DataFrame:
     """PageRank over a directed (src, dst) edge list → (node, rank).
 
     Standard power iteration with uniform teleport: every node (source or
     sink) gets rank mass; dangling nodes' mass is redistributed uniformly
     each round so total rank stays = n_nodes (the invariant the pytest
-    asserts)."""
+    asserts).
+
+    r14 setup-job slimming (the LPA/CC family discipline, guide §1.3):
+    with a caller-provided ``n_edges_hint`` the dedup fuses into the one
+    hash(src) co-partitioning exchange (no separate distinct shuffle, no
+    edge-count job), the node set derives in ONE explode pass instead of
+    a two-branch union (Spark re-executes the shared subtree per
+    branch), and the two driver scalars this kernel needs (n_nodes,
+    has-dangling) ride the pins as Observations instead of separate
+    count()/head() jobs."""
     spark = edges.sparkSession
-    edges = pin(edges.select("src", "dst").distinct())
+    edges = edges.select("src", "dst")
+    if n_edges_hint is None:
+        edges = edges.distinct()
+        n_edges_hint = edges.count()
     # Size the loop's partitioning to the GRAPH (same rationale as
     # connected_components): every one of the max_iter iterations
     # schedules one task per partition per stage, so a derived graph far
     # smaller than its source table must not inherit the session's
     # shuffle width; the rows-per-partition target keeps huge edge lists
     # wide.  Joins against `links` then co-partition to this width too.
-    n_edges = edges.count()
-    parts = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 250_000 + 1))
-    nodes = pin(
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .repartition(parts, "node")
+    parts = max(
+        2,
+        min(
+            spark.sparkContext.defaultParallelism,
+            int(n_edges_hint) // 250_000 + 1,
+        ),
     )
-    n_nodes = nodes.count()  # scalar driver value, needed for teleport math
+    # dedup fused into the co-partitioning exchange (see bfs_reachability)
+    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    obs_nodes = Observation()
+    nodes = pin(
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
+        .repartition(parts, "node")
+        .dropDuplicates(["node"])
+        .observe(obs_nodes, F.count(F.lit(1)).alias("n"))
+    )
+    # scalar driver value for the teleport math — rides the pin above
+    n_nodes = int(obs_nodes.get["n"])
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # edges ⋈ out_deg is iteration-invariant: pre-join once, pin, and
-    # partition by src so the per-iteration rank join is co-located
-    links = pin(edges.join(out_deg, "src").repartition(parts, "src"))
+    # edges ⋈ out_deg is iteration-invariant: pre-join once and pin; both
+    # sides already carry the pinned hash(src) layout, so the join (and
+    # the per-iteration rank join against the result) is co-located
+    links = pin(edges.join(out_deg, "src"))
     # dangling nodes (no out-edges) are a static node set: find them once;
     # per-iteration only their current rank mass needs summing, and only
     # if any exist (the bipartite trade graph has none → zero extra jobs)
+    obs_dangling = Observation()
     dangling_nodes = pin(
-        nodes.join(out_deg, nodes.node == out_deg.src, "left_anti")
+        nodes.join(out_deg, nodes.node == out_deg.src, "left_anti").observe(
+            obs_dangling, F.count(F.lit(1)).alias("n")
+        )
     )
-    has_dangling = bool(dangling_nodes.head(1))
+    has_dangling = int(obs_dangling.get["n"]) > 0
 
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
     for it in range(max_iter):
@@ -170,7 +201,15 @@ def pagerank_topk(spark: SparkSession, sf_dir: str, top_k: int = 25) -> DataFram
     ranks), and skipping the per-round delta aggregate keeps the query
     inside the driver's per-query budget — callers who need converged
     values use pagerank() directly with a tolerance."""
-    ranks = pagerank(_trade_edges(spark, sf_dir), max_iter=8, tol=0.0)
+    ranks = pagerank(
+        _trade_edges(spark, sf_dir),
+        max_iter=8,
+        tol=0.0,
+        # parquet-footer width hint (the LPA/CC discipline): skips the
+        # kernel's distinct+count setup jobs; the input is already
+        # pair-distinct and the fused dropDuplicates keeps it so
+        n_edges_hint=2 * table_rows(sf_dir, "lineitem"),
+    )
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.col("rank").desc(), "node")
@@ -189,7 +228,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions, degree-blind propagation) trips a flag; the driver's
     hash check then fails on FALSE ≠ TRUE."""
     edges = _trade_edges(spark, sf_dir)
-    ranks = pagerank(edges, max_iter=8, tol=0.0)
+    ranks = pagerank(
+        edges,
+        max_iter=8,
+        tol=0.0,
+        n_edges_hint=2 * table_rows(sf_dir, "lineitem"),
+    )
     degrees = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("degree")
     )
@@ -1421,8 +1465,15 @@ def personalized_pagerank(
     # out-degree + link join both ride the pinned hash(src) layout
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     links = pin(edges.join(out_deg, "src"))
-    seed_nodes = pin(seeds.select("node").distinct().repartition(parts, "node"))
-    n_seeds = seed_nodes.count()
+    obs_seeds = Observation()
+    seed_nodes = pin(
+        seeds.select("node")
+        .repartition(parts, "node")
+        .dropDuplicates(["node"])
+        .observe(obs_seeds, F.count(F.lit(1)).alias("n"))
+    )
+    # seed count rides the pin (r14: was a separate count() job)
+    n_seeds = int(obs_seeds.get["n"])
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: empty seed set")
     # rank can live only on seeds ∪ contribution targets (dst); the
@@ -1430,14 +1481,17 @@ def personalized_pagerank(
     # probe (r11 ADVICE) misses ISOLATED seeds (no edges at all), whose
     # parked teleport mass would neither propagate nor re-teleport,
     # leaking Σrank below 1.
+    obs_dangling = Observation()
     dangling_nodes = pin(
         seed_nodes.select("node")
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
         .join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
         .repartition(parts, "node")
+        .observe(obs_dangling, F.count(F.lit(1)).alias("n"))
     )
-    has_dangling = bool(dangling_nodes.head(1))
+    # emptiness probe rides the pin (r14: was a separate head() job)
+    has_dangling = int(obs_dangling.get["n"]) > 0
     tele = 1.0 / n_seeds  # p(v) for seeds; teleport mass = (1-d)·p
     ranks = seed_nodes.withColumn("rank", F.lit(tele))  # r0 = p
     for it in range(iters):

@@ -143,10 +143,17 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-safe: timestamps and counts only — no floats anywhere."""
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # v and p are user-rate two-column frames that feed MULTIPLE joins
+    # (v → p, x, final; p → x, final); Spark re-executes the shared
+    # subtree per consumer, so the events scan + agg ran 6× per query
+    # (14 `Scan parquet` nodes in the r13 plan).  Materializing each
+    # once (r14, guide §2.4) cuts that to one events scan per
+    # event-type filter; the shuffles already carried one row per user.
     v = (
         e.filter(F.col("event_type") == SEQPAT_START)
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     p = (
         e.filter(F.col("event_type") == SEQPAT_END)
@@ -160,6 +167,7 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
+        .localCheckpoint(eager=True)
     )
     x = (
         e.filter(F.col("event_type") == SEQPAT_NOT)
