@@ -1611,16 +1611,30 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final projection) re-derived this subtree — Spark shares no
     # common subtrees across crossJoin/union branches, so the corpus
     # scan + agg executed 16× per run (16 `Scan parquet` nodes in the
-    # r13 plan).  One localCheckpoint of the tiny per-source counts
-    # collapses that to ONE corpus scan; every value downstream is the
-    # same exact-integer re-aggregation.
-    src = (
-        d.groupBy("source")
-        .agg(
+    # r13 plan).  One pin of the tiny per-source counts collapses that
+    # to ONE corpus scan; every value downstream is the same
+    # exact-integer re-aggregation.
+    from ..plans.pinning import pin
+
+    src = pin(
+        d.groupBy("source").agg(
             F.count("*").alias("n_docs"),
             F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
         )
-        .localCheckpoint(eager=True)
+    )
+    # identity re-aggregation over the pinned frame: exact (the pin holds
+    # one row per source by construction, so max == the value) and
+    # exchange-free (pin preserves the aggregate's hash(source) output
+    # partitioning, which already satisfies the groupBy's required
+    # distribution).  It exists so an Aggregate node sits above the
+    # opaque checkpoint leaf: the registry-wide unbounded-global-window
+    # sweep (tests/test_contract.py / plans/explain.py) proves the rank
+    # windows below run over row-count-BOUNDED input by walking for
+    # bounding operators, and a bare LogicalRDD would read as
+    # corpus-sized even though it is |sources| rows.
+    src = src.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("n_tokens").alias("n_tokens"),
     )
     tot = src.agg(
         F.sum("n_tokens").cast("long").alias("n_total_tokens"),
