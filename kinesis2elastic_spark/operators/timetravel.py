@@ -1012,7 +1012,16 @@ def optimize_snapshot(
             )
         else:
             df = df.repartition(n_bins)
-        df.write.mode("overwrite").parquet(data_dir)
+        if cluster_by:
+            # range boundaries ARE the rewrite's file stats — sample them
+            # accurately (default 100/partition sketch leaks rows across
+            # file ranges and widens min/max; see layout.py)
+            from .layout import accurate_range_sampling
+
+            with accurate_range_sampling(read_asof(spark, table_dir)):
+                df.write.mode("overwrite").parquet(data_dir)
+        else:
+            df.write.mode("overwrite").parquet(data_dir)
     else:
         src_files = [e["path"] for e in entries]
         manifest = [(p, os.path.getsize(p)) for p in src_files]

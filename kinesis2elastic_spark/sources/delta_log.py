@@ -1176,13 +1176,16 @@ def delta_delete_where(
     snap = delta_snapshot(table_dir)
     scan = _identity_scan(spark, table_dir, snap)
     hits = (
-        scan.filter(pred).select("__dvf", "__dvp").collect()
-    )  # bounded collect: positions of THIS delete only
-    if not hits:
+        scan.filter(pred).select("__dvf", "__dvp").toPandas()
+    )  # bounded transfer (positions of THIS delete only) — Arrow
+    # batches + vectorized groupby, not pickled Row objects: 3-6x less
+    # driver time on wide deletes (r14 guide §5; tools/r14_victims_ab.py)
+    if hits.empty:
         raise ValueError("delete predicate matched no live rows")
-    new_pos: dict[str, set[int]] = {}
-    for r in hits:
-        new_pos.setdefault(r["__dvf"], set()).add(int(r["__dvp"]))
+    new_pos: dict[str, set[int]] = {
+        f: set(map(int, g["__dvp"].to_numpy()))
+        for f, g in hits.groupby("__dvf", sort=False)
+    }
     version = _next_version(table_dir)
     actions = _dv_protocol_actions(snap) + _dv_remove_add_actions(
         table_dir, snap, new_pos, inline_max_bytes
@@ -1256,11 +1259,13 @@ def delta_merge(
     hits = (
         scan.join(F.broadcast(keys), key_cols, "left_semi")
         .select("__dvf", "__dvp")
-        .collect()
-    )  # bounded: matched target rows only
-    new_pos: dict[str, set[int]] = {}
-    for r in hits:
-        new_pos.setdefault(r["__dvf"], set()).add(int(r["__dvp"]))
+        .toPandas()
+    )  # bounded (matched target rows only) — Arrow transfer, see
+    # delta_delete_where
+    new_pos: dict[str, set[int]] = {
+        f: set(map(int, g["__dvp"].to_numpy()))
+        for f, g in hits.groupby("__dvf", sort=False)
+    }
     version = _next_version(table_dir)
     actions: list[dict] = []
     if new_pos:
