@@ -109,6 +109,13 @@ def pagerank(
         contribs = (
             links.join(ranks, links.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            # ONE exchange per round (r14, the CC/kcore discipline):
+            # repartition to the pinned hash(node)@parts layout first —
+            # the sum runs in place and the rank-merge join below is
+            # co-partitioned with `nodes`.  Aggregating at session width
+            # paid a second (and on the merge join a third) exchange
+            # whenever the session shuffle width differs from ``parts``.
+            .repartition(parts, "node")
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
@@ -470,10 +477,20 @@ def label_propagation(
             .agg(F.count("*").alias("c"))
         )
         upd = (
-            cnt.groupBy("node")
+            # repartition BEFORE the argmax (the CC/kcore discipline,
+            # r14): hash(node)@parts satisfies the groupBy's
+            # ClusteredDistribution(node), so the argmax runs in place
+            # and its output is already the layout the carry-forward
+            # join needs.  Aggregating first paid an extra exchange
+            # whenever the session shuffle width differs from ``parts``
+            # (always, on a sized cluster): agg at session width, then
+            # REPARTITION_BY_NUM re-shuffled the result.  The rows this
+            # shuffles are the post-count (node, label, c) triples —
+            # already collapsed by cnt's map-side combine.
+            cnt.repartition(parts, "node")
+            .groupBy("node")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
             .select("node", F.col("m.label").alias("__new"))
-            .repartition(parts, "node")
         )
         # carry-forward: a node with no in-edges this round keeps its
         # label (vacuous on symmetric graphs — every node with any edge
@@ -1626,13 +1643,30 @@ def sssp_weighted(
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
     )
+    # dist covers the FULL node universe up front (nodes ∪ seeds, NULL =
+    # unreached) — the CC labels discipline (r14).  The old seeds-only
+    # dist grew by first sightings, which forced the per-round merge to
+    # be a FULL OUTER join, and FullOuter reports UnknownPartitioning —
+    # so every unpinned round silently re-shuffled the accumulated dist
+    # (audited: round plans grew 1→2→3→4 exchanges across each cadence
+    # window; flat 1/round with the replaced-state form).  One extra
+    # prep exchange (node-universe dedup) buys a dist-rate shuffle back
+    # on every unpinned round at any scale.
     dist = pin(
-        seeds.select("node")
-        .distinct()
-        .withColumn("dist", F.lit(0).cast("long"))
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
+        .unionByName(seeds.select("node"))
         .repartition(parts, "node")
+        .dropDuplicates(["node"])
+        .join(
+            seeds.select("node").distinct().withColumn(
+                "__seed0", F.lit(0).cast("long")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.col("__seed0").alias("dist"))
     )
-    frontier = dist
+    frontier = dist.filter(F.col("dist").isNotNull())
     converged = False
     for rnd in range(max_rounds):
         cand = (
@@ -1646,7 +1680,7 @@ def sssp_weighted(
             .agg(F.min("__c").alias("__c"))
         )
         upd = (
-            cand.join(dist, "node", "left")
+            cand.join(dist, "node")
             .filter(F.col("dist").isNull() | (F.col("__c") < F.col("dist")))
             .select("node", F.col("__c").alias("dist"))
         )
@@ -1659,10 +1693,12 @@ def sssp_weighted(
             if stats_out is not None:
                 stats_out["improving_rounds"] = rnd
             break
-        # dist merge must be FULL outer: an upd row may be a brand-new
-        # node (first sighting), not just an improvement
+        # replaced-state merge: every upd node is already in dist (the
+        # universe covers src ∪ dst ∪ seeds), so LEFT suffices — and a
+        # left join PRESERVES the pinned hash(node) layout where the old
+        # full-outer erased it
         dist = dist.join(
-            upd.withColumnRenamed("dist", "__new"), "node", "full_outer"
+            upd.withColumnRenamed("dist", "__new"), "node", "left"
         ).select("node", F.coalesce("__new", "dist").alias("dist"))
         if rnd % pin_cadence == pin_cadence - 1:
             dist = pin(dist)
@@ -1673,7 +1709,9 @@ def sssp_weighted(
             f"rounds — raise max_rounds (weighted hop diameter exceeds the "
             f"budget) or switch to Δ-stepping for this weight distribution"
         )
-    return dist
+    # unreached nodes are implementation state, not results — the
+    # contract output is exactly the reached set the old form returned
+    return dist.filter(F.col("dist").isNotNull())
 
 
 def _trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1062,11 +1062,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     changes.  Iteration count is O(graph diameter) — near-dup graphs are
     shallow (dups of dups), so this converges in a handful of rounds.
 
-    Shuffle budget: TWO per round (the neighbor-label join + one min
-    aggregate).  The node's own label rides the aggregate as a unioned
-    (node, label) row instead of a third left-join shuffle — at corpus
-    scale one shuffle per round is the difference between 2N and 3N
-    shuffled rows over the whole loop.
+    Shuffle budget: ONE per round (r14) — the edge list is hash-
+    partitioned on the join key once at prep and pinned, the neighbor-
+    label join runs co-partitioned against it, and the min aggregate
+    runs in place on an explicit repartition to the same layout (so its
+    output is already next round's join layout).  The node's own label
+    rides the aggregate as a unioned (node, label) row instead of a
+    separate left-join shuffle.
 
     Every round ends in ``localCheckpoint`` — iterative DataFrames MUST
     truncate lineage, or the nested self-join plan grows exponentially and
@@ -1099,12 +1101,17 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     n_edges = sym.count()
     default_p = sym.rdd.getNumPartitions()
     parts = max(2, min(default_p, n_edges // 250_000 + 1))
-    if parts < default_p:
-        sym = pin(sym.repartition(parts, "b"))
+    # hash-partition on the loop join key ALWAYS (r14) — this used to
+    # happen only on the downsize branch, so at full width (parts ==
+    # default_p, i.e. any big edge list) the pinned sym carried
+    # UnknownPartitioning and EVERY round's join re-shuffled the whole
+    # edge list; the graph.py kernels' prep discipline applies here too.
+    sym = pin(sym.repartition(parts, "b"))
     labels = pin(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .repartition(parts, "node")
     )
     prev_sum = None
     for _ in range(max_iters):
@@ -1113,7 +1120,14 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
         )
         obs = Observation()
         new_labels = pin(
+            # ONE exchange per round (the graph.py kernel discipline,
+            # r14): repartition to the pinned hash(node)@parts layout
+            # first — the min-combine runs in place and its output is
+            # already the layout next round's join needs.  Aggregating
+            # at session width paid a second exchange per round whenever
+            # the session shuffle width differs from ``parts``.
             neighbor_labels.unionAll(labels)
+            .repartition(parts, "node")
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .observe(obs, F.sum("label").alias("label_sum"))

@@ -33,11 +33,13 @@ outputPartitioning/outputOrdering the checkpointed physical plan had,
 so every loop join against pinned co-partitioned state re-shuffled it
 (an extra ENSURE_REQUIREMENTS hash exchange per round at cluster
 scale).  ``pin`` now mirrors ``Dataset.checkpoint``'s LogicalRDD
-construction (spark Dataset.scala ``checkpoint``: first-leaf
-outputPartitioning + outputOrdering threaded into the new leaf) while
-STILL passing ``originStats = None`` — the one thing ``checkpoint`` /
-``LogicalRDD.fromDataset`` keep that caused the exponential
-plan-compile blow-up.  One twist the A/B surfaced that even stock
+construction (spark Dataset.scala ``checkpoint``: outputPartitioning +
+outputOrdering threaded into the new leaf — except that a
+PartitioningCollection is kept WHOLE rather than collapsed to
+``firstLeafPartitioning``, see the r14 note at the construction site)
+while STILL passing ``originStats = None`` — the one thing
+``checkpoint`` / ``LogicalRDD.fromDataset`` keep that caused the
+exponential plan-compile blow-up.  One twist the A/B surfaced that even stock
 ``localCheckpoint`` gets wrong under AQE (the repo's operating mode):
 ``AdaptiveSparkPlanExec`` never overrides ``outputPartitioning``, so
 reading it off the wrapper yields ``UnknownPartitioning`` — the
@@ -54,10 +56,6 @@ from __future__ import annotations
 import contextlib
 
 from pyspark.sql import DataFrame
-
-_PARTITIONING_COLLECTION = (
-    "org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection"
-)
 
 # when a plan_audit() context is active, pin() appends each pinned
 # frame's formatted physical plan here — the hook that lets tests assert
@@ -107,11 +105,20 @@ def pin(df: DataFrame) -> DataFrame:
         if src.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
             src = src.executedPlan()
         part = src.outputPartitioning()
-        # Dataset.checkpoint's firstLeafPartitioning: a join's
-        # PartitioningCollection lists equivalent partitionings; any one
-        # leaf is valid for the rebuilt frame.
-        while part.getClass().getName() == _PARTITIONING_COLLECTION:
-            part = part.partitionings().head()
+        # Keep a PartitioningCollection WHOLE (r14).  Dataset.checkpoint
+        # collapses it to firstLeafPartitioning, and pin() used to copy
+        # that — but the head member is an arbitrary pick: a plan like
+        # ``...withColumn("label", col("node")).repartition(n, "node")``
+        # (every min-label kernel's init) advertises the collection
+        # (hash(node), hash(label)) via alias-aware partitioning, and
+        # picking the ALIAS member left the leaf claiming hash(label)
+        # only, so every node-keyed loop join re-added a silent
+        # ENSURE_REQUIREMENTS exchange until the first cadence re-pin
+        # (measured on the planted kernels: LPA 17→9 / CC 15→9 / SCC
+        # 41→27 audited exchanges when the collection is kept).  Every
+        # member is valid for the same rows, so keeping all of them is
+        # strictly more information for EnsureRequirements; LogicalRDD
+        # accepts any Partitioning, collections included.
         none = getattr(getattr(jvm.scala, "None$"), "MODULE$")
         lrdd = jvm.org.apache.spark.sql.execution.LogicalRDD(
             qe.analyzed().output(),

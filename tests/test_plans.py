@@ -596,6 +596,49 @@ def test_time_travel_scan_prunes_to_snapshot_files(spark, sf_dir, tmp_path):
     assert scanned == set(tt.manifest_files(table, 0))
 
 
+def test_pin_keeps_partitioning_collection(spark):
+    """r14: a frame whose partition column is aliased (the min-label
+    kernels' init: ``withColumn("label", col("node")).repartition(n,
+    "node")``) advertises a PartitioningCollection (hash(node),
+    hash(label)).  pin() must keep the WHOLE collection — collapsing to
+    an arbitrary head member used to leave the leaf claiming only the
+    alias, so a node-keyed loop join re-shuffled the pinned side every
+    round (one silent ENSURE_REQUIREMENTS exchange per round until the
+    first cadence re-pin)."""
+    from pyspark.sql import functions as F
+
+    from kinesis2elastic_spark.plans.pinning import pin
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # an equi-join's output partitioning is the collection
+        # (hash(left key), hash(right key)) — the deterministic way to
+        # make the optimizer advertise one
+        a = spark.range(1000).select(
+            (F.col("id") % 50).alias("ka"), F.col("id").alias("va")
+        ).repartition(8, "ka")
+        b = spark.range(50).select(
+            F.col("id").alias("kb"), (F.col("id") * 2).alias("vb")
+        ).repartition(8, "kb")
+        pinned = pin(a.join(b, a.ka == b.kb))
+        for key in ("ka", "kb"):  # EITHER member must satisfy
+            other = (
+                spark.range(50)
+                .select(F.col("id").alias(key), F.lit(1).alias("w"))
+                .repartition(8, key)
+            )
+            plan = (
+                pinned.join(other, key)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "ENSURE_REQUIREMENTS" not in plan, (key, plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_pin_preserves_partitioning(spark):
     """r11 ADVICE (medium): pin() must keep the checkpointed plan's
     outputPartitioning — a loop join on the pinned key must add NO
