@@ -498,8 +498,16 @@ def label_propagation(
         labels = labels.join(upd, "node", "left").select(
             "node", F.coalesce("__new", "label").alias("label")
         )
-        if i % 2 == 1 or i == rounds - 1:
-            labels = pin(labels)
+        # pin EVERY round (r14, reversing the every-other cadence): the
+        # next round consumes labels TWICE (the count join and the
+        # carry-forward merge), and Spark executes a shared unpinned
+        # subtree once per consumer — job-dump evidence at sf0.1 showed
+        # the unpinned round's edge-rate count exchange running twice
+        # (two identical ~1.5 s map jobs), which one ~0.1 s pin job
+        # removes.  CC/SSSP keep the relaxed cadence: their frontier is
+        # the (pinned) upd and the labels merge has ONE consumer per
+        # round, so nothing edge-rate duplicates there.
+        labels = pin(labels)
     return labels
 
 

@@ -48,7 +48,7 @@ CASES = [
     # exchange the early rounds used to pay is gone (LPA 17→9, CC 15→9,
     # SCC 41→27 audited; see plans/pinning.py)
     ("bfs", lambda s: graph.bfs_reachability(_edges(s, _SYM), _seeds(s, ["a0"]), 8).count(), 2, 11),
-    ("lpa", lambda s: graph.label_propagation(_edges(s, _SYM)).count(), 7, 14),
+    ("lpa", lambda s: graph.label_propagation(_edges(s, _SYM)).count(), 3, 12),
     ("cc", lambda s: graph.connected_components_exact(_edges(s, _SYM)).count(), 3, 10),
     ("logstar", lambda s: graph.connected_components_logstar(_edges(s, _SYM)).count(), 5, 35),
     ("kcore", lambda s: graph.kcore_membership(_edges(s, _SYM + _TRI + [(b, a) for a, b in _TRI]))[0].count(), 2, 9),
