@@ -322,11 +322,13 @@ def bfs_reachability(
     # (r10 A/B below); the output keeps the pinned hash(src) layout the
     # loop joins reuse.
     edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    # seed dedup fused into the one repartition to the loop layout
+    # (r15, ADVICE: distinct-then-repartition paid two exchanges)
     visited = pin(
         seeds.select("node")
-        .distinct()
-        .withColumn("dist", F.lit(0).cast("long"))
         .repartition(parts, "node")
+        .dropDuplicates(["node"])
+        .withColumn("dist", F.lit(0).cast("long"))
     )
     frontier = visited
     for hop in range(1, max_hops + 1):
@@ -444,9 +446,13 @@ def label_propagation(
     skew-safe because the preceding (node, label) count already spread
     a hub's edges across partitions by label) — + one node-keyed
     carry-forward outer join, with state two narrow columns and lineage
-    truncated every other round (the pagerank cadence).  No driver
-    action inside the loop at all: rounds are fixed, so there is no
-    convergence probe to pay for."""
+    truncated EVERY round (r14: the next round consumes labels twice —
+    the count join and the carry-forward merge — and Spark executes a
+    shared unpinned subtree once per consumer, so an unpinned round
+    duplicated its edge-rate count exchange; one cheap pin job per
+    round removes the duplicate).  No driver action inside the loop at
+    all: rounds are fixed, so there is no convergence probe to pay
+    for."""
     spark = edges.sparkSession
     edges = edges.select("src", "dst")
     if n_edges_hint is None:
@@ -462,12 +468,17 @@ def label_propagation(
     # (r10 A/B below); the output keeps the pinned hash(src) layout the
     # loop joins reuse.
     edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    # node universe in ONE explode pass over the pinned edges (the
+    # pagerank r14 shape — the two-branch union scanned the checkpoint
+    # twice), deduped IN the repartition to the loop layout (r15,
+    # ADVICE: distinct-then-repartition paid a session-width exchange
+    # plus the repartition; hash(node)@parts satisfies the dedup's
+    # clustering, so one exchange does both).
     labels = pin(
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
         .repartition(parts, "node")
+        .dropDuplicates(["node"])
+        .withColumn("label", F.col("node"))
     )
     for i in range(rounds):
         cnt = (
@@ -1213,12 +1224,13 @@ def scc_decomposition(
         n_edges_hint = e0.count()
     parts = _loop_parts(spark, int(n_edges_hint))
     e0 = pin(e0.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    # node universe in one explode pass, dedup fused into the loop-layout
+    # repartition (r15, ADVICE — the LPA init shape)
     act = pin(
-        e0.select(F.col("src").alias("node"))
-        .unionByName(e0.select(F.col("dst").alias("node")))
-        .distinct()
-        .withColumn("cls", F.lit(""))
+        e0.select(F.explode(F.array("src", "dst")).alias("node"))
         .repartition(parts, "node")
+        .dropDuplicates(["node"])
+        .withColumn("cls", F.lit(""))
     )
     assigned: DataFrame | None = None
     for _outer in range(max_outer):
@@ -1379,11 +1391,12 @@ def condensation_levels(
         .repartition(parts, "src")
         .dropDuplicates(["src", "dst"])
     )
+    # dedup fused into the loop-layout repartition (r15, ADVICE)
     levels = pin(
         scc.select(F.col("scc_id").alias("node"))
-        .distinct()
-        .withColumn("lvl", F.lit(0).cast("long"))
         .repartition(parts, "node")
+        .dropDuplicates(["node"])
+        .withColumn("lvl", F.lit(0).cast("long"))
     )
     frontier = levels
     for _rnd in range(max_depth):
@@ -1510,9 +1523,13 @@ def personalized_pagerank(
     dangling_nodes = pin(
         seed_nodes.select("node")
         .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
+        # dedup fused into the one repartition to the loop layout; the
+        # anti-join's build side (out_deg) descends from the pinned
+        # hash(src) edges, so the probe runs co-partitioned (r15,
+        # ADVICE: distinct-then-repartition paid two exchanges here)
         .repartition(parts, "node")
+        .dropDuplicates(["node"])
+        .join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
         .observe(obs_dangling, F.count(F.lit(1)).alias("n"))
     )
     # emptiness probe rides the pin (r14: was a separate head() job)
@@ -1659,16 +1676,28 @@ def sssp_weighted(
     # (audited: round plans grew 1→2→3→4 exchanges across each cadence
     # window; flat 1/round with the replaced-state form).  One extra
     # prep exchange (node-universe dedup) buys a dist-rate shuffle back
-    # on every unpinned round at any scale.
+    # on every unpinned round at any scale.  Trade-off (r15, recorded):
+    # the full-universe dist makes every round's left-merge and the
+    # final IS NOT NULL filter process universe-rate rows even when the
+    # reached set is tiny (single seed, mostly-unreachable graph) — the
+    # co-partitioned join keeps those rows shuffle-free, so the cost is
+    # a narrow in-place pass, acceptable; for sparse-reachability
+    # workloads where even that pass matters, the seeds-only dist +
+    # full-outer merge is the alternative and re-pays the per-round
+    # shuffle instead.
     dist = pin(
         edges.select(F.explode(F.array("src", "dst")).alias("node"))
         .unionByName(seeds.select("node"))
         .repartition(parts, "node")
         .dropDuplicates(["node"])
         .join(
-            seeds.select("node").distinct().withColumn(
-                "__seed0", F.lit(0).cast("long")
-            ),
+            # seed dedup at the loop layout so the left join runs
+            # co-partitioned (r15, ADVICE: session-width distinct paid
+            # its own exchange plus an ENSURE re-shuffle at the join)
+            seeds.select("node")
+            .repartition(parts, "node")
+            .dropDuplicates(["node"])
+            .withColumn("__seed0", F.lit(0).cast("long")),
             "node",
             "left",
         )

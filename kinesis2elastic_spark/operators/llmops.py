@@ -1107,11 +1107,16 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     # UnknownPartitioning and EVERY round's join re-shuffled the whole
     # edge list; the graph.py kernels' prep discipline applies here too.
     sym = pin(sym.repartition(parts, "b"))
+    # labels init rides sym's pinned hash(b)@parts layout with ZERO
+    # exchanges (r15, ADVICE): sym is symmetric by construction, so the
+    # node universe is set(b) == set(a) — selecting b keeps the pinned
+    # hash(b)→hash(node) partitioning and the distinct fuses in place
+    # (the old select(a).distinct().repartition paid a session-width
+    # distinct exchange plus the repartition).
     labels = pin(
-        sym.select(F.col("a").alias("node"))
+        sym.select(F.col("b").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .repartition(parts, "node")
     )
     prev_sum = None
     for _ in range(max_iters):

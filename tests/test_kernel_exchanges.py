@@ -19,7 +19,7 @@ import re
 
 import pytest
 
-from kinesis2elastic_spark.operators import graph
+from kinesis2elastic_spark.operators import graph, llmops
 from kinesis2elastic_spark.plans.pinning import plan_audit
 
 _PATH = [(f"a{i}", f"a{i+1}") for i in range(6)]
@@ -47,8 +47,11 @@ CASES = [
     # PartitioningCollection, so the alias-member ENSURE_REQUIREMENTS
     # exchange the early rounds used to pay is gone (LPA 17→9, CC 15→9,
     # SCC 41→27 audited; see plans/pinning.py)
+    # bfs/lpa/ppr/sssp/scc budgets tightened in r15: kernel-init dedups
+    # fused into the loop-layout repartition (distinct-then-repartition
+    # paid a session-width exchange plus the repartition; ADVICE r14)
     ("bfs", lambda s: graph.bfs_reachability(_edges(s, _SYM), _seeds(s, ["a0"]), 8).count(), 2, 11),
-    ("lpa", lambda s: graph.label_propagation(_edges(s, _SYM)).count(), 3, 12),
+    ("lpa", lambda s: graph.label_propagation(_edges(s, _SYM)).count(), 2, 9),
     ("cc", lambda s: graph.connected_components_exact(_edges(s, _SYM)).count(), 3, 10),
     ("logstar", lambda s: graph.connected_components_logstar(_edges(s, _SYM)).count(), 5, 35),
     ("kcore", lambda s: graph.kcore_membership(_edges(s, _SYM + _TRI + [(b, a) for a, b in _TRI]))[0].count(), 2, 9),
@@ -57,7 +60,7 @@ CASES = [
     # and the rank-merge join is co-partitioned (62→23 audited, 1
     # exchange per iteration)
     ("pagerank", lambda s: graph.pagerank(_edges(s, _PATH)).count(), 3, 26),
-    ("ppr", lambda s: graph.personalized_pagerank(_edges(s, _PATH), _seeds(s, ["a0"])).count(), 4, 21),
+    ("ppr", lambda s: graph.personalized_pagerank(_edges(s, _PATH), _seeds(s, ["a0"])).count(), 4, 20),
     # sssp tightened in r14: full-universe replaced-state dist makes the
     # merge a partitioning-preserving LEFT join (the old full-outer
     # reported UnknownPartitioning, so round plans grew 1→2→3→4
@@ -65,8 +68,15 @@ CASES = [
     ("sssp", lambda s: graph.sssp_weighted(
         s.createDataFrame([(a, b, 2) for a, b in _SYM], "src string, dst string, w long"),
         _seeds(s, ["a0"]),
-    ).count(), 4, 14),
-    ("scc", lambda s: graph.scc_decomposition(_edges(s, _PATH + [("a3", "a0")])).count(), 3, 30),
+    ).count(), 2, 12),
+    ("scc", lambda s: graph.scc_decomposition(_edges(s, _PATH + [("a3", "a0")])).count(), 3, 28),
+    # llm_cc added in r15: the near-dup CC kernel's labels init now rides
+    # the pinned symmetric edge list's hash(b) layout with ZERO exchanges
+    # (select b == select a on a symmetrized list; calibrated per-pin
+    # [0, 1, 0, 1×n-rounds], max 1)
+    ("llm_cc", lambda s: llmops.connected_components(
+        s.createDataFrame([(i, i + 1) for i in range(6)], "doc_a long, doc_b long")
+    ).count(), 1, 9),
 ]
 
 
