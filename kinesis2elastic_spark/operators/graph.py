@@ -37,6 +37,28 @@ PR_MAX_ITER = 20
 PR_TOL = 1e-6
 
 
+def _static_loop(fn):
+    """Run an iterative kernel's body (prep pins + every round's eager
+    pin) with AQE disabled — see ``plans.pinning.static_loop_plan`` for
+    the measurement and the at-scale argument (per-round driver
+    re-optimization of fixed-shape, co-partitioned loop plans buys
+    nothing and its cost does not amortize with data).  The kernel's
+    RETURNED frame compiles at the caller's action with the session's
+    normal config, so downstream consumers keep AQE."""
+    import functools
+
+    from ..plans.pinning import static_loop_plan
+
+    @functools.wraps(fn)
+    def wrapped(edges: DataFrame, *args, **kwargs):
+        with static_loop_plan(edges.sparkSession):
+            return fn(edges, *args, **kwargs)
+
+    return wrapped
+
+
+
+@_static_loop
 def pagerank(
     edges: DataFrame,
     damping: float = PR_DAMPING,
@@ -78,7 +100,7 @@ def pagerank(
         ),
     )
     # dedup fused into the co-partitioning exchange (see bfs_reachability)
-    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]).sortWithinPartitions("src"))
     obs_nodes = Observation()
     nodes = pin(
         edges.select(F.explode(F.array("src", "dst")).alias("node"))
@@ -278,6 +300,7 @@ def _loop_parts(spark: SparkSession, n_edges: int) -> int:
     return max(8, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
 
 
+@_static_loop
 def bfs_reachability(
     edges: DataFrame,
     seeds: DataFrame,
@@ -320,8 +343,12 @@ def bfs_reachability(
     # with a caller-provided width hint this saves the separate
     # distinct shuffle AND the counting pass over the derived edge list
     # (r10 A/B below); the output keeps the pinned hash(src) layout the
-    # loop joins reuse.
-    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    # loop joins reuse.  sortWithinPartitions (r15, all kernels): the
+    # dedup is a HashAggregate, so the pinned leaf carried NO ordering
+    # and every round's sort-merge join re-sorted the full edge list —
+    # one in-place prep sort (no exchange) makes pin() advertise
+    # [src ASC] and the per-round edge-rate Sort disappears at any scale.
+    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]).sortWithinPartitions("src"))
     # seed dedup fused into the one repartition to the loop layout
     # (r15, ADVICE: distinct-then-repartition paid two exchanges)
     visited = pin(
@@ -334,7 +361,7 @@ def bfs_reachability(
     for hop in range(1, max_hops + 1):
         nxt = (
             frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"))
+            .selectExpr("dst AS node")
             # ONE exchange per round: repartition to the pinned hash(node)
             # layout first, then dedup and anti-join both run on it with
             # no further shuffle (r8 VERDICT: distinct's own exchange
@@ -344,7 +371,7 @@ def bfs_reachability(
             .repartition(parts, "node")
             .distinct()
             .join(visited, "node", "left_anti")
-            .withColumn("dist", F.lit(hop).cast("long"))
+            .selectExpr("node", f"CAST({hop} AS BIGINT) AS dist")
         )
         # EVERY round pins — deliberately NOT pagerank's every-other
         # cadence: each nxt joins the accumulating visited union, so
@@ -415,6 +442,7 @@ def q_graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 LP_ROUNDS = 3
 
 
+@_static_loop
 def label_propagation(
     edges: DataFrame, rounds: int = LP_ROUNDS, n_edges_hint: int | None = None
 ) -> DataFrame:
@@ -467,7 +495,7 @@ def label_propagation(
     # distinct shuffle AND the counting pass over the derived edge list
     # (r10 A/B below); the output keeps the pinned hash(src) layout the
     # loop joins reuse.
-    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]).sortWithinPartitions("src"))
     # node universe in ONE explode pass over the pinned edges (the
     # pagerank r14 shape — the two-branch union scanned the checkpoint
     # twice), deduped IN the repartition to the loop layout (r15,
@@ -483,7 +511,7 @@ def label_propagation(
     for i in range(rounds):
         cnt = (
             edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
+            .selectExpr("dst AS node", "label")
             .groupBy("node", "label")
             .agg(F.count("*").alias("c"))
         )
@@ -501,13 +529,13 @@ def label_propagation(
             cnt.repartition(parts, "node")
             .groupBy("node")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
-            .select("node", F.col("m.label").alias("__new"))
+            .selectExpr("node", "m.label AS __new")
         )
         # carry-forward: a node with no in-edges this round keeps its
         # label (vacuous on symmetric graphs — every node with any edge
         # has an in-edge there)
-        labels = labels.join(upd, "node", "left").select(
-            "node", F.coalesce("__new", "label").alias("label")
+        labels = labels.join(upd, "node", "left").selectExpr(
+            "node", "coalesce(__new, label) AS label"
         )
         # pin EVERY round (r14, reversing the every-other cadence): the
         # next round consumes labels TWICE (the count join and the
@@ -558,6 +586,7 @@ CC_QTY = 1
 CC_SUPP_MOD = 7
 
 
+@_static_loop
 def connected_components_exact(
     edges: DataFrame,
     max_rounds: int = CC_MAX_ROUNDS,
@@ -619,7 +648,7 @@ def connected_components_exact(
         n_edges_hint = sym.count()
     parts = _loop_parts(spark, int(n_edges_hint))
     # dedup fused into the co-partitioning exchange (see bfs_reachability)
-    sym = pin(sym.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    sym = pin(sym.repartition(parts, "src").dropDuplicates(["src", "dst"]).sortWithinPartitions("src"))
     labels = pin(
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -629,9 +658,15 @@ def connected_components_exact(
     frontier = labels  # round 0: every node pushes its own id
     converged = False
     for rnd in range(max_rounds):
+        # round body built with string expressions (r15): each
+        # F.col/.alias/.select Column op is its own py4j round-trip and
+        # the loop pays them per round — selectExpr/filter strings parse
+        # to identical expression trees in one call (the r14 interop
+        # precedent); measured ~2 s of driver construct across the
+        # 27-round fixpoint at sf0.1 before the thinning
         cand = (
             sym.join(frontier, sym.src == frontier.node)
-            .select(F.col("dst").alias("node"), "label")
+            .selectExpr("dst AS node", "label")
             # ONE exchange per round (the BFS discipline): repartition to
             # the pinned hash(node) layout first; the min-combine and both
             # node-keyed joins below then run with no further shuffle.
@@ -641,8 +676,8 @@ def connected_components_exact(
         )
         upd = (
             cand.join(labels, "node")
-            .filter(F.col("__cand") < F.col("label"))
-            .select("node", F.col("__cand").alias("label"))
+            .filter("__cand < label")
+            .selectExpr("node", "__cand AS label")
         )
         # emptiness probe rides the pin as an Observation (the kcore
         # pattern, r11): the pin already materializes upd, so a separate
@@ -654,7 +689,7 @@ def connected_components_exact(
             break
         labels = labels.join(
             upd.withColumnRenamed("label", "__new"), "node", "left"
-        ).select("node", F.coalesce("__new", "label").alias("label"))
+        ).selectExpr("node", "coalesce(__new, label) AS label")
         # replaced-state cadence (every upd leaf above is already
         # pinned, so a longer cadence deepens a join chain over
         # MATERIALIZED leaves only — no lazy recompute blow-up; r11
@@ -678,6 +713,7 @@ def connected_components_exact(
 CC_LOGSTAR_MAX_ROUNDS = 32
 
 
+@_static_loop
 def connected_components_logstar(
     edges: DataFrame,
     max_rounds: int = CC_LOGSTAR_MAX_ROUNDS,
@@ -856,6 +892,7 @@ KCORE_K = 2
 KCORE_ROUNDS = 8
 
 
+@_static_loop
 def kcore_membership(
     edges: DataFrame,
     k: int = KCORE_K,
@@ -890,7 +927,7 @@ def kcore_membership(
         sym = sym.distinct()
         n_edges_hint = sym.count()
     parts = _loop_parts(spark, int(n_edges_hint))
-    sym = pin(sym.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    sym = pin(sym.repartition(parts, "src").dropDuplicates(["src", "dst"]).sortWithinPartitions("src"))
     alive = pin(
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -1177,6 +1214,7 @@ def _minprop_directed(
     return labels
 
 
+@_static_loop
 def scc_decomposition(
     edges: DataFrame,
     max_outer: int = SCC_MAX_OUTER,
@@ -1223,7 +1261,7 @@ def scc_decomposition(
         e0 = e0.distinct()
         n_edges_hint = e0.count()
     parts = _loop_parts(spark, int(n_edges_hint))
-    e0 = pin(e0.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    e0 = pin(e0.repartition(parts, "src").dropDuplicates(["src", "dst"]).sortWithinPartitions("src"))
     # node universe in one explode pass, dedup fused into the loop-layout
     # repartition (r15, ADVICE — the LPA init shape)
     act = pin(
@@ -1258,11 +1296,15 @@ def scc_decomposition(
                 .filter(F.col("__cs") == F.col("__cd"))
                 .select("src", "dst")
             )
-            e_fwd = pin(e_act.repartition(parts, "src"))
+            e_fwd = pin(
+                e_act.repartition(parts, "src").sortWithinPartitions("src")
+            )
             e_bwd = pin(
                 e_act.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst")
-                ).repartition(parts, "src")
+                )
+                .repartition(parts, "src")
+                .sortWithinPartitions("src")
             )
         nodes = act.select("node")
         # the two fixpoints are independent — drive them from two driver
@@ -1353,6 +1395,7 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 COND_MAX_DEPTH = 64
 
 
+@_static_loop
 def condensation_levels(
     edges: DataFrame,
     scc: DataFrame,
@@ -1458,6 +1501,7 @@ def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPR_ITERS = 8  # fixed power iterations (the q_pagerank budget discipline)
 
 
+@_static_loop
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,
@@ -1499,7 +1543,7 @@ def personalized_pagerank(
         edges = edges.distinct()
         n_edges_hint = edges.count()
     parts = _loop_parts(spark, int(n_edges_hint))
-    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]))
+    edges = pin(edges.repartition(parts, "src").dropDuplicates(["src", "dst"]).sortWithinPartitions("src"))
     # out-degree + link join both ride the pinned hash(src) layout
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     links = pin(edges.join(out_deg, "src"))
@@ -1612,6 +1656,7 @@ SSSP_MAX_ROUNDS = 64    # fail-loud relaxation budget (kernel side)
 SSSP_ORACLE_ROUNDS = 12  # unrolled SQL relaxations (>= observed fixpoint + slack)
 
 
+@_static_loop
 def sssp_weighted(
     edges: DataFrame,
     seeds: DataFrame,
@@ -1667,6 +1712,9 @@ def sssp_weighted(
         .repartition(parts, "src")
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
+        # prep sort so the pinned leaf advertises [src ASC] and every
+        # round's relaxation SMJ skips re-sorting the edge list (r15)
+        .sortWithinPartitions("src")
     )
     # dist covers the FULL node universe up front (nodes ∪ seeds, NULL =
     # unreached) — the CC labels discipline (r14).  The old seeds-only
@@ -1708,7 +1756,7 @@ def sssp_weighted(
     for rnd in range(max_rounds):
         cand = (
             frontier.join(edges, frontier.node == edges.src)
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("__c"))
+            .selectExpr("dst AS node", "dist + w AS __c")
             # ONE exchange per round: repartition to the pinned
             # hash(node) layout; min-combine + both node-keyed joins
             # below run with no further shuffle
@@ -1718,8 +1766,8 @@ def sssp_weighted(
         )
         upd = (
             cand.join(dist, "node")
-            .filter(F.col("dist").isNull() | (F.col("__c") < F.col("dist")))
-            .select("node", F.col("__c").alias("dist"))
+            .filter("dist IS NULL OR __c < dist")
+            .selectExpr("node", "__c AS dist")
         )
         obs = Observation()  # probe rides the pin (kcore pattern, r11)
         upd = pin(upd.observe(obs, F.count(F.lit(1)).alias("n")))
@@ -1736,7 +1784,7 @@ def sssp_weighted(
         # full-outer erased it
         dist = dist.join(
             upd.withColumnRenamed("dist", "__new"), "node", "left"
-        ).select("node", F.coalesce("__new", "dist").alias("dist"))
+        ).selectExpr("node", "coalesce(__new, dist) AS dist")
         if rnd % pin_cadence == pin_cadence - 1:
             dist = pin(dist)
         frontier = upd

@@ -1054,6 +1054,16 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iters: int = 20) -> DataFrame:
+    # loop-scoped static planning (r15, the graph.py kernel discipline):
+    # every round's pin pays AQE re-optimization on a fixed-shape
+    # co-partitioned plan — see plans.pinning.static_loop_plan
+    from ..plans.pinning import static_loop_plan
+
+    with static_loop_plan(edges.sparkSession):
+        return _connected_components_body(edges, src, dst, max_iters)
+
+
+def _connected_components_body(edges: DataFrame, src: str, dst: str, max_iters: int) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     'group near-dup pairs into duplicate clusters' step.
 
@@ -1106,7 +1116,10 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     # default_p, i.e. any big edge list) the pinned sym carried
     # UnknownPartitioning and EVERY round's join re-shuffled the whole
     # edge list; the graph.py kernels' prep discipline applies here too.
-    sym = pin(sym.repartition(parts, "b"))
+    # prep sort: the pinned leaf advertises [b ASC], so every round's
+    # neighbor-label SMJ skips re-sorting the edge list (r15, the
+    # graph.py kernel discipline)
+    sym = pin(sym.repartition(parts, "b").sortWithinPartitions("b"))
     # labels init rides sym's pinned hash(b)@parts layout with ZERO
     # exchanges (r15, ADVICE): sym is symmetric by construction, so the
     # node universe is set(b) == set(a) — selecting b keeps the pinned
@@ -1120,8 +1133,8 @@ def connected_components(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b
     )
     prev_sum = None
     for _ in range(max_iters):
-        neighbor_labels = sym.join(labels, sym.b == labels.node).select(
-            F.col("a").alias("node"), "label"
+        neighbor_labels = sym.join(labels, sym.b == labels.node).selectExpr(
+            "a AS node", "label"
         )
         obs = Observation()
         new_labels = pin(

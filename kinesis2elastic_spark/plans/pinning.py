@@ -78,6 +78,46 @@ def plan_audit():
         _AUDIT = prev
 
 
+@contextlib.contextmanager
+def static_loop_plan(spark):
+    """Disable AQE for the scope of an iterative kernel's loop.
+
+    Measured (r15, sf0.1 alternating A/B on q_connected_components:
+    8.57/6.57/6.57 s AQE-on vs 6.29/5.18/5.33 s off — ~20 %): each
+    round's eager pin pays AQE's per-materialization re-optimization
+    (query-stage orchestration + replanning) on a plan whose shape is
+    FIXED by construction — the loop joins run co-partitioned over
+    pinned leaves (zero exchanges for AQE to read), the one exchange
+    per round is an explicit REPARTITION_BY_NUM that AQE must not
+    coalesce, and AQE's skew handling only applies to join exchanges,
+    which these loops don't have.  The one thing AQE could contribute —
+    converting a shrunken frontier's SMJ to broadcast late in the loop
+    — operates on zero-exchange joins either way, so it saves a
+    frontier-rate sort at best (the edge side is pre-sorted at prep,
+    r15).  This is driver-side per-round overhead, which does NOT
+    amortize with data size — the trade-off holds at any scale, so the
+    toggle is scoped to the loop, not a session constant.  Set
+    SPARK_GRAFT_LOOP_AQE=1 to keep AQE on inside loops.
+    Thread-safety: scc's two inner fixpoints run in driver threads
+    under ONE outer scope (session conf is shared); nested scopes are
+    no-ops rather than toggles."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_LOOP_AQE") == "1":
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    if prev == "false":  # nested scope: already static
+        yield
+        return
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def pin(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and truncate BOTH the RDD lineage and the
     optimizer's origin-stats chain, PRESERVING the materialized plan's
@@ -105,6 +145,18 @@ def pin(df: DataFrame) -> DataFrame:
         if src.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
             src = src.executedPlan()
         part = src.outputPartitioning()
+        # CollectMetricsExec (the Observation probe every loop kernel
+        # rides on its pins) does not override outputOrdering, so an
+        # observe() directly above a sorted plan reports Nil and the
+        # rebuilt leaf loses the order — every later sort-merge join
+        # against the pinned frontier then re-sorts it per round (r15,
+        # measured in the CC mid-loop plan: a Sort node over the
+        # frontier leaf in every round).  The metrics node neither
+        # reorders nor repartitions rows, so its CHILD's ordering is
+        # valid for the checkpointed RDD.
+        osrc = src
+        while osrc.getClass().getSimpleName() == "CollectMetricsExec":
+            osrc = osrc.children().head()
         # Keep a PartitioningCollection WHOLE (r14).  Dataset.checkpoint
         # collapses it to firstLeafPartitioning, and pin() used to copy
         # that — but the head member is an arbitrary pick: a plan like
@@ -124,7 +176,7 @@ def pin(df: DataFrame) -> DataFrame:
             qe.analyzed().output(),
             rdd,
             part,
-            src.outputOrdering(),
+            osrc.outputOrdering(),
             False,  # isStreaming
             none,  # stream
             spark._jsparkSession,
