@@ -24,7 +24,7 @@ DataFrame loop —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -193,21 +193,50 @@ def _symmetrize(df: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
     return df.select(both, *extra).select("__e.src", "__e.dst", *extra)
 
 
-def _trade_edges(spark: SparkSession, sf_dir: str, dedup: bool = True) -> DataFrame:
+def _node_str(col: Column) -> Column:
+    """Decode a numeric trade-graph node id back to its string form:
+    2k → 'c'+k (customer), 2k+1 → 's'+k (supplier).  Pure integer bit
+    ops (no float division), exact at any key magnitude."""
+    return F.concat(
+        F.when(col.bitwiseAND(F.lit(1)) == 1, F.lit("s")).otherwise(F.lit("c")),
+        F.shiftright(col, 1).cast("string"),
+    )
+
+
+def _trade_edges(
+    spark: SparkSession, sf_dir: str, dedup: bool = True, numeric: bool = False
+) -> DataFrame:
     """Symmetric directed edge list of the customer↔supplier trade graph
     (bipartite, derived from orders⋈lineitem).  ``dedup=False`` skips the
     pair-distinct shuffle for kernels that fuse dedup into their own
     co-partitioning exchange (bfs_reachability/label_propagation/
-    connected_components_exact with a width hint)."""
+    connected_components_exact with a width hint).
+
+    ``numeric=True`` (r15, guide §2.3 narrower types): node ids as
+    BIGINT under the bijection custkey→2k / suppkey→2k+1 instead of the
+    'c<k>'/'s<k>' strings — 8-byte loop keys instead of ~10-byte UTF8,
+    long joins/aggregates instead of string ones (min(string) forces
+    SortAggregate; min(long) hash-aggregates), and the string concat
+    drops out of the derivation.  Decode with ``_node_str``.  ONLY for
+    consumers whose round logic is id-order-INDEPENDENT (BFS/SSSP dists,
+    CC membership with an explicit end-of-loop representative fix-up) —
+    LPA's per-round min-label tie-break and CC's in-loop representative
+    follow the id ORDER, and the bijection is not lexicographic-order-
+    preserving ('c123' < 'c45' as strings but 123 > 45), so order-
+    dependent kernels keep strings."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    trade = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    if numeric:
+        trade = joined.select(
+            (F.col("o_custkey") * 2).cast("long").alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("supp"),
+        )
+    else:
+        trade = joined.select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
         )
-    )
     if dedup:
         trade = trade.distinct()
     # one-pass symmetrization (r14, guide §2.4): the old
@@ -413,9 +442,14 @@ def q_graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by reduces them to BFS distances — exact integers end to end.
     """
     supplier = load(spark, sf_dir, "supplier")
+    # numeric ids through the fixpoint (r15, guide §2.3): BFS distances
+    # are id-order-independent, so the loop runs on the BIGINT bijection
+    # (8-byte keys, hash-aggregatable dedup) and the node strings are
+    # decoded ONCE on the node-rate output before the reduction — the
+    # reduction's min/max/checksum see the exact original strings.
     seeds = supplier.filter(
         F.col("s_suppkey") % REACH_SEED_MOD == REACH_SEED_REM
-    ).select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    ).select((F.col("s_suppkey") * 2 + 1).cast("long").alias("node"))
     # loop-width hint: 2x the lineitem row count bounds the symmetrized
     # distinct trade-edge count from above (each lineitem contributes at
     # most one (cust, supp) pair) — read from the parquet FOOTER
@@ -424,9 +458,9 @@ def q_graph_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skips its own distinct+count pass over the derived edges
     hint = 2 * table_rows(sf_dir, "lineitem")
     reach = bfs_reachability(
-        _trade_edges(spark, sf_dir, dedup=False), seeds, REACH_MAX_HOPS,
-        n_edges_hint=hint,
-    )
+        _trade_edges(spark, sf_dir, dedup=False, numeric=True), seeds,
+        REACH_MAX_HOPS, n_edges_hint=hint,
+    ).select(_node_str(F.col("node")).alias("node"), "dist")
     node_hash = md5_prefix_long(F.col("node"))
     return (
         reach.groupBy("dist")
@@ -444,7 +478,10 @@ LP_ROUNDS = 3
 
 @_static_loop
 def label_propagation(
-    edges: DataFrame, rounds: int = LP_ROUNDS, n_edges_hint: int | None = None
+    edges: DataFrame,
+    rounds: int = LP_ROUNDS,
+    n_edges_hint: int | None = None,
+    label_of_node=None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection over a (src,
     dst) edge list → (node, label): every node starts labeled with its
@@ -502,11 +539,20 @@ def label_propagation(
     # ADVICE: distinct-then-repartition paid a session-width exchange
     # plus the repartition; hash(node)@parts satisfies the dedup's
     # clustering, so one exchange does both).
+    # ``label_of_node`` (r15): callers that re-encode node ids for loop
+    # performance (BIGINT join keys, guide §2.3) but whose LABEL
+    # semantics are order-sensitive (the per-round argmax tie-breaks on
+    # MIN label) pass the decoder here, so labels stay the ORIGINAL
+    # values and every round's tie-break is bit-identical to the
+    # un-encoded run — only the join/grouping key column narrows.
+    _lbl = (
+        label_of_node(F.col("node")) if label_of_node else F.col("node")
+    )
     labels = pin(
         edges.select(F.explode(F.array("src", "dst")).alias("node"))
         .repartition(parts, "node")
         .dropDuplicates(["node"])
-        .withColumn("label", F.col("node"))
+        .withColumn("label", _lbl)
     )
     for i in range(rounds):
         cnt = (
@@ -566,9 +612,18 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     member.  Same trade graph as q_pagerank/q_graph_reach, so the three
     oracles pin one edge-list derivation."""
     hint = 2 * table_rows(sf_dir, "lineitem")  # parquet-footer metadata
+    # hybrid encoding (r15, guide §2.3): the loop's JOIN/grouping key is
+    # the BIGINT node bijection (fast probes, narrow exchanges) while
+    # LABELS stay the original strings — the per-round argmax tie-breaks
+    # on MIN label, which is order-sensitive, so the label column must
+    # carry the exact original values; node order never enters a round.
+    # Node strings are decoded once on the node-rate output.
     labels = label_propagation(
-        _trade_edges(spark, sf_dir, dedup=False), LP_ROUNDS, n_edges_hint=hint
-    )
+        _trade_edges(spark, sf_dir, dedup=False, numeric=True),
+        LP_ROUNDS,
+        n_edges_hint=hint,
+        label_of_node=_node_str,
+    ).select(_node_str(F.col("node")).alias("node"), "label")
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("long").alias("n_members"),
         F.sum(md5_prefix_long(F.col("node"))).cast("long").alias("member_checksum"),
@@ -823,7 +878,7 @@ def connected_components_logstar(
 
 
 def _trade_edges_sparse(
-    spark: SparkSession, sf_dir: str, dedup: bool = True
+    spark: SparkSession, sf_dir: str, dedup: bool = True, numeric: bool = False
 ) -> DataFrame:
     """Sparse trade subgraph (quantity-``CC_QTY`` lineitems from every
     ``CC_SUPP_MOD``-th supplier): thins both edge mass and hub count so
@@ -839,10 +894,17 @@ def _trade_edges_sparse(
         .select("l_orderkey", "l_suppkey")
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    out = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    if numeric:  # r15: BIGINT ids (see _trade_edges)
+        out = joined.select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+    else:
+        out = joined.select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
     return out.distinct() if dedup else out
 
 
@@ -873,18 +935,41 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .count()
     )
+    # numeric ids through the fixpoint (r15, guide §2.3): component
+    # MEMBERSHIP is id-order-independent (min-label propagation finds
+    # the same connected node sets under any label total order), so the
+    # loop runs on the BIGINT bijection; the canonical STRING id (min
+    # member in string order — the contract) is recomputed exactly in
+    # the per-component reduction below, which was already grouping and
+    # min/max-ing the members.  The canonical-id invariant moves to the
+    # encoded space — min(numeric member) == numeric kernel label —
+    # which is the SAME fixpoint property the string form asserted (a
+    # broken/early-stopped fixpoint still flips the hashed flag).
     comp = connected_components_exact(
-        _trade_edges_sparse(spark, sf_dir, dedup=False), n_edges_hint=hint
+        _trade_edges_sparse(spark, sf_dir, dedup=False, numeric=True),
+        n_edges_hint=hint,
     )
     return (
         comp.groupBy(F.col("component"))
         .agg(
             F.count("*").cast("long").alias("n_members"),
-            F.sum(md5_prefix_long(F.col("node"))).cast("long").alias("member_checksum"),
-            F.min("node").alias("first_member"),
-            F.max("node").alias("last_member"),
+            F.sum(md5_prefix_long(_node_str(F.col("node"))))
+            .cast("long")
+            .alias("member_checksum"),
+            F.min(_node_str(F.col("node"))).alias("first_member"),
+            F.max(_node_str(F.col("node"))).alias("last_member"),
+            # min over the (constant-per-group) key == the key; min is
+            # deterministic where first() is order-sensitive
+            (F.min("node") == F.min("component")).alias("canonical_id_ok"),
         )
-        .withColumn("canonical_id_ok", F.col("first_member") == F.col("component"))
+        .select(
+            F.col("first_member").alias("component"),
+            "n_members",
+            "member_checksum",
+            "first_member",
+            "last_member",
+            "canonical_id_ok",
+        )
     )
 
 
@@ -1799,7 +1884,9 @@ def sssp_weighted(
     return dist.filter(F.col("dist").isNotNull())
 
 
-def _trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trade_edges_weighted(
+    spark: SparkSession, sf_dir: str, numeric: bool = False
+) -> DataFrame:
     """Symmetric weighted trade graph: one edge per DISTINCT (customer,
     supplier) trading pair, weight 1 + (custkey + suppkey) % SSSP_W_MOD —
     deterministic from the keys alone, so the weight survives the
@@ -1808,16 +1895,22 @@ def _trade_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-prep exchange (dedup=False discipline of ``_trade_edges``)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    trade = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
-        (
-            F.lit(1)
-            + (F.col("o_custkey") + F.col("l_suppkey")) % F.lit(SSSP_W_MOD)
+    w = (
+        F.lit(1) + (F.col("o_custkey") + F.col("l_suppkey")) % F.lit(SSSP_W_MOD)
+    ).cast("long").alias("w")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    if numeric:  # r15: BIGINT ids (see _trade_edges) — weights untouched
+        trade = joined.select(
+            (F.col("o_custkey") * 2).cast("long").alias("cust"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("supp"),
+            w,
         )
-        .cast("long")
-        .alias("w"),
-    )
+    else:
+        trade = joined.select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+            w,
+        )
     return _symmetrize(trade, "cust", "supp")
 
 
@@ -1837,17 +1930,21 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-ops), a DIFFERENT exact algorithm shape from the kernel's
     semi-naive frontier."""
     supplier = load(spark, sf_dir, "supplier")
+    # numeric ids through the relaxation loop (r15, guide §2.3):
+    # distances are pure long arithmetic over edge weights — id order
+    # never enters the rounds — so the loop runs on the BIGINT bijection
+    # and the strings are decoded once on the node-rate output.
     seeds = supplier.filter(
         F.col("s_suppkey") % REACH_SEED_MOD == REACH_SEED_REM
-    ).select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    ).select((F.col("s_suppkey") * 2 + 1).cast("long").alias("node"))
     hint = 2 * table_rows(sf_dir, "lineitem")  # parquet-footer metadata
     stats: dict = {}
     dist = sssp_weighted(
-        _trade_edges_weighted(spark, sf_dir),
+        _trade_edges_weighted(spark, sf_dir, numeric=True),
         seeds,
         n_edges_hint=hint,
         stats_out=stats,
-    )
+    ).select(_node_str(F.col("node")).alias("node"), "dist")
     # r12 (r11 ADVICE): the oracle unrolls a FIXED number of relaxations;
     # if a graph shape ever needs more improving rounds than that, the
     # oracle would silently return partially-relaxed distances and the
