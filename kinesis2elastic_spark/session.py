@@ -66,6 +66,18 @@ def get_spark(app_name: str = "kinesis2elastic_spark", cpus: int | str | None = 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Manifest-driven interop reads (delta_log/iceberg_meta/
+        # timetravel) pass EXPLICIT file lists; above this many paths
+        # Spark launches a distributed listing JOB whose scheduling
+        # floor dwarfs the driver-side stat cost until path counts are
+        # huge (r15: q_iceberg_read paid a 54-task listing job for 54
+        # known files).  256 keeps bigger manifests driver-listed;
+        # env-overridable for deployments with object-store listing
+        # latency where the distributed form pays off sooner.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "256"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -84,6 +96,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     try:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    try:  # see get_spark: explicit-file-list reads should driver-list
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LIST_THRESHOLD", "256"),
+        )
     except Exception:
         pass
     ship_package(spark)

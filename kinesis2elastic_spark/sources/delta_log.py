@@ -532,7 +532,11 @@ def _scan_delta_files(
                 columns=["__dvf", "__dvp"],
             ),
             schema="__dvf string, __dvp bigint",
-        )
+        # metadata-rate frame destined for a broadcast: without the
+        # coalesce, createDataFrame fans the pandas rows across
+        # defaultParallelism slices and every broadcast build runs a
+        # session-width job (r15: two 32-task jobs per DV read)
+        ).coalesce(1)
     groups: dict[tuple, list[dict]] = {}
     for f_ in files:
         # partitionValues are keyed by PHYSICAL name under column mapping
@@ -1253,7 +1257,7 @@ def delta_merge(
 
         dead_df = spark.createDataFrame(
             _pd.DataFrame(dead, columns=["__dvf", "__dvp"])
-        )
+        ).coalesce(1)  # metadata-rate broadcast side (see pos_df note)
         scan = scan.join(F.broadcast(dead_df), ["__dvf", "__dvp"], "left_anti")
     keys = source_df.select(*key_cols).dropDuplicates()
     hits = (
